@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-aware and driver-materialization-free:
+
+- exact: hash fingerprint -> groupBy (one shuffle on the 128-bit key).
+- n-gram Jaccard: inverted index on shingles with a document-frequency
+  cap (the cap bounds the worst-case pair blowup: a shingle appearing in
+  d docs creates d^2/2 candidate rows, so hot shingles are dropped —
+  standard skew guard at 100 TB).
+- MinHash + LSH: 16 min-hashes over shingles, banded 4x4; candidate
+  pairs only where a full band collides, then exact Jaccard verification
+  on the candidates. Min-hashes are lexicographic minima of seeded md5
+  hex strings — a total order both Spark and DuckDB agree on, so the
+  oracle can reproduce signatures exactly.
+- SimHash: 16-bit sign-of-weighted-sum fingerprint per document, with
+  byte-band candidate generation + Hamming-distance verification.
+
+At 100 TB the candidate joins shuffle on (band_idx, band_key) /
+shingle — uniform md5-derived keys, so no salting needed; the df-cap
+removes the only natural skew source (stop-shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, words_expr
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MAX_SHINGLE_DF = 100  # skew guard: drop shingles appearing in > this many docs
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groups with representative (min id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Exploded (id, shingle) pairs, df-capped. One row per distinct
+    shingle per doc."""
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh"))
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
+    return sh.join(rare.select("sh"), "sh")
+
+
+def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard between docs sharing >=1 shingle (or the given
+    candidate pairs): |A∩B| from the inverted-index self-join,
+    |A|,|B| from per-doc shingle counts."""
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a_id", "b_id"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("un"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup pairs by exact (df-capped) n-gram Jaccard >= threshold."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    return _jaccard_on(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of
+    md5('{i}:' || shingle), a lexicographic min over hex strings."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """LSH-banded candidate pairs + exact Jaccard verification.
+
+    shingle -> 16 minhashes -> 4 bands of 4 -> bucket join on
+    (band_idx, band_key) -> verify candidates with exact Jaccard.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n)
+    band_cols = []
+    for b in range(NUM_BANDS):
+        hs = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws("|", *hs)).alias(f"b{b}"))
+    banded = sig.select("doc", *band_cols)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
+    bands_long = banded.select(
+        "doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)")
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
+        .distinct()
+    )
+    sh = _shingle_table(df, id_col, text_col, n)
+    return _jaccard_on(sh, pairs=cand)
+
+
+def _simhash_bit_exprs(tok_col: str = "tok") -> list:
+    """Per-token ±1 contribution for each of the 16 simhash bits, derived
+    from md5 hex nibbles (integer div/mod only — portable to the oracle)."""
+    out = []
+    for j in range(SIMHASH_BITS):
+        k, b = j // 4 + 1, j % 4
+        v = f"(instr('0123456789abcdef', substring(md5({tok_col}), {k}, 1)) - 1)"
+        out.append(F.expr(f"2 * (({v} div {1 << b}) % 2) - 1").alias(f"c{j}"))
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document over distinct word tokens."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
+    )
+    contrib = toks.select("doc", *_simhash_bit_exprs())
+    sums = contrib.groupBy("doc").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: byte-band candidates (high/low byte match), then
+    Hamming distance over the 16-bit fingerprints."""
+    fps = simhash(df, id_col, text_col)
+    fps = fps.select(
+        "doc", "simhash", (F.col("simhash") / 256).cast("long").alias("hb"),
+        (F.col("simhash") % 256).alias("lb"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    cand_h = a.join(b, (F.col("a.hb") == F.col("b.hb")) & (F.col("a.doc") < F.col("b.doc")))
+    cand_l = a.join(b, (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc") < F.col("b.doc")))
+    cols = [
+        F.col("a.doc").alias("a_id"),
+        F.col("b.doc").alias("b_id"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    ]
+    cand = cand_h.select(*cols).union(cand_l.select(*cols)).distinct()
+    return cand.withColumn(
+        "hamming", F.bit_count(F.expr("sh_a ^ sh_b"))
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+scan the corpus once, rank per query. At 100 TB the corpus side stays
+partition-parallel with zero shuffle until the final per-query top-k
+(k rows per partition survive the partial top-k, so the shuffle is tiny).
+
+Scale path: label-blocked near-dup join (the IVF idea: only compare
+vectors inside the same coarse cell). Blocking keys shuffle once.
+
+Dot products use an explicit left-to-right fold (F.aggregate over
+zip_with) so the oracle's list_reduce reproduces bitwise-identical
+doubles. No Python UDFs — everything stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (brute force baseline).
+
+    ``queries`` must be small enough to broadcast; the corpus is scanned
+    once. Deterministic tie-break on corpus id.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        .select("q_id", "vec_id", "sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate vector pairs within a blocking cell (IVF-style):
+    only same-block pairs are compared, so the join shuffles once on the
+    block key instead of building the full cross product."""
+    a = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(cosine_expr("a_vec", "b_vec"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("blk", "a_id", "b_id", "sim")
+    )

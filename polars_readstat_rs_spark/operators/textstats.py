@@ -1,0 +1,99 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. All pure built-in-function expressions (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, words_expr
+
+# n-gram-heuristic language ID: marker-token hit counts per language.
+# (Real corpora would use char n-gram profiles; the synthetic testdata is
+# a closed word vocabulary, so word markers are the deterministic analogue.)
+LANG_MARKERS = {
+    "en": ("the", "a", "table", "row"),
+    "es": ("data", "value", "part"),
+    "de": ("window", "batch", "merge"),
+    "zh": ("spark", "query", "scan"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _marker_count(lang: str) -> F.Column:
+    toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(split(lower(text), ' '), w -> w IN ({toks})))")
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_count(lg).alias(f"s_{lg}") for lg in LANG_MARKERS],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.withColumn("pred_lang", pred).withColumn(
+        "is_correct", F.col("pred_lang") == F.col("lang")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / vocabulary-diversity / stopword-ratio quality heuristic.
+
+    The double arithmetic is written in one fixed evaluation order so the
+    DuckDB oracle reproduces it bitwise.
+    """
+    words = words_expr("text")
+    stop_list = ", ".join(f"'{t}'" for t in STOPWORDS)
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
+    stop_ratio = (
+        F.expr(f"size(filter(split(lower(text), ' '), w -> w IN ({stop_list})))").cast("double")
+        / n_tokens.cast("double")
+    )
+    avg_word_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")
+    score = (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(200.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level token frequency table (classic first pass of a
+    tokenizer-training / contamination-analysis pipeline)."""
+    toks = docs.select("doc_id", F.explode(words_expr("text")).alias("tok"))
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.length("tok")).alias("tok_len"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: full-text hash, 8-word-prefix hash, and a
+    winnowing-style min-hash over 5-gram windows (rolling-hash analogue)."""
+    words = words_expr("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("fp_prefix8"),
+        F.array_min(F.transform(shingles_expr("text", 5), F.md5)).alias("fp_winnow5"),
+    )

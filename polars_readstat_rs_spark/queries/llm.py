@@ -1,0 +1,303 @@
+"""LLM-data-pipeline queries with DuckDB oracles: dedup (exact, n-gram
+Jaccard, MinHash+LSH, SimHash), embedding similarity search, text
+analysis, multimodal byte plumbing.
+
+The oracle SQL mirrors the Spark operators expression-for-expression
+(same hash seeds, same fold order, same df-caps) so the value-hash
+comparison is exact. Integer widths are aligned: Spark's size/length/
+row_number produce INT, so oracles cast DuckDB's BIGINT equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------- shared SQL
+
+_SHINGLE_N = 3
+
+
+def _sh_ctes(n: int = _SHINGLE_N) -> str:
+    """CTEs: df-capped distinct n-gram shingles + sizes + pair intersections
+    (mirrors operators.dedup._shingle_table / _jaccard_on)."""
+    return f"""
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    sh_all AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(list_transform(range(1, greatest(len(words) - {n - 2}, 1)),
+                    i -> array_to_string(words[i:i+{n - 1}], ' ')))) AS sh
+      FROM toks),
+    rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+    sh AS (SELECT s.doc, s.sh FROM sh_all s JOIN rare USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2)
+    """
+
+
+_JACCARD_SELECT = """
+    SELECT i.a_id, i.b_id, i.inter, (sa.sz + sb.sz - i.inter) AS un,
+           CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+    FROM inter i JOIN sizes sa ON i.a_id = sa.doc JOIN sizes sb ON i.b_id = sb.doc
+"""
+
+_COS = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = _COS.format(a=a, b=a)
+    nb = _COS.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+# ------------------------------------------------------------------- dedup
+
+@register(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "d02_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_sh_ctes()}
+    {_JACCARD_SELECT}
+    WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.2
+    """,
+)
+def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=_SHINGLE_N, threshold=0.2)
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(dedup.NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(dedup.NUM_BANDS):
+        hs = [f"h{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)]
+        key = " || '|' || ".join(hs)
+        band_selects.append(f"SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_sh_ctes()},
+    sig AS (SELECT doc, {sig_cols} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc)
+    SELECT i.a_id, i.b_id, i.inter, (sa.sz + sb.sz - i.inter) AS un,
+           CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN cand c ON i.a_id = c.a_id AND i.b_id = c.b_id
+    JOIN sizes sa ON i.a_id = sa.doc JOIN sizes sb ON i.b_id = sb.doc
+    """
+
+
+@register("d03_dedup_minhash_lsh", oracle=_minhash_oracle())
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=_SHINGLE_N)
+
+
+def _simhash_ctes() -> str:
+    sums = []
+    for j in range(dedup.SIMHASH_BITS):
+        k, b = j // 4 + 1, j % 4
+        v = f"(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)"
+        sums.append(f"sum(2 * (({v} // {1 << b}) % 2) - 1) AS s{j}")
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (SELECT doc_id AS doc, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+             FROM documents),
+    sums AS (SELECT doc, {', '.join(sums)} FROM toks GROUP BY doc),
+    fp AS (SELECT doc, CAST({fp_terms} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+@register("d04_simhash", oracle=f"WITH {_simhash_ctes()} SELECT doc, simhash FROM fp")
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "d05_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_ctes()},
+    fpb AS (SELECT doc, simhash, simhash // 256 AS hb, simhash % 256 AS lb FROM fp),
+    cand AS (
+      SELECT DISTINCT a.doc AS a_id, b.doc AS b_id, a.simhash AS sh_a, b.simhash AS sh_b
+      FROM fpb a JOIN fpb b ON (a.hb = b.hb OR a.lb = b.lb) AND a.doc < b.doc)
+    SELECT * FROM (
+      SELECT a_id, b_id, sh_a, sh_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# -------------------------------------------------------------- similarity
+
+@register(
+    "v01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {_cosine_sql('q.q_vec', 'e.embedding')} AS sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "v02_embedding_neardup",
+    oracle=f"""
+    SELECT blk, a_id, b_id, sim FROM (
+      SELECT a.label AS blk, a.vec_id AS a_id, b.vec_id AS b_id,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    """,
+)
+def v02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.blocked_neardup_pairs(emb, threshold=0.4)
+
+
+# ------------------------------------------------------------ text analysis
+
+def _marker_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in textstats.LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ({toks}))) AS INT)"
+        f" AS s_{lang}"
+    )
+
+
+@register(
+    "t01_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {', '.join(_marker_sql(lg) for lg in textstats.LANG_MARKERS)}
+      FROM documents)
+    SELECT doc_id, lang, s_en, s_es, s_de, s_zh,
+      CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+           WHEN s_de >= s_zh THEN 'de'
+           ELSE 'zh' END AS pred_lang,
+      (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+            WHEN s_de >= s_zh THEN 'de'
+            ELSE 'zh' END) = lang AS is_correct
+    FROM scored
+    """,
+)
+def t01_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = ", ".join(f"'{t}'" for t in textstats.STOPWORDS)
+
+
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents)
+    SELECT doc_id,
+      CAST(length(text) AS INT) AS n_chars_calc,
+      CAST(len(words) AS INT) AS n_tokens,
+      CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS distinct_ratio,
+      CAST(len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS stop_ratio,
+      CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS avg_word_len,
+      0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+      + 0.3 * (CAST(len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+      + 0.2 * least(1.0, CAST(len(words) AS DOUBLE) / 200.0) AS quality
+    FROM w
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t03_token_stats",
+    oracle="""
+    SELECT tok, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs,
+           CAST(min(length(tok)) AS INT) AS tok_len
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t04_fingerprints",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents)
+    SELECT doc_id,
+      md5(lower(trim(text))) AS fp_full,
+      md5(array_to_string(words[1:8], ' ')) AS fp_prefix8,
+      list_min(list_transform(
+        list_distinct(list_transform(range(1, greatest(len(words) - 3, 1)),
+                      i -> array_to_string(words[i:i+4], ' '))),
+        s -> md5(s))) AS fp_winnow5
+    FROM w
+    """,
+)
+def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+
+@register(
+    "m01_multimodal_bytes",
+    oracle="""
+    SELECT doc_id, 'image' AS modality,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      md5(text) AS checksum,
+      hex(encode(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    """,
+)
+def m01_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.payload_stats(multimodal.attach_payload(docs))

@@ -1,0 +1,750 @@
+"""Relational operator suite (SURVEY.md §2.6 / §7 step 8).
+
+The reference (jrothbaum/polars_readstat_rs) delegates all relational
+processing to its host engine (Polars LazyFrame, README.md:135-137); in
+this rebuild the host engine is Spark, so these queries declare the
+relational surface a reference user gets "for free" and verify it
+against DuckDB. Every query is expressed with the DataFrame API so
+Catalyst owns pushdown/join-strategy selection; broadcast hints mark the
+dimension tables that must never shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import EVENTS_US, register
+
+DEC = "decimal(12,2)"
+
+
+def _dec(c: str):  # exact money/rate arithmetic — see registry docstring
+    return F.col(c).cast(DEC)
+
+
+def _one():  # lazy: F.lit needs an active SparkContext
+    return F.lit(1).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1 pricing summary: wide hash aggregate, map-side partial agg.
+# At scale: 2-column group key => tiny shuffle after partial aggregation.
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — projection + filter (the reference's P1 pushdown surface, now done
+# by Catalyst: filter and 4-column ReadSchema reach the parquet scan).
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+# --------------------------------------------------------------------------
+# q03 — TPC-H Q3 shipping priority: 3-way join; customer/orders co-partition
+# on the join keys, lineitem joins on l_orderkey (largest shuffle).
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      CAST(o_orderdate AS DATE) AS orderdate, count(*) AS n_lines
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(
+            F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select("l_orderkey", "revenue", "orderdate", "n_lines")
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — EXISTS / left-semi join (orders with any heavy lineitem).
+@register(
+    "q04_semi_join_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — TPC-H Q5-ish 6-way join. region/nation/supplier are broadcast so the
+# only shuffle is customer⋈orders⋈lineitem on their keys.
+@register(
+    "q05_nation_revenue",
+    oracle="""
+    SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (_one() - disc)).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — TPC-H Q6 scalar aggregate (fully pushed-down scan + single agg).
+@register(
+    "q06_revenue_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — NOT EXISTS / left-anti join.
+@register(
+    "q07_anti_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — semi join + broadcast dimension decode (value-label-shaped join).
+@register(
+    "q08_semi_join_broadcast",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q08_semi_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — DISTINCT (shuffle dedup on the full key).
+@register(
+    "q09_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q09_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# q10 — exact COUNT(DISTINCT) per group (expands to two-phase agg in Spark).
+@register(
+    "q10_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — top-k per group via row_number window (deterministic tiebreak).
+@register(
+    "q11_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — window functions over the events stream table: lag + running sum.
+# Running sum accumulates in DECIMAL so both engines agree bitwise.
+@register(
+    "q12_window_running",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           lag(value) OVER w AS prev_value,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+           CAST(row_number() OVER w AS INT) AS rn
+    FROM {EVENTS_US} e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(_dec("value")).over(wrun).cast("double").alias("running_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — set operations (UNION/INTERSECT/EXCEPT, all distinct semantics).
+@register(
+    "q13_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+         has_ord AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT 'both' AS tag, k FROM (SELECT k FROM building INTERSECT SELECT k FROM has_ord)
+    UNION ALL
+    SELECT 'building_only' AS tag, k FROM (SELECT k FROM building EXCEPT SELECT k FROM has_ord)
+    UNION ALL
+    SELECT 'all_union' AS tag, k FROM (SELECT k FROM building UNION SELECT k FROM has_ord)
+    """,
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    has_ord = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    both = building.intersect(has_ord).select(F.lit("both").alias("tag"), "k")
+    only = building.subtract(has_ord).select(F.lit("building_only").alias("tag"), "k")
+    un = building.union(has_ord).distinct().select(F.lit("all_union").alias("tag"), "k")
+    return both.unionAll(only).unionAll(un)
+
+
+# --------------------------------------------------------------------------
+# q14 — ROLLUP hierarchy aggregate.
+@register(
+    "q14_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — CUBE aggregate.
+@register(
+    "q15_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — GROUPING SETS with grouping_id disambiguation.
+@register(
+    "q16_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q16_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM _q16_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — date arithmetic incl. the reference's epoch conversions (SURVEY §1.2
+# F3): SAS/Stata day epoch 1960-01-01, SPSS second epoch 1582-10-14
+# (shift 12_219_379_200 s, /root/reference/src/spss/data.rs:17).
+@register(
+    "q17_date_arith",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      CAST(quarter(o_orderdate) AS INT) AS q,
+      CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      CAST(date_diff('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) AS INT) AS stata_days,
+      epoch_ms(o_orderdate) // 1000 + 12219379200 AS spss_seconds,
+      CAST(o_orderdate AS DATE) + 30 AS plus_30,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q17_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.datediff(od, F.lit("1960-01-01").cast("date")).alias("stata_days"),
+        # o_orderdate is TIMESTAMP_NTZ; cast to TIMESTAMP (identity at UTC)
+        (F.expr("unix_millis(cast(o_orderdate as timestamp)) div 1000") + F.lit(12219379200)).alias(
+            "spss_seconds"
+        ),
+        F.date_add(od, 30).alias("plus_30"),
+        F.last_day(od).alias("month_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — string functions (trim/case/substr/regexp/split — F4/F5 analogues).
+@register(
+    "q18_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+      upper(trim(c_name)) AS uname,
+      CAST(length(c_name) AS INT) AS name_len,
+      substr(c_name, 1, 8) AS prefix,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      CAST(len(string_split(c_name, '#')) AS INT) AS n_parts,
+      CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+           ELSE lower(c_mktsegment) END AS seg_code
+    FROM customer
+    """,
+)
+def q18_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("uname"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "B")
+        .when(F.col("c_mktsegment") == "MACHINERY", "M")
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — value-label decode (reference P5, src/stata/data.rs:1010-1067):
+# labeled values via broadcast map join; unlabeled pass through as the
+# stringified number (partial-label semantics).
+@register(
+    "q19_value_label_decode",
+    oracle="""
+    SELECT coalesce(lbl, CAST(l_linenumber AS VARCHAR)) AS line_label, count(*) AS n
+    FROM lineitem
+    LEFT JOIN (VALUES (1, 'first'), (2, 'second'), (3, 'third')) labels(k, lbl)
+      ON l_linenumber = k
+    GROUP BY 1
+    """,
+)
+def q19_value_label_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = spark.createDataFrame([(1, "first"), (2, "second"), (3, "third")], ["k", "lbl"])
+    return (
+        li.join(F.broadcast(labels), li.l_linenumber == labels.k, "left")
+        .select(F.coalesce(F.col("lbl"), F.col("l_linenumber").cast("string")).alias("line_label"))
+        .groupBy("line_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — missing-value semantics (reference P6/P8): masked value + merged
+# informative-null mode (coalesce(cast(value as string), indicator), the
+# exact expression the reference builds at src/lib.rs:322-354).
+@register(
+    "q20_informative_nulls",
+    oracle="""
+    SELECT o_orderstatus,
+      count(*) AS n,
+      count(*) - count(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END) AS n_missing,
+      CAST(sum(CASE WHEN o_orderstatus <> 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_present,
+      min(coalesce(CAST(CAST(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END AS DECIMAL(12,2)) AS VARCHAR), '.p')) AS min_merged
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q20_informative_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    value = F.when(F.col("o_orderstatus") != "P", F.col("o_totalprice"))
+    merged = F.coalesce(value.cast(DEC).cast("string"), F.lit(".p"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count(value)).alias("n_missing"),
+        F.sum(value.cast(DEC)).cast("double").alias("sum_present"),
+        F.min(merged).alias("min_merged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — FULL OUTER join of two aggregates.
+@register(
+    "q21_full_outer",
+    oracle="""
+    SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    """,
+)
+def q21_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.k == s.k, "full_outer").select(
+        F.coalesce(c.k, s.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — as-of join (custom operator — Spark has no native one). Implemented
+# scale-out as union + partitioned last_value window: one shuffle on
+# user_id, no per-group driver loop; DuckDB verifies with its native
+# ASOF JOIN. Semantics: latest signup with signup.ts <= event.ts per user.
+@register(
+    "q22_asof_join",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, epoch_ms(s.sts) AS signup_ms
+    FROM {EVENTS_US} e
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts
+                    FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.sts
+    """,
+)
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp").alias("signup_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        F.lit(0).alias("is_event"),
+        F.col("ts").alias("signup_ts"),
+    )
+    # tie rule: a signup at exactly event.ts sorts first (is_event asc), so
+    # last_value() picks it up — matches DuckDB's inclusive `>=`.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("asof_signup", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.unix_millis("asof_signup").alias("signup_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — sessionization: 30-minute inactivity gap splits sessions; classic
+# lag + cumulative-sum window (one shuffle on user_id).
+@register(
+    "q23_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 THEN 1
+             WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+             ELSE 0 END AS new_sess
+      FROM {EVENTS_US} e
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+    FROM marked GROUP BY user_id
+    """,
+)
+def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.lag(F.unix_millis("ts")).over(w)
+    new_sess = F.when(prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 1800000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("span_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — tumbling-window aggregation (the batch shape of the Structured
+# Streaming windowed agg in streaming/; F.window is epoch-aligned so the
+# oracle floors epoch_ms to the 6h bucket).
+@register(
+    "q24_windowed_agg",
+    oracle=f"""
+    SELECT epoch_ms(ts) - epoch_ms(ts) % 21600000 AS window_start_ms, event_type,
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM {EVENTS_US} e
+    GROUP BY 1, 2
+    """,
+)
+def q24_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("total_value"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — exact median / percentile + min/max per group.
+@register(
+    "q25_median",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+      min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — type narrowing stats (reference P7 `compress_df`,
+# src/stata/compress.rs:82-202): min/max/integrality scan that drives the
+# downcast decision, using the reference's Stata-safe bounds
+# (src/stata/compress.rs:5-19: byte<=100, int<=32740, long<=2147483620).
+@register(
+    "q26_type_narrowing",
+    oracle="""
+    WITH stats AS (
+      SELECT 'l_quantity' AS col_name, min(l_quantity) AS vmin, max(l_quantity) AS vmax,
+             CAST(sum(CASE WHEN l_quantity <> floor(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS all_int
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+             CAST(sum(CASE WHEN l_extendedprice <> floor(l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', min(CAST(l_linenumber AS DOUBLE)), max(CAST(l_linenumber AS DOUBLE)),
+             CAST(sum(CASE WHEN l_linenumber <> floor(l_linenumber) THEN 1 ELSE 0 END) AS BIGINT) = 0
+      FROM lineitem
+    )
+    SELECT col_name, vmin, vmax, all_int,
+      CASE WHEN NOT all_int THEN 'double'
+           WHEN vmin >= -127 AND vmax <= 100 THEN 'int8'
+           WHEN vmin >= -32767 AND vmax <= 32740 THEN 'int16'
+           WHEN vmin >= -2147483647 AND vmax <= 2147483620 THEN 'int32'
+           ELSE 'int64' END AS narrowed_type
+    FROM stats
+    """,
+)
+def q26_type_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.narrow import narrowing_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return narrowing_stats(li, ["l_quantity", "l_extendedprice", "l_linenumber"])

@@ -1,0 +1,34 @@
+"""SparkSession factory tuned for the local[32] test harness.
+
+At cluster scale the same builder applies minus the local master /
+driver-memory knobs; AQE + adaptive coalescing are the load-bearing
+settings (runtime re-planning, skew-join splitting).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None = None) -> SparkSession:
+    cpus = str(cpus or DEFAULT_CPUS)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long ns and normalize in tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

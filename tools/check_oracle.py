@@ -1,0 +1,120 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every queries() entry at a scale factor and compares against the
+oracle_sql() DuckDB result: row count, column names, column types
+(loosely), and an order-insensitive value comparison (rows sorted, with
+columns sorted by name — matching the documented driver behavior).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if v is None:
+        return "NULL"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return repr(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = set(args)
+
+    from __spark_entry__ import oracle_sql, queries
+
+    from polars_readstat_rs_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = queries(), oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = res.columns
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if ok:
+            _, sn = norm_rows(scols, srows)
+            _, dn = norm_rows(dcols, drows)
+            if sn != dn:
+                ok = False
+                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                msgs.append(f"values differ; first diffs: {diffs}")
+        if ok:
+            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: " + " | ".join(msgs))
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
