@@ -1,0 +1,220 @@
+"""PySpark custom DataSource for statistical-software file formats.
+
+``spark.read.format("readstat").load(path)`` with extension dispatch
+(.dta -> Stata, .sav/.zsav -> SPSS, .sas7bdat -> SAS), mirroring the
+reference's ``readstat_scan`` (src/lib.rs:383-413) as a Python
+DataSource (Spark 4 API).
+
+Driver/executor split (SURVEY §3): ``schema()`` opens header+dictionary
+only (cheap, driver-side); ``partitions()`` plans row ranges
+arithmetically (the analogue of the reference's analytical page index,
+src/sas/reader.rs:282-360); each task seeks its byte range and yields
+Arrow record batches (vectorized decode, no per-row Python).
+
+Options:
+- ``columns``: comma-separated projection. The Python DataSource API has
+  no Catalyst column-pruning hook yet, so pruning is an explicit option
+  — the reader then parses only those byte ranges (reference P1, the
+  51x headline feature).
+- ``offset`` / ``limit``: row slice (reference P2/P3) applied before
+  partition planning -> O(1) byte seek for fixed-width formats.
+- ``batch_size``: rows per Arrow batch (default 65536).
+- ``partitions``: target partition count (default: one per ~48MB of
+  record bytes, at least 1).
+- ``row_index``: emit a ``_row_idx`` long column for order recovery
+  (reference P10 preserve_order: Spark partitions keep intra-partition
+  order, so sorting by _row_idx reconstructs file order).
+- ``value_labels_as_strings`` (default true), ``missing_string_as_null``
+  (default true): reference P5/P8 semantics.
+
+At cluster scale each partition is an independent (path, row-range) unit
+-> 1000 executors can share one huge file or many files; compressed
+formats that cannot split declare a single partition per file and scale
+across files instead.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import from_arrow_schema
+
+from .formats.stata import parser as stata_parser
+
+TARGET_PARTITION_BYTES = 48 << 20
+
+
+@dataclass
+class _RowRange(InputPartition):
+    path: str
+    start: int
+    count: int
+
+
+def _true(opt: str | None, default: bool = True) -> bool:
+    if opt is None:
+        return default
+    return str(opt).lower() in ("1", "true", "yes")
+
+
+class ReadstatDataSource(DataSource):
+    """format("readstat") — dispatches on file extension."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "readstat"
+
+    def _fmt(self) -> str:
+        path = self.options.get("path", "")
+        fmt = self.options.get("format")
+        if fmt:
+            return fmt.lower()
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        if ext in ("dta",):
+            return "stata"
+        if ext in ("sav", "zsav"):
+            return "spss"
+        if ext in ("sas7bdat",):
+            return "sas"
+        raise ValueError(f"cannot infer readstat format from path {path!r}")
+
+    def _read_opts(self) -> stata_parser.ReadOptions:
+        return stata_parser.ReadOptions(
+            value_labels_as_strings=_true(self.options.get("value_labels_as_strings")),
+            missing_string_as_null=_true(self.options.get("missing_string_as_null")),
+            row_index=_true(self.options.get("row_index"), default=False),
+        )
+
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        return [c.strip() for c in cols.split(",")] if cols else None
+
+    def schema(self):
+        fmt = self._fmt()
+        path = self.options["path"]
+        if fmt == "stata":
+            meta = stata_parser.read_metadata(path)
+            return from_arrow_schema(
+                stata_parser.arrow_schema(meta, self._read_opts(), self._columns())
+            )
+        if fmt == "spss":
+            from .formats.spss import parser as spss_parser
+
+            meta = spss_parser.read_metadata(path)
+            return from_arrow_schema(
+                spss_parser.arrow_schema(meta, spss_parser.ReadOptions(), self._columns())
+            )
+        if fmt == "sas":
+            from .formats.sas import parser as sas_parser
+
+            meta = sas_parser.read_metadata(path)
+            return from_arrow_schema(sas_parser.arrow_schema(meta, self._columns()))
+        raise ValueError(f"unsupported format {fmt}")
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ReadstatReader(self.options, self._fmt(), self._columns(), self._read_opts())
+
+
+class _ReadstatReader(DataSourceReader):
+    def __init__(self, options, fmt: str, columns, opts):
+        self.path = options["path"]
+        self.fmt = fmt
+        self.columns = columns
+        self.opts = opts
+        self.batch_size = int(options.get("batch_size", 65536))
+        self.offset = int(options.get("offset", 0))
+        self.limit = int(options.get("limit", -1))
+        self.n_partitions = int(options.get("partitions", 0))
+
+    def partitions(self):
+        if self.fmt == "stata":
+            meta = stata_parser.read_metadata(self.path)
+            nobs, rec = meta.nobs, max(1, meta.record_len)
+        elif self.fmt == "spss":
+            from .formats.spss import parser as spss_parser
+
+            meta = spss_parser.read_metadata(self.path)
+            if not spss_parser.splittable(meta):
+                start, count = self._slice(meta.row_count)
+                return [_RowRange(self.path, start, count)]
+            nobs, rec = meta.row_count, max(1, meta.record_len)
+        elif self.fmt == "sas":
+            from .formats.sas import parser as sas_parser
+
+            meta = sas_parser.read_metadata(self.path)
+            if meta.compression:  # stateful decompression -> single partition
+                start, count = self._slice(meta.row_count)
+                return [_RowRange(self.path, start, count)]
+            nobs, rec = meta.row_count, max(1, meta.row_length)
+        else:
+            raise ValueError(self.fmt)
+
+        start, count = self._slice(nobs)
+        if self.n_partitions > 0:
+            n = self.n_partitions
+        else:
+            n = max(1, min(count, (count * rec) // TARGET_PARTITION_BYTES + 1))
+        per = (count + n - 1) // max(1, n)
+        out = []
+        pos = start
+        while pos < start + count:
+            take = min(per, start + count - pos)
+            out.append(_RowRange(self.path, pos, take))
+            pos += take
+        return out or [_RowRange(self.path, start, 0)]
+
+    def _slice(self, nobs: int) -> tuple[int, int]:
+        start = min(self.offset, nobs)
+        count = nobs - start
+        if self.limit >= 0:
+            count = min(count, self.limit)
+        return start, count
+
+    def read(self, partition: _RowRange):
+        if self.fmt == "stata":
+            yield from self._read_stata(partition)
+        elif self.fmt == "spss":
+            from .formats.spss import parser as spss_parser
+
+            yield from spss_parser.read_partition(
+                partition.path, partition.start, partition.count, self.columns,
+                self.opts, self.batch_size,
+            )
+        elif self.fmt == "sas":
+            from .formats.sas import parser as sas_parser
+
+            yield from sas_parser.read_partition(
+                partition.path, partition.start, partition.count, self.columns, self.batch_size
+            )
+
+    def _read_stata(self, p: _RowRange):
+        import pyarrow as pa
+
+        meta = stata_parser.read_metadata(p.path)
+        sel = self.columns
+        need_strl = any(
+            v.kind == "strl" for v in meta.variables if sel is None or v.name in set(sel)
+        )
+        strl_map = stata_parser.load_strls(p.path, meta) if need_strl else None
+        schema = stata_parser.arrow_schema(meta, self.opts, sel)
+        rec = meta.record_len
+        with open(p.path, "rb") as f:
+            f.seek(meta.data_offset + p.start * rec)
+            done = 0
+            while done < p.count:
+                take = min(self.batch_size, p.count - done)
+                raw = f.read(take * rec)
+                if not raw:
+                    break
+                cols = stata_parser.decode_records(
+                    raw, meta, sel, strl_map, self.opts, row_offset=p.start + done
+                )
+                yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
+                done += take
+
+
+def register(spark) -> None:
+    """Register format("readstat") on this SparkSession."""
+    spark.dataSource.register(ReadstatDataSource)

@@ -1,0 +1,96 @@
+"""Correctness-gate queries that exercise the readstat format layer
+itself: parquet -> our .dta writer -> our Spark DataSource reader ->
+aggregate, hash-compared against DuckDB aggregating the parquet
+directly. A value mismatch anywhere in the write->read pipeline breaks
+the hash, so the gate covers the format code, not just relational ops.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..api import readstat_scan, write_dta
+from ..tables import load_table
+from .registry import register
+
+_FILTER_KEY = 5000  # deterministic subset: l_orderkey < 5000
+
+
+def _roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_rt_{tag}.dta")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < _FILTER_KEY)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+    )
+    write_dta(li, path)
+    return path
+
+
+@register(
+    "r01_dta_roundtrip_agg",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      count(DISTINCT l_suppkey) AS n_supp,
+      epoch_ms(min(l_shipdate)) AS min_ship_ms
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r01_dta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_path(spark, sf_dir)
+    df = readstat_scan(spark, path)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.unix_millis(F.min("l_shipdate").cast("timestamp")).alias("min_ship_ms"),
+    )
+
+
+@register(
+    "r02_dta_projection_pushdown",
+    oracle=f"""
+    SELECT l_orderkey, l_quantity
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY} AND l_quantity > 30
+    """,
+)
+def r02_dta_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_path(spark, sf_dir)
+    df = readstat_scan(spark, path, columns=["l_orderkey", "l_quantity"])
+    return df.filter(F.col("l_quantity") > 30).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"), "l_quantity"
+    )
+
+
+@register(
+    "r03_dta_metadata_probe",
+    oracle=f"""
+    SELECT 6 AS nvar, CAST(count(*) AS BIGINT) AS nobs
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    """,
+)
+def r03_dta_metadata_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import readstat_metadata
+
+    path = _roundtrip_path(spark, sf_dir)
+    md = readstat_metadata(spark, path)
+    return md.groupBy().agg(
+        F.max("nvar").alias("nvar"), F.max("nobs").alias("nobs")
+    )

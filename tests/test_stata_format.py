@@ -1,0 +1,187 @@
+"""Stata .dta reader/writer tests: pandas golden comparison (the
+reference validates against independent implementations the same way,
+SURVEY.md §5), corpus sweep, slice consistency, writer roundtrip."""
+
+from __future__ import annotations
+
+import glob
+import warnings
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from polars_readstat_rs_spark.formats.stata import parser, writer
+
+warnings.filterwarnings("ignore")
+
+CORPUS = "/root/reference/tests/stata/data"
+
+# Documented deviations from pandas (reference-semantic or policy):
+#  - %tcHH:MM-style -> ns-of-day, not a full datetime
+#  - pre-113 integer boundary rule follows the reference (only the max
+#    sentinel is missing; pandas masks the whole Stata valid range)
+ALLOW_COLS = {("sample_pyreadstat.dta", "mytime")}
+ALLOW_FILES = {
+    "stata_int_validranges_105.dta",
+    "stata_int_validranges_108.dta",
+    "stata_int_validranges_111.dta",
+}
+
+
+def _mixed_frame(n=2000, seed=11):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "v_byte": pd.array(rng.integers(-100, 100, n), dtype="Int8"),
+            "v_int": pd.array(rng.integers(-30000, 30000, n), dtype="Int16"),
+            "v_long": pd.array(rng.integers(-(2**31) + 2, 2**31 - 100, n), dtype="Int32"),
+            "v_float": rng.normal(0, 1e4, n).astype("float32"),
+            "v_double": rng.lognormal(size=n),
+            "v_str": [f"name_{i % 50}" if i % 10 else "" for i in range(n)],
+            "v_date": pd.to_datetime(rng.integers(0, 20000, n), unit="D", origin="1950-01-01"),
+        }
+    )
+    for c in ["v_byte", "v_int", "v_long"]:
+        df.loc[df.sample(frac=0.1, random_state=1).index, c] = pd.NA
+    df.loc[df.sample(frac=0.1, random_state=2).index, "v_double"] = np.nan
+    return df
+
+
+@pytest.mark.parametrize("version", [114, 117, 118])
+def test_reader_matches_pandas(tmp_path, version):
+    df = _mixed_frame()
+    p = str(tmp_path / f"m{version}.dta")
+    df.to_stata(p, convert_dates={"v_date": "td"}, version=version, write_index=False)
+    t = parser.read_table(p)
+    ref = pd.read_stata(p)
+    pdf = t.to_pandas()
+    for c in ["v_byte", "v_int", "v_long", "v_float", "v_double"]:
+        ours = pdf[c].astype("float64").fillna(-9e99)
+        theirs = pd.to_numeric(ref[c], errors="coerce").astype("float64").fillna(-9e99)
+        assert (ours == theirs).all(), c
+    assert (pdf["v_str"].fillna("") == ref["v_str"]).all()
+    assert (pd.to_datetime(pdf["v_date"]) == ref["v_date"]).all()
+
+
+def test_corpus_sweep_vs_pandas():
+    """Every reference-corpus file pandas can read must value-match."""
+    files = sorted(glob.glob(f"{CORPUS}/*.dta"))
+    assert len(files) > 100
+    checked = 0
+    for p in files:
+        name = p.rsplit("/", 1)[-1]
+        if name in ALLOW_FILES:
+            continue
+        t = parser.read_table(p, opts=parser.ReadOptions(value_labels_as_strings=False))
+        meta = parser.read_metadata(p)
+        assert t.num_rows == meta.nobs and t.num_columns == meta.nvar
+        try:
+            ref = pd.read_stata(p, convert_categoricals=False)
+        except Exception:
+            continue  # pandas can't read it; shape check above suffices
+        pdf = t.to_pandas(date_as_object=True, timestamp_as_object=True)
+        assert pdf.shape == ref.shape, name
+        for c in ref.columns:
+            if (name, c) in ALLOW_COLS:
+                continue
+            ftype = str(t.schema.field(c).type)
+            o, r = pdf[c], ref[c]
+            if ftype in ("date32[day]", "timestamp[us]", "timestamp[ms]"):
+                if pd.api.types.is_numeric_dtype(r):
+                    continue  # pandas bailed out of conversion (out-of-ns-range)
+                o2 = o.map(lambda x: "" if x is None or x != x else str(x))
+                r2 = r.map(lambda x: "" if pd.isna(x) else (str(x) if not isinstance(x, (int, float)) else "<raw>"))
+                bad = (o2 != r2) & (r2 != "<raw>")
+                # date32 prints without time; normalize pandas midnight stamps
+                if bad.any() and ftype == "date32[day]":
+                    r3 = r.map(lambda x: "" if pd.isna(x) else (str(x.date()) if hasattr(x, "date") else "<raw>"))
+                    bad = (o2 != r3) & (r3 != "<raw>")
+                assert not bad.any(), (name, c)
+            elif r.dtype == object or ftype == "string":
+                o2, r2 = o.fillna("").astype(str), r.fillna("").astype(str)
+                bad = (o2 != r2) & ~((o2 == "") & (r2.str.strip() == ""))
+                assert not bad.any(), (name, c, o2[bad].head(2).tolist(), r2[bad].head(2).tolist())
+            else:
+                o2 = pd.to_numeric(o, errors="coerce").astype("float64").fillna(-9e99)
+                r2 = pd.to_numeric(r, errors="coerce").astype("float64").fillna(-9e99)
+                assert (o2.values == r2.values).all(), (name, c)
+        checked += 1
+    assert checked >= 80
+
+
+def test_slice_matrix(tmp_path):
+    """F5: full read == concat of (offset, limit) windows; prime row count."""
+    n = 1009
+    df = _mixed_frame(n=n, seed=5)
+    p = str(tmp_path / "slice.dta")
+    df.to_stata(p, convert_dates={"v_date": "td"}, version=118, write_index=False)
+    full = parser.read_table(p)
+    for window in (1, 97, 512, 100000):
+        parts = []
+        off = 0
+        while off < n:
+            parts.append(parser.read_table(p, offset=off, limit=window))
+            off += window
+        joined = pa.concat_tables(parts)
+        assert joined.equals(full), f"window={window}"
+    # beyond EOF -> empty, not error
+    assert parser.read_table(p, offset=10 * n, limit=5).num_rows == 0
+    # column subset == full read selected columns
+    sub = parser.read_table(p, columns=["v_double", "v_str"])
+    assert sub.equals(full.select(["v_double", "v_str"]))
+
+
+def test_writer_roundtrip_all_types(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table(
+        {
+            "b": pa.array(rng.integers(-100, 100, n), type=pa.int8()),
+            "big": pa.array(rng.integers(-(2**40), 2**40, n), type=pa.int64()),
+            "f": pa.array(rng.normal(size=n).astype(np.float32)),
+            "s": pa.array([f"w{i % 9}" if i % 7 else None for i in range(n)]),
+            "longs": pa.array([("x" * 3000) if i % 100 == 0 else "short" for i in range(n)]),
+            "dt": pa.array(rng.integers(-5000, 20000, n), type=pa.int32()).cast(pa.date32()),
+            "ts": pa.array(rng.integers(-(10**12), 10**12, n), type=pa.int64()).cast(
+                pa.timestamp("ms")
+            ),
+            "status": pa.array(rng.integers(1, 4, n), type=pa.int8()),
+        }
+    )
+    p = str(tmp_path / "rt.dta")
+    labels = {"status": {1: "A", 2: "B", 3: "C"}}
+    writer.write_dta(t, p, value_labels=labels)
+    rt = parser.read_table(p)
+    assert rt.column("b").to_pylist() == t.column("b").to_pylist()
+    assert rt.column("longs").to_pylist() == t.column("longs").to_pylist()
+    assert rt.column("dt").to_pylist() == t.column("dt").to_pylist()
+    assert rt.column("status").to_pylist() == [labels["status"][x] for x in t.column("status").to_pylist()]
+    # independent reader agrees
+    ref = pd.read_stata(p)
+    assert len(ref) == n
+    assert (ref["longs"] == pd.Series(t.column("longs").to_pylist())).all()
+
+
+def test_datasource_spark(spark, tmp_path):
+    df = _mixed_frame(n=3000)
+    p = str(tmp_path / "sp.dta")
+    df.to_stata(p, convert_dates={"v_date": "td"}, version=118, write_index=False)
+    sdf = spark.read.format("readstat").load(p)
+    assert sdf.count() == 3000
+    assert dict(sdf.dtypes)["v_byte"] == "tinyint"
+    # pruning + slicing options
+    pr = (
+        spark.read.format("readstat")
+        .option("columns", "v_double,v_str")
+        .option("offset", "10")
+        .option("limit", "100")
+        .load(p)
+    )
+    assert pr.columns == ["v_double", "v_str"]
+    assert pr.count() == 100
+    # multi-partition read returns every row exactly once
+    mp = spark.read.format("readstat").option("partitions", "7").option("row_index", "true").load(p)
+    idx = sorted(r["_row_idx"] for r in mp.select("_row_idx").collect())
+    assert idx == list(range(3000))
