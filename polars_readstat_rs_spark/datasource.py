@@ -80,12 +80,19 @@ class ReadstatDataSource(DataSource):
             return "sas"
         raise ValueError(f"cannot infer readstat format from path {path!r}")
 
-    def _read_opts(self) -> stata_parser.ReadOptions:
-        return stata_parser.ReadOptions(
+    def _read_opts(self):
+        kwargs = dict(
             value_labels_as_strings=_true(self.options.get("value_labels_as_strings")),
             missing_string_as_null=_true(self.options.get("missing_string_as_null")),
             row_index=_true(self.options.get("row_index"), default=False),
         )
+        if self._fmt() == "spss":
+            from .formats.spss import parser as spss_parser
+
+            return spss_parser.ReadOptions(
+                user_missing_as_null=_true(self.options.get("user_missing_as_null")), **kwargs
+            )
+        return stata_parser.ReadOptions(**kwargs)
 
     def _columns(self) -> list[str] | None:
         cols = self.options.get("columns")
@@ -104,7 +111,7 @@ class ReadstatDataSource(DataSource):
 
             meta = spss_parser.read_metadata(path)
             return from_arrow_schema(
-                spss_parser.arrow_schema(meta, spss_parser.ReadOptions(), self._columns())
+                spss_parser.arrow_schema(meta, self._read_opts(), self._columns())
             )
         if fmt == "sas":
             from .formats.sas import parser as sas_parser

@@ -1,0 +1,721 @@
+"""SPSS .sav/.zsav parser: metadata + vectorized decode to Arrow.
+
+Behavioral parity targets (cited into /root/reference as a format spec):
+- header ($FL2/$FL3, layout-code endian probe, bias): src/spss/header.rs:7-51
+- dictionary records 2/3/4/6/7/999, subtypes 3/13/14/20/21/22:
+  src/spss/metadata.rs:136-232; very-long-string coalescing :234-264;
+  format classes :366-376 (20/23/24/38/39 date, 21/25 time, 22/41 datetime)
+- missing rules: system 0xFFEFFFFFFFFFFFFF + LOWEST/HIGHEST + NaN; up to
+  3 discrete user doubles or [low,high]+discrete; missing strings
+  (src/spss/data.rs:14-16, 908-936)
+- temporal: seconds since 1582-10-14, shift 12_219_379_200 s, truncate
+  then convert (src/spss/data.rs:17, 1350-1369)
+- string semantics: cut at declared length, drop NULs (UTF-8), trim
+  trailing space/NUL, all-blank -> null (src/spss/data.rs:805-878)
+- RLE bytecode: 0 pad, 252 EOF, 253 literal, 254 spaces, 255 sysmiss,
+  else value-bias (src/spss/data.rs:1521-1591)
+- zsav: zheader + zlib blocks + ztrailer block index
+  (src/spss/data.rs:1687-1810)
+
+Rows are sequences of 8-byte segments; uncompressed files decode through
+one numpy structured view per partition (splittable by row range).
+Compressed variants decode sequentially (single partition — scale across
+files), mirroring the reference (src/spss/polars_output.rs:403-405).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+SAV_MISSING = np.uint64(0xFFEFFFFFFFFFFFFF)
+SAV_LOWEST = np.uint64(0xFFEFFFFFFFFFFFFE)
+SAV_HIGHEST = np.uint64(0x7FEFFFFFFFFFFFFF)
+SPSS_SEC_SHIFT = 12_219_379_200
+SEC_PER_DAY = 86_400
+
+_ENCODING_CODES = {
+    2: "cp1252", 3: "cp1252", 1252: "cp1252", 65001: "utf-8",
+    1250: "cp1250", 1251: "cp1251", 1253: "cp1253", 1254: "cp1254",
+    1255: "cp1255", 1256: "cp1256", 1257: "cp1257", 1258: "cp1258",
+    437: "cp437", 850: "cp850", 852: "cp852", 855: "cp855", 857: "cp857",
+    858: "cp858", 860: "cp860", 861: "cp861", 862: "cp862", 863: "cp863",
+    864: "cp864", 865: "cp865", 866: "cp866", 869: "cp869", 874: "cp874",
+    932: "shift_jis", 936: "gbk", 949: "euc-kr", 950: "big5",
+    28591: "latin-1", 28592: "iso8859-2", 28593: "iso8859-3",
+    28594: "iso8859-4", 28595: "iso8859-5", 28596: "iso8859-6",
+    28597: "iso8859-7", 28598: "iso8859-8", 28599: "iso8859-9",
+    28605: "iso8859-15", 20866: "koi8-r", 21866: "koi8-u",
+    51932: "euc-jp", 51936: "gbk", 51949: "euc-kr", 54936: "gb18030",
+}
+
+
+@dataclass
+class Variable:
+    name: str
+    short_name: str
+    is_str: bool
+    width: int  # 8-byte segments in the row
+    string_len: int  # declared byte length (0 for numeric)
+    format_type: int
+    format_class: str | None  # date | datetime | time | None
+    label: str = ""
+    value_label: str = ""
+    offset: int = 0  # segment offset within the row
+    missing_range: bool = False
+    missing_doubles: list[float] = field(default_factory=list)
+    missing_strings: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SpssMetadata:
+    endian: str = "<"
+    compression: int = 0  # 0 none, 1 RLE bytecode, 2 zsav
+    row_count: int = 0
+    bias: float = 100.0
+    variables: list[Variable] = field(default_factory=list)
+    data_offset: int = 0
+    encoding: str = "cp1252"
+    data_label: str = ""
+    # label-set name -> {key(bits int or str): label}
+    value_labels: dict[str, dict] = field(default_factory=dict)
+
+    @property
+    def n_segments(self) -> int:
+        return sum(v.width for v in self.variables)
+
+    @property
+    def record_len(self) -> int:
+        return self.n_segments * 8
+
+
+@dataclass
+class ReadOptions:
+    value_labels_as_strings: bool = True
+    missing_string_as_null: bool = True
+    user_missing_as_null: bool = True
+    row_index: bool = False
+
+
+def _format_class(code: int) -> str | None:
+    if code in (20, 23, 24, 38, 39):
+        return "date"
+    if code in (21, 25):
+        return "time"
+    if code in (22, 41):
+        return "datetime"
+    return None
+
+
+def splittable(meta: SpssMetadata) -> bool:
+    return meta.compression == 0
+
+
+# ---------------------------------------------------------------- metadata
+
+class _R:
+    def __init__(self, f):
+        self.f = f
+        self.endian = "<"
+
+    def take(self, n: int) -> bytes:
+        b = self.f.read(n)
+        if len(b) < n:
+            raise EOFError("truncated .sav file")
+        return b
+
+    def u32(self) -> int:
+        return struct.unpack(self.endian + "I", self.take(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(self.endian + "i", self.take(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack(self.endian + "d", self.take(8))[0]
+
+
+def _trim(b: bytes, encoding: str) -> str:
+    end = len(b)
+    while end > 0 and b[end - 1] in (0, 0x20):
+        end -= 1
+    return b[:end].decode(encoding, errors="replace").strip()
+
+
+def read_metadata(path: str) -> SpssMetadata:
+    meta = SpssMetadata()
+    with open(path, "rb") as f:
+        head = f.read(176)
+        if head[:4] not in (b"$FL2", b"$FL3"):
+            raise ValueError("invalid SPSS header magic")
+        layout_le = struct.unpack("<i", head[64:68])[0]
+        meta.endian = "<" if layout_le in (2, 3) else ">"
+        e = meta.endian
+        meta.compression = struct.unpack(e + "i", head[72:76])[0]
+        meta.row_count = max(struct.unpack(e + "i", head[80:84])[0], -1)
+        meta.bias = struct.unpack(e + "d", head[84:92])[0]
+        meta.data_label = _trim(head[109:173], "latin-1")
+        if head[:4] == b"$FL3" and meta.compression == 0:
+            meta.compression = 2  # zsav magic implies zlib
+
+        r = _R(f)
+        r.endian = e
+        pending_labels: list[tuple[list[bytes], list[str], list[int]]] = []
+        raw_records: list[tuple[int, bytes]] = []
+        current_offset = 0
+        last_var: Variable | None = None
+
+        while True:
+            rec = r.u32()
+            if rec == 2:  # variable
+                buf = r.take(28)
+                typ = struct.unpack(e + "i", buf[0:4])[0]
+                has_label = struct.unpack(e + "i", buf[4:8])[0]
+                n_missing = struct.unpack(e + "i", buf[8:12])[0]
+                print_fmt = struct.unpack(e + "I", buf[12:16])[0]
+                name = buf[20:28]
+                label_raw = b""
+                if has_label:
+                    ln = r.u32()
+                    label_raw = r.take((ln + 3) // 4 * 4)[:ln]
+                missing_raw = b""
+                if n_missing:
+                    missing_raw = r.take(abs(n_missing) * 8)
+                if typ < 0:  # string continuation
+                    if last_var is None:
+                        raise ValueError("string continuation without base variable")
+                    last_var.width += 1
+                    current_offset += 1
+                    continue
+                v = Variable(
+                    name=name.decode("latin-1").strip().rstrip("\0").upper(),
+                    short_name="",
+                    is_str=typ > 0,
+                    width=1,
+                    string_len=typ if typ > 0 else 0,
+                    format_type=(print_fmt >> 16) & 0xFF,
+                    format_class=_format_class((print_fmt >> 16) & 0xFF),
+                    offset=current_offset,
+                )
+                v.short_name = v.name
+                v.label = label_raw.decode("latin-1", "replace").strip()  # re-decoded later
+                if n_missing:
+                    if n_missing < 0:
+                        v.missing_range = True
+                    cnt = abs(n_missing)
+                    for i in range(cnt):
+                        chunk = missing_raw[8 * i : 8 * i + 8]
+                        if v.is_str:
+                            v.missing_strings.append(_trim(chunk, "latin-1"))
+                        else:
+                            v.missing_doubles.append(struct.unpack(e + "d", chunk)[0])
+                current_offset += 1
+                meta.variables.append(v)
+                last_var = v
+            elif rec == 3:  # value labels
+                cnt = r.u32()
+                raws, labels = [], []
+                for _ in range(cnt):
+                    raw = r.take(8)
+                    ln = r.take(1)[0]
+                    padded = (ln + 8) // 8 * 8 - 1
+                    lab = r.take(padded)[:ln]
+                    raws.append(raw)
+                    labels.append(lab.decode("latin-1", "replace").strip())
+                rec4 = r.u32()
+                if rec4 != 4:
+                    raise ValueError("value label record not followed by type 4")
+                var_cnt = r.u32()
+                offs = [r.u32() for _ in range(var_cnt)]
+                pending_labels.append((raws, labels, offs))
+            elif rec == 6:  # documents
+                n_lines = r.u32()
+                r.take(n_lines * 80)
+            elif rec == 7:  # extension
+                subtype = r.u32()
+                size = r.u32()
+                count = r.u32()
+                raw_records.append((subtype, r.take(size * count)))
+            elif rec == 999:
+                r.u32()  # filler
+                meta.data_offset = f.tell()
+                break
+            else:
+                raise ValueError(f"unknown SPSS record type {rec}")
+
+        # encoding: subtype 20 wins, else subtype 3 integer-info codepage
+        for subtype, data in raw_records:
+            if subtype == 3 and len(data) >= 32:
+                code = struct.unpack(e + "i", data[28:32])[0]
+                if code in _ENCODING_CODES:
+                    meta.encoding = _ENCODING_CODES[code]
+        for subtype, data in raw_records:
+            if subtype == 20 and data:
+                label = data.decode("ascii", "replace").strip().lower().replace("_", "-")
+                try:
+                    b"x".decode(label)
+                    meta.encoding = label
+                except LookupError:
+                    if label in ("utf-8", "utf8"):
+                        meta.encoding = "utf-8"
+
+        enc = meta.encoding
+        for v in meta.variables:
+            v.label = v.label  # short labels are ASCII-ish; fine under latin-1
+
+        # subtype 14: very-long-string true lengths (KEY=len entries)
+        for subtype, data in raw_records:
+            if subtype == 14:
+                for entry in data.replace(b"\0", b"").split(b"\t"):
+                    if b"=" in entry:
+                        k, val = entry.split(b"=", 1)
+                        key = k.decode(enc, "replace").strip()
+                        try:
+                            ln = int(val.decode("ascii", "replace").strip() or "0")
+                        except ValueError:
+                            continue
+                        for v in meta.variables:
+                            if v.short_name.upper() == key.upper():
+                                v.string_len = ln
+                                break
+
+        _coalesce_very_long(meta)
+
+        # subtype 13: long variable names (SHORT=Long entries)
+        for subtype, data in raw_records:
+            if subtype == 13:
+                for entry in data.replace(b"\0", b"").split(b"\t"):
+                    if b"=" in entry:
+                        k, val = entry.split(b"=", 1)
+                        key = k.decode(enc, "replace").strip()
+                        longname = val.decode(enc, "replace").strip()
+                        if not key or not longname:
+                            continue
+                        for v in meta.variables:
+                            if v.name.upper() == key.upper():
+                                v.name = longname
+                                break
+
+        # numeric/short-string value labels (type 3+4): keyed by var offset
+        for idx, (raws, labels, offs) in enumerate(pending_labels):
+            by_offset = {v.offset: v for v in meta.variables}
+            targets = [by_offset[o - 1] for o in offs if (o - 1) in by_offset]
+            is_string = any(t.is_str for t in targets)
+            mapping: dict = {}
+            for raw, lab in zip(raws, labels):
+                if not lab:
+                    continue
+                if is_string:
+                    mapping[_trim(raw, enc)] = lab
+                else:
+                    bits = struct.unpack(e + "Q", raw)[0]
+                    mapping[bits] = lab
+            name = f"labels{idx}"
+            meta.value_labels[name] = mapping
+            for t in targets:
+                t.value_label = name
+
+        # subtype 21: long-string value labels
+        for subtype, data in raw_records:
+            if subtype == 21:
+                _parse_long_string_labels(data, e, enc, meta)
+        # subtype 22: long-string missing values
+        for subtype, data in raw_records:
+            if subtype == 22:
+                _parse_long_string_missing(data, e, enc, meta)
+
+    if meta.row_count < 0:
+        meta.row_count = _count_rows(path, meta)
+    return meta
+
+
+def _coalesce_very_long(meta: SpssMetadata) -> None:
+    out: list[Variable] = []
+    i = 0
+    vs = meta.variables
+    while i < len(vs):
+        v = vs[i]
+        if v.is_str and v.string_len > 255:
+            n_segments = (v.string_len + 251) // 252
+            total_width = sum(x.width for x in vs[i : i + n_segments])
+            v.width = total_width
+            out.append(v)
+            i += n_segments
+        else:
+            out.append(v)
+            i += 1
+    meta.variables = out
+
+
+def _parse_long_string_labels(data: bytes, e: str, enc: str, meta: SpssMetadata) -> None:
+    pos = 0
+    idx = len(meta.value_labels)
+    while pos + 4 <= len(data):
+        ln = struct.unpack_from(e + "I", data, pos)[0]
+        pos += 4
+        var_name = data[pos : pos + ln].decode(enc, "replace")
+        pos += ln
+        if pos + 8 > len(data):
+            break
+        str_len = struct.unpack_from(e + "I", data, pos)[0]
+        pos += 4
+        n_labels = struct.unpack_from(e + "I", data, pos)[0]
+        pos += 4
+        mapping: dict = {}
+        for _ in range(n_labels):
+            vlen = struct.unpack_from(e + "I", data, pos)[0]
+            pos += 4
+            value = _trim(data[pos : pos + vlen], enc)
+            pos += vlen
+            llen = struct.unpack_from(e + "I", data, pos)[0]
+            pos += 4
+            lab = _trim(data[pos : pos + llen], enc)
+            pos += llen
+            if lab:
+                mapping[value] = lab
+        name = f"labels{idx}"
+        idx += 1
+        meta.value_labels[name] = mapping
+        for v in meta.variables:
+            if v.name.upper() == var_name.upper() or v.short_name.upper() == var_name.upper():
+                if str_len > 0 and v.string_len < str_len:
+                    v.string_len = str_len
+                v.value_label = name
+                break
+
+
+def _parse_long_string_missing(data: bytes, e: str, enc: str, meta: SpssMetadata) -> None:
+    pos = 0
+    while pos + 4 <= len(data):
+        ln = struct.unpack_from(e + "I", data, pos)[0]
+        pos += 4
+        name = data[pos : pos + ln].decode(enc, "replace")
+        pos += ln
+        if pos >= len(data):
+            break
+        n_missing = data[pos]
+        pos += 1
+        if n_missing == 0 or n_missing > 3:
+            break
+        vlen = struct.unpack_from(e + "I", data, pos)[0]
+        pos += 4
+        values = []
+        for _ in range(n_missing):
+            values.append(_trim(data[pos : pos + vlen], enc))
+            pos += vlen
+        for v in meta.variables:
+            if v.name == name:
+                v.missing_strings = values
+                break
+
+
+# ------------------------------------------------------------ decompression
+
+def _decompress_rle(raw: bytes, endian: str, bias: float, max_units: int | None = None) -> bytes:
+    """RLE bytecode -> flat 8-byte-unit stream (single sequential pass)."""
+    sysmiss = struct.pack(endian + "Q", int(SAV_MISSING))
+    spaces = b" " * 8
+    out: list[bytes] = []
+    pos, n = 0, len(raw)
+    units = 0
+    while pos + 8 <= n:
+        ctrl = raw[pos : pos + 8]
+        pos += 8
+        for code in ctrl:
+            if code == 0:
+                continue
+            if code == 252:
+                return b"".join(out)
+            if code == 253:
+                out.append(raw[pos : pos + 8])
+                pos += 8
+            elif code == 254:
+                out.append(spaces)
+            elif code == 255:
+                out.append(sysmiss)
+            else:
+                out.append(struct.pack(endian + "d", float(code) - bias))
+            units += 1
+            if max_units is not None and units >= max_units:
+                return b"".join(out)
+    return b"".join(out)
+
+
+def _zsav_blocks(path: str, meta: SpssMetadata):
+    """Yield decompressed zsav block byte strings in order."""
+    e = meta.endian
+    with open(path, "rb") as f:
+        f.seek(meta.data_offset)
+        zheader_ofs, ztrailer_ofs, _ztrailer_len = struct.unpack(e + "3Q", f.read(24))
+        f.seek(ztrailer_ofs)
+        _bias, _zero, _block_size, n_blocks = struct.unpack(e + "qqii", f.read(24))
+        entries = [struct.unpack(e + "qqii", f.read(24)) for _ in range(n_blocks)]
+        for _uofs, cofs, usize, csize in entries:
+            f.seek(cofs)
+            yield zlib.decompress(f.read(csize)), usize
+
+
+def _data_units(path: str, meta: SpssMetadata, max_units: int | None = None) -> bytes:
+    """All row bytes (decompressed if needed) as a flat buffer."""
+    if meta.compression == 0:
+        with open(path, "rb") as f:
+            f.seek(meta.data_offset)
+            return f.read() if max_units is None else f.read(max_units * 8)
+    if meta.compression == 2:
+        stream = b"".join(b for b, _ in _zsav_blocks(path, meta))
+        return _decompress_rle(stream, meta.endian, meta.bias, max_units)
+    with open(path, "rb") as f:
+        f.seek(meta.data_offset)
+        return _decompress_rle(f.read(), meta.endian, meta.bias, max_units)
+
+
+def _count_rows(path: str, meta: SpssMetadata) -> int:
+    rec = meta.record_len
+    if rec == 0:
+        return 0
+    if meta.compression == 0:
+        return (os.path.getsize(path) - meta.data_offset) // rec
+    return len(_data_units(path, meta)) // rec
+
+
+# ----------------------------------------------------------------- decode
+
+def _fmt_double(x: float) -> str:
+    if x != x:
+        return "NaN"
+    if x.is_integer() and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def decode_records(
+    raw: bytes,
+    meta: SpssMetadata,
+    columns: list[str] | None = None,
+    opts: ReadOptions | None = None,
+    row_offset: int = 0,
+) -> dict[str, pa.Array]:
+    opts = opts or ReadOptions()
+    rec = meta.record_len
+    nrows = len(raw) // rec if rec else 0
+    raw = raw[: nrows * rec]
+    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+
+    names, formats, offsets = [], [], []
+    for i, v in enumerate(meta.variables):
+        if v not in sel:
+            continue
+        names.append(f"f{i}")
+        formats.append(meta.endian + "f8" if not v.is_str else f"S{v.width * 8}")
+        offsets.append(v.offset * 8)
+    dt = np.dtype({"names": names, "formats": formats, "offsets": offsets, "itemsize": rec})
+    arr = np.frombuffer(raw, dtype=dt, count=nrows)
+
+    out: dict[str, pa.Array] = {}
+    for i, v in enumerate(meta.variables):
+        if v not in sel:
+            continue
+        out[v.name] = _decode_column(arr[f"f{i}"], v, meta, opts)
+    if opts.row_index:
+        out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
+    return out
+
+
+def _decode_column(col, v: Variable, meta: SpssMetadata, opts: ReadOptions) -> pa.Array:
+    labels = meta.value_labels.get(v.value_label) if v.value_label else None
+    use_labels = opts.value_labels_as_strings and bool(labels)
+
+    if not v.is_str:
+        a = np.ascontiguousarray(col)
+        if not a.dtype.isnative:
+            a = a.byteswap().view(a.dtype.newbyteorder())
+        bits = a.view(np.uint64)
+        vals = a.astype(np.float64, copy=True)
+        mask = (bits == SAV_MISSING) | (bits == SAV_LOWEST) | (bits == SAV_HIGHEST) | np.isnan(vals)
+        if opts.user_missing_as_null and v.missing_doubles:
+            if v.missing_range and len(v.missing_doubles) >= 2:
+                lo = min(v.missing_doubles[0], v.missing_doubles[1])
+                hi = max(v.missing_doubles[0], v.missing_doubles[1])
+                mask |= (~mask) & (vals >= lo) & (vals <= hi)
+                if len(v.missing_doubles) >= 3:
+                    mask |= bits == np.array(v.missing_doubles[2], dtype=np.float64).view(np.uint64)
+            else:
+                for md in v.missing_doubles:
+                    mask |= bits == np.array(md, dtype=np.float64).view(np.uint64)
+        if use_labels:
+            return _labeled_numeric(vals, bits, mask, labels)
+        if v.format_class == "date":
+            secs = np.trunc(np.where(mask, 0, vals)).astype(np.int64) - SPSS_SEC_SHIFT
+            # reference divides the shifted i64 (truncation toward zero)
+            days = (np.abs(secs) // SEC_PER_DAY) * np.sign(secs)
+            return pa.array(days.astype(np.int32), type=pa.date32(), mask=mask)
+        if v.format_class == "datetime":
+            us = (np.trunc(np.where(mask, 0, vals)).astype(np.int64) - SPSS_SEC_SHIFT) * 1_000_000
+            return pa.array(us, type=pa.timestamp("us"), mask=mask)
+        if v.format_class == "time":
+            ns = np.trunc(np.where(mask, 0, vals)).astype(np.int64) * 1_000_000_000
+            return pa.array(ns, mask=mask)
+        return pa.array(vals, mask=mask)
+
+    # string column
+    u8 = np.ascontiguousarray(col).view(np.uint8).reshape(-1, v.width * 8)
+    cut = v.string_len if 0 < v.string_len <= u8.shape[1] else u8.shape[1]
+    u8 = u8[:, :cut]
+    vals = _decode_strings(u8, meta.encoding)
+    missing_set = set(v.missing_strings) if opts.user_missing_as_null else set()
+    out = []
+    for s in vals:
+        if opts.missing_string_as_null and not s:
+            out.append(None)
+        elif s in missing_set:
+            out.append(None)
+        elif use_labels and s in labels:
+            out.append(labels[s])
+        else:
+            out.append(s)
+    return pa.array(out, type=pa.string())
+
+
+def _decode_strings(u8: np.ndarray, encoding: str) -> list[str]:
+    """Vectorized-ish decode: drop NULs, trim trailing spaces per row."""
+    n = len(u8)
+    blob = u8.tobytes()
+    w = u8.shape[1] if n else 0
+    out = []
+    for i in range(n):
+        chunk = blob[i * w : (i + 1) * w].replace(b"\0", b"")
+        chunk = chunk.rstrip(b" ")
+        try:
+            out.append(chunk.decode(encoding).strip())
+        except (UnicodeDecodeError, LookupError):
+            out.append(chunk.decode("latin-1").strip())
+    return out
+
+
+def _labeled_numeric(vals, bits, mask, labels: dict) -> pa.Array:
+    uniq, inverse = np.unique(bits, return_inverse=True)
+    lut = []
+    uniq_vals = uniq.view(np.float64)
+    for b, x in zip(uniq.tolist(), uniq_vals.tolist()):
+        lut.append(labels.get(b, _fmt_double(x)))
+    out = [None if m else lut[j] for j, m in zip(inverse, mask)]
+    return pa.array(out, type=pa.string())
+
+
+# ------------------------------------------------------------ arrow schema
+
+def arrow_field(v: Variable, meta: SpssMetadata, opts: ReadOptions) -> pa.Field:
+    if opts.value_labels_as_strings and meta.value_labels.get(v.value_label):
+        return pa.field(v.name, pa.string())
+    if v.is_str:
+        return pa.field(v.name, pa.string())
+    if v.format_class == "date":
+        return pa.field(v.name, pa.date32())
+    if v.format_class == "datetime":
+        return pa.field(v.name, pa.timestamp("us"))
+    if v.format_class == "time":
+        return pa.field(v.name, pa.int64())
+    return pa.field(v.name, pa.float64())
+
+
+def arrow_schema(
+    meta: SpssMetadata, opts: ReadOptions, columns: list[str] | None = None
+) -> pa.Schema:
+    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+    fields = [arrow_field(v, meta, opts) for v in sel]
+    if opts.row_index:
+        fields.append(pa.field("_row_idx", pa.int64()))
+    return pa.schema(fields)
+
+
+# --------------------------------------------------------------- eager API
+
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    offset: int = 0,
+    limit: int | None = None,
+    opts: ReadOptions | None = None,
+) -> pa.Table:
+    opts = opts or ReadOptions()
+    meta = read_metadata(path)
+    rec = meta.record_len
+    start = min(offset, meta.row_count)
+    count = meta.row_count - start if limit is None else max(0, min(limit, meta.row_count - start))
+    if meta.compression == 0:
+        with open(path, "rb") as f:
+            f.seek(meta.data_offset + start * rec)
+            raw = f.read(count * rec)
+    else:
+        units = _data_units(path, meta, max_units=(start + count) * meta.n_segments)
+        raw = units[start * rec : (start + count) * rec]
+    cols = decode_records(raw, meta, columns, opts, row_offset=start)
+    schema = arrow_schema(meta, opts, columns)
+    return pa.table({n: cols[n] for n in schema.names}, schema=schema)
+
+
+def read_partition(
+    path: str,
+    start: int,
+    count: int,
+    columns: list[str] | None,
+    opts: ReadOptions,
+    batch_size: int,
+):
+    """DataSource partition read: yields Arrow record batches."""
+    meta = read_metadata(path)
+    schema = arrow_schema(meta, opts, columns)
+    rec = meta.record_len
+    if meta.compression == 0:
+        with open(path, "rb") as f:
+            f.seek(meta.data_offset + start * rec)
+            done = 0
+            while done < count:
+                take = min(batch_size, count - done)
+                raw = f.read(take * rec)
+                if not raw:
+                    break
+                cols = decode_records(raw, meta, columns, opts, row_offset=start + done)
+                yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
+                done += take
+    else:
+        units = _data_units(path, meta, max_units=(start + count) * meta.n_segments)
+        raw = units[start * rec : (start + count) * rec]
+        done = 0
+        while done * rec < len(raw):
+            take = min(batch_size, count - done)
+            chunk = raw[done * rec : (done + take) * rec]
+            if not chunk:
+                break
+            cols = decode_records(chunk, meta, columns, opts, row_offset=start + done)
+            yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
+            done += take
+
+
+def metadata_frame(spark, path: str):
+    meta = read_metadata(path)
+    rows = [
+        (
+            path,
+            meta.compression,
+            meta.row_count,
+            len(meta.variables),
+            v.name,
+            "str" if v.is_str else "f64",
+            v.string_len,
+            v.format_type,
+            v.label,
+            v.value_label,
+            len(meta.value_labels.get(v.value_label, {})),
+        )
+        for v in meta.variables
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, compression int, nobs long, nvar int, name string, kind string, "
+        "string_len int, format_type int, var_label string, label_name string, n_value_labels int",
+    )

@@ -80,6 +80,41 @@ def r02_dta_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r04_sav_roundtrip_agg",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      CAST(min(o_orderdate) AS DATE) AS first_date
+    FROM orders WHERE o_orderkey < {_FILTER_KEY}
+    GROUP BY o_orderstatus
+    """,
+)
+def r04_sav_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet -> our .sav writer -> our SPSS DataSource -> aggregate."""
+    from ..formats.spss import writer as spss_writer
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_rt_{tag}.sav")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _FILTER_KEY)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+    spss_writer.write_sav(orders.toArrow(), path)
+    df = readstat_scan(spark, path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+@register(
     "r03_dta_metadata_probe",
     oracle=f"""
     SELECT 6 AS nvar, CAST(count(*) AS BIGINT) AS nobs
