@@ -104,20 +104,24 @@ class ReadstatDataSource(DataSource):
         if fmt == "stata":
             meta = stata_parser.read_metadata(path)
             return from_arrow_schema(
-                stata_parser.arrow_schema(meta, self._read_opts(), self._columns())
+                stata_parser.arrow_schema(meta, self._read_opts(), self._columns()),
+                prefer_timestamp_ntz=True,
             )
         if fmt == "spss":
             from .formats.spss import parser as spss_parser
 
             meta = spss_parser.read_metadata(path)
             return from_arrow_schema(
-                spss_parser.arrow_schema(meta, self._read_opts(), self._columns())
+                spss_parser.arrow_schema(meta, self._read_opts(), self._columns()),
+                prefer_timestamp_ntz=True,
             )
         if fmt == "sas":
             from .formats.sas import parser as sas_parser
 
             meta = sas_parser.read_metadata(path)
-            return from_arrow_schema(sas_parser.arrow_schema(meta, self._columns()))
+            return from_arrow_schema(
+                sas_parser.arrow_schema(meta, self._columns()), prefer_timestamp_ntz=True
+            )
         raise ValueError(f"unsupported format {fmt}")
 
     def reader(self, schema) -> DataSourceReader:

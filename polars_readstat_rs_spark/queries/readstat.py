@@ -115,6 +115,30 @@ def r04_sav_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r05_sas_corpus_read",
+    oracle="""
+    SELECT 10 AS n_rows, 9 AS n_col1,
+           CAST(3.987 AS DOUBLE) AS sum_col1,
+           3 AS n_distinct_col2,
+           CAST(354.0 AS DOUBLE) AS sum_col3
+    """,
+)
+def r05_sas_corpus_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a reference-corpus sas7bdat through the Spark DataSource and
+    aggregate; the oracle pins values cross-checked against pandas'
+    independent SAS reader (exact decimal sum, no float drift)."""
+    path = "/root/reference/tests/sas/data/data_pandas/test1.sas7bdat"
+    df = readstat_scan(spark, path, columns=["Column1", "Column2", "Column3"])
+    return df.agg(
+        F.count("*").cast("int").alias("n_rows"),
+        F.count("Column1").cast("int").alias("n_col1"),
+        F.sum(F.col("Column1").cast("decimal(12,3)")).cast("double").alias("sum_col1"),
+        F.countDistinct("Column2").cast("int").alias("n_distinct_col2"),
+        F.sum(F.col("Column3").cast("decimal(12,1)")).cast("double").alias("sum_col3"),
+    )
+
+
+@register(
     "r03_dta_metadata_probe",
     oracle=f"""
     SELECT 6 AS nvar, CAST(count(*) AS BIGINT) AS nobs
