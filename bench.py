@@ -52,9 +52,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: the shared VM has noisy neighbors
+            spark.catalog.clearCache()
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -85,7 +85,13 @@ class ReadstatDataSource(DataSource):
             value_labels_as_strings=_true(self.options.get("value_labels_as_strings")),
             missing_string_as_null=_true(self.options.get("missing_string_as_null")),
             row_index=_true(self.options.get("row_index"), default=False),
+            informative_nulls=_true(self.options.get("informative_nulls"), default=False),
         )
+        if self._fmt() == "sas":
+            from .formats.sas import parser as sas_parser
+
+            kwargs.pop("value_labels_as_strings")
+            return sas_parser.ReadOptions(**kwargs)
         if self._fmt() == "spss":
             from .formats.spss import parser as spss_parser
 
@@ -119,8 +125,15 @@ class ReadstatDataSource(DataSource):
             from .formats.sas import parser as sas_parser
 
             meta = sas_parser.read_metadata(path)
+            opts = self._read_opts()
             return from_arrow_schema(
-                sas_parser.arrow_schema(meta, self._columns()), prefer_timestamp_ntz=True
+                sas_parser.arrow_schema(
+                    meta,
+                    self._columns(),
+                    row_index=opts.row_index,
+                    informative_nulls=opts.informative_nulls,
+                ),
+                prefer_timestamp_ntz=True,
             )
         raise ValueError(f"unsupported format {fmt}")
 
@@ -197,7 +210,8 @@ class _ReadstatReader(DataSourceReader):
             from .formats.sas import parser as sas_parser
 
             yield from sas_parser.read_partition(
-                partition.path, partition.start, partition.count, self.columns, self.batch_size
+                partition.path, partition.start, partition.count, self.columns,
+                self.batch_size, self.opts,
             )
 
     def _read_stata(self, p: _RowRange):

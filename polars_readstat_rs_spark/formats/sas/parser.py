@@ -124,6 +124,11 @@ class SasMetadata:
 class ReadOptions:
     missing_string_as_null: bool = True
     row_index: bool = False
+    # P6 informative nulls: "<col>__missing" indicator column per numeric
+    # column: '.A'..'.Z' / '._' from the NaN payload bits[47:40]
+    # (src/sas/value.rs:171-214), null when the value is present or
+    # system-missing.
+    informative_nulls: bool = False
 
 
 def _column_kind(col_type_char: bool, fmt: str) -> str:
@@ -672,6 +677,8 @@ def decode_rows(
         if c not in sel:
             continue
         out[c.name] = _decode_column(rec[f"f{i}"], c, meta, opts)
+        if opts.informative_nulls and not c.is_char:
+            out[f"{c.name}__missing"] = _indicator_column(rec[f"f{i}"], c, meta)
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -721,6 +728,34 @@ def _decode_column(arr, c: Column, meta: SasMetadata, opts: ReadOptions) -> pa.A
     return pa.array(vals, mask=mask)
 
 
+# tagged-missing indicator LUT: index 0 none, 1..26 '.A'..'.Z', 27 '._'
+_TAG_LUT = np.array([""] + [f".{chr(ord('A') + i)}" for i in range(26)] + ["._"])
+
+
+def _indicator_column(arr, c: Column, meta: SasMetadata) -> pa.Array:
+    u8 = np.ascontiguousarray(arr).view(np.uint8).reshape(-1, c.length)
+    n = len(u8)
+    full = np.zeros((n, 8), dtype=np.uint8)
+    ln = min(c.length, 8)
+    if meta.endian == "<":
+        full[:, 8 - ln :] = u8[:, :ln]
+        flat = full.reshape(-1).view("<u8")
+    else:
+        full[:, :ln] = u8[:, :ln]
+        flat = full.reshape(-1).view(">u8")
+    if not flat.dtype.isnative:
+        flat = flat.byteswap().view(flat.dtype.newbyteorder())
+    abs_bits = flat & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    is_nan = abs_bits >= np.uint64(0x7FF0_0000_0000_0000)
+    type_byte = ((flat >> np.uint64(40)) & np.uint64(0xFF)).astype(np.int64)
+    k = np.zeros(n, dtype=np.int64)
+    lettered = (type_byte >= 0xA5) & (type_byte <= 0xBE)
+    k[lettered] = (0xFF ^ type_byte[lettered]) - 0x40  # .A(0xBE)->1 .. .Z(0xA5)->26
+    k[type_byte == 0xD2] = 27  # ._
+    k[~is_nan] = 0
+    return pa.array(_TAG_LUT[k], type=pa.string(), mask=k == 0)
+
+
 # ------------------------------------------------------------ arrow schema
 
 def arrow_field(c: Column) -> pa.Field:
@@ -734,9 +769,18 @@ def arrow_field(c: Column) -> pa.Field:
     return pa.field(c.name, t)
 
 
-def arrow_schema(meta: SasMetadata, columns: list[str] | None = None, row_index: bool = False) -> pa.Schema:
+def arrow_schema(
+    meta: SasMetadata,
+    columns: list[str] | None = None,
+    row_index: bool = False,
+    informative_nulls: bool = False,
+) -> pa.Schema:
     sel = [c for c in meta.columns if columns is None or c.name in set(columns)]
-    fields = [arrow_field(c) for c in sel]
+    fields = []
+    for c in sel:
+        fields.append(arrow_field(c))
+        if informative_nulls and not c.is_char:
+            fields.append(pa.field(f"{c.name}__missing", pa.string()))
     if row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)
@@ -753,7 +797,7 @@ def read_table(
 ) -> pa.Table:
     opts = opts or ReadOptions()
     meta = read_metadata(path)
-    schema = arrow_schema(meta, columns, opts.row_index)
+    schema = arrow_schema(meta, columns, opts.row_index, opts.informative_nulls)
     want_end = meta.row_count if limit is None else min(meta.row_count, offset + limit)
     tables = []
     seen = 0
@@ -780,7 +824,14 @@ def read_table(
     return pa.concat_tables(tables)
 
 
-def read_partition(path: str, start: int, count: int, columns: list[str] | None, batch_size: int):
+def read_partition(
+    path: str,
+    start: int,
+    count: int,
+    columns: list[str] | None,
+    batch_size: int,
+    opts: ReadOptions | None = None,
+):
     """DataSource partition read (row range) yielding record batches.
 
     Uncompressed files seek straight to the pages covering the row range
@@ -788,8 +839,8 @@ def read_partition(path: str, start: int, count: int, columns: list[str] | None,
     are planned as a single partition so the sequential path is fine.
     """
     meta = read_metadata(path)
-    opts = ReadOptions()
-    schema = arrow_schema(meta, columns)
+    opts = opts or ReadOptions()
+    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls)
     if meta.compression or not count:
         t = read_table(path, columns, offset=start, limit=count, opts=opts)
         yield from t.to_batches(max_chunksize=batch_size)

@@ -100,6 +100,11 @@ class ReadOptions:
     missing_string_as_null: bool = True
     user_missing_as_null: bool = True
     row_index: bool = False
+    # P6 informative nulls: "<col>__missing" indicator per numeric column
+    # with user-declared missings — the value's label (if any), the
+    # stringified value for discrete missings, or 'MISSING' for range
+    # hits (src/spss/data.rs:938-992). System missing -> null indicator.
+    informative_nulls: bool = False
 
 
 def _format_class(code: int) -> str | None:
@@ -520,6 +525,8 @@ def decode_records(
         if v not in sel:
             continue
         out[v.name] = _decode_column(arr[f"f{i}"], v, meta, opts)
+        if opts.informative_nulls and not v.is_str and v.missing_doubles:
+            out[f"{v.name}__missing"] = _indicator_column(arr[f"f{i}"], v, meta)
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -596,6 +603,36 @@ def _decode_strings(u8: np.ndarray, encoding: str) -> list[str]:
     return out
 
 
+def _indicator_column(col, v: Variable, meta: SpssMetadata) -> pa.Array:
+    """User-missing indicator (src/spss/data.rs:944-992): label if the
+    missing value is labeled, else the value string (discrete) or
+    'MISSING' (range); system sentinels/NaN -> null."""
+    a = np.ascontiguousarray(col)
+    if not a.dtype.isnative:
+        a = a.byteswap().view(a.dtype.newbyteorder())
+    bits = a.view(np.uint64)
+    vals = a.astype(np.float64, copy=False)
+    system = (bits == SAV_MISSING) | (bits == SAV_LOWEST) | (bits == SAV_HIGHEST) | np.isnan(vals)
+    labels = meta.value_labels.get(v.value_label, {})
+    out: list[str | None] = [None] * len(vals)
+    if v.missing_range and len(v.missing_doubles) >= 2:
+        lo = min(v.missing_doubles[0], v.missing_doubles[1])
+        hi = max(v.missing_doubles[0], v.missing_doubles[1])
+        in_range = (~system) & (vals >= lo) & (vals <= hi)
+        for i in np.nonzero(in_range)[0]:
+            out[i] = labels.get(int(bits[i]), "MISSING")
+        if len(v.missing_doubles) >= 3:
+            third = np.array(v.missing_doubles[2], dtype=np.float64).view(np.uint64)
+            for i in np.nonzero((~system) & (bits == third))[0]:
+                out[i] = labels.get(int(bits[i]), _fmt_double(float(vals[i])))
+    else:
+        miss_bits = {int(np.array(m, dtype=np.float64).view(np.uint64)) for m in v.missing_doubles}
+        for i in range(len(vals)):
+            if not system[i] and int(bits[i]) in miss_bits:
+                out[i] = labels.get(int(bits[i]), _fmt_double(float(vals[i])))
+    return pa.array(out, type=pa.string())
+
+
 def _labeled_numeric(vals, bits, mask, labels: dict) -> pa.Array:
     uniq, inverse = np.unique(bits, return_inverse=True)
     lut = []
@@ -626,7 +663,11 @@ def arrow_schema(
     meta: SpssMetadata, opts: ReadOptions, columns: list[str] | None = None
 ) -> pa.Schema:
     sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
-    fields = [arrow_field(v, meta, opts) for v in sel]
+    fields = []
+    for v in sel:
+        fields.append(arrow_field(v, meta, opts))
+        if opts.informative_nulls and not v.is_str and v.missing_doubles:
+            fields.append(pa.field(f"{v.name}__missing", pa.string()))
     if opts.row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)

@@ -88,6 +88,11 @@ class ReadOptions:
     value_labels_as_strings: bool = True
     missing_string_as_null: bool = True
     row_index: bool = False  # emit _row_idx for order preservation (P10)
+    # P6 informative nulls: emit a parallel "<col>__missing" string column
+    # per numeric column holding the tagged-missing indicator ('.', '.a'
+    # ..'.z') for user-declared missings, null for present values
+    # (reference InformativeNullMode::SeparateColumn, src/lib.rs:62-115).
+    informative_nulls: bool = False
 
 
 # ----------------------------------------------------------------- layout
@@ -525,6 +530,8 @@ def decode_records(
     by_name = {f[3]: f[0] for f in fields}
     for v in sel:
         out[v.name] = _decode_column(rec[by_name[v.name]], v, meta, strl_map, opts)
+        if opts.informative_nulls and v.kind in _NUM_KINDS and meta.version >= 113:
+            out[f"{v.name}__missing"] = _indicator_column(rec[by_name[v.name]], v, meta)
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -604,6 +611,34 @@ def _decode_column(arr, v: Variable, meta: StataMetadata, strl_map, opts: ReadOp
     if opts.missing_string_as_null:
         vals = [None if not s else s for s in vals]
     return pa.array(vals, type=pa.string())
+
+
+# indicator lookup: 0 -> no indicator (null), 1..26 -> '.a'..'.z'
+_TAG_LUT = np.array([""] + [f".{chr(ord('a') + i)}" for i in range(26)])
+
+
+def _indicator_column(arr, v: Variable, meta: StataMetadata) -> pa.Array:
+    """Tagged-missing indicator ('.a'..'.z') per value; null otherwise.
+
+    Mirrors the reference's separate-column informative-null mode
+    (src/stata/value.rs:146-278: offset 0 = system missing -> no
+    indicator; 1..26 -> .a..z).
+    """
+    if v.kind in ("i8", "i16", "i32"):
+        vals = np.asarray(arr).astype(np.int64)
+        off = vals - _missing_int_sentinel(v.kind, meta.version)
+    else:
+        a = np.ascontiguousarray(arr)
+        if not a.dtype.isnative:
+            a = a.byteswap().view(a.dtype.newbyteorder())
+        if v.kind == "f32":
+            bits = a.view(np.uint32).astype(np.int64)
+            off = (bits - 0x7F000000) // 0x80000
+        else:
+            bits = a.view(np.uint64)
+            off = (bits - np.uint64(0x7FE0000000000000)).astype(np.int64)
+    k = np.where((off >= 1) & (off <= 26), off, 0)
+    return pa.array(_TAG_LUT[k], type=pa.string(), mask=k == 0)
 
 
 def _float_to_i64(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -761,7 +796,11 @@ def arrow_field(v: Variable, meta: StataMetadata, opts: ReadOptions) -> pa.Field
 
 def arrow_schema(meta: StataMetadata, opts: ReadOptions, columns: list[str] | None = None) -> pa.Schema:
     sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
-    fields = [arrow_field(v, meta, opts) for v in sel]
+    fields = []
+    for v in sel:
+        fields.append(arrow_field(v, meta, opts))
+        if opts.informative_nulls and v.kind in _NUM_KINDS and meta.version >= 113:
+            fields.append(pa.field(f"{v.name}__missing", pa.string()))
     if opts.row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)

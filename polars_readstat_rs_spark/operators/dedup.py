@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .text import shingles_expr, words_expr
 
-NUM_HASHES = 16
+NUM_HASHES = 8  # 8 x 32-bit chunks carved from ONE sha256 per shingle
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_SHINGLE_DF = 100  # skew guard: drop shingles appearing in > this many docs
@@ -45,10 +45,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Exploded (id, shingle) pairs, df-capped. One row per distinct
-    shingle per doc."""
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh"))
+    shingle per doc.
+
+    Persisted: the inverted index feeds the self-join (twice), the
+    per-doc sizes and the signature aggregation — without persistence
+    Spark re-explodes the corpus once per consumer. At cluster scale
+    this is the standard materialize-the-index step (DISK_ONLY spill
+    keeps memory bounded).
+    """
+    # repartition before the explode: document tables arrive as one small
+    # parquet split, which would serialize the shingling on one task
+    sh = df.repartition(32).select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
+    )
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
-    return sh.join(rare.select("sh"), "sh")
+    return sh.join(rare.select("sh"), "sh").persist()
 
 
 def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
@@ -89,16 +100,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = NUM_HASHES
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = NUM_HASHES,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of
-    md5('{i}:' || shingle), a lexicographic min over hex strings."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    """Per-doc MinHash signature: one sha256 per shingle, split into
+    ``num_hashes`` 8-hex-char (32-bit) chunks; h_i = lexicographic min
+    of chunk i over the doc's shingles. One hash invocation instead of
+    one per hash function — the independence between chunks of a
+    cryptographic digest is what MinHash needs."""
+    sh = _sh if _sh is not None else _shingle_table(df, id_col, text_col, n)
+    hashed = sh.select("doc", F.sha2(F.col("sh"), 256).alias("hx"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.substring("hx", 1 + 8 * i, 8)).alias(f"h{i}") for i in range(num_hashes)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -106,8 +121,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
 
     shingle -> 16 minhashes -> 4 bands of 4 -> bucket join on
     (band_idx, band_key) -> verify candidates with exact Jaccard.
+    The shingle table is built once and shared between the signature
+    aggregation and the verification join.
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
+    sh_shared = _shingle_table(df, id_col, text_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n, _sh=sh_shared)
     band_cols = []
     for b in range(NUM_BANDS):
         hs = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -128,17 +146,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
         .distinct()
     )
-    sh = _shingle_table(df, id_col, text_col, n)
-    return _jaccard_on(sh, pairs=cand)
+    return _jaccard_on(sh_shared, pairs=cand)
 
 
-def _simhash_bit_exprs(tok_col: str = "tok") -> list:
+def _simhash_bit_exprs(hash_col: str = "h") -> list:
     """Per-token ±1 contribution for each of the 16 simhash bits, derived
-    from md5 hex nibbles (integer div/mod only — portable to the oracle)."""
+    from md5 hex nibbles (integer div/mod only — portable to the oracle).
+    ``hash_col`` holds the precomputed md5 hex so it's hashed once, not
+    16 times."""
     out = []
     for j in range(SIMHASH_BITS):
         k, b = j // 4 + 1, j % 4
-        v = f"(instr('0123456789abcdef', substring(md5({tok_col}), {k}, 1)) - 1)"
+        v = f"(instr('0123456789abcdef', substring({hash_col}, {k}, 1)) - 1)"
         out.append(F.expr(f"2 * (({v} div {1 << b}) % 2) - 1").alias(f"c{j}"))
     return out
 
@@ -147,7 +166,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash fingerprint per document over distinct word tokens."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
-    )
+    ).select("doc", F.md5("tok").alias("h"))
     contrib = toks.select("doc", *_simhash_bit_exprs())
     sums = contrib.groupBy("doc").agg(
         *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
@@ -166,7 +185,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     fps = fps.select(
         "doc", "simhash", (F.col("simhash") / 256).cast("long").alias("hb"),
         (F.col("simhash") % 256).alias("lb"),
-    )
+    ).persist()  # feeds both band joins — don't recompute the 16-bit sums
     a, b = fps.alias("a"), fps.alias("b")
     cand_h = a.join(b, (F.col("a.hb") == F.col("b.hb")) & (F.col("a.doc") < F.col("b.doc")))
     cand_l = a.join(b, (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc") < F.col("b.doc")))

@@ -91,7 +91,7 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(dedup.NUM_HASHES)
+        f"min(substring(sha256(sh), {1 + 8 * i}, 8)) AS h{i}" for i in range(dedup.NUM_HASHES)
     )
     band_selects = []
     for b in range(dedup.NUM_BANDS):
@@ -101,7 +101,7 @@ def _minhash_oracle() -> str:
     bands = " UNION ALL ".join(band_selects)
     return f"""
     WITH {_sh_ctes()},
-    sig AS (SELECT doc, {sig_cols} FROM sh GROUP BY doc),
+    sig AS (SELECT doc, {sig_cols} FROM (SELECT doc, sh FROM sh) GROUP BY doc),
     bands AS ({bands}),
     cand AS (
       SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
