@@ -93,3 +93,75 @@ def write_dta(df: DataFrame, path: str, **kwargs) -> None:
     use toArrow's batched transfer — fine for dimension-scale outputs,
     use the parquet pipeline for petabyte-scale persistence)."""
     stata_writer.write_dta(df.toArrow(), path, **kwargs)
+
+
+def write_sav(df: DataFrame, path: str, **kwargs) -> None:
+    """Write a Spark DataFrame as an uncompressed SPSS .sav (W2)."""
+    from .formats.spss import writer as spss_writer
+
+    spss_writer.write_sav(df.toArrow(), path, **kwargs)
+
+
+def write_sas_package(df: DataFrame, csv_path: str, script_path: str, **kwargs) -> None:
+    """CSV + companion .sas import script (reference W3 semantics)."""
+    from .formats.sas import writer as sas_writer
+
+    sas_writer.write_sas_package(df.toArrow(), csv_path, script_path, **kwargs)
+
+
+def readstat_batch_iter(path: str, columns: list[str] | None = None, batch_size: int = 65536,
+                        offset: int = 0, limit: int | None = None):
+    """Pull-based Arrow batch iterator, no Spark job and no full
+    materialization (reference S6, src/readstat_stream.rs:53-140) —
+    the driver-local streaming entry point; the Spark path gets the
+    same batches through the DataSource partitions."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "dta":
+        meta = stata_parser.read_metadata(path)
+        nobs = meta.nobs
+        start = min(offset, nobs)
+        count = nobs - start if limit is None else max(0, min(limit, nobs - start))
+        import pyarrow as pa
+
+        opts = stata_parser.ReadOptions()
+        need_strl = any(v.kind == "strl" for v in meta.variables if columns is None or v.name in set(columns))
+        strl_map = stata_parser.load_strls(path, meta) if need_strl else None
+        schema = stata_parser.arrow_schema(meta, opts, columns)
+        rec = meta.record_len
+        with open(path, "rb") as f:
+            f.seek(meta.data_offset + start * rec)
+            done = 0
+            while done < count:
+                take = min(batch_size, count - done)
+                raw = f.read(take * rec)
+                if not raw:
+                    break
+                cols = stata_parser.decode_records(raw, meta, columns, strl_map, opts, row_offset=start + done)
+                yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
+                done += take
+        return
+    if ext in ("sav", "zsav"):
+        from .formats.spss import parser as spss_parser
+
+        meta = spss_parser.read_metadata(path)
+        start = min(offset, meta.row_count)
+        count = meta.row_count - start if limit is None else max(0, min(limit, meta.row_count - start))
+        yield from spss_parser.read_partition(path, start, count, columns, spss_parser.ReadOptions(), batch_size)
+        return
+    if ext == "sas7bdat":
+        from .formats.sas import parser as sas_parser
+
+        meta = sas_parser.read_metadata(path)
+        start = min(offset, meta.row_count)
+        count = meta.row_count - start if limit is None else max(0, min(limit, meta.row_count - start))
+        yield from sas_parser.read_partition(path, start, count, columns, batch_size)
+        return
+    raise ValueError(f"unsupported extension for {path}")
+
+
+def cast_to_schema(df: DataFrame, schema) -> DataFrame:
+    """User-supplied schema cast after read (reference P9 with_schema,
+    src/sas/reader.rs:459-469): select+cast each named field."""
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

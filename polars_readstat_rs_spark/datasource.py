@@ -38,7 +38,13 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.pandas.types import from_arrow_schema
 
 from .formats.stata import parser as stata_parser
@@ -140,6 +146,21 @@ class ReadstatDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _ReadstatReader(self.options, self._fmt(), self._columns(), self._read_opts())
 
+    def writer(self, schema, overwrite: bool):
+        """df.write.format("readstat").save(path): distributed encode.
+
+        Each task vectorized-encodes its partition's Arrow batches to
+        Stata fixed-width record bytes in a spill file; commit() on the
+        driver assembles header + dictionary + concatenated records +
+        value labels with the now-known global row count (the reference's
+        streaming-batch write mode with declared row_count,
+        src/stata/writer.rs:244-380, without needing the count upfront).
+        """
+        if self._fmt() != "stata":
+            raise ValueError("distributed write currently supports .dta only; "
+                             "use api.write_sav / write_sas_package for the others")
+        return _DtaWriter(self.options["path"], schema)
+
 
 class _ReadstatReader(DataSourceReader):
     def __init__(self, options, fmt: str, columns, opts):
@@ -238,6 +259,81 @@ class _ReadstatReader(DataSourceReader):
                 )
                 yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
                 done += take
+
+
+class _DtaCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, nrows: int, widths: dict):
+        self.tmp_path = tmp_path
+        self.nrows = nrows
+        self.widths = widths  # per string column: max utf-8 byte width seen
+
+
+class _DtaWriter(DataSourceArrowWriter):
+    """Two-phase distributed .dta write: partitions spill Arrow IPC,
+    commit() re-encodes through the single-file writer with the global
+    row count and string widths. (Record bytes can't be encoded
+    partition-side because Stata string widths are a global property.)
+    """
+
+    def __init__(self, path: str, schema):
+        self.path = path
+        import tempfile
+
+        self.stage_dir = tempfile.mkdtemp(prefix="dta_write_")
+
+    def write(self, batches):
+        import os
+        import uuid
+
+        import pyarrow as pa
+
+        tmp = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.arrow")
+        nrows = 0
+        widths: dict[str, int] = {}
+        writer = None
+        for batch in batches:
+            if writer is None:
+                writer = pa.ipc.new_file(tmp, batch.schema)
+            writer.write_batch(batch)
+            nrows += batch.num_rows
+            for i, f in enumerate(batch.schema):
+                if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                    col = batch.column(i)
+                    w = max((len((x or "").encode("utf-8")) for x in col.to_pylist()), default=0)
+                    widths[f.name] = max(widths.get(f.name, 0), w)
+        if writer is not None:
+            writer.close()
+            return _DtaCommit(tmp, nrows, widths)
+        return _DtaCommit("", 0, {})
+
+    def commit(self, messages):
+        import os
+
+        import pyarrow as pa
+
+        from .formats.stata.writer import write_dta
+
+        tables = []
+        for m in messages:
+            if m and m.tmp_path:
+                with pa.ipc.open_file(m.tmp_path) as r:
+                    tables.append(r.read_all())
+        merged = pa.concat_tables(tables) if tables else None
+        if merged is None:
+            raise ValueError("no data to write")
+        write_dta(merged, self.path)
+        for m in messages:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+        for m in messages or []:
+            if m and getattr(m, "tmp_path", "") and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)
 
 
 def register(spark) -> None:

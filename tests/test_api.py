@@ -1,0 +1,72 @@
+"""API-surface tests: batch iterator (S6), writers (W1-W3), schema cast
+(P9), distributed DataSource write."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from polars_readstat_rs_spark import api
+from polars_readstat_rs_spark.tables import load_table
+
+
+def test_batch_iter_dta(tmp_path):
+    n = 5000
+    df = pd.DataFrame({"a": np.arange(n, dtype="int32"), "b": np.random.default_rng(1).normal(size=n)})
+    p = str(tmp_path / "x.dta")
+    df.to_stata(p, version=118, write_index=False)
+    batches = list(api.readstat_batch_iter(p, batch_size=999))
+    assert sum(b.num_rows for b in batches) == n
+    assert len(batches) == 6  # ceil(5000/999)
+    joined = pa.Table.from_batches(batches)
+    assert joined.column("a").to_pylist() == list(range(n))
+
+
+def test_batch_iter_sas():
+    p = "/root/reference/tests/sas/data/test.sas7bdat"
+    batches = list(api.readstat_batch_iter(p, batch_size=4096, limit=9000))
+    assert sum(b.num_rows for b in batches) == 9000
+
+
+def test_distributed_dta_write(spark, tmp_path, sf_dir):
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(4)
+    p = str(tmp_path / "dist.dta")
+    df.write.format("readstat").mode("overwrite").save(p)
+    back = spark.read.format("readstat").load(p)
+    assert back.count() == df.count()
+    a = df.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+    assert a == b
+    assert len(pd.read_stata(p)) == df.count()  # independent reader
+
+
+def test_write_sav_api(spark, tmp_path, sf_dir):
+    df = load_table(spark, sf_dir, "region")
+    p = str(tmp_path / "r.sav")
+    api.write_sav(df, p)
+    back = api.readstat_scan(spark, p)
+    assert back.count() == 5
+    assert sorted(r.r_name for r in back.collect()) == sorted(r.r_name for r in df.collect())
+
+
+def test_write_sas_package(spark, tmp_path, sf_dir):
+    df = load_table(spark, sf_dir, "nation")
+    csv, script = str(tmp_path / "n.csv"), str(tmp_path / "n.sas")
+    api.write_sas_package(df, csv, script, variable_labels={"n_name": "nation name"})
+    body = open(script).read()
+    assert "infile" in body and "n_name" in body and "nation name" in body
+    assert len(open(csv).readlines()) == 26  # header + 25 rows
+
+
+def test_cast_to_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    target = T.StructType(
+        [T.StructField("c_custkey", T.IntegerType()), T.StructField("c_acctbal", T.StringType())]
+    )
+    out = api.cast_to_schema(df, target)
+    assert dict(out.dtypes) == {"c_custkey": "int", "c_acctbal": "string"}
