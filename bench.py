@@ -53,7 +53,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):  # min-of-2: the shared VM has noisy neighbors
+        for _ in range(3):  # min-of-3: the shared VM has noisy neighbors
             spark.catalog.clearCache()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -16,10 +16,14 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None = None) -> SparkSession:
     cpus = str(cpus or DEFAULT_CPUS)
+    # local mode: cores/2 shuffle partitions measured fastest (task-setup
+    # overhead dominates small shuffles; AQE still splits skewed ones).
+    # On a real cluster this is overridden to ~2-3x total cores.
+    shuffle = str(max(8, int(cpus) // 2)) if cpus.isdigit() else cpus
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
