@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
+import pyarrow as pa_lib
 from pyspark.sql.pandas.types import from_arrow_schema
 
 from .formats.stata import parser as stata_parser
@@ -172,6 +173,70 @@ class _ReadstatReader(DataSourceReader):
         self.offset = int(options.get("offset", 0))
         self.limit = int(options.get("limit", -1))
         self.n_partitions = int(options.get("partitions", 0))
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Predicate pushdown (absent in the reference — P4). Simple
+        comparisons are applied batch-side in the Python worker before
+        Arrow crosses to the JVM, shrinking the transfer; every filter is
+        also returned so Catalyst re-applies them (belt and braces)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, IsNull, IsNotNull)
+        for f in filters:
+            if isinstance(f, simple) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            yield f  # Spark re-applies everything
+
+    def _apply_filters(self, batch):
+        if not self.pushed:
+            return batch
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        mask = None
+        names = set(batch.schema.names)
+        for f in self.pushed:
+            col = f.attribute[0]
+            if col not in names:
+                continue
+            arr = batch.column(col)
+            try:
+                if isinstance(f, IsNull):
+                    m = pc.is_null(arr)
+                elif isinstance(f, IsNotNull):
+                    m = pc.is_valid(arr)
+                elif isinstance(f, EqualTo):
+                    m = pc.equal(arr, f.value)
+                elif isinstance(f, GreaterThan):
+                    m = pc.greater(arr, f.value)
+                elif isinstance(f, GreaterThanOrEqual):
+                    m = pc.greater_equal(arr, f.value)
+                elif isinstance(f, LessThan):
+                    m = pc.less(arr, f.value)
+                else:
+                    m = pc.less_equal(arr, f.value)
+            except (pa_lib.ArrowInvalid, pa_lib.ArrowNotImplementedError, pa_lib.ArrowTypeError):
+                continue  # incomparable literal — leave it to Catalyst
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
 
     def partitions(self):
         if self.fmt == "stata":
@@ -219,21 +284,23 @@ class _ReadstatReader(DataSourceReader):
 
     def read(self, partition: _RowRange):
         if self.fmt == "stata":
-            yield from self._read_stata(partition)
+            batches = self._read_stata(partition)
         elif self.fmt == "spss":
             from .formats.spss import parser as spss_parser
 
-            yield from spss_parser.read_partition(
+            batches = spss_parser.read_partition(
                 partition.path, partition.start, partition.count, self.columns,
                 self.opts, self.batch_size,
             )
-        elif self.fmt == "sas":
+        else:
             from .formats.sas import parser as sas_parser
 
-            yield from sas_parser.read_partition(
+            batches = sas_parser.read_partition(
                 partition.path, partition.start, partition.count, self.columns,
                 self.batch_size, self.opts,
             )
+        for batch in batches:
+            yield self._apply_filters(batch)
 
     def _read_stata(self, p: _RowRange):
         import pyarrow as pa

@@ -1,0 +1,133 @@
+"""Second relational batch: pivot, bag-semantics EXCEPT ALL, range join,
+ordered list aggregation, conditional counts — rounding out SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import EVENTS_US, register
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+# --------------------------------------------------------------------------
+# q27 — pivot (conditional aggregation): per-user event-type counts.
+@register(
+    "q27_pivot",
+    oracle=f"""
+    SELECT user_id,
+      coalesce(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+      coalesce(count(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+      coalesce(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+      coalesce(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+      coalesce(count(*) FILTER (WHERE event_type = 'error'), 0) AS error
+    FROM {EVENTS_US} e GROUP BY user_id
+    """,
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — EXCEPT ALL (bag semantics: multiplicities preserved).
+@register(
+    "q28_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q28_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(b)
+
+
+# --------------------------------------------------------------------------
+# q29 — range (interval) join: events against per-priority date windows.
+# The build side is tiny -> broadcast non-equi join (no shuffle); at scale
+# the standard trick is bucketing the range key, which q24's windowed agg
+# demonstrates; here Catalyst picks BroadcastNestedLoopJoin.
+@register(
+    "q29_range_join",
+    oracle="""
+    WITH periods AS (
+      SELECT o_orderpriority AS pri,
+             min(o_orderdate) AS lo,
+             min(o_orderdate) + INTERVAL 100 DAY AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT p.pri, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o JOIN periods p
+      ON o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+    GROUP BY p.pri
+    """,
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    periods = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.min("o_orderdate").alias("lo"),
+        (F.min("o_orderdate") + F.expr("INTERVAL 100 DAYS")).alias("hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(periods),
+            (F.col("o_orderdate") >= F.col("lo")) & (F.col("o_orderdate") < F.col("hi")),
+        )
+        .groupBy("pri")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — ordered list aggregation (listagg / string_agg parity).
+@register(
+    "q30_list_agg",
+    oracle="""
+    SELECT c_mktsegment,
+      string_agg(c_name, ',' ORDER BY c_name) AS names,
+      count(*) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey < 40)
+    GROUP BY c_mktsegment
+    """,
+)
+def q30_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40)
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — conditional counts / count_if + sum FILTER equivalents.
+@register(
+    "q31_count_if",
+    oracle="""
+    SELECT l_linestatus,
+      CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+      CAST(count(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_nodisc,
+      CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_hightax
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q31_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_nodisc"),
+        F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_hightax"),
+    )

@@ -30,6 +30,8 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # allow Python DataSources (the readstat reader) to receive filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long ns and normalize in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,3 +70,38 @@ def test_cast_to_schema(spark, sf_dir):
     )
     out = api.cast_to_schema(df, target)
     assert dict(out.dtypes) == {"c_custkey": "int", "c_acctbal": "string"}
+
+
+def test_filter_pushdown_applies_batch_side(tmp_path):
+    """The reader's _apply_filters must shrink batches before they cross
+    to the JVM (P4 improvement over the reference)."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from polars_readstat_rs_spark.datasource import _ReadstatReader
+
+    df = pd.DataFrame({"a": np.arange(100, dtype="int32"), "s": ["x", "y"] * 50})
+    p = str(tmp_path / "pf.dta")
+    df.to_stata(p, version=118, write_index=False)
+    r = _ReadstatReader({"path": p}, "stata", None, __import__(
+        "polars_readstat_rs_spark.formats.stata.parser", fromlist=["ReadOptions"]
+    ).ReadOptions())
+    remaining = list(r.pushFilters([GreaterThan(("a",), 90), EqualTo(("s",), "y")]))
+    assert len(remaining) == 2  # everything handed back to Catalyst too
+    assert len(r.pushed) == 2
+    [part] = r.partitions()
+    batches = list(r.read(part))
+    total = sum(b.num_rows for b in batches)
+    assert total == sum((df.a > 90) & (df.s == "y"))  # 4 rows, not 100
+
+
+def test_filter_pushdown_e2e(spark, tmp_path):
+    df = pd.DataFrame({"a": np.arange(1000, dtype="int32"), "b": np.arange(1000)[::-1]})
+    p = str(tmp_path / "pf2.dta")
+    df.to_stata(p, version=118, write_index=False)
+    got = (
+        spark.read.format("readstat").load(p)
+        .filter((F.col("a") >= 990) | (F.col("b") < 5))
+        .count()
+    )
+    assert got == int(((df.a >= 990) | (df.b < 5)).sum())
