@@ -68,6 +68,65 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into cells
+    (here the label column; in production a k-means assignment), each
+    cell represented by a deterministic pivot vector (its minimum-id
+    member — reproducible, unlike float-summed centroids). A query
+    scores the pivots, probes only its ``nprobe`` nearest cells, and
+    brute-forces within them. At 100 TB the probed fraction bounds both
+    scan and shuffle: cost scales with nprobe/ncells, not corpus size.
+    """
+    w_cell = W.partitionBy("cell").orderBy("vec_id")
+    pivots = (
+        corpus.select(
+            F.col(cell_col).alias("cell"), F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("vec").alias("pivot"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_norm", F.sqrt(dot_expr("q_vec", "q_vec")))
+        .persist()
+    )
+    # rank cells per query by pivot similarity; keep nprobe
+    w_q = W.partitionBy("q_id").orderBy(F.desc("psim"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(pivots))
+        .withColumn("psim", cosine_expr("q_vec", "pivot"))
+        .withColumn("prank", F.row_number().over(w_q))
+        .filter(F.col("prank") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    c = (
+        corpus.select(
+            F.col(cell_col).alias("cell"), F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("c_norm", F.sqrt(dot_expr("c_vec", "c_vec")))
+        .persist()
+    )
+    scored = (
+        c.join(F.broadcast(probed), ["cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6)
+        )
+        .select("q_id", "vec_id", "sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def blocked_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

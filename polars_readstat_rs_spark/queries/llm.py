@@ -200,6 +200,43 @@ def v02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.blocked_neardup_pairs(emb, threshold=0.4)
 
 
+def _cosine_sql_raw(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = _COS.format(a=a, b=a)
+    nb = _COS.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "v03_ivf_topk",
+    oracle=f"""
+    WITH pivots AS (
+      SELECT label AS cell, embedding AS pivot FROM (
+        SELECT label, embedding, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    probed AS (
+      SELECT q_id, q_vec, cell FROM (
+        SELECT q.q_id, q.q_vec, p.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_cosine_sql_raw('q.q_vec', 'p.pivot')} DESC, p.cell) AS prank
+        FROM q CROSS JOIN pivots p) WHERE prank <= 3),
+    scored AS (
+      SELECT pr.q_id, e.vec_id, {_cosine_sql('pr.q_vec', 'e.embedding')} AS sim
+      FROM embeddings e JOIN probed pr ON e.label = pr.cell AND e.vec_id <> pr.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def v03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10, nprobe=3)
+
+
 # ------------------------------------------------------------ text analysis
 
 def _marker_sql(lang: str) -> str:
