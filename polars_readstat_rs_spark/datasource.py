@@ -60,6 +60,15 @@ class _RowRange(InputPartition):
     count: int
 
 
+@dataclass
+class _PageRange(InputPartition):
+    """Compressed-SAS partition: pages [lo, hi) decode independently."""
+
+    path: str
+    lo: int
+    hi: int
+
+
 def _true(opt: str | None, default: bool = True) -> bool:
     if opt is None:
         return default
@@ -254,7 +263,21 @@ class _ReadstatReader(DataSourceReader):
             from .formats.sas import parser as sas_parser
 
             meta = sas_parser.read_metadata(self.path)
-            if meta.compression:  # stateful decompression -> single partition
+            if meta.compression:
+                # RLE/RDC rows are independent subheaders -> page-parallel
+                # (improvement over the reference's sequential-only path),
+                # unless a row slice / row index needs global ordering.
+                plain = self.offset == 0 and self.limit < 0 and not getattr(self.opts, "row_index", False)
+                if plain and meta.page_count > 1:
+                    n = self.n_partitions or max(
+                        1, min(16, (meta.page_count * meta.page_length) // TARGET_PARTITION_BYTES + 1)
+                    )
+                    n = min(n, meta.page_count)
+                    per = (meta.page_count + n - 1) // n
+                    return [
+                        _PageRange(self.path, lo, min(lo + per, meta.page_count))
+                        for lo in range(0, meta.page_count, per)
+                    ]
                 start, count = self._slice(meta.row_count)
                 return [_RowRange(self.path, start, count)]
             nobs, rec = meta.row_count, max(1, meta.row_length)
@@ -283,6 +306,14 @@ class _ReadstatReader(DataSourceReader):
         return start, count
 
     def read(self, partition: _RowRange):
+        if isinstance(partition, _PageRange):
+            from .formats.sas import parser as sas_parser
+
+            for batch in sas_parser.read_page_range(
+                partition.path, partition.lo, partition.hi, self.columns, self.batch_size, self.opts
+            ):
+                yield self._apply_filters(batch)
+            return
         if self.fmt == "stata":
             batches = self._read_stata(partition)
         elif self.fmt == "spss":

@@ -177,7 +177,28 @@ def _all_meta_sigs(bit64: bool) -> set[bytes]:
 
 # --------------------------------------------------------------- metadata
 
+_META_CACHE: dict[tuple, SasMetadata] = {}
+
+
 def read_metadata(path: str) -> SasMetadata:
+    """Parse header + all metadata pages. Cached per (path, mtime, size):
+    the scan reads every page, so repeated open->read paths (schema probe,
+    partition planning, partition reads) shouldn't pay it again."""
+    import os as _os
+
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    meta = _read_metadata_uncached(path)
+    if len(_META_CACHE) > 64:
+        _META_CACHE.clear()
+    _META_CACHE[key] = meta
+    return meta
+
+
+def _read_metadata_uncached(path: str) -> SasMetadata:
     meta = SasMetadata()
     with open(path, "rb") as f:
         hdr = f.read(288)
@@ -822,6 +843,32 @@ def read_table(
         empty = decode_rows(b"", meta, columns, opts)
         return pa.table({n: empty.get(n, pa.array([], type=f.type)) for n, f in zip(schema.names, schema)}, schema=schema)
     return pa.concat_tables(tables)
+
+
+def read_page_range(
+    path: str, page_lo: int, page_hi: int, columns: list[str] | None, batch_size: int,
+    opts: ReadOptions | None = None,
+):
+    """Compressed-file partition read over a page range. RLE/RDC rows are
+    self-contained subheaders, so pages decompress independently — unlike
+    the reference, which is strictly sequential for compressed files
+    (PARALLELIZATION.md: 1.0x scaling), this engine page-parallelizes
+    them across Spark tasks."""
+    meta = read_metadata(path)
+    opts = opts or ReadOptions()
+    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls)
+    pending: list[bytes] = []
+    pending_rows = 0
+    for block, nrows in iter_row_blocks(path, meta, (page_lo, page_hi)):
+        pending.append(block)
+        pending_rows += nrows
+        if pending_rows >= batch_size:
+            cols = decode_rows(b"".join(pending), meta, columns, opts)
+            yield pa.table({n: cols[n] for n in schema.names}, schema=schema).to_batches()[0]
+            pending, pending_rows = [], 0
+    if pending_rows:
+        cols = decode_rows(b"".join(pending), meta, columns, opts)
+        yield pa.table({n: cols[n] for n in schema.names}, schema=schema).to_batches()[0]
 
 
 def read_partition(

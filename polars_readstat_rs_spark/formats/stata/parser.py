@@ -193,7 +193,27 @@ def temporal_kind(fmt: str, kind: str) -> str | None:
 
 # --------------------------------------------------------------- metadata
 
+_META_CACHE: dict = {}
+
+
 def read_metadata(path: str) -> StataMetadata:
+    """Cached per (path, mtime, size) — the dictionary parse is paid once
+    per file, not once per schema probe / partition plan / task."""
+    import os as _os
+
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    meta = _read_metadata_uncached(path)
+    if len(_META_CACHE) > 64:
+        _META_CACHE.clear()
+    _META_CACHE[key] = meta
+    return meta
+
+
+def _read_metadata_uncached(path: str) -> StataMetadata:
     with open(path, "rb") as f:
         head = f.read(1 << 20)
         if head[:11] == b"<stata_dta>":
