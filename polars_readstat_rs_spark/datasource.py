@@ -169,7 +169,11 @@ class ReadstatDataSource(DataSource):
         if self._fmt() != "stata":
             raise ValueError("distributed write currently supports .dta only; "
                              "use api.write_sav / write_sas_package for the others")
-        return _DtaWriter(self.options["path"], schema)
+        import json
+
+        value_labels = json.loads(self.options.get("value_labels", "{}"))
+        variable_labels = json.loads(self.options.get("variable_labels", "{}"))
+        return _DtaWriter(self.options["path"], schema, value_labels, variable_labels)
 
 
 class _ReadstatReader(DataSourceReader):
@@ -373,8 +377,14 @@ class _DtaWriter(DataSourceArrowWriter):
     partition-side because Stata string widths are a global property.)
     """
 
-    def __init__(self, path: str, schema):
+    def __init__(self, path: str, schema, value_labels=None, variable_labels=None):
         self.path = path
+        # option("value_labels", '{"col": {"1": "label"}}') — JSON because
+        # DataSource options are strings; keys are parsed back to ints.
+        self.value_labels = {
+            col: {int(k): v for k, v in m.items()} for col, m in (value_labels or {}).items()
+        }
+        self.variable_labels = variable_labels or {}
         import tempfile
 
         self.stage_dir = tempfile.mkdtemp(prefix="dta_write_")
@@ -419,7 +429,9 @@ class _DtaWriter(DataSourceArrowWriter):
         merged = pa.concat_tables(tables) if tables else None
         if merged is None:
             raise ValueError("no data to write")
-        write_dta(merged, self.path)
+        write_dta(
+            merged, self.path, value_labels=self.value_labels, variable_labels=self.variable_labels
+        )
         for m in messages:
             if m and m.tmp_path and os.path.exists(m.tmp_path):
                 os.unlink(m.tmp_path)

@@ -14,6 +14,58 @@ _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
 
 # --------------------------------------------------------------------------
+# q32 — semi-structured JSON extraction from the events props column.
+@register(
+    "q32_json_extract",
+    oracle=f"""
+    SELECT k_bucket, count(*) AS n, CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
+    FROM (
+      SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+             CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_bucket
+      FROM {EVENTS_US} e)
+    GROUP BY k_bucket
+    """,
+)
+def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), F.floor(k / 10).cast("int").alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — Arrow-vectorized Pandas UDF (the sanctioned slow path): a scalar
+# transform whose arithmetic is IEEE-exact on both engines (multiply/add
+# only, fixed order), so even the UDF output hash-matches the oracle.
+@register(
+    "q33_pandas_udf",
+    oracle=f"""
+    SELECT event_type,
+      CAST(sum(CAST(value * value * 0.5 + value AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
+    FROM {EVENTS_US} e
+    GROUP BY event_type
+    """,
+)
+def q33_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(v):  # pd.Series -> pd.Series, Arrow-batched
+        return v * v * 0.5 + v
+
+    score = pandas_udf(_score, "double")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", score("value").alias("s"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("score_sum"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q27 — pivot (conditional aggregation): per-user event-type counts.
 @register(
     "q27_pivot",
