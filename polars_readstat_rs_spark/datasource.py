@@ -379,6 +379,7 @@ class _DtaWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema, value_labels=None, variable_labels=None):
         self.path = path
+        self.schema = schema
         # option("value_labels", '{"col": {"1": "label"}}') — JSON because
         # DataSource options are strings; keys are parsed back to ints.
         self.value_labels = {
@@ -426,9 +427,12 @@ class _DtaWriter(DataSourceArrowWriter):
             if m and m.tmp_path:
                 with pa.ipc.open_file(m.tmp_path) as r:
                     tables.append(r.read_all())
-        merged = pa.concat_tables(tables) if tables else None
-        if merged is None:
-            raise ValueError("no data to write")
+        if tables:
+            merged = pa.concat_tables(tables)
+        else:  # zero rows everywhere -> valid empty .dta with the schema
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            merged = to_arrow_schema(self.schema).empty_table()
         write_dta(
             merged, self.path, value_labels=self.value_labels, variable_labels=self.variable_labels
         )
