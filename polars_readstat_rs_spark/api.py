@@ -19,6 +19,9 @@ _registered: set[int] = set()
 
 
 def _ensure_registered(spark: SparkSession) -> None:
+    from .session import ensure_session_confs
+
+    ensure_session_confs(spark)
     if id(spark) not in _registered:
         spark.dataSource.register(ReadstatDataSource)
         _registered.add(id(spark))

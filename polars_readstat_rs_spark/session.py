@@ -13,6 +13,25 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Confs the engine depends on, applied defensively at runtime when code
+# runs under a SparkSession we did not build (e.g. the harness driver's):
+# ns-timestamp parquet reads, UTC comparisons, and the Python DataSource
+# filter-pushdown gate (Spark errors if a reader defines pushFilters
+# while the conf is off).
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.python.filterPushdown.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; reads then rely on defaults
+
 
 def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None = None) -> SparkSession:
     cpus = str(cpus or DEFAULT_CPUS)
