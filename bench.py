@@ -52,13 +52,22 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # noisy-neighbor shared VM: retry until the min stabilizes
+        # (two consecutive runs within 20% of the best), cap 5 runs
         best = None
-        for _ in range(3):  # min-of-3: the shared VM has noisy neighbors
+        stable = 0
+        for _ in range(5):
             spark.catalog.clearCache()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best = dt
+                stable = 0
+            elif dt <= best * 1.2:
+                stable += 1
+            if stable >= 1 and _ >= 2:
+                break
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)

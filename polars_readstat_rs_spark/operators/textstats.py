@@ -89,9 +89,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: full-text hash, 8-word-prefix hash, and a
-    winnowing-style min-hash over 5-gram windows (rolling-hash analogue)."""
+    winnowing-style min-hash over 5-gram windows (rolling-hash analogue).
+
+    Repartitioned first: document tables typically arrive as one parquet
+    split, which would serialize the per-doc hashing on a single task.
+    """
     words = words_expr("text")
-    return docs.select(
+    return docs.repartition(32).select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp_full"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("fp_prefix8"),

@@ -47,6 +47,11 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local harness: small single-file tables need small splits to use
+        # the cores (a 25MB parquet is one task at the 128MB default);
+        # cluster deployments keep the default for sane task counts.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # allow Python DataSources (the readstat reader) to receive filters
