@@ -681,7 +681,7 @@ def decode_rows(
     opts = opts or ReadOptions()
     rl = meta.row_length
     nrows = len(raw) // rl if rl else 0
-    sel = [c for c in meta.columns if columns is None or c.name in set(columns)]
+    sel = _select(meta.columns, columns)
 
     out: dict[str, pa.Array] = {}
     names, formats, offsets = [], [], []
@@ -790,13 +790,20 @@ def arrow_field(c: Column) -> pa.Field:
     return pa.field(c.name, t)
 
 
+def _select(cols, columns):
+    if columns is None:
+        return list(cols)
+    by_name = {c.name: c for c in cols}
+    return [by_name[c] for c in columns if c in by_name]
+
+
 def arrow_schema(
     meta: SasMetadata,
     columns: list[str] | None = None,
     row_index: bool = False,
     informative_nulls: bool = False,
 ) -> pa.Schema:
-    sel = [c for c in meta.columns if columns is None or c.name in set(columns)]
+    sel = _select(meta.columns, columns)
     fields = []
     for c in sel:
         fields.append(arrow_field(c))

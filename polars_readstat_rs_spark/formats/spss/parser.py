@@ -528,7 +528,7 @@ def decode_records(
     rec = meta.record_len
     nrows = len(raw) // rec if rec else 0
     raw = raw[: nrows * rec]
-    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+    sel = _select(meta.variables, columns)
 
     names, formats, offsets = [], [], []
     for i, v in enumerate(meta.variables):
@@ -679,10 +679,17 @@ def arrow_field(v: Variable, meta: SpssMetadata, opts: ReadOptions) -> pa.Field:
     return pa.field(v.name, pa.float64())
 
 
+def _select(variables, columns):
+    if columns is None:
+        return list(variables)
+    by_name = {v.name: v for v in variables}
+    return [by_name[c] for c in columns if c in by_name]
+
+
 def arrow_schema(
     meta: SpssMetadata, opts: ReadOptions, columns: list[str] | None = None
 ) -> pa.Schema:
-    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+    sel = _select(meta.variables, columns)
     fields = []
     for v in sel:
         fields.append(arrow_field(v, meta, opts))

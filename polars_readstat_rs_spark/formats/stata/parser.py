@@ -520,7 +520,7 @@ def decode_records(
     """
     opts = opts or ReadOptions()
     nrows = len(raw) // meta.record_len if meta.record_len else 0
-    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+    sel = _select(meta.variables, columns)
 
     fields = []
     pos = 0
@@ -814,8 +814,16 @@ def arrow_field(v: Variable, meta: StataMetadata, opts: ReadOptions) -> pa.Field
     return pa.field(v.name, t)
 
 
+def _select(variables, columns):
+    """Projection honoring the requested column order (reference P1)."""
+    if columns is None:
+        return list(variables)
+    by_name = {v.name: v for v in variables}
+    return [by_name[c] for c in columns if c in by_name]
+
+
 def arrow_schema(meta: StataMetadata, opts: ReadOptions, columns: list[str] | None = None) -> pa.Schema:
-    sel = [v for v in meta.variables if columns is None or v.name in set(columns)]
+    sel = _select(meta.variables, columns)
     fields = []
     for v in sel:
         fields.append(arrow_field(v, meta, opts))
