@@ -97,13 +97,20 @@ def write_sav(
     value_labels: dict[str, dict[float, str]] | None = None,
     variable_labels: dict[str, str] | None = None,
     data_label: str = "",
+    user_missing: dict[str, list[float]] | None = None,
+    endian: str = "<",
 ) -> None:
+    """``user_missing``: up to 3 discrete user-declared missing doubles
+    per numeric column (reference W2 / F3 fixture semantics).
+    ``endian``: "<" (default) or ">" — big-endian output exists mainly to
+    exercise the reader's byte-order handling."""
     if hasattr(table, "to_arrow"):
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
         table = pa.Table.from_pandas(table, preserve_index=False)
     value_labels = value_labels or {}
     variable_labels = variable_labels or {}
+    user_missing = user_missing or {}
 
     names = list(table.column_names)
     shorts = _short_names(names)
@@ -116,12 +123,12 @@ def write_sav(
     hdr = bytearray(176)
     hdr[0:4] = b"$FL2"
     hdr[4:64] = b"@(#) SPSS DATA FILE polars_readstat_rs_spark".ljust(60)[:60]
-    struct.pack_into("<i", hdr, 64, 2)  # layout code
-    struct.pack_into("<i", hdr, 68, case_size)
-    struct.pack_into("<i", hdr, 72, 0)  # compression: none
-    struct.pack_into("<i", hdr, 76, 0)  # weight index
-    struct.pack_into("<i", hdr, 80, nobs)
-    struct.pack_into("<d", hdr, 84, 100.0)
+    struct.pack_into(endian + "i", hdr, 64, 2)  # layout code
+    struct.pack_into(endian + "i", hdr, 68, case_size)
+    struct.pack_into(endian + "i", hdr, 72, 0)  # compression: none
+    struct.pack_into(endian + "i", hdr, 76, 0)  # weight index
+    struct.pack_into(endian + "i", hdr, 80, nobs)
+    struct.pack_into(endian + "d", hdr, 84, 100.0)
     hdr[92:101] = b"01 Jan 26"
     hdr[101:109] = b"00:00:00"
     lab = data_label.encode("utf-8")[:64]
@@ -134,25 +141,26 @@ def write_sav(
     for c, short in zip(cols, shorts):
         vlabel = variable_labels.get(c.name, "").encode("utf-8")
         typ = c.string_len if c.is_str else 0
-        out += struct.pack("<i", 2)
-        out += struct.pack(
-            "<iii", typ, 1 if vlabel else 0, 0
-        )
+        miss = [] if c.is_str else list(user_missing.get(c.name, []))[:3]
+        out += struct.pack(endian + "i", 2)
+        out += struct.pack(endian + "iii", typ, 1 if vlabel else 0, len(miss))
         if c.is_str:
             print_fmt = (c.fmt_code << 16) | (min(c.string_len, 255) << 8)
         else:
             print_fmt = (c.fmt_code << 16) | (8 << 8) | 2
-        out += struct.pack("<I", print_fmt)
-        out += struct.pack("<I", print_fmt)
+        out += struct.pack(endian + "I", print_fmt)
+        out += struct.pack(endian + "I", print_fmt)
         out += short.encode("ascii").ljust(8)[:8]
         if vlabel:
-            out += struct.pack("<I", len(vlabel))
+            out += struct.pack(endian + "I", len(vlabel))
             pad = (len(vlabel) + 3) // 4 * 4
             out += vlabel.ljust(pad, b"\0")
+        for m in miss:
+            out += struct.pack(endian + "d", float(m))
         for _ in range(c.width - 1):  # string continuation records
-            out += struct.pack("<i", 2)
-            out += struct.pack("<iii", -1, 0, 0)
-            out += struct.pack("<II", 0, 0)
+            out += struct.pack(endian + "i", 2)
+            out += struct.pack(endian + "iii", -1, 0, 0)
+            out += struct.pack(endian + "II", 0, 0)
             out += b"        "
 
     # ---- value labels (type 3 + 4), numeric keys only
@@ -165,28 +173,28 @@ def write_sav(
         mapping = value_labels.get(c.name)
         if not mapping or c.is_str:
             continue
-        out += struct.pack("<iI", 3, len(mapping))
+        out += struct.pack(endian + "iI", 3, len(mapping))
         for k in sorted(mapping):
-            out += struct.pack("<d", float(k))
+            out += struct.pack(endian + "d", float(k))
             lab = mapping[k].encode("utf-8")[:255]
             out += bytes([len(lab)])
             padded = (len(lab) + 8) // 8 * 8 - 1
             out += lab.ljust(padded, b" ")
-        out += struct.pack("<iII", 4, 1, offsets[c.name] + 1)
+        out += struct.pack(endian + "iII", 4, 1, offsets[c.name] + 1)
 
     # ---- subtype 13: long variable names
     entries = "\t".join(f"{s}={n}" for s, n in zip(shorts, names)).encode("utf-8")
-    out += struct.pack("<iiII", 7, 13, 1, len(entries)) + entries
+    out += struct.pack(endian + "iiII", 7, 13, 1, len(entries)) + entries
     # ---- subtype 20: encoding
-    out += struct.pack("<iiII", 7, 20, 1, 5) + b"UTF-8"
+    out += struct.pack(endian + "iiII", 7, 20, 1, 5) + b"UTF-8"
     # ---- dict termination
-    out += struct.pack("<ii", 999, 0)
+    out += struct.pack(endian + "ii", 999, 0)
 
     # ---- data (uncompressed, fixed 8-byte segments)
     dt = np.dtype(
         {
             "names": [f"f{i}" for i in range(len(cols))],
-            "formats": ["<f8" if not c.is_str else f"S{c.width * 8}" for c in cols],
+            "formats": [endian + "f8" if not c.is_str else f"S{c.width * 8}" for c in cols],
             "offsets": np.cumsum([0] + [c.width * 8 for c in cols[:-1]]).tolist(),
             "itemsize": case_size * 8,
         }

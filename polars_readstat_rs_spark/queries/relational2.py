@@ -14,6 +14,59 @@ _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
 
 # --------------------------------------------------------------------------
+# q34 — native session_window operator (batch form of streaming
+# sessionization); the oracle derives identical sessions with the
+# classic lag + cumulative-sum rewrite.
+@register(
+    "q34_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US} e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q34_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — approximate sketches (rows-only: approx algorithms differ by
+# engine, so the driver records the weaker rows-only check — SURVEY §2.6
+# approx_count_distinct / percentile_approx surface).
+@register("q35_approx_sketches")
+def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q32 — semi-structured JSON extraction from the events props column.
 @register(
     "q32_json_extract",

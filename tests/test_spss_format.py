@@ -109,3 +109,24 @@ def test_datasource_spark(spark, tmp_path):
     # compressed corpus file through Spark (single partition path)
     z = spark.read.format("readstat").load(f"{CORPUS}/sample.zsav")
     assert z.count() == 5
+
+
+def test_user_missing_write_roundtrip(tmp_path):
+    t = pa.table({"x": pa.array([1.0, -9.0, 2.0, -8.0, 3.0])})
+    p = str(tmp_path / "um.sav")
+    writer.write_sav(t, p, user_missing={"x": [-9.0, -8.0]})
+    assert parser.read_table(p).column("x").to_pylist() == [1.0, None, 2.0, None, 3.0]
+    keep = parser.read_table(p, opts=parser.ReadOptions(user_missing_as_null=False))
+    assert keep.column("x").to_pylist() == [1.0, -9.0, 2.0, -8.0, 3.0]
+    ind = parser.read_table(p, opts=parser.ReadOptions(informative_nulls=True))
+    assert ind.column("x__missing").to_pylist() == [None, "-9", None, "-8", None]
+
+
+def test_big_endian_roundtrip(tmp_path):
+    t = pa.table({"x": pa.array([1.5, 2.5, None, 4.0]), "s": pa.array(["ab", "cd", "ef", None])})
+    p = str(tmp_path / "be.sav")
+    writer.write_sav(t, p, endian=">")
+    assert parser.read_metadata(p).endian == ">"
+    rt = parser.read_table(p)
+    assert rt.column("x").to_pylist() == [1.5, 2.5, None, 4.0]
+    assert rt.column("s").to_pylist() == ["ab", "cd", "ef", None]
