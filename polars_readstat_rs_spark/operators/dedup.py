@@ -65,9 +65,22 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard between docs sharing >=1 shingle (or the given
     candidate pairs): |A∩B| from the inverted-index self-join,
-    |A|,|B| from per-doc shingle counts."""
+    |A|,|B| from per-doc shingle counts.
+
+    With candidate pairs, the self-join is first restricted to candidate
+    docs (semi-join) — LSH typically leaves a tiny candidate set, so the
+    quadratic co-shingle expansion only runs over those documents.
+    """
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh_join = sh
+    if pairs is not None:
+        cand_docs = (
+            pairs.select(F.col("a_id").alias("doc"))
+            .union(pairs.select(F.col("b_id").alias("doc")))
+            .distinct()
+        )
+        sh_join = sh.join(F.broadcast(cand_docs), "doc", "left_semi")
+    a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
@@ -145,6 +158,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         )
         .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
         .distinct()
+        .persist()  # reused for the doc restriction AND the final pair filter
     )
     return _jaccard_on(sh_shared, pairs=cand)
 
