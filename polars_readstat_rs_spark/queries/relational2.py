@@ -53,6 +53,32 @@ def q34_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q36 — correlated scalar subquery (SQL API): orders above their
+# customer's average order value.
+@register(
+    "q36_correlated_subquery",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_above
+    FROM orders o
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_custkey
+    """,
+)
+def q36_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q36_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_above
+        FROM _q36_orders o
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                              FROM _q36_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # q35 — approximate sketches (rows-only: approx algorithms differ by
 # engine, so the driver records the weaker rows-only check — SURVEY §2.6
 # approx_count_distinct / percentile_approx surface).

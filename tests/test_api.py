@@ -133,3 +133,31 @@ def test_wide_table_roundtrip(spark, tmp_path):
     from polars_readstat_rs_spark.formats.stata import parser as sp
     t = sp.read_table(p, columns=["c7"])
     assert t.column("c7").to_pylist() == df.c7.tolist()
+
+
+def test_batch_iter_bounded_memory(tmp_path):
+    """Parity with the reference's streaming memory test
+    (tests/streaming.rs): iterating batches must not materialize the
+    file — peak RSS growth stays far below the decoded data size."""
+    import resource
+
+    n = 1_500_000
+    df = pd.DataFrame(
+        {
+            "a": np.arange(n, dtype="int32"),
+            "b": np.random.default_rng(0).normal(size=n),
+            "c": np.random.default_rng(1).normal(size=n),
+            "d": np.random.default_rng(2).normal(size=n),
+        }
+    )
+    p = str(tmp_path / "big.dta")
+    df.to_stata(p, version=118, write_index=False)  # ~42MB of records
+    del df
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    total = 0
+    for batch in api.readstat_batch_iter(p, batch_size=50_000):
+        total += batch.num_rows  # drop each batch immediately
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert total == n
+    growth_mb = (after - before) / 1024
+    assert growth_mb < 30, f"streaming read grew RSS by {growth_mb:.0f}MB"
