@@ -168,13 +168,6 @@ def _sigs(bit64: bool):
     }
 
 
-def _all_meta_sigs(bit64: bool) -> set[bytes]:
-    out: set[bytes] = set()
-    for v in _sigs(bit64).values():
-        out |= v
-    return out
-
-
 # --------------------------------------------------------------- metadata
 
 _META_CACHE: dict[tuple, SasMetadata] = {}
