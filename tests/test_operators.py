@@ -85,3 +85,43 @@ def test_cosine_topk_self_similarity(spark, sf_dir):
     res = similarity.brute_force_topk(emb.union(dup), emb.filter(F.col("vec_id") == 0), k=1)
     top = res.collect()[0]
     assert top.vec_id == 999999 and top.sim == 1.0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from polars_readstat_rs_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")  # l_suppkey is skewed-ish (10 suppliers)
+    supp = load_table(spark, sf_dir, "supplier")
+    plain = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name").count().collect()
+    )
+    salted = (
+        salted_join(li.withColumnRenamed("l_suppkey", "k"), supp.withColumnRenamed("s_suppkey", "k"), "k")
+        .groupBy("s_name").count().collect()
+    )
+    assert sorted((r.s_name, r["count"]) for r in plain) == sorted(
+        (r.s_name, r["count"]) for r in salted
+    )
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates them: the join
+    plan contains no Exchange on the bucketed key."""
+    import uuid
+
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    a.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ta)
+    b.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tb)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table(ta).join(spark.table(tb), F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
