@@ -223,7 +223,10 @@ def _read_metadata_uncached(path: str) -> StataMetadata:
             # suffices; fall back to full read if not).
             try:
                 return _read_meta_bytes(head, path)
-            except EOFError:
+            except (EOFError, ValueError):
+                # dictionary larger than the 1MB head (huge nvar) — a
+                # truncated read can surface as either a short-buffer
+                # EOFError or a mid-tag mismatch ValueError; retry full
                 f.seek(0)
                 return _read_meta_bytes(f.read(), path)
         f.seek(0)
