@@ -44,7 +44,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # concurrent creator won the race — same target
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
