@@ -160,11 +160,14 @@ class ReadstatDataSource(DataSource):
         """df.write.format("readstat").save(path): distributed encode.
 
         Each task vectorized-encodes its partition's Arrow batches to
-        Stata fixed-width record bytes in a spill file; commit() on the
-        driver assembles header + dictionary + concatenated records +
-        value labels with the now-known global row count (the reference's
-        streaming-batch write mode with declared row_count,
-        src/stata/writer.rs:244-380, without needing the count upfront).
+        Stata fixed-width record *sections* in a staging dir beside the
+        output path (shared filesystem on a real cluster); commit() on
+        the driver streams the sections into the final file — header +
+        dictionary + re-strided record blobs + GSO heap + value labels —
+        one section at a time, never materializing rows (the reference's
+        streaming-batch write mode, src/stata/writer.rs:244-380, without
+        needing the row count upfront). option("staging_dir", ...)
+        overrides the staging location.
         """
         if self._fmt() != "stata":
             raise ValueError("distributed write currently supports .dta only; "
@@ -173,7 +176,13 @@ class ReadstatDataSource(DataSource):
 
         value_labels = json.loads(self.options.get("value_labels", "{}"))
         variable_labels = json.loads(self.options.get("variable_labels", "{}"))
-        return _DtaWriter(self.options["path"], schema, value_labels, variable_labels)
+        return _DtaWriter(
+            self.options["path"],
+            schema,
+            value_labels,
+            variable_labels,
+            staging_dir=self.options.get("staging_dir"),
+        )
 
 
 class _ReadstatReader(DataSourceReader):
@@ -364,20 +373,30 @@ class _ReadstatReader(DataSourceReader):
 
 
 class _DtaCommit(WriterCommitMessage):
-    def __init__(self, tmp_path: str, nrows: int, widths: dict):
-        self.tmp_path = tmp_path
-        self.nrows = nrows
-        self.widths = widths  # per string column: max utf-8 byte width seen
+    def __init__(self, blob_path: str, sections: list):
+        self.blob_path = blob_path
+        self.sections = sections  # per-batch record-layout metadata dicts
 
 
 class _DtaWriter(DataSourceArrowWriter):
-    """Two-phase distributed .dta write: partitions spill Arrow IPC,
-    commit() re-encodes through the single-file writer with the global
-    row count and string widths. (Record bytes can't be encoded
-    partition-side because Stata string widths are a global property.)
+    """Distributed .dta write, record bytes encoded partition-side.
+
+    Executors encode their Arrow batches straight to fixed-width Stata
+    record sections (writer.spill_partition) in a staging dir *next to
+    the output path* — i.e. on the same (shared) filesystem the .dta is
+    going to, so multi-node clusters work (a driver-local tempdir would
+    not exist on executor nodes, nor be readable back). commit() streams
+    the sections through a numpy re-stride into the final layout
+    (writer.assemble_dta): no Arrow tables, no row materialization, one
+    section (~batch_size rows) of driver memory regardless of dataset
+    size — matching the reference's streaming batch-write contract
+    (/root/reference/src/stata/writer.rs:244-380).
     """
 
-    def __init__(self, path: str, schema, value_labels=None, variable_labels=None):
+    def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
+                 staging_dir: str | None = None):
+        import uuid
+
         self.path = path
         self.schema = schema
         # option("value_labels", '{"col": {"1": "label"}}') — JSON because
@@ -386,68 +405,45 @@ class _DtaWriter(DataSourceArrowWriter):
             col: {int(k): v for k, v in m.items()} for col, m in (value_labels or {}).items()
         }
         self.variable_labels = variable_labels or {}
-        import tempfile
-
-        self.stage_dir = tempfile.mkdtemp(prefix="dta_write_")
+        parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
+        self.stage_dir = os.path.join(
+            parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
+        )
 
     def write(self, batches):
-        import os
         import uuid
 
-        import pyarrow as pa
+        from .formats.stata.writer import spill_partition
 
-        tmp = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.arrow")
-        nrows = 0
-        widths: dict[str, int] = {}
-        writer = None
-        for batch in batches:
-            if writer is None:
-                writer = pa.ipc.new_file(tmp, batch.schema)
-            writer.write_batch(batch)
-            nrows += batch.num_rows
-            for i, f in enumerate(batch.schema):
-                if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
-                    col = batch.column(i)
-                    w = max((len((x or "").encode("utf-8")) for x in col.to_pylist()), default=0)
-                    widths[f.name] = max(widths.get(f.name, 0), w)
-        if writer is not None:
-            writer.close()
-            return _DtaCommit(tmp, nrows, widths)
-        return _DtaCommit("", 0, {})
+        os.makedirs(self.stage_dir, exist_ok=True)
+        blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
+        sections = spill_partition(batches, blob)
+        if not sections:
+            os.unlink(blob)
+            return _DtaCommit("", [])
+        return _DtaCommit(blob, sections)
 
     def commit(self, messages):
-        import os
+        import shutil
 
-        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        from .formats.stata.writer import write_dta
+        from .formats.stata.writer import assemble_dta
 
-        tables = []
-        for m in messages:
-            if m and m.tmp_path:
-                with pa.ipc.open_file(m.tmp_path) as r:
-                    tables.append(r.read_all())
-        if tables:
-            merged = pa.concat_tables(tables)
-        else:  # zero rows everywhere -> valid empty .dta with the schema
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            merged = to_arrow_schema(self.schema).empty_table()
-        write_dta(
-            merged, self.path, value_labels=self.value_labels, variable_labels=self.variable_labels
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_dta(
+            self.path,
+            to_arrow_schema(self.schema),
+            parts,
+            value_labels=self.value_labels,
+            variable_labels=self.variable_labels,
         )
-        for m in messages:
-            if m and m.tmp_path and os.path.exists(m.tmp_path):
-                os.unlink(m.tmp_path)
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
 
     def abort(self, messages):
-        import os
         import shutil
 
         shutil.rmtree(self.stage_dir, ignore_errors=True)
-        for m in messages or []:
-            if m and getattr(m, "tmp_path", "") and os.path.exists(m.tmp_path):
-                os.unlink(m.tmp_path)
 
 
 def register(spark) -> None:
