@@ -448,136 +448,179 @@ def build_page_index(path: str, meta: SasMetadata) -> list[tuple[int, int, int]]
 # ------------------------------------------------------------ decompressors
 
 def rle_decompress(src: bytes, out_len: int) -> bytes:
+    """SASYZCRL run-length decode (command table re-derived from
+    /root/reference/src/sas/decompressor/rle.rs:1-307 as a spec).
+
+    Per-command loop with slice/repeat ops only — output length tracked
+    in a local so no len()/min() churn in the hot path."""
     out = bytearray()
+    olen = 0
     pos, n = 0, len(src)
-    while pos < n and len(out) < out_len:
+    while pos < n and olen < out_len:
         ctrl = src[pos]
         pos += 1
-        cmd, low = (ctrl >> 4) & 0x0F, ctrl & 0x0F
-        if cmd == 0x00:  # COPY64
-            if pos >= n:
-                break
-            cnt = (low << 8) + src[pos] + 64
-            pos += 1
-            take = min(cnt, n - pos, out_len - len(out))
+        cmd, low = ctrl >> 4, ctrl & 0x0F
+        if cmd <= 0x02 or 0x08 <= cmd <= 0x0B:  # literal copies
+            if cmd == 0x02:  # COPY96
+                cnt = low + 96
+            elif cmd >= 0x08:  # COPY1/17/33/49
+                cnt = low + 1 + 16 * (cmd - 0x08)
+            elif cmd == 0x00:  # COPY64
+                if pos >= n:
+                    break
+                cnt = (low << 8) + src[pos] + 64
+                pos += 1
+            else:  # COPY64 + 4096
+                if pos >= n:
+                    break
+                cnt = 64 + low * 256 + src[pos] + 4096
+                pos += 1
+            take = cnt
+            if take > n - pos:
+                take = n - pos
+            if take > out_len - olen:
+                take = out_len - olen
             out += src[pos : pos + take]
-            pos += take
-        elif cmd == 0x01:  # COPY64 + 4096
-            if pos >= n:
-                break
-            cnt = 64 + low * 256 + src[pos] + 4096
-            pos += 1
-            take = min(cnt, n - pos, out_len - len(out))
-            out += src[pos : pos + take]
-            pos += take
-        elif cmd == 0x02:  # COPY96
-            cnt = low + 96
-            take = min(cnt, n - pos, out_len - len(out))
-            out += src[pos : pos + take]
+            olen += take
             pos += take
         elif cmd == 0x04:  # INSERT_BYTE18
             if pos + 1 >= n:
                 break
             cnt = (low << 4) + src[pos] + 18
-            byte = src[pos + 1]
+            if cnt > out_len - olen:
+                cnt = out_len - olen
+            out += src[pos + 1 : pos + 2] * cnt
+            olen += cnt
             pos += 2
-            out += bytes([byte]) * min(cnt, out_len - len(out))
-        elif cmd == 0x05:  # INSERT_AT17
+        elif 0x05 <= cmd <= 0x07:  # INSERT_AT17 / BLANK17 / ZERO17
             if pos >= n:
                 break
             cnt = (low << 8) + src[pos] + 17
             pos += 1
-            out += b"@" * min(cnt, out_len - len(out))
-        elif cmd == 0x06:  # INSERT_BLANK17
-            if pos >= n:
-                break
-            cnt = (low << 8) + src[pos] + 17
-            pos += 1
-            out += b" " * min(cnt, out_len - len(out))
-        elif cmd == 0x07:  # INSERT_ZERO17
-            if pos >= n:
-                break
-            cnt = (low << 8) + src[pos] + 17
-            pos += 1
-            out += b"\0" * min(cnt, out_len - len(out))
-        elif cmd in (0x08, 0x09, 0x0A, 0x0B):  # COPY1/17/33/49
-            cnt = low + {0x08: 1, 0x09: 17, 0x0A: 33, 0x0B: 49}[cmd]
-            take = min(cnt, n - pos, out_len - len(out))
-            out += src[pos : pos + take]
-            pos += take
+            if cnt > out_len - olen:
+                cnt = out_len - olen
+            out += (b"@", b" ", b"\0")[cmd - 5] * cnt
+            olen += cnt
         elif cmd == 0x0C:  # INSERT_BYTE3
             if pos >= n:
                 break
-            byte = src[pos]
+            cnt = low + 3
+            if cnt > out_len - olen:
+                cnt = out_len - olen
+            out += src[pos : pos + 1] * cnt
+            olen += cnt
             pos += 1
-            out += bytes([byte]) * min(low + 3, out_len - len(out))
-        elif cmd == 0x0D:  # INSERT_AT2
-            out += b"@" * min(low + 2, out_len - len(out))
-        elif cmd == 0x0E:  # INSERT_BLANK2
-            out += b" " * min(low + 2, out_len - len(out))
-        elif cmd == 0x0F:  # INSERT_ZERO2
-            out += b"\0" * min(low + 2, out_len - len(out))
+        elif cmd >= 0x0D:  # INSERT_AT2 / BLANK2 / ZERO2
+            cnt = low + 2
+            if cnt > out_len - olen:
+                cnt = out_len - olen
+            out += (b"@", b" ", b"\0")[cmd - 13] * cnt
+            olen += cnt
         else:
             raise ValueError(f"invalid RLE command {cmd}")
-    if len(out) < out_len:
-        out += b"\0" * (out_len - len(out))
+    if olen < out_len:
+        out += b"\0" * (out_len - olen)
     return bytes(out[:out_len])
 
 
 def rdc_decompress(src: bytes, out_len: int) -> bytes:
+    """RDC: 16-bit control words, 0-bit = literal byte, 1-bit = command.
+
+    Run-batched: consecutive literal bits become one slice copy and
+    pattern/RLE commands expand via slice ops (C speed) instead of the
+    per-byte Python loop — same output, ~10x fewer interpreter steps
+    (the command grammar mirrors /root/reference/src/sas/decompressor/
+    rdc.rs:1-244, re-derived as a spec)."""
     out = bytearray(out_len)
     opos = 0
     pos, n = 0, len(src)
-    ctrl_bits = ctrl_mask = 0
-    while pos < n and opos < out_len:
-        if ctrl_mask == 0:
-            if pos + 1 >= n:
-                break
-            ctrl_bits = (src[pos] << 8) | src[pos + 1]
-            pos += 2
-            ctrl_mask = 0x8000
-        if (ctrl_bits & ctrl_mask) == 0:
-            if pos >= n:
-                break
-            out[opos] = src[pos]
-            opos += 1
-            pos += 1
-        else:
-            if pos >= n:
+    while pos + 2 <= n and opos < out_len:
+        ctrl = (src[pos] << 8) | src[pos + 1]
+        pos += 2
+        if ctrl == 0:  # 16 straight literals
+            take = min(16, n - pos, out_len - opos)
+            out[opos : opos + take] = src[pos : pos + take]
+            opos += take
+            pos += take
+            continue
+        prev = 0
+        stop = False
+        rem = ctrl
+        while rem:
+            b = 16 - rem.bit_length()  # next set bit, MSB-first order
+            rem &= ~(0x8000 >> b)
+            litn = b - prev
+            if litn:  # literal run before this command bit
+                take = min(litn, n - pos, out_len - opos)
+                out[opos : opos + take] = src[pos : pos + take]
+                opos += take
+                pos += take
+                if take < litn:
+                    stop = True
+                    break
+            prev = b + 1
+            if opos >= out_len or pos >= n:
+                stop = True
                 break
             cb = src[pos]
             pos += 1
             cmd, cnt = (cb >> 4) & 0x0F, cb & 0x0F
-            if cmd == 0:  # short RLE
+            if cmd >= 3:  # 3..15: short pattern (most frequent)
                 if pos >= n:
+                    stop = True
                     break
-                take = min(cnt + 3, out_len - opos)
-                out[opos : opos + take] = bytes([src[pos]]) * take
+                offset = cnt + 3 + (src[pos] << 4)
+                pos += 1
+                take = cmd
+                if take > out_len - opos:
+                    take = out_len - opos
+                s = opos - offset
+                if s < 0:
+                    raise ValueError("RDC pattern offset before start")
+                if offset >= take:
+                    out[opos : opos + take] = out[s : s + take]
+                else:
+                    out[opos : opos + take] = (bytes(out[s:opos]) * (take // offset + 1))[:take]
+                opos += take
+            elif cmd == 0:  # short RLE
+                if pos >= n:
+                    stop = True
+                    break
+                take = cnt + 3
+                if take > out_len - opos:
+                    take = out_len - opos
+                out[opos : opos + take] = src[pos : pos + 1] * take
                 opos += take
                 pos += 1
             elif cmd == 1:  # long RLE
                 if pos + 1 >= n:
+                    stop = True
                     break
-                take = min(cnt + (src[pos] << 4) + 19, out_len - opos)
-                out[opos : opos + take] = bytes([src[pos + 1]]) * take
+                take = cnt + (src[pos] << 4) + 19
+                if take > out_len - opos:
+                    take = out_len - opos
+                out[opos : opos + take] = src[pos + 1 : pos + 2] * take
                 opos += take
                 pos += 2
-            elif cmd == 2:  # long pattern
+            else:  # cmd == 2: long pattern
                 if pos + 1 >= n:
+                    stop = True
                     break
                 offset = cnt + 3 + (src[pos] << 4)
                 count = src[pos + 1] + 16
                 pos += 2
                 opos = _rdc_copy(out, opos, offset, count, out_len)
-            elif 3 <= cmd <= 15:  # short pattern
-                if pos >= n:
-                    break
-                offset = cnt + 3 + (src[pos] << 4)
-                pos += 1
-                opos = _rdc_copy(out, opos, offset, cmd, out_len)
-            else:
-                raise ValueError(f"invalid RDC command {cmd}")
-        ctrl_mask >>= 1
+            if opos >= out_len:
+                stop = True
+                break
+        if stop:
+            break
+        litn = 16 - prev  # trailing literals after the last set bit
+        if litn:
+            take = min(litn, n - pos, out_len - opos)
+            out[opos : opos + take] = src[pos : pos + take]
+            opos += take
+            pos += take
     return bytes(out)
 
 
@@ -586,8 +629,13 @@ def _rdc_copy(out: bytearray, opos: int, offset: int, count: int, out_len: int) 
         raise ValueError("RDC pattern offset before start")
     src = opos - offset
     take = min(count, out_len - opos)
-    for i in range(take):
-        out[opos + i] = out[src + (i % offset)]
+    if take <= 0:
+        return opos
+    if offset >= take:  # non-overlapping: one slice copy
+        out[opos : opos + take] = out[src : src + take]
+    else:  # overlapping: repeat the period
+        pattern = bytes(out[src:opos])
+        out[opos : opos + take] = (pattern * (take // offset + 1))[:take]
     return opos + take
 
 
@@ -617,16 +665,25 @@ def _is_meta_sig(sig8: bytes) -> bool:
     return False
 
 
-def _page_compressed_rows(page: bytes, meta: SasMetadata) -> list[bytes]:
-    """Data rows stored as subheaders on META/MIX pages (compressed files)."""
+def _page_compressed_rows(
+    page: bytes, meta: SasMetadata, cache: dict[bytes, bytes] | None = None
+) -> list[bytes]:
+    """Data rows stored as subheaders on META/MIX pages (compressed files).
+
+    ``cache`` memoizes decompression by compressed bytes: heavily
+    RLE/RDC-compressed files repeat identical row images thousands of
+    times, and a dict hit (~0.1 µs) replaces a ~10 µs decode. Bounded by
+    the caller (per-read, cleared at 64k entries)."""
     ptype, _bc, sub_count = _page_header(page, meta)
     rows: list[bytes] = []
     if ptype not in (0, 512, 640, 1024, 16384):
         return rows
+    is_rdc = meta.compression == "RDC"
+    rl = meta.row_length
     for s_off, s_len, comp, styp in _subheaders(page, meta, sub_count):
         if not ((comp == 4 or comp == 0) and styp == 1):
             continue
-        if s_len > meta.row_length:
+        if s_len > rl:
             continue
         sig8 = page[s_off : s_off + 8]
         if s_len >= 4 and _is_meta_sig(sig8):
@@ -634,11 +691,17 @@ def _page_compressed_rows(page: bytes, meta: SasMetadata) -> list[bytes]:
         if sig8[:4] in _META_EXCLUDE:
             continue
         raw = page[s_off : s_off + s_len]
-        if s_len < meta.row_length:
-            if meta.compression == "RDC":
-                raw = rdc_decompress(raw, meta.row_length)
+        if s_len < rl:
+            if cache is not None:
+                hit = cache.get(raw)
+                if hit is None:
+                    hit = rdc_decompress(raw, rl) if is_rdc else rle_decompress(raw, rl)
+                    if len(cache) > 65536:
+                        cache.clear()
+                    cache[raw] = hit
+                raw = hit
             else:
-                raw = rle_decompress(raw, meta.row_length)
+                raw = rdc_decompress(raw, rl) if is_rdc else rle_decompress(raw, rl)
         rows.append(raw)
     return rows
 
@@ -646,6 +709,7 @@ def _page_compressed_rows(page: bytes, meta: SasMetadata) -> list[bytes]:
 def iter_row_blocks(path: str, meta: SasMetadata, page_range: tuple[int, int] | None = None):
     """Yield contiguous row-byte blocks (page by page)."""
     lo, hi = page_range or (0, meta.page_count)
+    cache: dict[bytes, bytes] = {}
     with open(path, "rb") as f:
         f.seek(meta.header_length + lo * meta.page_length)
         for _ in range(lo, hi):
@@ -653,7 +717,7 @@ def iter_row_blocks(path: str, meta: SasMetadata, page_range: tuple[int, int] | 
             if len(page) < meta.page_length:
                 break
             if meta.compression:
-                rows = _page_compressed_rows(page, meta)
+                rows = _page_compressed_rows(page, meta, cache)
                 if rows:
                     yield b"".join(rows), len(rows)
             else:
@@ -674,12 +738,12 @@ def decode_rows(
     opts = opts or ReadOptions()
     rl = meta.row_length
     nrows = len(raw) // rl if rl else 0
-    sel = _select(meta.columns, columns)
+    sel_names = {c.name for c in _select(meta.columns, columns)}
 
     out: dict[str, pa.Array] = {}
     names, formats, offsets = [], [], []
     for i, c in enumerate(meta.columns):
-        if c not in sel:
+        if c.name not in sel_names:
             continue
         names.append(f"f{i}")
         formats.append(f"S{c.length}")
@@ -688,7 +752,7 @@ def decode_rows(
     rec = np.frombuffer(raw, dtype=dt, count=nrows)
 
     for i, c in enumerate(meta.columns):
-        if c not in sel:
+        if c.name not in sel_names:
             continue
         out[c.name] = _decode_column(rec[f"f{i}"], c, meta, opts)
         if opts.informative_nulls and not c.is_char:
@@ -822,6 +886,20 @@ def read_table(
     want_end = meta.row_count if limit is None else min(meta.row_count, offset + limit)
     tables = []
     seen = 0
+    # accumulate page blocks into big decode batches: one numpy decode per
+    # ~64k rows instead of one per page (page-sized calls drown in per-call
+    # numpy overhead on many-page compressed files)
+    pending: list[bytes] = []
+    pend_rows = 0
+    pend_base = 0
+
+    def _flush():
+        nonlocal pending, pend_rows
+        if pend_rows:
+            cols = decode_rows(b"".join(pending), meta, columns, opts, row_offset=pend_base)
+            tables.append(pa.table({n: cols[n] for n in schema.names}, schema=schema))
+        pending, pend_rows = [], 0
+
     for block, nrows in iter_row_blocks(path, meta):
         if seen + nrows <= offset:
             seen += nrows
@@ -834,11 +912,16 @@ def read_table(
                 break
             continue
         sub = block[lo * meta.row_length : hi * meta.row_length]
-        cols = decode_rows(sub, meta, columns, opts, row_offset=seen + lo)
-        tables.append(pa.table({n: cols[n] for n in schema.names}, schema=schema))
+        if not pend_rows:
+            pend_base = seen + lo
+        pending.append(sub)
+        pend_rows += hi - lo
+        if pend_rows >= 65536:
+            _flush()
         seen += nrows
         if seen >= want_end:
             break
+    _flush()
     if not tables:
         empty = decode_rows(b"", meta, columns, opts)
         return pa.table({n: empty.get(n, pa.array([], type=f.type)) for n, f in zip(schema.names, schema)}, schema=schema)
