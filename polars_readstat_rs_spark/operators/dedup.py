@@ -7,17 +7,27 @@ Four families, all shuffle-aware and driver-materialization-free:
   cap (the cap bounds the worst-case pair blowup: a shingle appearing in
   d docs creates d^2/2 candidate rows, so hot shingles are dropped —
   standard skew guard at 100 TB).
-- MinHash + LSH: 16 min-hashes over shingles, banded 4x4; candidate
-  pairs only where a full band collides, then exact Jaccard verification
-  on the candidates. Min-hashes are lexicographic minima of seeded md5
-  hex strings — a total order both Spark and DuckDB agree on, so the
-  oracle can reproduce signatures exactly.
-- SimHash: 16-bit sign-of-weighted-sum fingerprint per document, with
-  byte-band candidate generation + Hamming-distance verification.
+- MinHash + LSH: 8 min-hashes over shingles (8x32-bit chunks of one
+  sha256), banded 4x2; candidate pairs only where a full band collides,
+  then exact Jaccard verification on the candidates. Min-hashes are
+  lexicographic minima of seeded hash hex strings — a total order both
+  Spark and DuckDB agree on, so the oracle can reproduce signatures
+  exactly.
+- SimHash: 64-bit sign-of-weighted-sum fingerprint per document, kept
+  as four 16-bit band integers (+ a 16-hex-char string for display) so
+  no signed-64-bit overflow exists in either engine. Candidates come
+  from 4x16-bit band equality — 65,536 buckets per band that keep
+  subdividing as the corpus grows (a 16-bit fingerprint's 256-bucket
+  byte bands would degenerate to ~N^2/256 candidate pairs at scale).
 
 At 100 TB the candidate joins shuffle on (band_idx, band_key) /
-shingle — uniform md5-derived keys, so no salting needed; the df-cap
+shingle — uniform hash-derived keys, so no salting needed; the df-cap
 removes the only natural skew source (stop-shingles).
+
+Persisted intermediates (the shingle inverted index, candidate sets,
+fingerprints) are recorded on the returned DataFrame as
+``_readstat_cached`` — call :func:`release_cached` after consuming the
+result to free executor storage in long pipelines.
 """
 
 from __future__ import annotations
@@ -31,7 +41,29 @@ NUM_HASHES = 8  # 8 x 32-bit chunks carved from ONE sha256 per shingle
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_SHINGLE_DF = 100  # skew guard: drop shingles appearing in > this many docs
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def _track(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record persisted upstream frames on the result for later release."""
+    deps = list(getattr(result, "_readstat_cached", []))
+    for c in cached:
+        deps.extend(getattr(c, "_readstat_cached", []))
+        if c.storageLevel.useMemory or c.storageLevel.useDisk:
+            deps.append(c)
+    result._readstat_cached = deps
+    return result
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every intermediate a dedup/similarity operator cached
+    while building ``df``. Call after the result has been consumed —
+    otherwise long pipelines accumulate executor storage."""
+    for c in getattr(df, "_readstat_cached", []):
+        c.unpersist()
+    df._readstat_cached = []
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -79,7 +111,10 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
             .union(pairs.select(F.col("b_id").alias("doc")))
             .distinct()
         )
-        sh_join = sh.join(F.broadcast(cand_docs), "doc", "left_semi")
+        # plain semi-join: the candidate set is unbounded at scale, so no
+        # forced broadcast — AQE still picks a broadcast exchange at
+        # runtime when the measured size is actually small
+        sh_join = sh.join(cand_docs, "doc", "left_semi")
     a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
@@ -109,7 +144,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact (df-capped) n-gram Jaccard >= threshold."""
     sh = _shingle_table(df, id_col, text_col, n)
-    return _jaccard_on(sh).filter(F.col("jaccard") >= threshold)
+    return _track(_jaccard_on(sh).filter(F.col("jaccard") >= threshold), sh)
 
 
 def minhash_signatures(
@@ -132,7 +167,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """LSH-banded candidate pairs + exact Jaccard verification.
 
-    shingle -> 16 minhashes -> 4 bands of 4 -> bucket join on
+    shingle -> 8 minhashes -> 4 bands of 2 -> bucket join on
     (band_idx, band_key) -> verify candidates with exact Jaccard.
     The shingle table is built once and shared between the signature
     aggregation and the verification join.
@@ -160,14 +195,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         .distinct()
         .persist()  # reused for the doc restriction AND the final pair filter
     )
-    return _jaccard_on(sh_shared, pairs=cand)
+    return _track(_jaccard_on(sh_shared, pairs=cand), sh_shared, cand)
 
 
 def _simhash_bit_exprs(hash_col: str = "h") -> list:
-    """Per-token ±1 contribution for each of the 16 simhash bits, derived
+    """Per-token ±1 contribution for each of the 64 simhash bits, derived
     from md5 hex nibbles (integer div/mod only — portable to the oracle).
     ``hash_col`` holds the precomputed md5 hex so it's hashed once, not
-    16 times."""
+    64 times; bit j uses nibble j//4 (md5's 128 bits cover all 64)."""
     out = []
     for j in range(SIMHASH_BITS):
         k, b = j // 4 + 1, j % 4
@@ -176,8 +211,21 @@ def _simhash_bit_exprs(hash_col: str = "h") -> list:
     return out
 
 
+def _band_value(k: int):
+    """16-bit integer for band k: sign bits 16k .. 16k+15."""
+    term = None
+    for r in range(SIMHASH_BAND_BITS):
+        j = k * SIMHASH_BAND_BITS + r
+        t = F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        term = t if term is None else term + t
+    return term.cast("int")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document over distinct word tokens."""
+    """64-bit SimHash per document over distinct word tokens, as four
+    16-bit band integers b0..b3 (b0 = low bits) plus the 16-hex-char
+    fingerprint string — no signed-64-bit edge cases, and the bands
+    double as the LSH bucket keys."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
     ).select("doc", F.md5("tok").alias("h"))
@@ -185,31 +233,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sums = contrib.groupBy("doc").agg(
         *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
     )
-    fp = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return sums.select("doc", fp.cast("long").alias("simhash"))
+    banded = sums.select("doc", *[_band_value(k).alias(f"b{k}") for k in range(SIMHASH_BANDS)])
+    hex_parts = [
+        F.lpad(F.lower(F.hex(F.col(f"b{k}"))), 4, "0")
+        for k in reversed(range(SIMHASH_BANDS))  # MSB first: reads as the 64-bit number
+    ]
+    return banded.select(
+        "doc", *[f"b{k}" for k in range(SIMHASH_BANDS)], F.concat(*hex_parts).alias("simhash")
+    )
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs: byte-band candidates (high/low byte match), then
-    Hamming distance over the 16-bit fingerprints."""
-    fps = simhash(df, id_col, text_col)
-    fps = fps.select(
-        "doc", "simhash", (F.col("simhash") / 256).cast("long").alias("hb"),
-        (F.col("simhash") % 256).alias("lb"),
-    ).persist()  # feeds both band joins — don't recompute the 16-bit sums
-    a, b = fps.alias("a"), fps.alias("b")
-    cand_h = a.join(b, (F.col("a.hb") == F.col("b.hb")) & (F.col("a.doc") < F.col("b.doc")))
-    cand_l = a.join(b, (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc") < F.col("b.doc")))
-    cols = [
-        F.col("a.doc").alias("a_id"),
-        F.col("b.doc").alias("b_id"),
-        F.col("a.simhash").alias("sh_a"),
-        F.col("b.simhash").alias("sh_b"),
-    ]
-    cand = cand_h.select(*cols).union(cand_l.select(*cols)).distinct()
-    return cand.withColumn(
-        "hamming", F.bit_count(F.expr("sh_a ^ sh_b"))
-    ).filter(F.col("hamming") <= max_hamming)
+    """Near-dup pairs: 4x16-bit band-equality candidates, then Hamming
+    distance over the full 64-bit fingerprints (summed per band). Band
+    keys live in a 65,536-bucket space per band, so candidate volume
+    keeps subdividing as the corpus grows."""
+    fps = simhash(df, id_col, text_col).persist()  # feeds 4 band joins + verify
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
+    bands_long = fps.select(
+        "doc", F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)")
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
+        .distinct()
+    )
+    a = fps.select(
+        F.col("doc").alias("a_id"), F.col("simhash").alias("sh_a"),
+        *[F.col(f"b{k}").alias(f"a_b{k}") for k in range(SIMHASH_BANDS)],
+    )
+    b = fps.select(
+        F.col("doc").alias("b_id"), F.col("simhash").alias("sh_b"),
+        *[F.col(f"b{k}").alias(f"b_b{k}") for k in range(SIMHASH_BANDS)],
+    )
+    ham = None
+    for k in range(SIMHASH_BANDS):
+        t = F.bit_count(F.expr(f"a_b{k} ^ b_b{k}"))
+        ham = t if ham is None else ham + t
+    out = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "sh_a", "sh_b", "hamming")
+    )
+    return _track(out, fps)

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
+
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:
     """Sequential left-fold dot product in double precision."""
@@ -65,7 +67,8 @@ def brute_force_topk(
         .select("q_id", "vec_id", "sim")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _track(out, q, c)
 
 
 def ivf_topk(
@@ -124,7 +127,8 @@ def ivf_topk(
         .select("q_id", "vec_id", "sim")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _track(out, q, c)
 
 
 def blocked_neardup_pairs(
@@ -144,7 +148,7 @@ def blocked_neardup_pairs(
     )
     a = normed.select("blk", F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm"))
     b = normed.select("blk", F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm"))
-    return (
+    out = (
         a.join(b, ["blk"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
@@ -153,3 +157,4 @@ def blocked_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("blk", "a_id", "b_id", "sim")
     )
+    return _track(out, normed)

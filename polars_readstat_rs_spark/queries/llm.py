@@ -122,23 +122,36 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_ctes() -> str:
+    """64-bit simhash as 4x16-bit band ints + hex string (mirrors
+    operators.dedup.simhash bit-for-bit)."""
     sums = []
     for j in range(dedup.SIMHASH_BITS):
         k, b = j // 4 + 1, j % 4
         v = f"(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)"
         sums.append(f"sum(2 * (({v} // {1 << b}) % 2) - 1) AS s{j}")
-    fp_terms = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    band_exprs = []
+    for k in range(dedup.SIMHASH_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN s{k * dedup.SIMHASH_BAND_BITS + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(dedup.SIMHASH_BAND_BITS)
+        )
+        band_exprs.append(f"CAST({terms} AS INT) AS b{k}")
+    hex_expr = " || ".join(
+        f"lpad(lower(to_hex(b{k})), 4, '0')" for k in reversed(range(dedup.SIMHASH_BANDS))
     )
     return f"""
     toks AS (SELECT doc_id AS doc, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
              FROM documents),
     sums AS (SELECT doc, {', '.join(sums)} FROM toks GROUP BY doc),
-    fp AS (SELECT doc, CAST({fp_terms} AS BIGINT) AS simhash FROM sums)
+    banded AS (SELECT doc, {', '.join(band_exprs)} FROM sums),
+    fp AS (SELECT doc, b0, b1, b2, b3, {hex_expr} AS simhash FROM banded)
     """
 
 
-@register("d04_simhash", oracle=f"WITH {_simhash_ctes()} SELECT doc, simhash FROM fp")
+@register(
+    "d04_simhash",
+    oracle=f"WITH {_simhash_ctes()} SELECT doc, b0, b1, b2, b3, simhash FROM fp",
+)
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text")
@@ -148,13 +161,20 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d05_simhash_pairs",
     oracle=f"""
     WITH {_simhash_ctes()},
-    fpb AS (SELECT doc, simhash, simhash // 256 AS hb, simhash % 256 AS lb FROM fp),
+    bands AS (
+      SELECT doc, 0 AS band_idx, b0 AS band_val FROM fp
+      UNION ALL SELECT doc, 1, b1 FROM fp
+      UNION ALL SELECT doc, 2, b2 FROM fp
+      UNION ALL SELECT doc, 3, b3 FROM fp),
     cand AS (
-      SELECT DISTINCT a.doc AS a_id, b.doc AS b_id, a.simhash AS sh_a, b.simhash AS sh_b
-      FROM fpb a JOIN fpb b ON (a.hb = b.hb OR a.lb = b.lb) AND a.doc < b.doc)
+      SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc < y.doc)
     SELECT * FROM (
-      SELECT a_id, b_id, sh_a, sh_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-      FROM cand
+      SELECT c.a_id, c.b_id, fa.simhash AS sh_a, fb.simhash AS sh_b,
+             CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+                + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
+      FROM cand c JOIN fp fa ON c.a_id = fa.doc JOIN fp fb ON c.b_id = fb.doc
     ) WHERE hamming <= 3
     """,
 )

