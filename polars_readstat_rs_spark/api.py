@@ -37,6 +37,8 @@ def readstat_scan(
     missing_string_as_null: bool = True,
     row_index: bool = False,
     partitions: int | None = None,
+    informative_nulls: bool | str = False,
+    informative_null_columns: list[str] | None = None,
 ) -> DataFrame:
     _ensure_registered(spark)
     r = spark.read.format("readstat")
@@ -48,6 +50,12 @@ def readstat_scan(
         r = r.option("limit", str(limit))
     if partitions:
         r = r.option("partitions", str(partitions))
+    if informative_nulls:
+        # False | "separate"/True | "struct" | "merged" (reference
+        # InformativeNullMode, src/lib.rs:71-81)
+        r = r.option("informative_nulls", str(informative_nulls).lower())
+    if informative_null_columns:
+        r = r.option("informative_null_columns", ",".join(informative_null_columns))
     r = r.option("value_labels_as_strings", str(value_labels_as_strings).lower())
     r = r.option("missing_string_as_null", str(missing_string_as_null).lower())
     r = r.option("row_index", str(row_index).lower())

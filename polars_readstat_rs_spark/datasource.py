@@ -97,11 +97,15 @@ class ReadstatDataSource(DataSource):
         raise ValueError(f"cannot infer readstat format from path {path!r}")
 
     def _read_opts(self):
+        inc = self.options.get("informative_null_columns")
         kwargs = dict(
             value_labels_as_strings=_true(self.options.get("value_labels_as_strings")),
             missing_string_as_null=_true(self.options.get("missing_string_as_null")),
             row_index=_true(self.options.get("row_index"), default=False),
-            informative_nulls=_true(self.options.get("informative_nulls"), default=False),
+            # "true"/"separate", "struct", "merged", or falsy — passed
+            # through; the parser normalizes (reference InformativeNullMode)
+            informative_nulls=self.options.get("informative_nulls", False),
+            informative_null_columns=[c.strip() for c in inc.split(",")] if inc else None,
         )
         if self._fmt() == "sas":
             from .formats.sas import parser as sas_parser
@@ -148,6 +152,7 @@ class ReadstatDataSource(DataSource):
                     self._columns(),
                     row_index=opts.row_index,
                     informative_nulls=opts.informative_nulls,
+                    informative_null_columns=opts.informative_null_columns,
                 ),
                 prefer_timestamp_ntz=True,
             )

@@ -124,11 +124,24 @@ class SasMetadata:
 class ReadOptions:
     missing_string_as_null: bool = True
     row_index: bool = False
-    # P6 informative nulls: "<col>__missing" indicator column per numeric
-    # column: '.A'..'.Z' / '._' from the NaN payload bits[47:40]
-    # (src/sas/value.rs:171-214), null when the value is present or
-    # system-missing.
-    informative_nulls: bool = False
+    # P6 informative nulls (reference InformativeNullOpts, src/lib.rs:
+    # 62-115). Indicator text: '.A'..'.Z' / '._' from the NaN payload
+    # bits[47:40] (src/sas/value.rs:171-214), null when the value is
+    # present or system-missing. Modes: "separate"/True, "struct",
+    # "merged" (see formats/nulls.py).
+    informative_nulls: bool | str = False
+    informative_null_columns: list[str] | None = None
+
+    def null_mode(self):
+        from ..nulls import normalize_mode
+
+        return normalize_mode(self.informative_nulls)
+
+    def tracks_nulls(self, name: str, eligible: bool) -> bool:
+        if not eligible or self.null_mode() is None:
+            return False
+        cols = self.informative_null_columns
+        return cols is None or name in cols
 
 
 def _column_kind(col_type_char: bool, fmt: str) -> str:
@@ -751,12 +764,18 @@ def decode_rows(
     dt = np.dtype({"names": names, "formats": formats, "offsets": offsets, "itemsize": rl})
     rec = np.frombuffer(raw, dtype=dt, count=nrows)
 
+    mode = opts.null_mode()
     for i, c in enumerate(meta.columns):
         if c.name not in sel_names:
             continue
-        out[c.name] = _decode_column(rec[f"f{i}"], c, meta, opts)
-        if opts.informative_nulls and not c.is_char:
-            out[f"{c.name}__missing"] = _indicator_column(rec[f"f{i}"], c, meta)
+        val = _decode_column(rec[f"f{i}"], c, meta, opts)
+        if opts.tracks_nulls(c.name, not c.is_char):
+            from ..nulls import combine
+
+            ind = _indicator_column(rec[f"f{i}"], c, meta)
+            out.update(combine(c.name, val, ind, mode))
+        else:
+            out[c.name] = val
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -858,14 +877,23 @@ def arrow_schema(
     meta: SasMetadata,
     columns: list[str] | None = None,
     row_index: bool = False,
-    informative_nulls: bool = False,
+    informative_nulls: bool | str = False,
+    informative_null_columns: list[str] | None = None,
 ) -> pa.Schema:
+    from ..nulls import informative_fields
+
+    opts = ReadOptions(
+        informative_nulls=informative_nulls, informative_null_columns=informative_null_columns
+    )
+    mode = opts.null_mode()
     sel = _select(meta.columns, columns)
     fields = []
     for c in sel:
-        fields.append(arrow_field(c))
-        if informative_nulls and not c.is_char:
-            fields.append(pa.field(f"{c.name}__missing", pa.string()))
+        f = arrow_field(c)
+        if opts.tracks_nulls(c.name, not c.is_char):
+            fields.extend(informative_fields(c.name, f.type, mode))
+        else:
+            fields.append(f)
     if row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)
@@ -882,7 +910,8 @@ def read_table(
 ) -> pa.Table:
     opts = opts or ReadOptions()
     meta = read_metadata(path)
-    schema = arrow_schema(meta, columns, opts.row_index, opts.informative_nulls)
+    schema = arrow_schema(meta, columns, opts.row_index, opts.informative_nulls,
+                          opts.informative_null_columns)
     want_end = meta.row_count if limit is None else min(meta.row_count, offset + limit)
     tables = []
     seen = 0
@@ -939,7 +968,8 @@ def read_page_range(
     them across Spark tasks."""
     meta = read_metadata(path)
     opts = opts or ReadOptions()
-    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls)
+    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls,
+                          informative_null_columns=opts.informative_null_columns)
     pending: list[bytes] = []
     pending_rows = 0
     for block, nrows in iter_row_blocks(path, meta, (page_lo, page_hi)):
@@ -970,7 +1000,8 @@ def read_partition(
     """
     meta = read_metadata(path)
     opts = opts or ReadOptions()
-    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls)
+    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls,
+                          informative_null_columns=opts.informative_null_columns)
     if meta.compression or not count:
         t = read_table(path, columns, offset=start, limit=count, opts=opts)
         yield from t.to_batches(max_chunksize=batch_size)

@@ -100,11 +100,30 @@ class ReadOptions:
     missing_string_as_null: bool = True
     user_missing_as_null: bool = True
     row_index: bool = False
-    # P6 informative nulls: "<col>__missing" indicator per numeric column
-    # with user-declared missings — the value's label (if any), the
-    # stringified value for discrete missings, or 'MISSING' for range
-    # hits (src/spss/data.rs:938-992). System missing -> null indicator.
-    informative_nulls: bool = False
+    # P6 informative nulls: indicator per column with user-declared
+    # missings (numeric missing values/ranges, or declared missing
+    # strings) — the value's label (if any), the stringified value for
+    # discrete missings, or 'MISSING' for range hits
+    # (src/spss/data.rs:938-992). System missing -> null indicator.
+    # Modes: "separate"/True, "struct", "merged" (formats/nulls.py).
+    informative_nulls: bool | str = False
+    informative_null_columns: list[str] | None = None
+
+    def null_mode(self):
+        from ..nulls import normalize_mode
+
+        return normalize_mode(self.informative_nulls)
+
+    def tracks_nulls(self, v) -> bool:
+        if self.null_mode() is None:
+            return False
+        eligible = (not v.is_str and (v.missing_doubles or v.missing_range)) or (
+            v.is_str and v.missing_strings
+        )
+        if not eligible:
+            return False
+        cols = self.informative_null_columns
+        return cols is None or v.name in cols
 
 
 def _format_class(code: int) -> str | None:
@@ -575,12 +594,21 @@ def decode_records(
     arr = np.frombuffer(raw, dtype=dt, count=nrows)
 
     out: dict[str, pa.Array] = {}
+    mode = opts.null_mode()
     for i, v in enumerate(meta.variables):
         if v not in sel:
             continue
-        out[v.name] = _decode_column(arr[f"f{i}"], v, meta, opts)
-        if opts.informative_nulls and not v.is_str and v.missing_doubles:
-            out[f"{v.name}__missing"] = _indicator_column(arr[f"f{i}"], v, meta)
+        val = _decode_column(arr[f"f{i}"], v, meta, opts)
+        if opts.tracks_nulls(v):
+            from ..nulls import combine
+
+            if v.is_str:
+                ind = _string_indicator_column(arr[f"f{i}"], v, meta)
+            else:
+                ind = _indicator_column(arr[f"f{i}"], v, meta)
+            out.update(combine(v.name, val, ind, mode))
+        else:
+            out[v.name] = val
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -687,6 +715,18 @@ def _indicator_column(col, v: Variable, meta: SpssMetadata) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def _string_indicator_column(col, v, meta) -> pa.Array:
+    """Declared-missing-string indicator: the declared value's label if
+    one exists, else the string itself; null when not user-missing."""
+    u8 = np.ascontiguousarray(col).view(np.uint8).reshape(len(col), -1)
+    cut = v.string_len if 0 < v.string_len <= u8.shape[1] else u8.shape[1]
+    vals = _decode_strings(u8[:, :cut], meta.encoding)
+    labels = meta.value_labels.get(v.value_label, {})
+    missing = set(v.missing_strings)
+    out = [labels.get(s, s) if s in missing else None for s in vals]
+    return pa.array(out, type=pa.string())
+
+
 def _labeled_numeric(vals, bits, mask, labels: dict) -> pa.Array:
     uniq, inverse = np.unique(bits, return_inverse=True)
     lut = []
@@ -723,12 +763,17 @@ def _select(variables, columns):
 def arrow_schema(
     meta: SpssMetadata, opts: ReadOptions, columns: list[str] | None = None
 ) -> pa.Schema:
+    from ..nulls import informative_fields
+
     sel = _select(meta.variables, columns)
+    mode = opts.null_mode()
     fields = []
     for v in sel:
-        fields.append(arrow_field(v, meta, opts))
-        if opts.informative_nulls and not v.is_str and v.missing_doubles:
-            fields.append(pa.field(f"{v.name}__missing", pa.string()))
+        f = arrow_field(v, meta, opts)
+        if opts.tracks_nulls(v):
+            fields.extend(informative_fields(v.name, f.type, mode))
+        else:
+            fields.append(f)
     if opts.row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)

@@ -88,11 +88,27 @@ class ReadOptions:
     value_labels_as_strings: bool = True
     missing_string_as_null: bool = True
     row_index: bool = False  # emit _row_idx for order preservation (P10)
-    # P6 informative nulls: emit a parallel "<col>__missing" string column
-    # per numeric column holding the tagged-missing indicator ('.', '.a'
-    # ..'.z') for user-declared missings, null for present values
-    # (reference InformativeNullMode::SeparateColumn, src/lib.rs:62-115).
-    informative_nulls: bool = False
+    # P6 informative nulls (reference InformativeNullOpts, src/lib.rs:
+    # 62-115): False = off; "separate" (or True) = parallel
+    # "<col>__missing" string columns; "struct" = Struct{value,
+    # null_indicator}; "merged" = coalesce(cast(value, string),
+    # indicator). Tagged-missing indicators are '.a'..'.z'; system
+    # missing stays a plain null with no indicator.
+    informative_nulls: bool | str = False
+    # None = all eligible (numeric) columns; else only the named ones
+    # (reference InformativeNullColumns::Selected).
+    informative_null_columns: list[str] | None = None
+
+    def null_mode(self) -> str | None:
+        from ..nulls import normalize_mode
+
+        return normalize_mode(self.informative_nulls)
+
+    def tracks_nulls(self, name: str, eligible: bool) -> bool:
+        if not eligible or self.null_mode() is None:
+            return False
+        cols = self.informative_null_columns
+        return cols is None or name in cols
 
 
 # ----------------------------------------------------------------- layout
@@ -551,10 +567,16 @@ def decode_records(
 
     out: dict[str, pa.Array] = {}
     by_name = {f[3]: f[0] for f in fields}
+    mode = opts.null_mode()
     for v in sel:
-        out[v.name] = _decode_column(rec[by_name[v.name]], v, meta, strl_map, opts)
-        if opts.informative_nulls and v.kind in _NUM_KINDS and meta.version >= 113:
-            out[f"{v.name}__missing"] = _indicator_column(rec[by_name[v.name]], v, meta)
+        val = _decode_column(rec[by_name[v.name]], v, meta, strl_map, opts)
+        if opts.tracks_nulls(v.name, v.kind in _NUM_KINDS):
+            from ..nulls import combine
+
+            ind = _indicator_column(rec[by_name[v.name]], v, meta)
+            out.update(combine(v.name, val, ind, mode))
+        else:
+            out[v.name] = val
     if opts.row_index:
         out["_row_idx"] = pa.array(np.arange(row_offset, row_offset + nrows, dtype=np.int64))
     return out
@@ -645,9 +667,15 @@ def _indicator_column(arr, v: Variable, meta: StataMetadata) -> pa.Array:
 
     Mirrors the reference's separate-column informative-null mode
     (src/stata/value.rs:146-278: offset 0 = system missing -> no
-    indicator; 1..26 -> .a..z).
+    indicator; 1..26 -> .a..z). Pre-v113 integer storage has no extended
+    missings (src/stata/value.rs:19-33: system_missing_enabled false) so
+    those columns yield all-null indicators, but float/double tagged
+    missings use the same bit patterns in every version and are decoded
+    regardless.
     """
     if v.kind in ("i8", "i16", "i32"):
+        if meta.version < 113:  # no .a-.z in pre-113 int storage
+            return pa.array([None] * len(arr), type=pa.string())
         vals = np.asarray(arr).astype(np.int64)
         off = vals - _missing_int_sentinel(v.kind, meta.version)
     else:
@@ -826,12 +854,17 @@ def _select(variables, columns):
 
 
 def arrow_schema(meta: StataMetadata, opts: ReadOptions, columns: list[str] | None = None) -> pa.Schema:
+    from ..nulls import informative_fields
+
     sel = _select(meta.variables, columns)
+    mode = opts.null_mode()
     fields = []
     for v in sel:
-        fields.append(arrow_field(v, meta, opts))
-        if opts.informative_nulls and v.kind in _NUM_KINDS and meta.version >= 113:
-            fields.append(pa.field(f"{v.name}__missing", pa.string()))
+        f = arrow_field(v, meta, opts)
+        if opts.tracks_nulls(v.name, v.kind in _NUM_KINDS):
+            fields.extend(informative_fields(v.name, f.type, mode))
+        else:
+            fields.append(f)
     if opts.row_index:
         fields.append(pa.field("_row_idx", pa.int64()))
     return pa.schema(fields)

@@ -138,6 +138,89 @@ def r05_sas_corpus_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tagged_missing_path(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture .dta with Stata tagged missings (.a/.b) and system
+    missing, derived deterministically from the nation table: metric is
+    n_nationkey + 0.5, except %5==1 -> .a, %5==2 -> .b, %5==3 -> '.'.
+    Written with raw sentinel bit patterns (src/stata/value.rs:230-278)
+    since the writer itself only emits system missings."""
+    import numpy as np
+
+    from ..formats.stata.writer import _TYPE_DOUBLE, _TYPE_LONG, ColSpec, DtaStreamWriter
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_tagged_{tag}.dta")
+    keys = sorted(r[0] for r in load_table(spark, sf_dir, "nation").select("n_nationkey").collect())
+    rec = np.zeros(len(keys), dtype=[("f0", "<i4"), ("f1", "<f8")])
+    rec["f0"] = keys
+    bits = rec["f1"].view(np.uint64)
+    for i, k in enumerate(keys):
+        m = k % 5
+        if m == 1:
+            bits[i] = 0x7FE0000000000000 + 1  # .a
+        elif m == 2:
+            bits[i] = 0x7FE0000000000000 + 2  # .b
+        elif m == 3:
+            bits[i] = 0x7FE0000000000000  # system missing
+        else:
+            rec["f1"][i] = k + 0.5
+    w = DtaStreamWriter(
+        path,
+        [ColSpec("n_key", _TYPE_LONG, 4, "%9.0g"), ColSpec("metric", _TYPE_DOUBLE, 8, "%9.0g")],
+        len(keys),
+    )
+    w.begin()
+    w.write_data(rec.tobytes())
+    w.finish()
+    return path
+
+
+@register(
+    "r06_informative_nulls_struct",
+    oracle="""
+    SELECT n_nationkey AS n_key,
+      CASE WHEN n_nationkey % 5 IN (1, 2, 3) THEN NULL
+           ELSE n_nationkey + 0.5 END AS val,
+      CASE WHEN n_nationkey % 5 = 1 THEN '.a'
+           WHEN n_nationkey % 5 = 2 THEN '.b' END AS tag
+    FROM nation
+    """,
+)
+def r06_informative_nulls_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct informative-null mode THROUGH the DataSource (the r1 gate
+    only proved the expression over parquet, not the reader option)."""
+    path = _tagged_missing_path(spark, sf_dir)
+    df = readstat_scan(
+        spark, path, informative_nulls="struct", informative_null_columns=["metric"]
+    )
+    return df.select(
+        F.col("n_key").cast("int").alias("n_key"),
+        F.col("metric").getField("metric").alias("val"),
+        F.col("metric").getField("null_indicator").alias("tag"),
+    )
+
+
+@register(
+    "r07_informative_nulls_merged",
+    oracle="""
+    SELECT n_nationkey AS n_key,
+      CASE WHEN n_nationkey % 5 = 1 THEN '.a'
+           WHEN n_nationkey % 5 = 2 THEN '.b'
+           WHEN n_nationkey % 5 = 3 THEN NULL
+           ELSE CAST(n_nationkey + 0.5 AS VARCHAR) END AS metric
+    FROM nation
+    """,
+)
+def r07_informative_nulls_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged informative-null mode: coalesce(cast(value), indicator)
+    applied in the reader (reference src/lib.rs:322-354)."""
+    path = _tagged_missing_path(spark, sf_dir)
+    df = readstat_scan(
+        spark, path, informative_nulls="merged", informative_null_columns=["metric"]
+    )
+    return df.select(F.col("n_key").cast("int").alias("n_key"), "metric")
+
+
 @register(
     "r03_dta_metadata_probe",
     oracle=f"""

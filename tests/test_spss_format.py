@@ -130,3 +130,26 @@ def test_big_endian_roundtrip(tmp_path):
     rt = parser.read_table(p)
     assert rt.column("x").to_pylist() == [1.5, 2.5, None, 4.0]
     assert rt.column("s").to_pylist() == ["ab", "cd", "ef", None]
+
+
+def test_informative_null_modes_spss(tmp_path):
+    """struct / merged modes + value-label-preferring indicators
+    (src/spss/data.rs:944-992: label beats the stringified value)."""
+    t = pa.table({"x": pa.array([1.0, -9.0, 2.0, -8.0])})
+    p = str(tmp_path / "modes.sav")
+    writer.write_sav(
+        t, p, user_missing={"x": [-9.0, -8.0]}, value_labels={"x": {-9.0: "REFUSED"}}
+    )
+    st = parser.read_table(
+        p, opts=parser.ReadOptions(informative_nulls="struct", value_labels_as_strings=False)
+    )
+    assert st.column("x").to_pylist() == [
+        {"x": 1.0, "null_indicator": None},
+        {"x": None, "null_indicator": "REFUSED"},  # label preferred
+        {"x": 2.0, "null_indicator": None},
+        {"x": None, "null_indicator": "-8"},
+    ]
+    mg = parser.read_table(
+        p, opts=parser.ReadOptions(informative_nulls="merged", value_labels_as_strings=False)
+    )
+    assert mg.column("x").to_pylist() == ["1", "REFUSED", "2", "-8"]

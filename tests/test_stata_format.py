@@ -185,3 +185,86 @@ def test_datasource_spark(spark, tmp_path):
     mp = spark.read.format("readstat").option("partitions", "7").option("row_index", "true").load(p)
     idx = sorted(r["_row_idx"] for r in mp.select("_row_idx").collect())
     assert idx == list(range(3000))
+
+
+def test_informative_null_modes(tmp_path):
+    """All three reference InformativeNullMode outputs (src/lib.rs:62-355)
+    over a file with tagged (.a/.z) and system missings."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.formats.stata import parser as sp
+    from polars_readstat_rs_spark.formats.stata.writer import (
+        _TYPE_BYTE,
+        _TYPE_DOUBLE,
+        ColSpec,
+        DtaStreamWriter,
+    )
+
+    path = str(tmp_path / "tagged.dta")
+    rec = np.zeros(5, dtype=[("f0", "<i1"), ("f1", "<f8")])
+    rec["f0"] = [1, 2, 3, 0x66, 0x65]  # values, .a, system
+    bits = rec["f1"].view(np.uint64)
+    rec["f1"][0] = 1.5
+    bits[1] = 0x7FE0000000000000  # system
+    bits[2] = 0x7FE0000000000001  # .a
+    bits[3] = 0x7FE000000000001A  # .z
+    rec["f1"][4] = 7.0
+    w = DtaStreamWriter(
+        path,
+        [ColSpec("k", _TYPE_BYTE, 1, "%9.0g"), ColSpec("x", _TYPE_DOUBLE, 8, "%9.0g")],
+        5,
+    )
+    w.begin()
+    w.write_data(rec.tobytes())
+    w.finish()
+
+    sep = sp.read_table(path, opts=sp.ReadOptions(informative_nulls="separate"))
+    assert sep.schema.names == ["k", "k__missing", "x", "x__missing"]
+    assert sep.column("x").to_pylist() == [1.5, None, None, None, 7.0]
+    assert sep.column("x__missing").to_pylist() == [None, None, ".a", ".z", None]
+    assert sep.column("k__missing").to_pylist() == [None, None, None, ".a", None]
+
+    st = sp.read_table(path, opts=sp.ReadOptions(informative_nulls="struct"))
+    xs = st.column("x").to_pylist()
+    assert xs[2] == {"x": None, "null_indicator": ".a"}
+    assert xs[0] == {"x": 1.5, "null_indicator": None}
+
+    mg = sp.read_table(path, opts=sp.ReadOptions(informative_nulls="merged"))
+    assert mg.column("x").to_pylist() == ["1.5", None, ".a", ".z", "7"]
+    assert mg.column("k").to_pylist() == ["1", "2", "3", ".a", None]
+
+    # Selected-columns variant (reference InformativeNullColumns::Selected)
+    only_x = sp.read_table(
+        path,
+        opts=sp.ReadOptions(informative_nulls="separate", informative_null_columns=["x"]),
+    )
+    assert only_x.schema.names == ["k", "x", "x__missing"]
+
+
+def test_informative_nulls_pre_v113_floats():
+    """Pre-v113 files: float/double tagged-missing bit patterns are
+    version-independent (src/stata/value.rs:19-33 keeps missing_double
+    for <113), so indicators must decode; int storage has no extended
+    missings there and yields all-null indicators."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.formats.stata import parser as sp
+
+    meta = sp.StataMetadata(version=108, endian="<", nvar=2, nobs=3)
+    meta.variables = [
+        sp.Variable("i", "i16", 2),
+        sp.Variable("x", "f64", 8),
+    ]
+    rec = np.zeros(3, dtype=[("f0", "<i2"), ("f1", "<f8")])
+    rec["f0"] = [5, 0x7FFF, 9]
+    bits = rec["f1"].view(np.uint64)
+    rec["f1"][0] = 2.5
+    bits[1] = 0x7FE0000000000001  # .a
+    bits[2] = 0x7FE0000000000000  # system
+    out = sp.decode_records(
+        rec.tobytes(), meta, opts=sp.ReadOptions(informative_nulls="separate")
+    )
+    assert out["x__missing"].to_pylist() == [None, ".a", None]
+    assert out["x"].to_pylist() == [2.5, None, None]
+    assert out["i__missing"].to_pylist() == [None, None, None]  # no tags pre-113
+    assert out["i"].to_pylist() == [5, None, 9]
