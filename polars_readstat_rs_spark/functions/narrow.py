@@ -1,13 +1,30 @@
 """Type narrowing (reference P7: `compress_df`, src/stata/compress.rs:82-355).
 
-The reference scans min/max/integer-ness and downcasts Float64 columns to
-the smallest integer type using Stata-sentinel-safe bounds
-(src/stata/compress.rs:5-19). Here that is a single Spark aggregate over
-all candidate columns (one pass, map-side combined — no per-column scans)
-followed by a `select(cast)`.
+Full rule parity with the reference's compress pass:
+
+- float/double (and int-typed) columns with all-integer values downcast
+  to the smallest Stata-sentinel-safe integer type
+  (src/stata/compress.rs:5-19: byte<=100, int<=32740, long<=2147483620);
+  0..1 integral columns become Boolean; values beyond the int32-safe
+  range stay/become double — the reference has NO int64 tier (Stata
+  longs are 32-bit), and a double keeps such values as they came in
+  (the old int64 fallback could silently saturate via a non-ANSI cast).
+- all-null columns become Boolean (cast_all_null_to_boolean,
+  src/stata/compress.rs:122-127).
+- Datetime columns where every value is midnight become Date
+  (check_date_time, src/stata/compress.rs:103-109).
+- String columns where every non-empty value parses as a number become
+  Float64 (check_string, try_parse_string_to_f64,
+  src/stata/compress.rs:204-225) and then narrow like any numeric.
+
+Everything is a single Spark aggregate over all candidate columns (one
+pass, map-side combined) followed by a `select(cast)` — two jobs, no
+driver materialization of data.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -16,23 +33,75 @@ from pyspark.sql import functions as F
 # integer range is reserved for missing-value sentinels.
 _BOUNDS = (("int8", -127, 100), ("int16", -32767, 32740), ("int32", -2147483647, 2147483620))
 
+_NUMERIC_DTYPES = ("double", "float", "bigint", "int", "smallint", "tinyint", "boolean")
+_TS_DTYPES = ("timestamp", "timestamp_ntz")
+_I53 = float(1 << 53)
 
-def narrowing_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-pass min/max/integrality stats + the narrowed-type decision.
 
-    Output: (col_name, vmin, vmax, all_int, narrowed_type) per column.
-    All columns are computed in a single aggregate (no N scans) and then
-    unpivoted driver-side — the agg result is one row, so this stays
-    fully distributed regardless of table size.
+def _kind(dtype: str) -> str | None:
+    if dtype in _NUMERIC_DTYPES or dtype.startswith("decimal"):
+        return "numeric"
+    if dtype in _TS_DTYPES:
+        return "timestamp"
+    if dtype == "string":
+        return "string"
+    return None
+
+
+def _parsed(c: str):
+    """String -> double with the reference's trim/empty semantics
+    (try_parse_string_to_f64: trimmed, empty -> null)."""
+    t = F.trim(F.col(c))
+    return F.when(F.length(t) == 0, F.lit(None).cast("double")).otherwise(t.try_cast("double"))
+
+
+def narrowing_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass stats + the narrowed-type decision per column.
+
+    Output: (col_name, vmin, vmax, all_int, narrowed_type). All columns
+    are computed in a single aggregate (no N scans) and then unpivoted
+    driver-side — the agg result is one row, so this stays fully
+    distributed regardless of table size.
     """
-    aggs = []
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c in df.columns if _kind(dtypes[c]) is not None]
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
-        d = F.col(c).cast("double")
-        aggs += [
-            F.min(d).alias(f"{c}__min"),
-            F.max(d).alias(f"{c}__max"),
-            (F.sum(F.when(d != F.floor(d), 1).otherwise(0)) == 0).alias(f"{c}__int"),
-        ]
+        k = _kind(dtypes[c])
+        if k == "numeric":
+            d = F.col(c).cast("double")
+            aggs += [
+                F.min(d).alias(f"{c}__min"),
+                F.max(d).alias(f"{c}__max"),
+                (F.sum(F.when(d != F.floor(d), 1).otherwise(0)) == 0).alias(f"{c}__int"),
+                F.count(d).alias(f"{c}__nn"),
+                F.lit(True).alias(f"{c}__ok"),
+            ]
+        elif k == "string":
+            d = _parsed(c)
+            bad = F.sum(
+                F.when(F.col(c).isNotNull() & (F.length(F.trim(F.col(c))) > 0) & d.isNull(), 1)
+                .otherwise(0)
+            )
+            aggs += [
+                F.min(d).alias(f"{c}__min"),
+                F.max(d).alias(f"{c}__max"),
+                (F.sum(F.when(d != F.floor(d), 1).otherwise(0)) == 0).alias(f"{c}__int"),
+                F.count(d).alias(f"{c}__nn"),
+                (bad == 0).alias(f"{c}__ok"),  # every non-empty value parsed
+            ]
+        else:  # timestamp: the only stat that matters is all-midnight
+            ts = F.col(c)
+            aggs += [
+                F.lit(None).cast("double").alias(f"{c}__min"),
+                F.lit(None).cast("double").alias(f"{c}__max"),
+                (F.sum(F.when(F.date_trunc("day", ts) != ts, 1).otherwise(0)) == 0).alias(
+                    f"{c}__int"
+                ),
+                F.count(ts).alias(f"{c}__nn"),
+                F.lit(True).alias(f"{c}__ok"),
+            ]
     stats = df.agg(*aggs)
 
     parts = []
@@ -40,38 +109,81 @@ def narrowing_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         parts.append(
             stats.select(
                 F.lit(c).alias("col_name"),
+                F.lit(_kind(dtypes[c])).alias("__kind"),
                 F.col(f"{c}__min").alias("vmin"),
                 F.col(f"{c}__max").alias("vmax"),
                 F.col(f"{c}__int").alias("all_int"),
+                F.col(f"{c}__nn").alias("__nn"),
+                F.col(f"{c}__ok").alias("__ok"),
+                F.col("__n_rows").alias("__n"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    narrowed = F.when(~F.col("all_int"), F.lit("double"))
+    numeric = (
+        F.when((F.col("__n") > 0) & (F.col("__nn") == 0), F.lit("boolean"))  # all-null
+        .when(~F.col("all_int"), F.lit("double"))
+        .when((F.col("vmin") >= 0) & (F.col("vmax") <= 1), F.lit("boolean"))  # 0/1
+    )
     for name, lo, hi in _BOUNDS:
-        narrowed = narrowed.when((F.col("vmin") >= lo) & (F.col("vmax") <= hi), F.lit(name))
-    narrowed = narrowed.otherwise(F.lit("int64"))
-    return out.withColumn("narrowed_type", narrowed)
+        numeric = numeric.when((F.col("vmin") >= lo) & (F.col("vmax") <= hi), F.lit(name))
+    numeric = numeric.otherwise(F.lit("double"))  # no int64 tier in the reference
+
+    narrowed = (
+        F.when(F.col("__kind") == "timestamp", F.when(F.col("all_int"), "date").otherwise("timestamp"))
+        .when((F.col("__kind") == "string") & ~F.col("__ok"), F.lit("string"))
+        .otherwise(numeric)
+    )
+    return out.withColumn("narrowed_type", narrowed).select(
+        "col_name", "vmin", "vmax", "all_int", "narrowed_type"
+    )
+
+
+_SPARK_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "boolean": "boolean",
+    "date": "date",
+    "double": "double",
+}
 
 
 def narrow(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Apply the narrowing decision: downcast eligible double columns.
+    """Apply the narrowing decision: downcast eligible columns.
 
     Mirrors the reference's compress option (src/lib.rs:142-161) as an
-    agg + select(cast) — two Spark jobs, no driver materialization of data.
-    """
-    cols = cols or [c for c, t in df.dtypes if t == "double"]
+    agg + select(cast) — two Spark jobs, no driver materialization."""
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c in df.columns if _kind(dtypes[c]) is not None]
     if not cols:
         return df
-    decisions = {r["col_name"]: r["narrowed_type"] for r in narrowing_stats(df, cols).collect()}
-    spark_types = {"int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint"}
+    decisions = {r["col_name"]: r for r in narrowing_stats(df, cols).collect()}
     out = []
     for c in df.columns:
-        t = decisions.get(c)
-        if t and t != "double":
-            out.append(F.col(c).cast(spark_types[t]).alias(c))
+        r = decisions.get(c)
+        if r is None:
+            out.append(F.col(c))
+            continue
+        t, k = r["narrowed_type"], _kind(dtypes[c])
+        if k == "string" and t != "string":
+            out.append(_parsed(c).cast(_SPARK_TYPES[t]).alias(c))
+        elif k == "timestamp":
+            out.append(F.col(c).cast("date").alias(c) if t == "date" else F.col(c))
+        elif t in _SPARK_TYPES and _SPARK_TYPES[t] != dtypes[c]:
+            if t == "double" and dtypes[c] == "bigint" and r["vmax"] is not None:
+                # reference casts out-of-int32 ints to Float64; warn when
+                # that visibly loses precision (|v| > 2^53)
+                if r["vmax"] > _I53 or (r["vmin"] is not None and r["vmin"] < -_I53):
+                    warnings.warn(
+                        f"narrow(): column {c!r} exceeds 2^53; the double cast "
+                        "mandated by the reference's compress rules loses precision",
+                        stacklevel=2,
+                    )
+            out.append(F.col(c).cast(_SPARK_TYPES[t]).alias(c))
         else:
             out.append(F.col(c))
     return df.select(*out)

@@ -736,10 +736,11 @@ def q25_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT col_name, vmin, vmax, all_int,
       CASE WHEN NOT all_int THEN 'double'
+           WHEN vmin >= 0 AND vmax <= 1 THEN 'boolean'
            WHEN vmin >= -127 AND vmax <= 100 THEN 'int8'
            WHEN vmin >= -32767 AND vmax <= 32740 THEN 'int16'
            WHEN vmin >= -2147483647 AND vmax <= 2147483620 THEN 'int32'
-           ELSE 'int64' END AS narrowed_type
+           ELSE 'double' END AS narrowed_type
     FROM stats
     """,
 )
@@ -748,3 +749,78 @@ def q26_type_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return narrowing_stats(li, ["l_quantity", "l_extendedprice", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# q37 — full compress-rule parity (reference src/stata/compress.rs:82-225):
+# all-midnight Datetime -> Date, numeric String -> narrowed numeric,
+# non-numeric String stays, all-null -> Boolean, 0/1 -> Boolean, and
+# beyond-int32 integers -> double (the reference has no int64 tier).
+@register(
+    "q37_narrow_full_rules",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(l_linenumber AS VARCHAR) AS lin_str, l_returnflag AS flag_str,
+             l_shipdate AS ship, CAST(NULL AS DOUBLE) AS all_null,
+             CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS is_first,
+             l_orderkey * 10000000000 AS big
+      FROM lineitem),
+    stats AS (
+      SELECT 'lin_str' AS col_name, min(TRY_CAST(lin_str AS DOUBLE)) AS vmin,
+             max(TRY_CAST(lin_str AS DOUBLE)) AS vmax,
+             CAST(sum(CASE WHEN TRY_CAST(lin_str AS DOUBLE) <> floor(TRY_CAST(lin_str AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS all_int,
+             'string' AS kind, bool_and(TRY_CAST(lin_str AS DOUBLE) IS NOT NULL OR lin_str IS NULL OR trim(lin_str) = '') AS ok,
+             count(TRY_CAST(lin_str AS DOUBLE)) AS nn, count(*) AS n
+      FROM src
+      UNION ALL
+      SELECT 'flag_str', min(TRY_CAST(flag_str AS DOUBLE)), max(TRY_CAST(flag_str AS DOUBLE)),
+             CAST(sum(CASE WHEN TRY_CAST(flag_str AS DOUBLE) <> floor(TRY_CAST(flag_str AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT) = 0,
+             'string', bool_and(TRY_CAST(flag_str AS DOUBLE) IS NOT NULL OR flag_str IS NULL OR trim(flag_str) = ''),
+             count(TRY_CAST(flag_str AS DOUBLE)), count(*)
+      FROM src
+      UNION ALL
+      SELECT 'ship', NULL, NULL,
+             CAST(sum(CASE WHEN date_trunc('day', ship) <> ship THEN 1 ELSE 0 END) AS BIGINT) = 0,
+             'timestamp', TRUE, count(ship), count(*)
+      FROM src
+      UNION ALL
+      SELECT 'all_null', min(all_null), max(all_null),
+             CAST(sum(CASE WHEN all_null <> floor(all_null) THEN 1 ELSE 0 END) AS BIGINT) = 0,
+             'numeric', TRUE, count(all_null), count(*)
+      FROM src
+      UNION ALL
+      SELECT 'is_first', min(CAST(is_first AS DOUBLE)), max(CAST(is_first AS DOUBLE)),
+             CAST(sum(CASE WHEN is_first <> floor(is_first) THEN 1 ELSE 0 END) AS BIGINT) = 0,
+             'numeric', TRUE, count(is_first), count(*)
+      FROM src
+      UNION ALL
+      SELECT 'big', min(CAST(big AS DOUBLE)), max(CAST(big AS DOUBLE)),
+             CAST(sum(CASE WHEN big <> floor(big) THEN 1 ELSE 0 END) AS BIGINT) = 0,
+             'numeric', TRUE, count(big), count(*)
+      FROM src)
+    SELECT col_name, vmin, vmax, all_int,
+      CASE WHEN kind = 'timestamp' THEN (CASE WHEN all_int THEN 'date' ELSE 'timestamp' END)
+           WHEN kind = 'string' AND NOT ok THEN 'string'
+           WHEN n > 0 AND nn = 0 THEN 'boolean'
+           WHEN NOT all_int THEN 'double'
+           WHEN vmin >= 0 AND vmax <= 1 THEN 'boolean'
+           WHEN vmin >= -127 AND vmax <= 100 THEN 'int8'
+           WHEN vmin >= -32767 AND vmax <= 32740 THEN 'int16'
+           WHEN vmin >= -2147483647 AND vmax <= 2147483620 THEN 'int32'
+           ELSE 'double' END AS narrowed_type
+    FROM stats
+    """,
+)
+def q37_narrow_full_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.narrow import narrowing_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_linenumber").cast("string").alias("lin_str"),
+        F.col("l_returnflag").alias("flag_str"),
+        F.col("l_shipdate").alias("ship"),
+        F.lit(None).cast("double").alias("all_null"),
+        F.when(F.col("l_linenumber") == 1, 1).otherwise(0).alias("is_first"),
+        (F.col("l_orderkey").cast("long") * 10000000000).alias("big"),
+    )
+    return narrowing_stats(src)

@@ -44,6 +44,51 @@ def test_narrowing(spark, sf_dir):
     assert a == b
 
 
+def test_narrowing_full_rules(spark):
+    """Reference compress parity (src/stata/compress.rs:82-225): Bool,
+    all-midnight Date, numeric-String, all-null, and the no-int64-tier
+    double fallback with its precision guard."""
+    import datetime
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            ("1", "x", datetime.datetime(2020, 1, 1), None, 1, (1 << 60) + 7),
+            ("2", "y", datetime.datetime(2020, 1, 2), None, 0, 5),
+        ],
+        "num_str string, alpha_str string, ship timestamp, empty double, flag int, big long",
+    )
+    stats = {r.col_name: r.narrowed_type for r in narrowing_stats(df).collect()}
+    assert stats == {
+        "num_str": "int8",
+        "alpha_str": "string",
+        "ship": "date",
+        "empty": "boolean",
+        "flag": "boolean",
+        "big": "double",  # reference has no int64 tier
+    }
+    with _pytest.warns(UserWarning, match="2\\^53"):
+        narrowed = narrow(df)
+    dt = dict(narrowed.dtypes)
+    assert dt == {
+        "num_str": "tinyint",
+        "alpha_str": "string",
+        "ship": "date",
+        "empty": "boolean",
+        "flag": "boolean",
+        "big": "double",
+    }
+    row = narrowed.orderBy("num_str").first()
+    assert row.num_str == 1 and row.flag is True and row.ship == datetime.date(2020, 1, 1)
+
+    # datetimes with a time-of-day component must stay timestamps
+    df2 = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1, 12, 30),)], "ts timestamp"
+    )
+    assert narrowing_stats(df2).first().narrowed_type == "timestamp"
+
+
 def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(100)
     doubled = docs.union(docs.limit(10))  # plant 10 duplicates
