@@ -37,44 +37,75 @@ STATE_SCHEMA = T.StructType(
 GAP_MS = 30 * 60 * 1000
 
 
-def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    rows = pd.concat(list(pdfs)).sort_values("ts_ms")
-    if state.exists:
-        start, end, n, total = state.get
-    else:
-        start = end = None
-        n, total = 0, 0.0
-    out = []
-    for ts, val in zip(rows["ts_ms"], rows["value"]):
-        ts = int(ts)
-        if start is None:
-            start, end, n, total = ts, ts, 1, float(val)
-        elif ts - end > GAP_MS:
-            out.append((user_id, start, end, n, total))
-            start, end, n, total = ts, ts, 1, float(val)
+def _make_update(gap_ms: int, idle_timeout_ms: int):
+    """Build the stateful update fn with the gap/timeout baked into the
+    closure (applyInPandasWithState has no side-channel for params)."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        chunks = [c for c in pdfs if len(c)]  # empty when a timeout fires
+        if chunks:
+            rows = pd.concat(chunks).sort_values("ts_ms")
         else:
-            end, n, total = ts, n + 1, total + float(val)
-    if state.hasTimedOut:
-        if start is not None:
-            out.append((user_id, start, end, n, total))
-        state.remove()
-    else:
-        state.update((start, end, n, total))
-    yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            rows = pd.DataFrame({"ts_ms": [], "value": []})
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start = end = None
+            n, total = 0, 0.0
+        out = []
+        for ts, val in zip(rows["ts_ms"], rows["value"]):
+            ts = int(ts)
+            if start is None:
+                start, end, n, total = ts, ts, 1, float(val)
+            elif ts - end > gap_ms:
+                out.append((user_id, start, end, n, total))
+                start, end, n, total = ts, ts, 1, float(val)
+            else:
+                end, n, total = ts, n + 1, total + float(val)
+        if state.hasTimedOut:
+            # idle key: flush the trailing session and drop the state —
+            # this completes the "closed (or final) session" contract and
+            # keeps state size bounded on long-running streams
+            if start is not None:
+                out.append((user_id, start, end, n, total))
+            state.remove()
+        elif start is not None:
+            state.update((start, end, n, total))
+            state.setTimeoutDuration(idle_timeout_ms)  # re-arm the idle timer
+        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return _update
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events (with ts timestamp, user_id, value) -> closed sessions."""
+def sessionize_stream(
+    events: DataFrame,
+    gap_ms: int = GAP_MS,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """events (with ts timestamp, user_id, value) -> closed sessions.
+
+    ProcessingTimeTimeout fires after ``idle_timeout_ms`` (default: the
+    session gap) of wall-clock inactivity on a key, emitting the final
+    session and clearing its state — idle users no longer pin state
+    forever. Event-time gaps within arriving data still close sessions
+    immediately.
+
+    Note: processing-time timeouts make the engine run empty micro-batches
+    to give timers a chance to fire, so `shouldRunAnotherBatch` is always
+    true — run this query with a processing-time trigger interval in
+    production, and poll the sink rather than `processAllAvailable()` in
+    tests (which would block forever).
+    """
     from pyspark.sql import functions as F
 
     prepped = events.select(
         "user_id", F.unix_millis("ts").alias("ts_ms"), "value"
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _update,
+        _make_update(gap_ms, idle_timeout_ms if idle_timeout_ms is not None else gap_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

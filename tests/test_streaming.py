@@ -33,8 +33,42 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir):
 
 
 def test_stateful_sessionization(spark, sf_dir):
+    """Every session — including each user's trailing one, which only a
+    ProcessingTimeTimeout flush emits — must match the batch sessionizer
+    exactly. processAllAvailable() would block forever with processing-time
+    timeouts (the engine keeps scheduling empty batches to fire timers),
+    so poll the memory sink instead."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    gap_ms = 30 * 60 * 1000
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ts_ms)
+    batch = (
+        ev.select("user_id", ts_ms.alias("ts_ms"), "value")
+        .withColumn("prev", F.lag("ts_ms").over(Window.partitionBy("user_id").orderBy("ts_ms")))
+        .withColumn("new_sess", (F.col("prev").isNull() | (F.col("ts_ms") - F.col("prev") > gap_ms)).cast("long"))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("sess_id")
+    )
+    expected = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+
     stream = events_stream(spark, sf_dir)
-    sessions = sessionize_stream(stream)
+    sessions = sessionize_stream(stream, gap_ms=gap_ms, idle_timeout_ms=2000)
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
@@ -42,18 +76,15 @@ def test_stateful_sessionization(spark, sf_dir):
         .start()
     )
     try:
-        q.processAllAvailable()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("t_sessions").count() >= len(expected):
+                break
+            time.sleep(1)
+        got = {
+            (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events, round(r.total_value, 6))
+            for r in spark.table("t_sessions").collect()
+        }
     finally:
         q.stop()
-    got = spark.table("t_sessions").collect()
-    # closed sessions only (the last session per user stays in state);
-    # every closed session must respect the 30-minute gap invariant and
-    # match the batch sessionizer's counts for those sessions.
-    assert len(got) > 0
-    for r in got:
-        assert r.session_end_ms >= r.session_start_ms
-        assert r.n_events >= 1
-    ev = load_table(spark, sf_dir, "events")
-    n_events_total = ev.count()
-    closed_events = sum(r.n_events for r in got)
-    assert closed_events <= n_events_total
+    assert got == expected
