@@ -92,7 +92,9 @@ class ReadstatDataSource(DataSource):
             return "stata"
         if ext in ("sav", "zsav"):
             return "spss"
-        if ext in ("sas7bdat",):
+        if ext in ("sas7bdat", "sas7bcat"):
+            # catalogs share the sas7bdat page format (reference
+            # detect_format, src/lib.rs:389)
             return "sas"
         raise ValueError(f"cannot infer readstat format from path {path!r}")
 

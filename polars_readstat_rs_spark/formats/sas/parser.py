@@ -63,24 +63,80 @@ DATE_FORMATS = (
 )
 TIME_FORMATS = ("TIME", "HHMM")
 
-_ENCODINGS = {
-    20: "utf-8", 28: "cp1252", 29: "cp1252", 30: "iso8859-2", 31: "iso8859-3",
-    32: "iso8859-4", 33: "iso8859-5", 34: "iso8859-6", 35: "iso8859-7",
-    36: "iso8859-8", 37: "iso8859-9", 39: "iso8859-11", 40: "iso8859-15",
-    41: "cp437", 42: "cp850", 43: "cp852", 44: "cp857", 45: "cp858", 46: "cp862",
-    47: "cp864", 48: "cp865", 49: "cp866", 50: "cp869", 51: "cp874",
-    60: "cp1250", 61: "cp1251", 62: "cp1252", 63: "cp1253", 64: "cp1254",
-    65: "cp1255", 66: "cp1256", 67: "cp1257", 68: "cp1258", 69: "mac-roman",
-    118: "cp950", 119: "big5", 123: "big5hkscs",
-    125: "gb18030", 126: "cp936", 134: "euc-jp", 136: "cp949", 137: "cp932",
-    138: "cp932", 140: "euc-kr", 141: "cp949", 142: "cp949",
-    167: "iso2022_jp", 168: "iso2022_kr", 205: "gb18030", 227: "iso8859-14",
-    242: "iso8859-13", 248: "shift_jisx0213",
+# Byte -> canonical encoding name, entry-for-entry with the reference's
+# get_encoding_name (src/sas/encoding.rs:4-88).
+_ENCODING_NAMES = {
+    20: "UTF-8", 28: "US-ASCII", 29: "ISO-8859-1", 30: "ISO-8859-2",
+    31: "ISO-8859-3", 32: "ISO-8859-4", 33: "ISO-8859-5", 34: "ISO-8859-6",
+    35: "ISO-8859-7", 36: "ISO-8859-8", 37: "ISO-8859-9", 39: "ISO-8859-11",
+    40: "ISO-8859-15",
+    # Code pages
+    41: "CP437", 42: "CP850", 43: "CP852", 44: "CP857", 45: "CP858",
+    46: "CP862", 47: "CP864", 48: "CP865", 49: "CP866", 50: "CP869",
+    51: "CP874", 52: "CP921", 53: "CP922", 54: "CP1129", 55: "CP720",
+    56: "CP737", 57: "CP775", 58: "CP860", 59: "CP863",
+    60: "WINDOWS-1250", 61: "WINDOWS-1251", 62: "WINDOWS-1252",
+    63: "WINDOWS-1253", 64: "WINDOWS-1254", 65: "WINDOWS-1255",
+    66: "WINDOWS-1256", 67: "WINDOWS-1257", 68: "WINDOWS-1258",
+    69: "MACROMAN", 70: "MACARABIC", 71: "MACHEBREW", 72: "MACGREEK",
+    73: "MACTHAI", 75: "MACTURKISH", 76: "MACUKRAINE",
+    # Asian encodings
+    118: "CP950", 119: "EUC-TW", 123: "BIG5-HKSCS", 125: "GB18030",
+    126: "CP936", 128: "CP1381", 134: "EUC-JP", 136: "CP949", 137: "CP942",
+    138: "CP932", 140: "EUC-KR", 141: "CP949", 142: "CP949",
+    163: "MACICELAND", 167: "ISO-2022-JP", 168: "ISO-2022-KR",
+    169: "ISO-2022-CN", 172: "ISO-2022-CN-EXT",
+    205: "GB18030", 227: "ISO-8859-14", 242: "ISO-8859-13",
+    245: "MACCROATIAN", 246: "MACCYRILLIC", 247: "MACROMANIA",
+    248: "SHIFT_JISX0213",
+}
+
+# Canonical name -> Python codec, mirroring the reference's closest-codec
+# resolution (src/sas/encoding.rs:91-152): names with no exact Python codec
+# get the same nearest superset the reference picks (CP921/CP922/CP1129 ->
+# cp1252 default there too; CP942 -> shift_jis; CP1381 / ISO-2022-CN[-EXT]
+# -> gb18030; EUC-TW / BIG5-HKSCS -> big5 family; mac variants without a
+# Python codec -> mac_roman). ISO-8859-1 keeps true latin-1 semantics
+# (reference decode_string special-cases byte 29, encoding.rs:156-161).
+_NAME_TO_PY = {
+    "UTF-8": "utf-8", "US-ASCII": "cp1252", "ISO-8859-1": "latin-1",
+    "ISO-8859-2": "iso8859-2", "ISO-8859-3": "iso8859-3",
+    "ISO-8859-4": "iso8859-4", "ISO-8859-5": "iso8859-5",
+    "ISO-8859-6": "iso8859-6", "ISO-8859-7": "iso8859-7",
+    "ISO-8859-8": "iso8859-8", "ISO-8859-9": "cp1254",
+    "ISO-8859-11": "iso8859-11", "ISO-8859-13": "iso8859-13",
+    "ISO-8859-14": "iso8859-14", "ISO-8859-15": "iso8859-15",
+    "CP437": "cp437", "CP720": "cp720", "CP737": "cp737", "CP775": "cp775",
+    "CP850": "cp850", "CP852": "cp852", "CP857": "cp857", "CP858": "cp858",
+    "CP860": "cp860", "CP862": "cp862", "CP863": "cp863", "CP864": "cp864",
+    "CP865": "cp865", "CP866": "cp866", "CP869": "cp869", "CP874": "cp874",
+    "CP921": "iso8859-13", "CP922": "cp1252", "CP1129": "cp1252",
+    "WINDOWS-1250": "cp1250", "WINDOWS-1251": "cp1251",
+    "WINDOWS-1252": "cp1252", "WINDOWS-1253": "cp1253",
+    "WINDOWS-1254": "cp1254", "WINDOWS-1255": "cp1255",
+    "WINDOWS-1256": "cp1256", "WINDOWS-1257": "cp1257",
+    "WINDOWS-1258": "cp1258",
+    "MACROMAN": "mac_roman", "MACARABIC": "mac_arabic",
+    "MACHEBREW": "mac_roman", "MACGREEK": "mac_greek", "MACTHAI": "mac_roman",
+    "MACTURKISH": "mac_turkish", "MACUKRAINE": "mac_cyrillic",
+    "MACICELAND": "mac_iceland", "MACCROATIAN": "mac_croatian",
+    "MACCYRILLIC": "mac_cyrillic", "MACROMANIA": "mac_roman",
+    "CP950": "cp950", "EUC-TW": "big5", "BIG5-HKSCS": "big5hkscs",
+    "GB18030": "gb18030", "CP936": "cp936", "CP1381": "gb18030",
+    "EUC-JP": "euc-jp", "CP932": "cp932", "CP942": "shift_jis",
+    "SHIFT_JISX0213": "shift_jisx0213", "CP949": "cp949", "EUC-KR": "euc-kr",
+    "ISO-2022-JP": "iso2022_jp", "ISO-2022-KR": "iso2022_kr",
+    "ISO-2022-CN": "gb18030", "ISO-2022-CN-EXT": "gb18030",
 }
 
 
+def encoding_name(byte: int) -> str:
+    """Canonical SAS encoding name for a header byte (reference parity)."""
+    return _ENCODING_NAMES.get(byte, "WINDOWS-1252")
+
+
 def _pyencoding(byte: int) -> str:
-    return _ENCODINGS.get(byte, "cp1252")
+    return _NAME_TO_PY.get(encoding_name(byte), "cp1252")
 
 
 @dataclass
