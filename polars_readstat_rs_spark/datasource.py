@@ -69,6 +69,19 @@ class _PageRange(InputPartition):
     hi: int
 
 
+@dataclass
+class _RlePartition(InputPartition):
+    """Compressed-SPSS partition: rows [start, start+count) decoded from
+    an RLE recovery point (anchor = zsav block index or sav file offset)."""
+
+    path: str
+    start: int
+    count: int
+    anchor: int
+    skip: int
+    unit_base: int
+
+
 def _true(opt: str | None, default: bool = True) -> bool:
     if opt is None:
         return default
@@ -276,7 +289,20 @@ class _ReadstatReader(DataSourceReader):
 
             meta = spss_parser.read_metadata(self.path)
             if not spss_parser.splittable(meta):
+                # compressed (.sav RLE / .zsav): one planning pass records
+                # RLE command-group recovery points, then executors decode
+                # disjoint block/byte ranges independently — beyond the
+                # reference, which is sequential-only here
+                # (src/spss/data.rs:1687-1761)
                 start, count = self._slice(meta.row_count)
+                plan = spss_parser.rle_partition_plan(
+                    self.path, meta, start, count, self.n_partitions, TARGET_PARTITION_BYTES
+                )
+                if plan:
+                    return [
+                        _RlePartition(self.path, s, c, anchor, skip, ub)
+                        for s, c, anchor, skip, ub in plan
+                    ]
                 return [_RowRange(self.path, start, count)]
             nobs, rec = meta.row_count, max(1, meta.record_len)
         elif self.fmt == "sas":
@@ -331,6 +357,16 @@ class _ReadstatReader(DataSourceReader):
 
             for batch in sas_parser.read_page_range(
                 partition.path, partition.lo, partition.hi, self.columns, self.batch_size, self.opts
+            ):
+                yield self._apply_filters(batch)
+            return
+        if isinstance(partition, _RlePartition):
+            from .formats.spss import parser as spss_parser
+
+            for batch in spss_parser.read_rle_partition(
+                partition.path, partition.start, partition.count, self.columns,
+                self.opts, self.batch_size, partition.anchor, partition.skip,
+                partition.unit_base,
             ):
                 yield self._apply_filters(batch)
             return

@@ -523,18 +523,227 @@ def _decompress_rle(raw: bytes, endian: str, bias: float, max_units: int | None 
     return out.tobytes()
 
 
-def _zsav_blocks(path: str, meta: SpssMetadata):
-    """Yield decompressed zsav block byte strings in order."""
+def _zsav_entries(path: str, meta: SpssMetadata) -> list[tuple[int, int, int, int]]:
+    """ztrailer block index: (uncompressed_ofs, compressed_ofs, usize, csize)
+    per zlib block (reference read_ztrailer, src/spss/data.rs:1700-1713)."""
     e = meta.endian
     with open(path, "rb") as f:
         f.seek(meta.data_offset)
         zheader_ofs, ztrailer_ofs, _ztrailer_len = struct.unpack(e + "3Q", f.read(24))
         f.seek(ztrailer_ofs)
         _bias, _zero, _block_size, n_blocks = struct.unpack(e + "qqii", f.read(24))
-        entries = [struct.unpack(e + "qqii", f.read(24)) for _ in range(n_blocks)]
-        for _uofs, cofs, usize, csize in entries:
+        return [struct.unpack(e + "qqii", f.read(24)) for _ in range(n_blocks)]
+
+
+def _zsav_blocks(path: str, meta: SpssMetadata):
+    """Yield decompressed zsav block byte strings in order."""
+    with open(path, "rb") as f:
+        for _uofs, cofs, usize, csize in _zsav_entries(path, meta):
             f.seek(cofs)
             yield zlib.decompress(f.read(csize)), usize
+
+
+# ------------------------------------------- parallel compressed planning
+#
+# The reference decodes compressed SPSS strictly sequentially
+# (read_zsav_data, src/spss/data.rs:1687-1761). We go further: a one-pass
+# planning scan records, at each zlib block (zsav) or every ~stride bytes
+# (sav RLE), the first RLE command-group boundary and the number of
+# 8-byte units emitted before it. A command group (8 control bytes +
+# 8 bytes per 253-literal) is self-contained, so decoding can restart at
+# any recorded boundary with no other state — executors then decode
+# disjoint block/byte ranges in parallel. The scan itself is cheap:
+# zlib.decompress (C) plus bytes.count per group; it never materializes
+# decoded units.
+
+def _walk_groups(buf: bytes, base: int, units: int):
+    """Walk command groups in buf; return (first_checkpoint_at_or_after_
+    base, units_after, resume_pos, eof). Checkpoint = (pos - base, units
+    before pos) for the first group boundary pos >= base."""
+    pos, n = 0, len(buf)
+    first = None
+    while pos + 8 <= n:
+        if first is None and pos >= base:
+            first = (pos - base, units)
+        ctrl = buf[pos : pos + 8]
+        if 252 in ctrl:  # EOF marker
+            sub = ctrl[: ctrl.index(252)]
+            return first, units + len(sub) - sub.count(0), pos, True
+        nxt = pos + 8 + 8 * ctrl.count(253)
+        if nxt > n:  # literal payload continues in the next block
+            return first, units, pos, False
+        units += 8 - ctrl.count(0)  # every non-padding code emits one unit
+        pos = nxt
+    if first is None and pos >= base:
+        first = (pos - base, units)  # boundary right at / past block end
+    return first, units, pos, False
+
+
+def zsav_checkpoints(path: str, meta: SpssMetadata) -> list[tuple[int, int] | None]:
+    """Per-block RLE recovery points: (skip_bytes_into_block, unit_base)
+    for the first command-group boundary in each block, or None when a
+    group straddles the whole block (possible only for blocks smaller
+    than one group, i.e. never in practice)."""
+    cps: list[tuple[int, int] | None] = []
+    tail = b""
+    units = 0
+    done = False
+    with open(path, "rb") as f:
+        for _uofs, cofs, usize, csize in _zsav_entries(path, meta):
+            if done:
+                cps.append(None)
+                continue
+            f.seek(cofs)
+            data = zlib.decompress(f.read(csize))
+            buf = tail + data if tail else data
+            first, units, pos, done = _walk_groups(buf, len(buf) - len(data), units)
+            cps.append(first)
+            tail = buf[pos:]
+    return cps
+
+
+def sav_checkpoints(path: str, meta: SpssMetadata, stride: int) -> list[tuple[int, int]]:
+    """(file_offset, unit_base) recovery points for raw .sav RLE, one at
+    the first command-group boundary after each `stride` bytes of input."""
+    cps: list[tuple[int, int]] = []
+    units = 0
+    abs_pos = meta.data_offset  # file offset of buf[0]
+    next_mark = abs_pos
+    tail = b""
+    with open(path, "rb") as f:
+        f.seek(abs_pos)
+        while True:
+            data = f.read(8 << 20)
+            buf = tail + data if tail else data
+            pos, n = 0, len(buf)
+            done = False
+            while pos + 8 <= n:
+                if abs_pos + pos >= next_mark:
+                    cps.append((abs_pos + pos, units))
+                    next_mark = abs_pos + pos + max(1, stride)
+                ctrl = buf[pos : pos + 8]
+                if 252 in ctrl:
+                    done = True
+                    break
+                nxt = pos + 8 + 8 * ctrl.count(253)
+                if nxt > n:
+                    break
+                units += 8 - ctrl.count(0)
+                pos = nxt
+            if done or not data:
+                break
+            tail = buf[pos:]
+            abs_pos += pos
+    return cps
+
+
+def rle_partition_plan(
+    path: str,
+    meta: SpssMetadata,
+    start: int,
+    count: int,
+    n_partitions: int,
+    target_bytes: int,
+) -> list[tuple[int, int, int, int, int]] | None:
+    """Split rows [start, start+count) of a compressed file into
+    independently-decodable partitions.
+
+    Returns (row_start, row_count, anchor, skip, unit_base) tuples —
+    anchor is a block index (zsav) or file offset (sav RLE) — or None
+    when splitting isn't worthwhile (small file / single partition).
+    """
+    rec = meta.record_len
+    if count <= 0 or rec == 0:
+        return None
+    n = n_partitions if n_partitions > 0 else max(1, min(count, (count * rec) // target_bytes + 1))
+    if n <= 1:
+        return None
+    if meta.compression == 2:
+        raw_cps = zsav_checkpoints(path, meta)
+        cps = [(i, skip, ub) for i, c in enumerate(raw_cps) if c for skip, ub in [c]]
+    else:
+        raw = sav_checkpoints(path, meta, max(1, (count * rec) // (n * 4)))
+        cps = [(ofs, 0, ub) for ofs, ub in raw]
+    if not cps:
+        return None
+    upr = meta.n_segments
+    per = (count + n - 1) // n
+    out = []
+    pos = start
+    while pos < start + count:
+        take = min(per, start + count - pos)
+        # latest checkpoint at or before this partition's first unit
+        best = cps[0]
+        for c in cps:
+            if c[2] <= pos * upr:
+                best = c
+            else:
+                break
+        out.append((pos, take, best[0], best[1], best[2]))
+        pos += take
+    return out
+
+
+def read_rle_partition(
+    path: str,
+    start: int,
+    count: int,
+    columns: list[str] | None,
+    opts: ReadOptions,
+    batch_size: int,
+    anchor: int,
+    skip: int,
+    unit_base: int,
+):
+    """Decode rows [start, start+count) from a recovery point: decompress
+    only the blocks/bytes this partition needs, never the whole stream."""
+    meta = read_metadata(path)
+    schema = arrow_schema(meta, opts, columns)
+    rec = meta.record_len
+    need_units = (start + count) * meta.n_segments - unit_base
+    # 9 bytes of RLE input per unit (control + literal) is the hard bound
+    # when padding appears only at stream end (true of real writers);
+    # retry doubles the target for the pathological case.
+    target = skip + need_units * 9 + 16
+    if meta.compression == 2:
+        entries = _zsav_entries(path, meta)
+
+        def _stream(tgt: int) -> bytes:
+            bufs, got = [], 0
+            with open(path, "rb") as f:
+                for _uofs, cofs, usize, csize in entries[anchor:]:
+                    f.seek(cofs)
+                    bufs.append(zlib.decompress(f.read(csize)))
+                    got += len(bufs[-1])
+                    if got >= tgt:
+                        break
+            return b"".join(bufs)[skip:]
+    else:
+
+        def _stream(tgt: int) -> bytes:
+            with open(path, "rb") as f:
+                f.seek(anchor)
+                return f.read(tgt)
+
+    units = _decompress_rle(_stream(target), meta.endian, meta.bias, need_units)
+    while len(units) < need_units * 8:
+        grown = target * 2
+        data = _stream(grown)
+        units = _decompress_rle(data, meta.endian, meta.bias, need_units)
+        if grown >= len(data) + skip and len(units) < need_units * 8:
+            break  # stream exhausted — trailing short read
+        target = grown
+    lo = start * rec - unit_base * 8
+    raw = units[lo : lo + count * rec]
+    done = 0
+    while done * rec < len(raw):
+        take = min(batch_size, count - done)
+        chunk = raw[done * rec : (done + take) * rec]
+        if not chunk:
+            break
+        cols = decode_records(chunk, meta, columns, opts, row_offset=start + done)
+        yield pa.record_batch([cols[n] for n in schema.names], schema=schema)
+        done += take
 
 
 def _data_units(path: str, meta: SpssMetadata, max_units: int | None = None) -> bytes:

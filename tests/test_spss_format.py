@@ -153,3 +153,111 @@ def test_informative_null_modes_spss(tmp_path):
         p, opts=parser.ReadOptions(informative_nulls="merged", value_labels_as_strings=False)
     )
     assert mg.column("x").to_pylist() == ["1", "REFUSED", "2", "-8"]
+
+
+def _make_zsav(src_sav: str, dst_zsav: str, block_bytes: int) -> None:
+    """Repackage an uncompressed .sav as a multi-block zsav whose zlib
+    blocks deliberately split RLE command groups mid-literal."""
+    import struct
+    import zlib
+
+    meta = parser.read_metadata(src_sav)
+    assert meta.compression == 0
+    with open(src_sav, "rb") as f:
+        header = bytearray(f.read(meta.data_offset))
+        data = f.read()
+    header[0:4] = b"$FL3"
+    header[72:76] = struct.pack("<i", 2)
+    # all-literal RLE: groups of 8 x code-253 followed by the 8 units
+    units = [data[i : i + 8] for i in range(0, len(data) - len(data) % 8, 8)]
+    rle = bytearray()
+    for g in range(0, len(units), 8):
+        chunk = units[g : g + 8]
+        ctrl = bytes([253] * len(chunk))
+        if len(chunk) < 8:
+            ctrl += bytes([252]) + bytes(8 - len(chunk) - 1)
+        rle += ctrl + b"".join(chunk)
+    if len(units) % 8 == 0:
+        rle += bytes([252]) + bytes(7)
+    blocks = [bytes(rle[i : i + block_bytes]) for i in range(0, len(rle), block_bytes)]
+    zheader_ofs = len(header)
+    comp = [zlib.compress(b) for b in blocks]
+    with open(dst_zsav, "wb") as f:
+        f.write(header)
+        body_start = zheader_ofs + 24
+        ztrailer_ofs = body_start + sum(len(c) for c in comp)
+        f.write(struct.pack("<3Q", zheader_ofs, ztrailer_ofs, 24 + 24 * len(blocks)))
+        for c in comp:
+            f.write(c)
+        f.write(struct.pack("<qqii", int(meta.bias), 0, block_bytes, len(blocks)))
+        uofs, cofs = zheader_ofs, body_start
+        for b, c in zip(blocks, comp):
+            f.write(struct.pack("<qqii", uofs, cofs, len(b), len(c)))
+            uofs += len(b)
+            cofs += len(c)
+
+
+def test_zsav_block_parallel_partitions(spark, tmp_path):
+    """Multi-partition zsav read == single-partition read == the
+    uncompressed source. Blocks are 333 bytes so command groups straddle
+    block boundaries, exercising the checkpoint recovery scan (beyond
+    the reference, which decodes zsav sequentially —
+    src/spss/data.rs:1687-1761)."""
+    rng = np.random.default_rng(4)
+    n = 700
+    t = pa.table(
+        {
+            "x": pa.array(rng.normal(size=n)),
+            "i": pa.array(rng.integers(0, 200, n).astype(float)),
+            "s": pa.array([f"name{i % 50}" if i % 11 else None for i in range(n)]),
+        }
+    )
+    src = str(tmp_path / "src.sav")
+    writer.write_sav(t, src)
+    z = str(tmp_path / "multi.zsav")
+    _make_zsav(src, z, block_bytes=333)
+
+    meta = parser.read_metadata(z)
+    assert meta.compression == 2
+    cps = parser.zsav_checkpoints(z, meta)
+    assert len(cps) > 10  # genuinely multi-block
+    whole = parser.read_table(z)
+    assert whole.equals(parser.read_table(src))
+
+    plan = parser.rle_partition_plan(z, meta, 0, meta.row_count, 5, 1 << 40)
+    assert plan is not None and len(plan) == 5
+    parts = []
+    for (s, c, anchor, skip, ub) in plan:
+        parts += list(
+            parser.read_rle_partition(z, s, c, None, parser.ReadOptions(), 100, anchor, skip, ub)
+        )
+    assert pa.Table.from_batches(parts, schema=whole.schema).equals(whole)
+
+    # through Spark, forced multi-partition
+    df = spark.read.format("readstat").option("partitions", "4").load(z)
+    assert df.rdd.getNumPartitions() == 4
+    got = df.toPandas().sort_values("x").reset_index(drop=True)
+    want = whole.to_pandas().sort_values("x").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_sav_rle_checkpoint_partitions(tmp_path):
+    """Raw .sav RLE files split via stride checkpoints: every compressed
+    corpus file reads identically through 3 partitions."""
+    for p in sorted(glob.glob(f"{CORPUS}/**/*.sav", recursive=True)):
+        try:
+            meta = parser.read_metadata(p)
+        except Exception:
+            continue
+        if meta.compression != 1 or meta.row_count < 4:
+            continue
+        whole = parser.read_table(p)
+        plan = parser.rle_partition_plan(p, meta, 0, meta.row_count, 3, 1 << 40)
+        if plan is None:
+            continue
+        parts = []
+        for (s, c, anchor, skip, ub) in plan:
+            parts += list(
+                parser.read_rle_partition(p, s, c, None, parser.ReadOptions(), 500, anchor, skip, ub)
+            )
+        assert pa.Table.from_batches(parts, schema=whole.schema).equals(whole), p
