@@ -62,8 +62,35 @@ def readstat_scan(
     return r.load(path)
 
 
+def _stata_label_key(key: int, version: int) -> str:
+    """Reference value_label_key_to_string + missing_value_label
+    (src/stata/mod.rs:30-66): v>=113 int sentinels stringify as
+    MISSING / MISSING_a..z; everything else as the integer."""
+    if version >= 113 and key >= 2147483621:
+        off = key - 2147483621
+        if off == 0:
+            return "MISSING"
+        if off <= 26:
+            return f"MISSING_{chr(ord('a') + off - 1)}"
+    return str(key)
+
+
+def _stata_labels_json(meta, name: str | None) -> str | None:
+    import json
+
+    m = meta.value_labels.get(name) if name else None
+    if not m:
+        return None
+    return json.dumps({_stata_label_key(k, meta.version): v for k, v in m.items()})
+
+
 def readstat_metadata(spark: SparkSession, path: str) -> DataFrame:
-    """Per-variable metadata as a DataFrame (driver-side header parse)."""
+    """Per-variable metadata as a DataFrame (driver-side header parse).
+
+    Includes the file encoding and each variable's full value-label
+    mapping as JSON, matching the reference probe's fidelity
+    (readstat_metadata_json, src/stata/mod.rs:69-115).
+    """
     ext = path.rsplit(".", 1)[-1].lower()
     if ext == "dta":
         meta = stata_parser.read_metadata(path)
@@ -80,22 +107,131 @@ def readstat_metadata(spark: SparkSession, path: str) -> DataFrame:
                 v.var_label,
                 v.label_name,
                 len(meta.value_labels.get(v.label_name, {})),
+                meta.encoding,
+                _stata_labels_json(meta, v.label_name),
             )
             for v in meta.variables
         ]
         return spark.createDataFrame(
             rows,
             "path string, version int, nobs long, nvar int, name string, kind string, "
-            "width int, format string, var_label string, label_name string, n_value_labels int",
+            "width int, format string, var_label string, label_name string, "
+            "n_value_labels int, encoding string, value_labels string",
         )
     if ext in ("sav", "zsav"):
         from .formats.spss import parser as spss_parser
 
         return spss_parser.metadata_frame(spark, path)
-    if ext == "sas7bdat":
+    if ext in ("sas7bdat", "sas7bcat"):
         from .formats.sas import parser as sas_parser
 
         return sas_parser.metadata_frame(spark, path)
+    raise ValueError(f"unsupported extension for {path}")
+
+
+def readstat_metadata_json(path: str) -> str:
+    """File metadata as one JSON string, field-for-field with the
+    reference's metadata_json exports (stata src/stata/mod.rs:69-115,
+    spss src/spss/mod.rs:25-83, sas src/sas/mod.rs:32-77)."""
+    import json
+
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "dta":
+        meta = stata_parser.read_metadata(path)
+        kind_names = {
+            "i8": "Byte", "i16": "Int", "i32": "Long", "f32": "Float",
+            "f64": "Double", "str": "Str", "strl": "StrL",
+        }
+        variables = []
+        for v in meta.variables:
+            obj = {
+                "name": v.name,
+                "type": kind_names.get(v.kind, v.kind),
+                "format": v.fmt,
+                "label": v.var_label,
+                "value_label_name": v.label_name or None,
+            }
+            labels = _stata_labels_json(meta, v.label_name)
+            if labels is not None:
+                obj["value_labels"] = json.loads(labels)
+            variables.append(obj)
+        return json.dumps(
+            {
+                "version": meta.version,
+                "byte_order": "LittleEndian" if meta.endian == "<" else "BigEndian",
+                "row_count": meta.nobs,
+                "data_label": meta.data_label,
+                "timestamp": meta.timestamp,
+                "data_offset": meta.data_offset,
+                "strls_offset": meta.strls_offset,
+                "value_labels_offset": meta.value_labels_offset,
+                "encoding": meta.encoding,
+                "variables": variables,
+            }
+        )
+    if ext in ("sav", "zsav"):
+        from .formats.spss import parser as spss_parser
+
+        meta = spss_parser.read_metadata(path)
+        variables = []
+        for v in meta.variables:
+            obj = {
+                "name": v.name,
+                "type": "Str" if v.is_str else "Double",
+                "string_len": v.string_len,
+                "format_type": v.format_type,
+                "format_class": v.format_class,
+                "label": v.label,
+                "value_label": v.value_label or None,
+            }
+            labels = spss_parser._labels_json(meta, v.value_label)
+            if labels is not None:
+                obj["value_labels"] = json.loads(labels)
+            obj["missing_range"] = v.missing_range
+            obj["missing_doubles"] = v.missing_doubles
+            obj["missing_strings"] = v.missing_strings
+            variables.append(obj)
+        return json.dumps(
+            {
+                "row_count": meta.row_count,
+                "file_label": meta.data_label,
+                "compression": {0: "None", 2: "ZLIB"}.get(meta.compression, "RLE"),
+                "data_offset": meta.data_offset,
+                "encoding": meta.encoding,
+                "variables": variables,
+            }
+        )
+    if ext in ("sas7bdat", "sas7bcat"):
+        from .formats.sas import parser as sas_parser
+
+        meta = sas_parser.read_metadata(path)
+        columns = [
+            {
+                "name": c.name,
+                "label": c.label or None,
+                "format": c.fmt or None,
+                "type": "Char" if c.is_char else "Numeric",
+                "offset": c.offset,
+                "length": c.length,
+            }
+            for c in meta.columns
+        ]
+        return json.dumps(
+            {
+                "compression": meta.compression or "None",
+                "row_count": meta.row_count,
+                "row_length": meta.row_length,
+                "column_count": len(meta.columns),
+                "table_name": meta.dataset_name.strip() or None,
+                "sas_release": meta.sas_release.strip() or None,
+                "encoding_byte": meta.encoding_byte,
+                "file_encoding": sas_parser.encoding_name(meta.encoding_byte),
+                "page_size": meta.page_length,
+                "page_count": meta.page_count,
+                "header_length": meta.header_length,
+                "columns": columns,
+            }
+        )
     raise ValueError(f"unsupported extension for {path}")
 
 

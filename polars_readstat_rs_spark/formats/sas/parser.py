@@ -1096,11 +1096,13 @@ def metadata_frame(spark, path: str):
             c.length,
             c.fmt,
             c.label,
+            encoding_name(meta.encoding_byte),
+            meta.encoding_byte,
         )
         for c in meta.columns
     ]
     return spark.createDataFrame(
         rows,
         "path string, nobs long, nvar int, compression string, name string, kind string, "
-        "length int, format string, var_label string",
+        "length int, format string, var_label string, encoding string, encoding_byte int",
     )

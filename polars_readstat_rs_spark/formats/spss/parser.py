@@ -1052,6 +1052,23 @@ def read_partition(
             done += take
 
 
+def _labels_json(meta: SpssMetadata, name: str) -> str | None:
+    """A label set as JSON, double-bit keys rendered as the reference
+    stringifies them (src/spss/mod.rs:34-45)."""
+    import json
+
+    mapping = meta.value_labels.get(name) if name else None
+    if not mapping:
+        return None
+    out = {}
+    for k, lab in mapping.items():
+        if isinstance(k, str):
+            out[k] = lab
+        else:
+            out[_fmt_double(struct.unpack("<d", struct.pack("<q", k))[0])] = lab
+    return json.dumps(out)
+
+
 def metadata_frame(spark, path: str):
     meta = read_metadata(path)
     rows = [
@@ -1067,11 +1084,14 @@ def metadata_frame(spark, path: str):
             v.label,
             v.value_label,
             len(meta.value_labels.get(v.value_label, {})),
+            meta.encoding,
+            _labels_json(meta, v.value_label),
         )
         for v in meta.variables
     ]
     return spark.createDataFrame(
         rows,
         "path string, compression int, nobs long, nvar int, name string, kind string, "
-        "string_len int, format_type int, var_label string, label_name string, n_value_labels int",
+        "string_len int, format_type int, var_label string, label_name string, "
+        "n_value_labels int, encoding string, value_labels string",
     )

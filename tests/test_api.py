@@ -258,3 +258,49 @@ def test_batch_iter_bounded_memory(tmp_path):
     assert total == n
     growth_mb = (after - before) / 1024
     assert growth_mb < 30, f"streaming read grew RSS by {growth_mb:.0f}MB"
+
+
+def test_metadata_probe_fidelity(spark):
+    """Probe carries file encoding and full value-label contents
+    (reference readstat_metadata_json, src/stata/mod.rs:69-115)."""
+    import json
+
+    from polars_readstat_rs_spark.api import readstat_metadata, readstat_metadata_json
+
+    p = "/root/reference/tests/stata/data/sample_pyreadstat.dta"
+    md = readstat_metadata(spark, p)
+    assert "encoding" in md.columns and "value_labels" in md.columns
+    row = md.filter(md.name == "mylabl").first()
+    assert row.encoding == "cp1252"  # v117: pre-118 files are cp1252
+    assert json.loads(row.value_labels) == {"1": "Male", "2": "Female"}
+
+    d = json.loads(readstat_metadata_json(p))
+    assert d["version"] == 117 and d["byte_order"] == "LittleEndian"
+    (v,) = [v for v in d["variables"] if v["name"] == "mylabl"]
+    assert v["value_labels"] == {"1": "Male", "2": "Female"}
+
+    sp = readstat_metadata(spark, "/root/reference/tests/spss/data/sample.sav")
+    srow = sp.filter(sp.name == "mylabl").first()
+    assert srow.encoding == "windows-1252"
+    assert json.loads(srow.value_labels) == {"1": "Male", "2": "Female"}
+
+    sa = readstat_metadata(spark, "/root/reference/tests/sas/data/test.sas7bdat")
+    assert sa.first().encoding == "ISO-8859-1"
+
+    sj = json.loads(readstat_metadata_json("/root/reference/tests/spss/data/sample.zsav"))
+    assert sj["compression"] == "ZLIB" and sj["encoding"] == "windows-1252"
+    aj = json.loads(readstat_metadata_json("/root/reference/tests/sas/data/test.sas7bdat"))
+    assert aj["file_encoding"] == "ISO-8859-1" and aj["column_count"] == len(aj["columns"])
+
+
+def test_metadata_json_missing_key_stringification():
+    """v>=113 int label keys at/above the sentinel render as
+    MISSING / MISSING_a..z (reference missing_value_label,
+    src/stata/mod.rs:30-43)."""
+    from polars_readstat_rs_spark.api import _stata_label_key
+
+    assert _stata_label_key(5, 118) == "5"
+    assert _stata_label_key(2147483621, 118) == "MISSING"
+    assert _stata_label_key(2147483622, 118) == "MISSING_a"
+    assert _stata_label_key(2147483647, 118) == "MISSING_z"
+    assert _stata_label_key(2147483621, 108) == "2147483621"  # pre-113: plain
