@@ -198,25 +198,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     return _track(_jaccard_on(sh_shared, pairs=cand), sh_shared, cand)
 
 
-def _simhash_bit_exprs(hash_col: str = "h") -> list:
-    """Per-token ±1 contribution for each of the 64 simhash bits, derived
-    from md5 hex nibbles (integer div/mod only — portable to the oracle).
-    ``hash_col`` holds the precomputed md5 hex so it's hashed once, not
-    64 times; bit j uses nibble j//4 (md5's 128 bits cover all 64)."""
-    out = []
-    for j in range(SIMHASH_BITS):
-        k, b = j // 4 + 1, j % 4
-        v = f"(instr('0123456789abcdef', substring({hash_col}, {k}, 1)) - 1)"
-        out.append(F.expr(f"2 * (({v} div {1 << b}) % 2) - 1").alias(f"c{j}"))
-    return out
-
-
 def _band_value(k: int):
-    """16-bit integer for band k: sign bits 16k .. 16k+15."""
+    """16-bit integer for band k: sign bits 16k .. 16k+15. Bit j is set
+    when the ±1 contribution sum is positive, i.e. when the count of
+    1-bits exceeds half the tokens: 2*B_j > n (B_j = sum of 0/1 bits)."""
     term = None
     for r in range(SIMHASH_BAND_BITS):
         j = k * SIMHASH_BAND_BITS + r
-        t = F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        t = F.when(2 * F.col(f"s{j}") > F.col("n_tok"), F.lit(1 << r)).otherwise(F.lit(0))
         term = t if term is None else term + t
     return term.cast("int")
 
@@ -225,13 +214,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document over distinct word tokens, as four
     16-bit band integers b0..b3 (b0 = low bits) plus the 16-hex-char
     fingerprint string — no signed-64-bit edge cases, and the bands
-    double as the LSH bucket keys."""
+    double as the LSH bucket keys.
+
+    The hot path stays narrow: one md5 per token, 16 instr/substring
+    nibble extractions (not 64), then pure integer div/mod for the 64
+    bit columns; the per-doc aggregate sums 0/1 bits plus a token count
+    instead of ±1 contributions (sign test: 2*sum > count)."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
     ).select("doc", F.md5("tok").alias("h"))
-    contrib = toks.select("doc", *_simhash_bit_exprs())
-    sums = contrib.groupBy("doc").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    nibbles = toks.select(
+        "doc",
+        *[
+            F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1").alias(f"n{k}")
+            for k in range(SIMHASH_BITS // 4)
+        ],
+    )
+    bits = nibbles.select(
+        "doc",
+        *[
+            F.expr(f"(n{j // 4} div {1 << (j % 4)}) % 2").alias(f"c{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    sums = bits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)],
     )
     banded = sums.select("doc", *[_band_value(k).alias(f"b{k}") for k in range(SIMHASH_BANDS)])
     hex_parts = [
