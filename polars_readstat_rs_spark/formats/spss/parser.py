@@ -937,13 +937,16 @@ def _string_indicator_column(col, v, meta) -> pa.Array:
 
 
 def _labeled_numeric(vals, bits, mask, labels: dict) -> pa.Array:
+    """Python touches only the distinct bit patterns; rows materialize
+    via one Arrow take (null index -> null row)."""
     uniq, inverse = np.unique(bits, return_inverse=True)
-    lut = []
     uniq_vals = uniq.view(np.float64)
-    for b, x in zip(uniq.tolist(), uniq_vals.tolist()):
-        lut.append(labels.get(b, _fmt_double(x)))
-    out = [None if m else lut[j] for j, m in zip(inverse, mask)]
-    return pa.array(out, type=pa.string())
+    lut = pa.array(
+        [labels.get(b, _fmt_double(x)) for b, x in zip(uniq.tolist(), uniq_vals.tolist())],
+        type=pa.string(),
+    )
+    idx = pa.array(inverse.astype(np.int64), mask=np.asarray(mask))
+    return lut.take(idx)
 
 
 # ------------------------------------------------------------ arrow schema

@@ -732,22 +732,26 @@ def _temporal(i64: np.ndarray, mask: np.ndarray, kind: str) -> pa.Array:
 
 
 def _labeled(vals: np.ndarray, mask: np.ndarray, labels: dict[int, str]) -> pa.Array:
-    out = [None if m else labels.get(int(x), str(int(x))) for x, m in zip(vals, mask)]
-    return pa.array(out, type=pa.string())
+    """Label decode via unique+take: Python touches only the distinct
+    values (labeled columns are low-cardinality by nature), the per-row
+    materialization is one Arrow take."""
+    uniq, inv = np.unique(vals, return_inverse=True)
+    lut = pa.array([labels.get(int(u), str(int(u))) for u in uniq], type=pa.string())
+    idx = pa.array(inv.astype(np.int64), mask=mask)  # null index -> null row
+    return lut.take(idx)
 
 
 def _labeled_float(vals: np.ndarray, mask: np.ndarray, labels: dict[int, str]) -> pa.Array:
-    out = []
-    for x, m in zip(vals, mask):
-        if m:
-            out.append(None)
-            continue
-        xf = float(x)
+    def decode(u: np.float64) -> str:
+        xf = float(u)
         if xf.is_integer() and int(xf) in labels:
-            out.append(labels[int(xf)])
-        else:
-            out.append(_fmt_float(xf))
-    return pa.array(out, type=pa.string())
+            return labels[int(xf)]
+        return _fmt_float(xf)
+
+    uniq, inv = np.unique(vals, return_inverse=True)
+    lut = pa.array([decode(u) for u in uniq], type=pa.string())
+    idx = pa.array(inv.astype(np.int64), mask=mask)
+    return lut.take(idx)
 
 
 def _fmt_float(x: float) -> str:
