@@ -235,10 +235,22 @@ def readstat_metadata_json(path: str) -> str:
     raise ValueError(f"unsupported extension for {path}")
 
 
-def write_dta(df: DataFrame, path: str, **kwargs) -> None:
+def write_dta(df: DataFrame, path: str, compress: bool = False, **kwargs) -> None:
     """Write a Spark DataFrame as Stata .dta v118 (driver-side assembly;
     use toArrow's batched transfer — fine for dimension-scale outputs,
-    use the parquet pipeline for petabyte-scale persistence)."""
+    use the parquet pipeline for petabyte-scale persistence).
+
+    ``compress=True`` applies the reference writer's pre-write type
+    narrowing (StataWriter::with_compress, src/stata/writer.rs:176-183 +
+    src/stata/compress.rs) — one distributed stats pass, then the
+    narrowed columns are written. For the distributed
+    ``df.write.format("readstat")`` path, call functions.narrow(df)
+    before .save(): the DataSource writer receives a planned schema and
+    cannot re-type columns itself."""
+    if compress:
+        from .functions.narrow import narrow
+
+        df = narrow(df)
     stata_writer.write_dta(df.toArrow(), path, **kwargs)
 
 

@@ -304,3 +304,24 @@ def test_metadata_json_missing_key_stringification():
     assert _stata_label_key(2147483622, 118) == "MISSING_a"
     assert _stata_label_key(2147483647, 118) == "MISSING_z"
     assert _stata_label_key(2147483621, 108) == "2147483621"  # pre-113: plain
+
+
+def test_write_dta_compress_narrows(spark, tmp_path):
+    """write_dta(compress=True) mirrors StataWriter::with_compress
+    (src/stata/writer.rs:176-183): the stats pass narrows eligible
+    columns before encoding, and the file reads back identically."""
+    from polars_readstat_rs_spark import api
+    from polars_readstat_rs_spark.formats.stata import parser as sp
+
+    df = spark.createDataFrame(
+        [(1.0, 250.0, 1.5), (0.0, -3.0, 2.25)], "flag double, small double, frac double"
+    )
+    p = str(tmp_path / "c.dta")
+    api.write_dta(df, p, compress=True)
+    meta = sp.read_metadata(p)
+    kinds = {v.name: v.kind for v in meta.variables}
+    assert kinds == {"flag": "i8", "small": "i16", "frac": "f64"}
+    rt = sp.read_table(p)
+    assert rt.column("flag").to_pylist() == [1, 0]
+    assert rt.column("small").to_pylist() == [250, -3]
+    assert rt.column("frac").to_pylist() == [1.5, 2.25]
