@@ -651,11 +651,24 @@ def _decode_column(arr, v: Variable, meta: StataMetadata, strl_map, opts: ReadOp
         order = "<u4" if meta.endian == "<" else ">u4"
         both = np.ascontiguousarray(b).view(order).reshape(-1, 2)
         vv, oo = both[:, 0].astype(np.uint32), both[:, 1].astype(np.uint64)
+    # materialize via unique+take: (v, o) packs into one uint64 (v117:
+    # 32+32 bits, v118: 16+48, v119: 24+40), Python touches only the
+    # distinct heap refs
     sm = strl_map or {}
-    vals = [None if (a == 0 and c == 0) else sm.get((int(a), int(c)), "") for a, c in zip(vv, oo)]
-    if opts.missing_string_as_null:
-        vals = [None if not s else s for s in vals]
-    return pa.array(vals, type=pa.string())
+    shift = np.uint64(8 * obytes if meta.version >= 118 else 32)
+    keys = (vv.astype(np.uint64) << shift) | oo
+    uniq, inv = np.unique(keys, return_inverse=True)
+    null_empty = opts.missing_string_as_null
+    lut_vals: list[str | None] = []
+    for k in uniq.tolist():
+        a, c = k >> int(shift), k & ((1 << int(shift)) - 1)
+        if a == 0 and c == 0:
+            lut_vals.append(None)
+        else:
+            s = sm.get((a, c), "")
+            lut_vals.append(None if (null_empty and not s) else s)
+    lut = pa.array(lut_vals, type=pa.string())
+    return lut.take(pa.array(inv.astype(np.int64)))
 
 
 # indicator lookup: 0 -> no indicator (null), 1..26 -> '.a'..'.z'
