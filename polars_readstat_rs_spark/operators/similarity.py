@@ -137,15 +137,30 @@ def blocked_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.4,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs within a blocking cell (IVF-style):
     only same-block pairs are compared, so the join shuffles once on the
-    block key instead of building the full cross product."""
+    block key instead of building the full cross product.
+
+    Each cell costs O(block^2); at 100 TB a runaway hot cell (one label
+    holding millions of vectors) would dominate the stage. ``max_block``
+    caps that: cells larger than the cap keep only the ``max_block``
+    lowest-id members (deterministic, documented truncation — near-dup
+    detection within a huge homogeneous cell saturates well below the
+    full pair set). Default None compares everything."""
     normed = (
         df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .withColumn("nrm", F.sqrt(dot_expr("vec", "vec")))
-        .persist()  # see brute_force_topk: stop projection collapse re-inlining
     )
+    if max_block is not None:
+        w = W.partitionBy("blk").orderBy(F.asc("vid"))
+        normed = (
+            normed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_block)
+            .drop("__rn")
+        )
+    normed = normed.persist()  # see brute_force_topk: stop projection collapse re-inlining
     a = normed.select("blk", F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm"))
     b = normed.select("blk", F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm"))
     out = (

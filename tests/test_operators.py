@@ -218,3 +218,18 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_blocked_neardup_block_cap(spark, sf_dir):
+    """max_block keeps only the lowest-id members of oversized cells —
+    the O(block^2) guard for hot blocking keys at scale."""
+    from polars_readstat_rs_spark.operators.similarity import blocked_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    capped = blocked_neardup_pairs(emb, threshold=-1.0, max_block=5)
+    # every cell contributes at most C(5,2)=10 pairs
+    per_blk = {r.blk: r.n for r in capped.groupBy("blk").count().withColumnRenamed("count", "n").collect()}
+    assert per_blk and all(n <= 10 for n in per_blk.values())
+    # capped result is a subset of the uncapped pairs
+    full = blocked_neardup_pairs(emb, threshold=-1.0)
+    assert capped.join(full, ["blk", "a_id", "b_id", "sim"], "left_anti").count() == 0
