@@ -173,3 +173,147 @@ def blocked_neardup_pairs(
         .select("blk", "a_id", "b_id", "sim")
     )
     return _track(out, normed)
+
+
+# ------------------------------------------------------------- k-means IVF
+
+def _sqdist_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential left-fold squared L2 distance in double precision."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (ties -> lowest cell id). Centroids
+    are broadcast — ncells is small by construction."""
+    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("d", _sqdist_expr("vec", "centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell")
+    )
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    iters: int = 2,
+    exact: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic distributed Lloyd's k-means over an embedding
+    column; returns (assignment: vec_id/vec/cell, centroids:
+    cell/centroid).
+
+    Determinism: init takes the ``ncells`` lowest-id vectors as
+    centroids; assignment breaks distance ties on the lowest cell id;
+    with ``exact=True`` each centroid dimension is a left-to-right fold
+    over members ordered by vec_id, so any engine (and any partitioning)
+    reproduces bitwise-identical doubles — that is what lets a SQL
+    oracle verify the whole clustering. The exact path materializes each
+    cell's members in one group (collect_list), which bounds it to
+    cells that fit an executor; ``exact=False`` switches the update to a
+    per-(cell, dimension) partial-aggregated sum — the 100 TB path, at
+    the cost of float-addition-order nondeterminism in the last ulp.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(ncells)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("int").alias("cell"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, cents)
+        if exact:
+            mem = assigned.groupBy("cell").agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "vec"))).alias("mem"),
+                F.count("*").cast("double").alias("n"),
+            )
+            dims = F.sequence(F.lit(1), F.size(F.element_at("mem", 1)["vec"]))
+            cents = mem.select(
+                "cell",
+                F.transform(
+                    dims,
+                    lambda i: F.aggregate(
+                        F.transform("mem", lambda s: F.element_at(s["vec"], i)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.col("n"),
+                ).alias("centroid"),
+            )
+        else:
+            per = (
+                assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            )
+            cents = (
+                per.withColumn("m", F.col("s") / F.col("n"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            )
+    return _assign_cells(vecs, cents), cents
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    ncells: int = 8,
+    iters: int = 2,
+    exact: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k with learned k-means cells (the production
+    upgrade over ivf_topk's label cells): cluster once, probe the
+    ``nprobe`` nearest centroids per query, brute-force inside the
+    probed cells. Cost scales with nprobe/ncells, not corpus size."""
+    assigned, cents = kmeans_cells(corpus, id_col, vec_col, ncells, iters, exact)
+    assigned = assigned.persist()
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+        )
+        .withColumn("q_norm", F.sqrt(dot_expr("q_vec", "q_vec")))
+        .persist()
+    )
+    w_q = W.partitionBy("q_id").orderBy(F.asc("pd"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("pd", _sqdist_expr("q_vec", "centroid"))
+        .withColumn("prank", F.row_number().over(w_q))
+        .filter(F.col("prank") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    c = assigned.select(
+        "cell", F.col("vec_id"), F.col("vec").alias("c_vec")
+    ).withColumn("c_norm", F.sqrt(dot_expr("c_vec", "c_vec")))
+    scored = (
+        c.join(F.broadcast(probed), ["cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6)
+        )
+        .select("q_id", "vec_id", "sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    return _track(out, assigned, q)

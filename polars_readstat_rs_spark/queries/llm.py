@@ -257,6 +257,78 @@ def v03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=10, nprobe=3)
 
 
+# -------------------------------------------------- k-means IVF (v04)
+#
+# The oracle unrolls two deterministic Lloyd iterations: init = 8
+# lowest-id vectors, assignment ties break on lowest cell, centroid
+# dimensions are left-to-right folds over members ordered by vec_id —
+# the same fold order the Spark operator uses, so centroids (and thus
+# the probed cells and final ranking) are bitwise-identical doubles.
+
+_SQD = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+_DOTD = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _km_assign(cent_cte: str) -> str:
+    sqd = _SQD.format(a="v.vec", b="c.centroid")
+    return f"""SELECT vec_id, vec, cell FROM (
+      SELECT v.vec_id, v.vec, c.cell,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY {sqd} ASC, c.cell ASC) AS rn
+      FROM v CROSS JOIN {cent_cte} c) WHERE rn = 1"""
+
+
+def _km_update(assign_cte: str) -> str:
+    return f"""SELECT cell, list_transform(range(1, len(mem[1]) + 1),
+        i -> list_reduce(list_transform(mem, m -> m[i]), (x, y) -> x + y) / n) AS centroid
+      FROM (SELECT cell, list(vec ORDER BY vec_id) AS mem, CAST(count(*) AS DOUBLE) AS n
+            FROM {assign_cte} GROUP BY cell)"""
+
+
+@register(
+    "v04_kmeans_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    a1 AS ({_km_assign('c0')}),
+    c1 AS ({_km_update('a1')}),
+    a2 AS ({_km_assign('c1')}),
+    c2 AS ({_km_update('a2')}),
+    af AS ({_km_assign('c2')}),
+    q AS (
+      SELECT vec_id AS q_id, vec AS q_vec, sqrt({_DOTD.format(a='vec', b='vec')}) AS q_norm
+      FROM v WHERE vec_id < 5),
+    probed AS (
+      SELECT q_id, q_vec, q_norm, cell FROM (
+        SELECT q.q_id, q.q_vec, q.q_norm, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_SQD.format(a='q.q_vec', b='c.centroid')} ASC, c.cell ASC) AS prank
+        FROM q CROSS JOIN c2 c) WHERE prank <= 2),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             round({_DOTD.format(a='p.q_vec', b='a.vec')}
+                   / (p.q_norm * sqrt({_DOTD.format(a='a.vec', b='a.vec')})), 6) AS sim
+      FROM af a JOIN probed p ON a.cell = p.cell AND a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def v04_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.kmeans_ivf_topk(emb, queries, k=10, nprobe=2, ncells=8, iters=2)
+
+
 # ------------------------------------------------------------ text analysis
 
 def _marker_sql(lang: str) -> str:

@@ -233,3 +233,33 @@ def test_blocked_neardup_block_cap(spark, sf_dir):
     # capped result is a subset of the uncapped pairs
     full = blocked_neardup_pairs(emb, threshold=-1.0)
     assert capped.join(full, ["blk", "a_id", "b_id", "sim"], "left_anti").count() == 0
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    """k-means IVF: assignment is a total partition, every cell is
+    nearest-centroid-consistent, and probed top-k recalls a reasonable
+    fraction of the brute-force neighbors. exact=False (the 100 TB
+    update path) produces an equally valid clustering."""
+    from polars_readstat_rs_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_cells,
+        kmeans_ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assigned, cents = kmeans_cells(emb, ncells=8, iters=2)
+    assert assigned.count() == n  # total partition, no drops
+    assert cents.count() <= 8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_nn = {
+        (r.q_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = kmeans_ivf_topk(emb, queries, k=10, nprobe=3, ncells=8, iters=2).collect()
+    approx_nn = {(r.q_id, r.vec_id) for r in got}
+    recall = len(exact_nn & approx_nn) / len(exact_nn)
+    assert recall >= 0.3, recall  # nprobe=3/8 cells on random-ish data
+
+    fast = kmeans_ivf_topk(emb, queries, k=10, nprobe=3, ncells=8, iters=2, exact=False)
+    assert fast.count() == 50
