@@ -105,3 +105,50 @@ def payload_stats(multimodal: DataFrame) -> DataFrame:
         F.md5("payload").alias("checksum"),
         F.hex(F.expr("substring(payload, 1, 8)")).alias("head_hex"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.StringType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    multimodal: DataFrame,
+    frame_chars: int = 64,
+    stride: int = 2,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame sampling through mapInPandas — the video-pipeline batch
+    shape where one input row fans out to N output rows worker-side
+    (a real decoder would pyav-demux and emit every ``stride``-th frame;
+    the deterministic stand-in chunks the decoded payload into
+    ``frame_chars``-character frames). Partitioning is preserved: the
+    fan-out happens inside each Arrow batch, no shuffle, and the
+    payload column never crosses an exchange."""
+    import math
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                s = bytes(payload).decode("utf-8")
+                n_frames = min(math.ceil(len(s) / frame_chars), max_frames)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(s[i * frame_chars : (i + 1) * frame_chars])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_len": pd.array([len(f) for f in frames], dtype="int32"),
+                }
+            )
+
+    return multimodal.mapInPandas(fn, FRAME_SCHEMA)

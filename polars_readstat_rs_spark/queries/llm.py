@@ -329,6 +329,29 @@ def v04_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_ivf_topk(emb, queries, k=10, nprobe=2, ncells=8, iters=2)
 
 
+@register(
+    "m02_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, least(CAST(ceil(length(text) / 64.0) AS BIGINT), 16), 2)) AS i
+      FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           substring(text, CAST(i * 64 + 1 AS INT), 64) AS frame,
+           CAST(length(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS INT) AS frame_len
+    FROM f
+    """,
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd 64-char frame (max 16 frames/doc) sampled worker-side
+    through the multimodal payload column — the 1:N mapInPandas shape a
+    video frame-sampler uses; the oracle reproduces the deterministic
+    chunking with substring arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(docs, modality="video")
+    return multimodal.sample_frames(payloads, frame_chars=64, stride=2, max_frames=16)
+
+
 # ------------------------------------------------------------ text analysis
 
 def _marker_sql(lang: str) -> str:

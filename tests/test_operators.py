@@ -263,3 +263,22 @@ def test_kmeans_ivf_recall(spark, sf_dir):
 
     fast = kmeans_ivf_topk(emb, queries, k=10, nprobe=3, ncells=8, iters=2, exact=False)
     assert fast.count() == 50
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    """sample_frames fans one row out to every stride-th frame with the
+    cap applied; frames re-concatenate to a prefix of the source text."""
+    from polars_readstat_rs_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    frames = sample_frames(attach_payload(docs, "video"), frame_chars=10, stride=1, max_frames=4)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame))
+        assert r.frame_len == len(r.frame) <= 10
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(got) == {d for d, t in texts.items() if t}
+    for doc_id, fr in got.items():
+        fr.sort()
+        assert [i for i, _ in fr] == list(range(len(fr))) and len(fr) <= 4
+        assert "".join(f for _, f in fr) == texts[doc_id][: len(fr) * 10]
