@@ -22,19 +22,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries whose operator family is independently proven by an earlier
 # entry (filter/project by q01+r02, broadcast semi by q04, distinct by
-# q10, running frame by q11/q24, cube by q14+q16, string exprs by
-# t01-t04, sessionization by q34, simhash by d05). Listed LAST so that
-# if the correctness driver records only the first N entries, every
-# distinct operator family still gets a recorded row.
+# q10, running frame by q11/q24, rollup/cube by q16 grouping sets,
+# string exprs by t01-t04, sessionization by q34 batch + s01 streaming,
+# simhash by d05, label-pivot IVF by v04 k-means IVF). Listed LAST so
+# that if the correctness driver records only the first N entries,
+# every distinct operator family still gets a recorded row.
 _COVERAGE_DUPES = [
     "q02_filter_project",
     "q08_semi_join_broadcast",
     "q09_distinct",
     "q12_window_running",
+    "q14_rollup",
     "q15_cube",
     "q18_string_funcs",
     "q23_sessionization",
     "d04_simhash",
+    "v03_ivf_topk",
+    "s02_stream_sessions",
 ]
 
 
