@@ -227,7 +227,18 @@ def kmeans_cells(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    cents = (
+    spark = corpus.sparkSession
+
+    def _materialize(cdf: DataFrame) -> DataFrame:
+        # the centroid model is ncells x dim doubles — a bounded model
+        # parameter, not data. Collecting it between iterations keeps
+        # each assignment plan flat (one corpus scan against literal
+        # centroids) instead of a recursively nested re-derivation;
+        # exact doubles roundtrip unchanged through the driver.
+        rows = sorted((int(r["cell"]), list(r["centroid"])) for r in cdf.collect())
+        return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+    cents = _materialize(
         vecs.orderBy("vec_id")
         .limit(ncells)
         .select(
@@ -267,6 +278,7 @@ def kmeans_cells(
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
                 .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
             )
+        cents = _materialize(cents)
     return _assign_cells(vecs, cents), cents
 
 
