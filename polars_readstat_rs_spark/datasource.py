@@ -177,32 +177,44 @@ class ReadstatDataSource(DataSource):
         return _ReadstatReader(self.options, self._fmt(), self._columns(), self._read_opts())
 
     def writer(self, schema, overwrite: bool):
-        """df.write.format("readstat").save(path): distributed encode.
+        """df.write.format("readstat").save(path): distributed encode
+        (.dta and .sav).
 
         Each task vectorized-encodes its partition's Arrow batches to
-        Stata fixed-width record *sections* in a staging dir beside the
+        fixed-width record *sections* in a staging dir beside the
         output path (shared filesystem on a real cluster); commit() on
         the driver streams the sections into the final file — header +
-        dictionary + re-strided record blobs + GSO heap + value labels —
+        dictionary + re-strided record blobs (+ GSO heap for Stata) —
         one section at a time, never materializing rows (the reference's
         streaming-batch write mode, src/stata/writer.rs:244-380, without
         needing the row count upfront). option("staging_dir", ...)
         overrides the staging location.
         """
-        if self._fmt() != "stata":
-            raise ValueError("distributed write currently supports .dta only; "
-                             "use api.write_sav / write_sas_package for the others")
         import json
 
+        fmt = self._fmt()
         value_labels = json.loads(self.options.get("value_labels", "{}"))
         variable_labels = json.loads(self.options.get("variable_labels", "{}"))
-        return _DtaWriter(
-            self.options["path"],
-            schema,
-            value_labels,
-            variable_labels,
-            staging_dir=self.options.get("staging_dir"),
-        )
+        if fmt == "stata":
+            return _DtaWriter(
+                self.options["path"],
+                schema,
+                value_labels,
+                variable_labels,
+                staging_dir=self.options.get("staging_dir"),
+            )
+        if fmt == "spss":
+            return _SavWriter(
+                self.options["path"],
+                schema,
+                value_labels,
+                variable_labels,
+                data_label=self.options.get("data_label", ""),
+                user_missing=json.loads(self.options.get("user_missing", "{}")),
+                staging_dir=self.options.get("staging_dir"),
+            )
+        raise ValueError("distributed write supports .dta and .sav; "
+                         "use api.write_sas_package for SAS (CSV + script, reference W3)")
 
 
 class _ReadstatReader(DataSourceReader):
@@ -480,6 +492,77 @@ class _DtaWriter(DataSourceArrowWriter):
             parts,
             value_labels=self.value_labels,
             variable_labels=self.variable_labels,
+        )
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _SavCommit(WriterCommitMessage):
+    def __init__(self, blob_path: str, sections: list):
+        self.blob_path = blob_path
+        self.sections = sections
+
+
+class _SavWriter(DataSourceArrowWriter):
+    """Distributed uncompressed .sav write, same two-phase shape as
+    _DtaWriter: executors encode record sections with local string
+    widths beside the output path; commit() decides the global layout
+    and streams a numpy re-stride per section (one section of driver
+    memory regardless of dataset size). Uncompressed output keeps the
+    file row-splittable on re-read."""
+
+    def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
+                 data_label: str = "", user_missing=None, staging_dir: str | None = None):
+        import uuid
+
+        self.path = path
+        self.schema = schema
+        self.value_labels = {
+            col: {float(k): v for k, v in m.items()} for col, m in (value_labels or {}).items()
+        }
+        self.variable_labels = variable_labels or {}
+        self.data_label = data_label
+        self.user_missing = {
+            col: [float(x) for x in xs] for col, xs in (user_missing or {}).items()
+        }
+        parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
+        self.stage_dir = os.path.join(
+            parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
+        )
+
+    def write(self, batches):
+        import uuid
+
+        from .formats.spss.writer import spill_sav_partition
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
+        sections = spill_sav_partition(batches, blob)
+        if not sections:
+            os.unlink(blob)
+            return _SavCommit("", [])
+        return _SavCommit(blob, sections)
+
+    def commit(self, messages):
+        import shutil
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .formats.spss.writer import assemble_sav
+
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_sav(
+            self.path,
+            to_arrow_schema(self.schema),
+            parts,
+            value_labels=self.value_labels,
+            variable_labels=self.variable_labels,
+            data_label=self.data_label,
+            user_missing=self.user_missing,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

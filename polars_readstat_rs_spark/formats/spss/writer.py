@@ -91,6 +91,107 @@ class _Col:
         self.data = v
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class SavSpec:
+    """Column layout for the dictionary — no data attached, so the same
+    builder serves the eager writer and the distributed commit."""
+
+    name: str
+    short: str
+    is_str: bool
+    string_len: int  # declared byte length (0 numeric)
+    width: int  # 8-byte units per row
+    fmt_code: int
+
+
+def _dictionary_bytes(
+    specs: list[SavSpec],
+    nobs: int,
+    value_labels: dict[str, dict[float, str]],
+    variable_labels: dict[str, str],
+    data_label: str,
+    user_missing: dict[str, list[float]],
+    endian: str,
+) -> bytes:
+    """176-byte header + full dictionary (type 2/3/4, subtypes 13/20,
+    999 terminator) for an uncompressed .sav."""
+    out = bytearray()
+    case_size = sum(c.width for c in specs)
+    hdr = bytearray(176)
+    hdr[0:4] = b"$FL2"
+    hdr[4:64] = b"@(#) SPSS DATA FILE polars_readstat_rs_spark".ljust(60)[:60]
+    struct.pack_into(endian + "i", hdr, 64, 2)  # layout code
+    struct.pack_into(endian + "i", hdr, 68, case_size)
+    struct.pack_into(endian + "i", hdr, 72, 0)  # compression: none
+    struct.pack_into(endian + "i", hdr, 76, 0)  # weight index
+    struct.pack_into(endian + "i", hdr, 80, nobs)
+    struct.pack_into(endian + "d", hdr, 84, 100.0)
+    hdr[92:101] = b"01 Jan 26"
+    hdr[101:109] = b"00:00:00"
+    lab = data_label.encode("utf-8")[:64]
+    hdr[109 : 109 + len(lab)] = lab
+    hdr[109 + len(lab) : 173] = b" " * (64 - len(lab))
+    hdr[173:176] = b"\0\0\0"
+    out += hdr
+
+    # ---- variable records (type 2) with continuations for wide strings
+    for c in specs:
+        vlabel = variable_labels.get(c.name, "").encode("utf-8")
+        typ = c.string_len if c.is_str else 0
+        miss = [] if c.is_str else list(user_missing.get(c.name, []))[:3]
+        out += struct.pack(endian + "i", 2)
+        out += struct.pack(endian + "iii", typ, 1 if vlabel else 0, len(miss))
+        if c.is_str:
+            print_fmt = (c.fmt_code << 16) | (min(c.string_len, 255) << 8)
+        else:
+            print_fmt = (c.fmt_code << 16) | (8 << 8) | 2
+        out += struct.pack(endian + "I", print_fmt)
+        out += struct.pack(endian + "I", print_fmt)
+        out += c.short.encode("ascii").ljust(8)[:8]
+        if vlabel:
+            out += struct.pack(endian + "I", len(vlabel))
+            pad = (len(vlabel) + 3) // 4 * 4
+            out += vlabel.ljust(pad, b"\0")
+        for m in miss:
+            out += struct.pack(endian + "d", float(m))
+        for _ in range(c.width - 1):  # string continuation records
+            out += struct.pack(endian + "i", 2)
+            out += struct.pack(endian + "iii", -1, 0, 0)
+            out += struct.pack(endian + "II", 0, 0)
+            out += b"        "
+
+    # ---- value labels (type 3 + 4), numeric keys only
+    offsets = {}
+    seg = 0
+    for c in specs:
+        offsets[c.name] = seg
+        seg += c.width
+    for c in specs:
+        mapping = value_labels.get(c.name)
+        if not mapping or c.is_str:
+            continue
+        out += struct.pack(endian + "iI", 3, len(mapping))
+        for k in sorted(mapping):
+            out += struct.pack(endian + "d", float(k))
+            lab = mapping[k].encode("utf-8")[:255]
+            out += bytes([len(lab)])
+            padded = (len(lab) + 8) // 8 * 8 - 1
+            out += lab.ljust(padded, b" ")
+        out += struct.pack(endian + "iII", 4, 1, offsets[c.name] + 1)
+
+    # ---- subtype 13: long variable names
+    entries = "\t".join(f"{c.short}={c.name}" for c in specs).encode("utf-8")
+    out += struct.pack(endian + "iiII", 7, 13, 1, len(entries)) + entries
+    # ---- subtype 20: encoding
+    out += struct.pack(endian + "iiII", 7, 20, 1, 5) + b"UTF-8"
+    # ---- dict termination
+    out += struct.pack(endian + "ii", 999, 0)
+    return bytes(out)
+
+
 def write_sav(
     table: pa.Table,
     path: str,
@@ -117,80 +218,18 @@ def write_sav(
     cols = [_Col(n, s, table.column(i)) for i, (n, s) in enumerate(zip(names, shorts))]
     nobs = table.num_rows
 
-    out = bytearray()
-    # ---- 176-byte header
-    case_size = sum(c.width for c in cols)
-    hdr = bytearray(176)
-    hdr[0:4] = b"$FL2"
-    hdr[4:64] = b"@(#) SPSS DATA FILE polars_readstat_rs_spark".ljust(60)[:60]
-    struct.pack_into(endian + "i", hdr, 64, 2)  # layout code
-    struct.pack_into(endian + "i", hdr, 68, case_size)
-    struct.pack_into(endian + "i", hdr, 72, 0)  # compression: none
-    struct.pack_into(endian + "i", hdr, 76, 0)  # weight index
-    struct.pack_into(endian + "i", hdr, 80, nobs)
-    struct.pack_into(endian + "d", hdr, 84, 100.0)
-    hdr[92:101] = b"01 Jan 26"
-    hdr[101:109] = b"00:00:00"
-    lab = data_label.encode("utf-8")[:64]
-    hdr[109 : 109 + len(lab)] = lab
-    hdr[109 + len(lab) : 173] = b" " * (64 - len(lab))
-    hdr[173:176] = b"\0\0\0"
-    out += hdr
-
-    # ---- variable records (type 2) with continuations for wide strings
-    for c, short in zip(cols, shorts):
-        vlabel = variable_labels.get(c.name, "").encode("utf-8")
-        typ = c.string_len if c.is_str else 0
-        miss = [] if c.is_str else list(user_missing.get(c.name, []))[:3]
-        out += struct.pack(endian + "i", 2)
-        out += struct.pack(endian + "iii", typ, 1 if vlabel else 0, len(miss))
-        if c.is_str:
-            print_fmt = (c.fmt_code << 16) | (min(c.string_len, 255) << 8)
-        else:
-            print_fmt = (c.fmt_code << 16) | (8 << 8) | 2
-        out += struct.pack(endian + "I", print_fmt)
-        out += struct.pack(endian + "I", print_fmt)
-        out += short.encode("ascii").ljust(8)[:8]
-        if vlabel:
-            out += struct.pack(endian + "I", len(vlabel))
-            pad = (len(vlabel) + 3) // 4 * 4
-            out += vlabel.ljust(pad, b"\0")
-        for m in miss:
-            out += struct.pack(endian + "d", float(m))
-        for _ in range(c.width - 1):  # string continuation records
-            out += struct.pack(endian + "i", 2)
-            out += struct.pack(endian + "iii", -1, 0, 0)
-            out += struct.pack(endian + "II", 0, 0)
-            out += b"        "
-
-    # ---- value labels (type 3 + 4), numeric keys only
-    offsets = {}
-    seg = 0
-    for c in cols:
-        offsets[c.name] = seg
-        seg += c.width
-    for c in cols:
-        mapping = value_labels.get(c.name)
-        if not mapping or c.is_str:
-            continue
-        out += struct.pack(endian + "iI", 3, len(mapping))
-        for k in sorted(mapping):
-            out += struct.pack(endian + "d", float(k))
-            lab = mapping[k].encode("utf-8")[:255]
-            out += bytes([len(lab)])
-            padded = (len(lab) + 8) // 8 * 8 - 1
-            out += lab.ljust(padded, b" ")
-        out += struct.pack(endian + "iII", 4, 1, offsets[c.name] + 1)
-
-    # ---- subtype 13: long variable names
-    entries = "\t".join(f"{s}={n}" for s, n in zip(shorts, names)).encode("utf-8")
-    out += struct.pack(endian + "iiII", 7, 13, 1, len(entries)) + entries
-    # ---- subtype 20: encoding
-    out += struct.pack(endian + "iiII", 7, 20, 1, 5) + b"UTF-8"
-    # ---- dict termination
-    out += struct.pack(endian + "ii", 999, 0)
+    specs = [
+        SavSpec(c.name, s, c.is_str, c.string_len, c.width, c.fmt_code)
+        for c, s in zip(cols, shorts)
+    ]
+    out = bytearray(
+        _dictionary_bytes(
+            specs, nobs, value_labels, variable_labels, data_label, user_missing, endian
+        )
+    )
 
     # ---- data (uncompressed, fixed 8-byte segments)
+    case_size = sum(c.width for c in cols)
     dt = np.dtype(
         {
             "names": [f"f{i}" for i in range(len(cols))],
@@ -206,3 +245,144 @@ def write_sav(
 
     with open(path, "wb") as f:
         f.write(out)
+
+
+# ------------------------------------------------- distributed write path
+#
+# Executor side encodes each Arrow batch to a record section using LOCAL
+# string widths (the global width is unknowable inside one task); the
+# driver's assemble step decides global widths from the section metadata
+# and numpy-re-strides each section into the final layout — one section
+# in memory at a time, so dataset size never touches driver memory.
+# Mirrors the .dta distributed writer's two-phase design.
+
+def encode_sav_section(batch) -> tuple[bytes, dict]:
+    """One Arrow batch -> (record bytes in local layout, section meta)."""
+    names = batch.schema.names
+    cols = [_Col(n, n.upper()[:8] or f"V{i}", batch.column(i)) for i, (n) in enumerate(names)]
+    n = batch.num_rows
+    case_size = sum(c.width for c in cols)
+    dt = np.dtype(
+        {
+            "names": [f"f{i}" for i in range(len(cols))],
+            "formats": ["<f8" if not c.is_str else f"S{c.width * 8}" for c in cols],
+            "offsets": np.cumsum([0] + [c.width * 8 for c in cols[:-1]]).tolist(),
+            "itemsize": case_size * 8,
+        }
+    )
+    rec = np.zeros(n, dtype=dt)
+    for i, c in enumerate(cols):
+        rec[f"f{i}"] = c.data
+    meta = {
+        "nrows": n,
+        "cols": [
+            {
+                "name": c.name,
+                "is_str": c.is_str,
+                "string_len": c.string_len,
+                "width": c.width,
+                "fmt_code": c.fmt_code,
+            }
+            for c in cols
+        ],
+    }
+    return rec.tobytes(), meta
+
+
+def spill_sav_partition(batches, blob_path: str) -> list[dict]:
+    """Executor side: append each batch's section to the blob; the meta
+    list travels back through the WriterCommitMessage."""
+    sections: list[dict] = []
+    with open(blob_path, "wb") as f:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            rec_bytes, meta = encode_sav_section(batch)
+            meta["rec_off"] = f.tell()
+            meta["rec_len"] = len(rec_bytes)
+            f.write(rec_bytes)
+            sections.append(meta)
+    return sections
+
+
+def assemble_sav(
+    path: str,
+    schema: pa.Schema,
+    parts: list[tuple[str, list[dict]]],
+    value_labels: dict[str, dict[float, str]] | None = None,
+    variable_labels: dict[str, str] | None = None,
+    data_label: str = "",
+    user_missing: dict[str, list[float]] | None = None,
+) -> None:
+    """Driver side: global layout from section metadata, then stream
+    every section through a numpy re-stride into the final file."""
+    value_labels = value_labels or {}
+    variable_labels = variable_labels or {}
+    user_missing = user_missing or {}
+    all_secs = [s for _, secs in parts for s in secs]
+    nobs = sum(s["nrows"] for s in all_secs)
+    names = [f.name for f in schema]
+    shorts = _short_names(names)
+    specs: list[SavSpec] = []
+    for i, f in enumerate(schema):
+        t = f.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            sl = max((s["cols"][i]["string_len"] for s in all_secs), default=1)
+            sl = max(sl, 1)
+            specs.append(SavSpec(f.name, shorts[i], True, sl, (sl + 7) // 8, 1))
+        else:
+            fmt = 20 if pa.types.is_date32(t) else 22 if pa.types.is_timestamp(t) else 5
+            specs.append(SavSpec(f.name, shorts[i], False, 0, 1, fmt))
+
+    g_dt = np.dtype(
+        {
+            "names": [f"f{i}" for i in range(len(specs))],
+            "formats": ["<f8" if not c.is_str else f"S{c.width * 8}" for c in specs],
+            "offsets": np.cumsum([0] + [c.width * 8 for c in specs[:-1]]).tolist(),
+            "itemsize": sum(c.width for c in specs) * 8,
+        }
+    )
+    with open(path, "wb") as out:
+        out.write(
+            _dictionary_bytes(
+                specs, nobs, value_labels, variable_labels, data_label, user_missing, "<"
+            )
+        )
+        for blob_path, secs in parts:
+            if not secs:
+                continue
+            with open(blob_path, "rb") as blob:
+                for sec in secs:
+                    blob.seek(sec["rec_off"])
+                    raw = blob.read(sec["rec_len"])
+                    n = sec["nrows"]
+                    l_dt = np.dtype(
+                        {
+                            "names": [f"f{i}" for i in range(len(sec["cols"]))],
+                            "formats": [
+                                "<f8" if not c["is_str"] else f"S{c['width'] * 8}"
+                                for c in sec["cols"]
+                            ],
+                            "offsets": np.cumsum(
+                                [0] + [c["width"] * 8 for c in sec["cols"][:-1]]
+                            ).tolist(),
+                            "itemsize": sum(c["width"] for c in sec["cols"]) * 8,
+                        }
+                    )
+                    local = np.frombuffer(raw, dtype=l_dt, count=n)
+                    if l_dt == g_dt:
+                        out.write(raw)
+                        continue
+                    rec = np.zeros(n, dtype=g_dt)
+                    for i, spec in enumerate(specs):
+                        fld = f"f{i}"
+                        if not spec.is_str:
+                            rec[fld] = local[fld]
+                            continue
+                        gw = spec.width * 8
+                        lw = sec["cols"][i]["width"] * 8
+                        src = local[fld].view(np.uint8).reshape(n, lw)
+                        dst = np.full((n, gw), 0x20, np.uint8)  # space padding
+                        dst[:, :lw] = src
+                        rec[fld] = np.ascontiguousarray(dst).view(f"S{gw}").reshape(n)
+                    out.write(rec.tobytes())

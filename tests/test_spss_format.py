@@ -261,3 +261,45 @@ def test_sav_rle_checkpoint_partitions(tmp_path):
                 parser.read_rle_partition(p, s, c, None, parser.ReadOptions(), 500, anchor, skip, ub)
             )
         assert pa.Table.from_batches(parts, schema=whole.schema).equals(whole), p
+
+
+def test_distributed_sav_write(spark, tmp_path):
+    """df.write.format("readstat").save(x.sav): executors spill local-
+    width sections, commit re-strides to the global layout; the file
+    reads back splittable with labels and user-missing intact."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 5000, 1, 8)  # 8 partitions -> 8 spill blobs
+        .select(
+            F.col("id").cast("double").alias("x"),
+            F.concat(F.lit("name_"), (F.col("id") % 97).cast("string")).alias("s"),
+            (F.col("id") % 3 + 1).cast("double").alias("grade"),
+        )
+    )
+    p = str(tmp_path / "dist.sav")
+    (
+        df.write.format("readstat")
+        .mode("overwrite")
+        .option("value_labels", json.dumps({"grade": {"1": "low", "2": "mid", "3": "high"}}))
+        .option("variable_labels", json.dumps({"x": "the x"}))
+        .option("user_missing", json.dumps({"x": [-9.0]}))
+        .save(p)
+    )
+    t = parser.read_table(p)
+    assert t.num_rows == 5000 and t.column_names == ["x", "s", "grade"]
+    xs = t.column("x").to_pylist()
+    assert sorted(xs) == [float(i) for i in range(5000)]
+    by_x = dict(zip(xs, t.column("s").to_pylist()))
+    assert by_x[123.0] == "name_" + str(123 % 97)
+    grades = dict(zip(xs, t.column("grade").to_pylist()))
+    assert grades[4.0] == "mid"  # 4 % 3 + 1 = 2 -> labeled
+    meta = parser.read_metadata(p)
+    assert meta.compression == 0  # splittable re-read
+    (xv,) = [v for v in meta.variables if v.name == "x"]
+    assert xv.label == "the x" and xv.missing_doubles == [-9.0]
+    # splittable: forced multi-partition read equals single
+    got = spark.read.format("readstat").option("partitions", "4").load(p)
+    assert got.rdd.getNumPartitions() == 4 and got.count() == 5000
