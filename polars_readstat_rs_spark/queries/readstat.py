@@ -236,3 +236,49 @@ def r03_dta_metadata_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md.groupBy().agg(
         F.max("nvar").alias("nvar"), F.max("nobs").alias("nobs")
     )
+
+
+@register(
+    "r08_distributed_write_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r08_distributed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-side section encoding end to end for BOTH distributed
+    writers: the slice goes out through df.write.format("readstat") as
+    .dta AND .sav (multi-partition, so commit() exercises the global
+    re-stride), and both files must agree with the parquet oracle."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)  # the write runs before any readstat_scan
+    tag = sf_dir.strip("/").replace("/", "_")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < _FILTER_KEY)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(4)
+    )
+    paths = {}
+    for ext in ("dta", "sav"):
+        p = os.path.join(tempfile.gettempdir(), f"readstat_dist_{tag}.{ext}")
+        li.write.format("readstat").mode("overwrite").save(p)
+        paths[ext] = p
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
+        )
+
+    a = agg(readstat_scan(spark, paths["dta"]))
+    b = agg(readstat_scan(spark, paths["sav"]))
+    # both writers must produce identical aggregates: intersect then
+    # compare against the oracle (row-count mismatch -> gate failure)
+    return a.intersect(b)
