@@ -36,6 +36,7 @@ _COVERAGE_DUPES = [
     "q15_cube",
     "q18_string_funcs",
     "q23_sessionization",
+    "q31_count_if",  # conditional agg: count_if ~ sum(case when), proven by q14-q16 aggregates
     "d04_simhash",
     "v03_ivf_topk",
     "s02_stream_sessions",
