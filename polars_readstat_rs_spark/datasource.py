@@ -88,6 +88,34 @@ def _true(opt: str | None, default: bool = True) -> bool:
     return str(opt).lower() in ("1", "true", "yes")
 
 
+_EXTS = ("dta", "sav", "zsav", "sas7bdat", "sas7bcat")
+
+
+def expand_paths(path: str) -> list[str]:
+    """A path option may be one file, a glob, or a directory (the
+    multi-file scale-out path: a corpus of stat files reads as ONE
+    DataFrame, partitioned per file and within files). Returns sorted
+    concrete files; single non-glob files pass through unchecked so a
+    missing file still raises the format's own open error."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        out = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.rsplit(".", 1)[-1].lower() in _EXTS
+        ]
+        if not out:
+            raise ValueError(f"directory {path!r} contains no readstat files")
+        return sorted(out)
+    if any(c in path for c in "*?["):
+        out = sorted(_glob.glob(path))
+        if not out:
+            raise ValueError(f"glob {path!r} matched no files")
+        return out
+    return [path]
+
+
 class ReadstatDataSource(DataSource):
     """format("readstat") — dispatches on file extension."""
 
@@ -100,6 +128,8 @@ class ReadstatDataSource(DataSource):
         fmt = self.options.get("format")
         if fmt:
             return fmt.lower()
+        if os.path.isdir(path) or any(c in path for c in "*?["):
+            path = expand_paths(path)[0]
         ext = os.path.splitext(path)[1].lower().lstrip(".")
         if ext in ("dta",):
             return "stata"
@@ -141,7 +171,7 @@ class ReadstatDataSource(DataSource):
 
     def schema(self):
         fmt = self._fmt()
-        path = self.options["path"]
+        path = expand_paths(self.options["path"])[0]
         if fmt == "stata":
             meta = stata_parser.read_metadata(path)
             return from_arrow_schema(
@@ -293,13 +323,55 @@ class _ReadstatReader(DataSourceReader):
         return batch.filter(mask) if mask is not None else batch
 
     def partitions(self):
+        paths = expand_paths(self.path)
+        if len(paths) == 1:
+            return self._file_partitions(paths[0])
+        # multi-file scan: per-file partition plans concatenate; row
+        # slicing across a concatenated corpus is ambiguous, so offset/
+        # limit stay single-file-only (Catalyst's own limit still applies
+        # post-scan)
+        if self.offset != 0 or self.limit >= 0:
+            raise ValueError("offset/limit options require a single input file")
+        first_schema = None
+        out = []
+        for p in paths:
+            if first_schema is None:
+                first_schema = self._arrow_schema_of(p)
+            else:
+                s = self._arrow_schema_of(p)
+                if s != first_schema:
+                    raise ValueError(
+                        f"schema mismatch in multi-file scan: {p!r} has {s} "
+                        f"!= {paths[0]!r} {first_schema}"
+                    )
+            out.extend(self._file_partitions(p))
+        return out
+
+    def _arrow_schema_of(self, path: str):
         if self.fmt == "stata":
-            meta = stata_parser.read_metadata(self.path)
+            return stata_parser.arrow_schema(stata_parser.read_metadata(path), self.opts, self.columns)
+        if self.fmt == "spss":
+            from .formats.spss import parser as spss_parser
+
+            return spss_parser.arrow_schema(spss_parser.read_metadata(path), self.opts, self.columns)
+        from .formats.sas import parser as sas_parser
+
+        return sas_parser.arrow_schema(
+            sas_parser.read_metadata(path),
+            self.columns,
+            row_index=self.opts.row_index,
+            informative_nulls=self.opts.informative_nulls,
+            informative_null_columns=self.opts.informative_null_columns,
+        )
+
+    def _file_partitions(self, path: str):
+        if self.fmt == "stata":
+            meta = stata_parser.read_metadata(path)
             nobs, rec = meta.nobs, max(1, meta.record_len)
         elif self.fmt == "spss":
             from .formats.spss import parser as spss_parser
 
-            meta = spss_parser.read_metadata(self.path)
+            meta = spss_parser.read_metadata(path)
             if not spss_parser.splittable(meta):
                 # compressed (.sav RLE / .zsav): one planning pass records
                 # RLE command-group recovery points, then executors decode
@@ -308,19 +380,19 @@ class _ReadstatReader(DataSourceReader):
                 # (src/spss/data.rs:1687-1761)
                 start, count = self._slice(meta.row_count)
                 plan = spss_parser.rle_partition_plan(
-                    self.path, meta, start, count, self.n_partitions, TARGET_PARTITION_BYTES
+                    path, meta, start, count, self.n_partitions, TARGET_PARTITION_BYTES
                 )
                 if plan:
                     return [
-                        _RlePartition(self.path, s, c, anchor, skip, ub)
+                        _RlePartition(path, s, c, anchor, skip, ub)
                         for s, c, anchor, skip, ub in plan
                     ]
-                return [_RowRange(self.path, start, count)]
+                return [_RowRange(path, start, count)]
             nobs, rec = meta.row_count, max(1, meta.record_len)
         elif self.fmt == "sas":
             from .formats.sas import parser as sas_parser
 
-            meta = sas_parser.read_metadata(self.path)
+            meta = sas_parser.read_metadata(path)
             if meta.compression:
                 # RLE/RDC rows are independent subheaders -> page-parallel
                 # (improvement over the reference's sequential-only path),
@@ -333,11 +405,11 @@ class _ReadstatReader(DataSourceReader):
                     n = min(n, meta.page_count)
                     per = (meta.page_count + n - 1) // n
                     return [
-                        _PageRange(self.path, lo, min(lo + per, meta.page_count))
+                        _PageRange(path, lo, min(lo + per, meta.page_count))
                         for lo in range(0, meta.page_count, per)
                     ]
                 start, count = self._slice(meta.row_count)
-                return [_RowRange(self.path, start, count)]
+                return [_RowRange(path, start, count)]
             nobs, rec = meta.row_count, max(1, meta.row_length)
         else:
             raise ValueError(self.fmt)
@@ -352,9 +424,9 @@ class _ReadstatReader(DataSourceReader):
         pos = start
         while pos < start + count:
             take = min(per, start + count - pos)
-            out.append(_RowRange(self.path, pos, take))
+            out.append(_RowRange(path, pos, take))
             pos += take
-        return out or [_RowRange(self.path, start, 0)]
+        return out or [_RowRange(path, start, 0)]
 
     def _slice(self, nobs: int) -> tuple[int, int]:
         start = min(self.offset, nobs)

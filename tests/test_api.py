@@ -325,3 +325,39 @@ def test_write_dta_compress_narrows(spark, tmp_path):
     assert rt.column("flag").to_pylist() == [1, 0]
     assert rt.column("small").to_pylist() == [250, -3]
     assert rt.column("frac").to_pylist() == [1.5, 2.25]
+
+
+def test_multifile_scan(spark, tmp_path):
+    """A glob or directory of same-schema files reads as one DataFrame,
+    partitioned per file; mismatched schemas are rejected."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.stata import writer as sw
+
+    for i in range(3):
+        t = pa.table({"k": pa.array([i * 10 + j for j in range(5)], type=pa.int32()),
+                      "s": pa.array([f"f{i}_{j}" for j in range(5)])})
+        sw.write_dta(t, str(tmp_path / f"part{i}.dta"))
+
+    df = spark.read.format("readstat").load(str(tmp_path / "*.dta"))
+    assert df.count() == 15
+    assert sorted(r.k for r in df.select("k").collect()) == sorted(
+        i * 10 + j for i in range(3) for j in range(5)
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per file
+
+    # directory form
+    ddf = spark.read.format("readstat").load(str(tmp_path))
+    assert ddf.count() == 15
+
+    # offset/limit are single-file-only
+    import pytest
+
+    with pytest.raises(Exception, match="single input file"):
+        spark.read.format("readstat").option("limit", "5").load(str(tmp_path / "*.dta")).count()
+
+    # schema mismatch rejected
+    bad = pa.table({"other": pa.array([1.0])})
+    sw.write_dta(bad, str(tmp_path / "zbad.dta"))
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.read.format("readstat").load(str(tmp_path / "*.dta")).count()
