@@ -879,18 +879,19 @@ def _decode_column(col, v: Variable, meta: SpssMetadata, opts: ReadOptions) -> p
 
 
 def _decode_strings(u8: np.ndarray, encoding: str) -> list[str]:
-    """Vectorized-ish decode: drop NULs, trim trailing spaces per row."""
+    """Decode with the reference's data-string trim: strip only the
+    trailing run of spaces/NULs (src/spss/data.rs:840-843) — leading
+    whitespace and interior control characters are significant."""
     n = len(u8)
     blob = u8.tobytes()
     w = u8.shape[1] if n else 0
     out = []
     for i in range(n):
-        chunk = blob[i * w : (i + 1) * w].replace(b"\0", b"")
-        chunk = chunk.rstrip(b" ")
+        chunk = blob[i * w : (i + 1) * w].rstrip(b" \0")
         try:
-            out.append(chunk.decode(encoding).strip())
+            out.append(chunk.decode(encoding))
         except (UnicodeDecodeError, LookupError):
-            out.append(chunk.decode("latin-1").strip())
+            out.append(chunk.decode("latin-1"))
     return out
 
 
