@@ -79,6 +79,10 @@ def main():
             traceback.print_exc()
             n_fail += 1
             continue
+        finally:
+            # free persisted intermediates so 60+ queries in one session
+            # don't accumulate executor storage
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             continue
