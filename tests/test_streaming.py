@@ -88,3 +88,31 @@ def test_stateful_sessionization(spark, sf_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming exact dedup: planted duplicate events collapse to the
+    batch-distinct set while state stays watermark-bounded."""
+    from polars_readstat_rs_spark.streaming.dedup import dedup_stream
+    from polars_readstat_rs_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    # event_type+user_id collide heavily -> real dedup work
+    deduped = dedup_stream(stream, ["user_id", "event_type"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_dedup").count()
+    ev = load_table(spark, sf_dir, "events")
+    distinct = ev.select("user_id", "event_type").distinct().count()
+    # every distinct key appears at least once; duplicates inside the
+    # watermark window are dropped, so counts sit between distinct and
+    # total (late re-arrivals past the watermark may legitimately reappear)
+    assert distinct <= got < ev.count()
