@@ -200,6 +200,7 @@ def write_sav(
     data_label: str = "",
     user_missing: dict[str, list[float]] | None = None,
     endian: str = "<",
+    compress: bool = False,
 ) -> None:
     """``user_missing``: up to 3 discrete user-declared missing doubles
     per numeric column (reference W2 / F3 fixture semantics).
@@ -241,7 +242,14 @@ def write_sav(
     rec = np.zeros(nobs, dtype=dt)
     for i, c in enumerate(cols):
         rec[f"f{i}"] = c.data
-    out += rec.tobytes()
+    if compress:
+        if endian != "<":
+            raise ValueError("compress=True supports little-endian output only")
+        struct.pack_into("<i", out, 72, 1)  # header: bytecode RLE
+        units, codes = _unit_codes(rec, [(c.is_str, c.width) for c in cols])
+        out += _rle_encode(units, codes)
+    else:
+        out += rec.tobytes()
 
     with open(path, "wb") as f:
         f.write(out)
@@ -386,3 +394,61 @@ def assemble_sav(
                         dst[:, :lw] = src
                         rec[fld] = np.ascontiguousarray(dst).view(f"S{gw}").reshape(n)
                     out.write(rec.tobytes())
+
+
+# --------------------------------------------------- RLE-compressed output
+#
+# The reference writer emits uncompressed only; SPSS's bytecode RLE
+# (code = value+bias for small integral doubles, 254 all-spaces, 255
+# sysmiss, 253 literal) typically shrinks files 4-8x. Our reader splits
+# compressed files via checkpoint recovery, so compress=True costs no
+# read parallelism — both reference limitations avoided at once.
+
+def _unit_codes(rec: np.ndarray, col_infos: list[tuple[bool, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """(units (N,8) uint8, codes (N,) uint8) for a structured record
+    array — 253 marks literal units, anything else is a final code."""
+    n = len(rec)
+    case = sum(w for _, w in col_infos)
+    units = np.frombuffer(rec.tobytes(), np.uint8).reshape(n * case, 8)
+    codes = np.full((n, case), 253, np.uint8)
+    seg = 0
+    for i, (is_str, w) in enumerate(col_infos):
+        f = np.ascontiguousarray(rec[f"f{i}"])
+        if is_str:
+            u = f.view(np.uint8).reshape(n, w, 8)
+            codes[:, seg : seg + w] = np.where((u == 0x20).all(axis=2), 254, 253)
+        else:
+            v = f.view(np.float64)
+            bits = f.view(np.uint64)
+            c = v + 100.0
+            with np.errstate(invalid="ignore"):
+                ok = np.isfinite(v) & (v == np.floor(v)) & (c >= 1.0) & (c <= 251.0)
+            col = np.full(n, 253, np.uint8)
+            col[ok] = c[ok].astype(np.uint8)
+            col[bits == SAV_MISSING] = 255
+            codes[:, seg] = col
+        seg += w
+    return units, codes.ravel()
+
+
+def _rle_encode(units: np.ndarray, codes: np.ndarray) -> bytes:
+    """Assemble the bytecode stream fully vectorized: control groups of
+    8 codes followed by their literal payloads, EOF 252, zero padding."""
+    codes_p = np.concatenate([codes, np.array([252], np.uint8)])
+    pad = (-len(codes_p)) % 8
+    if pad:
+        codes_p = np.concatenate([codes_p, np.zeros(pad, np.uint8)])
+    ctrl = codes_p.reshape(-1, 8)
+    lit_per_group = (ctrl == 253).sum(axis=1)
+    group_bytes = 8 + 8 * lit_per_group
+    out_off = np.concatenate([[0], np.cumsum(group_bytes)])
+    out = np.zeros(int(out_off[-1]), np.uint8)
+    out[(out_off[:-1, None] + np.arange(8)[None, :]).ravel()] = ctrl.ravel()
+    lit_idx = np.nonzero(codes == 253)[0]  # original codes only: 252/pad add no literals
+    if len(lit_idx):
+        g = lit_idx // 8
+        first = np.concatenate([[0], np.cumsum(lit_per_group)])[g]
+        rank = np.arange(len(lit_idx)) - first
+        dest = out_off[g] + 8 + 8 * rank
+        out[(dest[:, None] + np.arange(8)[None, :]).ravel()] = units[lit_idx].ravel()
+    return out.tobytes()

@@ -303,3 +303,47 @@ def test_distributed_sav_write(spark, tmp_path):
     # splittable: forced multi-partition read equals single
     got = spark.read.format("readstat").option("partitions", "4").load(p)
     assert got.rdd.getNumPartitions() == 4 and got.count() == 5000
+
+
+def test_compressed_sav_write_roundtrip(tmp_path):
+    """compress=True writes bytecode RLE (beyond the reference writer):
+    values roundtrip exactly, the file shrinks, and the compressed file
+    still reads multi-partition via checkpoint recovery."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    t = pa.table(
+        {
+            "small": pa.array(rng.integers(-50, 150, n).astype(float)),  # value codes
+            "big": pa.array(rng.normal(scale=1e6, size=n)),  # literals
+            "mixed": pa.array(
+                [None if i % 9 == 0 else float(i % 300) for i in range(n)]
+            ),  # sysmiss + codes + literals
+            "s": pa.array(["  " if i % 5 == 0 else f"t{i % 40}" for i in range(n)]),
+        }
+    )
+    pc = str(tmp_path / "c.sav")
+    pu = str(tmp_path / "u.sav")
+    writer.write_sav(t, pc, compress=True)
+    writer.write_sav(t, pu)
+    import os
+
+    assert os.path.getsize(pc) < os.path.getsize(pu) * 0.75  # actually compressed
+    mc = parser.read_metadata(pc)
+    assert mc.compression == 1
+    tc = parser.read_table(pc)
+    tu = parser.read_table(pu)
+    assert tc.equals(tu)
+    assert tc.column("small").to_pylist() == t.column("small").to_pylist()
+    assert tc.column("big").to_pylist() == t.column("big").to_pylist()
+    got_mixed = tc.column("mixed").to_pylist()
+    assert got_mixed == t.column("mixed").to_pylist()
+
+    # checkpoint-parallel read of our own compressed output
+    plan = parser.rle_partition_plan(pc, mc, 0, mc.row_count, 4, 1 << 40)
+    assert plan is not None
+    parts = []
+    for (s, c, anchor, skip, ub) in plan:
+        parts += list(
+            parser.read_rle_partition(pc, s, c, None, parser.ReadOptions(), 500, anchor, skip, ub)
+        )
+    assert pa.Table.from_batches(parts, schema=tc.schema).equals(tc)
