@@ -242,6 +242,7 @@ class ReadstatDataSource(DataSource):
                 data_label=self.options.get("data_label", ""),
                 user_missing=json.loads(self.options.get("user_missing", "{}")),
                 staging_dir=self.options.get("staging_dir"),
+                compress=_true(self.options.get("compress"), default=False),
             )
         raise ValueError("distributed write supports .dta and .sav; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
@@ -588,7 +589,8 @@ class _SavWriter(DataSourceArrowWriter):
     file row-splittable on re-read."""
 
     def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
-                 data_label: str = "", user_missing=None, staging_dir: str | None = None):
+                 data_label: str = "", user_missing=None, staging_dir: str | None = None,
+                 compress: bool = False):
         import uuid
 
         self.path = path
@@ -601,6 +603,7 @@ class _SavWriter(DataSourceArrowWriter):
         self.user_missing = {
             col: [float(x) for x in xs] for col, xs in (user_missing or {}).items()
         }
+        self.compress = compress
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
         self.stage_dir = os.path.join(
             parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
@@ -635,6 +638,7 @@ class _SavWriter(DataSourceArrowWriter):
             variable_labels=self.variable_labels,
             data_label=self.data_label,
             user_missing=self.user_missing,
+            compress=self.compress,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -321,6 +321,7 @@ def assemble_sav(
     variable_labels: dict[str, str] | None = None,
     data_label: str = "",
     user_missing: dict[str, list[float]] | None = None,
+    compress: bool = False,
 ) -> None:
     """Driver side: global layout from section metadata, then stream
     every section through a numpy re-stride into the final file."""
@@ -350,12 +351,16 @@ def assemble_sav(
             "itemsize": sum(c.width for c in specs) * 8,
         }
     )
+    col_infos = [(c.is_str, c.width) for c in specs]
     with open(path, "wb") as out:
-        out.write(
+        header = bytearray(
             _dictionary_bytes(
                 specs, nobs, value_labels, variable_labels, data_label, user_missing, "<"
             )
         )
+        if compress:
+            struct.pack_into("<i", header, 72, 1)  # bytecode RLE
+        out.write(header)
         for blob_path, secs in parts:
             if not secs:
                 continue
@@ -379,21 +384,27 @@ def assemble_sav(
                     )
                     local = np.frombuffer(raw, dtype=l_dt, count=n)
                     if l_dt == g_dt:
-                        out.write(raw)
-                        continue
-                    rec = np.zeros(n, dtype=g_dt)
-                    for i, spec in enumerate(specs):
-                        fld = f"f{i}"
-                        if not spec.is_str:
-                            rec[fld] = local[fld]
-                            continue
-                        gw = spec.width * 8
-                        lw = sec["cols"][i]["width"] * 8
-                        src = local[fld].view(np.uint8).reshape(n, lw)
-                        dst = np.full((n, gw), 0x20, np.uint8)  # space padding
-                        dst[:, :lw] = src
-                        rec[fld] = np.ascontiguousarray(dst).view(f"S{gw}").reshape(n)
-                    out.write(rec.tobytes())
+                        rec = local
+                    else:
+                        rec = np.zeros(n, dtype=g_dt)
+                        for i, spec in enumerate(specs):
+                            fld = f"f{i}"
+                            if not spec.is_str:
+                                rec[fld] = local[fld]
+                                continue
+                            gw = spec.width * 8
+                            lw = sec["cols"][i]["width"] * 8
+                            src = local[fld].view(np.uint8).reshape(n, lw)
+                            dst = np.full((n, gw), 0x20, np.uint8)  # space padding
+                            dst[:, :lw] = src
+                            rec[fld] = np.ascontiguousarray(dst).view(f"S{gw}").reshape(n)
+                    if compress:
+                        units, codes = _unit_codes(rec, col_infos)
+                        out.write(_rle_encode(units, codes, final=False))
+                    else:
+                        out.write(rec.tobytes())
+        if compress:
+            out.write(bytes([252]) + bytes(7))  # single EOF group
 
 
 # --------------------------------------------------- RLE-compressed output
@@ -431,10 +442,18 @@ def _unit_codes(rec: np.ndarray, col_infos: list[tuple[bool, int]]) -> tuple[np.
     return units, codes.ravel()
 
 
-def _rle_encode(units: np.ndarray, codes: np.ndarray) -> bytes:
+def _rle_encode(units: np.ndarray, codes: np.ndarray, final: bool = True) -> bytes:
     """Assemble the bytecode stream fully vectorized: control groups of
-    8 codes followed by their literal payloads, EOF 252, zero padding."""
-    codes_p = np.concatenate([codes, np.array([252], np.uint8)])
+    8 codes followed by their literal payloads, EOF 252, zero padding.
+
+    ``final=False`` omits the EOF marker and zero-pads to a group
+    boundary instead — such section streams concatenate into one valid
+    stream (code 0 is ignored padding), which is what lets the
+    distributed writer compress per section."""
+    if final:
+        codes_p = np.concatenate([codes, np.array([252], np.uint8)])
+    else:
+        codes_p = codes
     pad = (-len(codes_p)) % 8
     if pad:
         codes_p = np.concatenate([codes_p, np.zeros(pad, np.uint8)])

@@ -347,3 +347,25 @@ def test_compressed_sav_write_roundtrip(tmp_path):
             parser.read_rle_partition(pc, s, c, None, parser.ReadOptions(), 500, anchor, skip, ub)
         )
     assert pa.Table.from_batches(parts, schema=tc.schema).equals(tc)
+
+
+def test_distributed_compressed_sav_write(spark, tmp_path):
+    """option('compress','true') on the distributed writer: sections
+    RLE-encode independently (zero-padded to group boundaries, one EOF),
+    and the result reads back identical to the uncompressed write."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000, 1, 6).select(
+        (F.col("id") % 200).cast("double").alias("v"),  # mostly value codes
+        F.concat(F.lit("w"), (F.col("id") % 31).cast("string")).alias("s"),
+    )
+    pc = str(tmp_path / "c.sav")
+    pu = str(tmp_path / "u.sav")
+    df.write.format("readstat").mode("overwrite").option("compress", "true").save(pc)
+    df.write.format("readstat").mode("overwrite").save(pu)
+    import os
+
+    assert os.path.getsize(pc) < os.path.getsize(pu)
+    assert parser.read_metadata(pc).compression == 1
+    tc, tu = parser.read_table(pc), parser.read_table(pu)
+    assert tc.equals(tu) and tc.num_rows == 3000
