@@ -243,6 +243,7 @@ class ReadstatDataSource(DataSource):
                 user_missing=json.loads(self.options.get("user_missing", "{}")),
                 staging_dir=self.options.get("staging_dir"),
                 compress=_true(self.options.get("compress"), default=False),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         raise ValueError("distributed write supports .dta and .sav; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
@@ -590,7 +591,7 @@ class _SavWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
                  data_label: str = "", user_missing=None, staging_dir: str | None = None,
-                 compress: bool = False):
+                 compress: bool = False, string_widths=None):
         import uuid
 
         self.path = path
@@ -604,6 +605,11 @@ class _SavWriter(DataSourceArrowWriter):
             col: [float(x) for x in xs] for col, xs in (user_missing or {}).items()
         }
         self.compress = compress
+        # option("string_widths", '{"col": bytes}') — declaring every
+        # string column's width lets executors emit FINAL (and, with
+        # compress, RLE-compressed) sections; commit() then only
+        # concatenates blobs. All-numeric schemas get this for free.
+        self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
         self.stage_dir = os.path.join(
             parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
@@ -616,7 +622,9 @@ class _SavWriter(DataSourceArrowWriter):
 
         os.makedirs(self.stage_dir, exist_ok=True)
         blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
-        sections = spill_sav_partition(batches, blob)
+        sections = spill_sav_partition(
+            batches, blob, declared=self.string_widths, compress=self.compress
+        )
         if not sections:
             os.unlink(blob)
             return _SavCommit("", [])
@@ -639,6 +647,7 @@ class _SavWriter(DataSourceArrowWriter):
             data_label=self.data_label,
             user_missing=self.user_missing,
             compress=self.compress,
+            declared=self.string_widths,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

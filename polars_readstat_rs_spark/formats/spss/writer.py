@@ -45,7 +45,7 @@ def _short_names(names: list[str]) -> list[str]:
 
 
 class _Col:
-    def __init__(self, name: str, short: str, arr):
+    def __init__(self, name: str, short: str, arr, declared_len: int | None = None):
         self.name = name
         self.short = short
         self.arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
@@ -62,6 +62,13 @@ class _Col:
                     f"column {name}: string values over {_MAX_STR} bytes are not supported "
                     "by the .sav writer (reference limit)"
                 )
+            if declared_len is not None:
+                if w > declared_len:
+                    raise ValueError(
+                        f"column {name}: value of {w} bytes exceeds the declared "
+                        f"string_widths width {declared_len}"
+                    )
+                w = max(1, min(int(declared_len), _MAX_STR))
             self.is_str = True
             self.string_len = w
             self.width = (w + 7) // 8
@@ -264,10 +271,18 @@ def write_sav(
 # in memory at a time, so dataset size never touches driver memory.
 # Mirrors the .dta distributed writer's two-phase design.
 
-def encode_sav_section(batch) -> tuple[bytes, dict]:
-    """One Arrow batch -> (record bytes in local layout, section meta)."""
+def encode_sav_section(batch, declared: dict[str, int] | None = None) -> tuple[bytes, dict]:
+    """One Arrow batch -> (record bytes in local layout, section meta).
+
+    ``declared`` maps string column name -> fixed byte width; declared
+    columns encode at that width (error if a value exceeds it), which
+    makes the section's layout the *global* layout."""
+    declared = declared or {}
     names = batch.schema.names
-    cols = [_Col(n, n.upper()[:8] or f"V{i}", batch.column(i)) for i, (n) in enumerate(names)]
+    cols = [
+        _Col(n, n.upper()[:8] or f"V{i}", batch.column(i), declared_len=declared.get(n))
+        for i, (n) in enumerate(names)
+    ]
     n = batch.num_rows
     case_size = sum(c.width for c in cols)
     dt = np.dtype(
@@ -297,20 +312,57 @@ def encode_sav_section(batch) -> tuple[bytes, dict]:
     return rec.tobytes(), meta
 
 
-def spill_sav_partition(batches, blob_path: str) -> list[dict]:
+def spill_sav_partition(
+    batches,
+    blob_path: str,
+    declared: dict[str, int] | None = None,
+    compress: bool = False,
+) -> list[dict]:
     """Executor side: append each batch's section to the blob; the meta
-    list travels back through the WriterCommitMessage."""
+    list travels back through the WriterCommitMessage.
+
+    When the global layout is already known on the executor — the schema
+    has no string columns, or every string column's width is declared via
+    ``declared`` — sections are emitted in FINAL form (``final: True``),
+    and with ``compress`` they are RLE-compressed here too (``rle:
+    True``, group-aligned non-terminated streams that concatenate into
+    one valid bytecode stream). commit() then only concatenates blobs:
+    zero driver CPU per value, which is what survives a 1000-executor
+    write. Undeclared string widths fall back to local-layout sections
+    re-strided (and compressed) on the driver."""
+    declared = declared or {}
     sections: list[dict] = []
     with open(blob_path, "wb") as f:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            rec_bytes, meta = encode_sav_section(batch)
+            rec_bytes, meta = encode_sav_section(batch, declared=declared)
+            is_final = all(
+                (not c["is_str"]) or c["name"] in declared for c in meta["cols"]
+            )
+            if is_final and compress:
+                dt = _section_dtype(meta["cols"])
+                rec = np.frombuffer(rec_bytes, dtype=dt, count=meta["nrows"])
+                units, codes = _unit_codes(rec, [(c["is_str"], c["width"]) for c in meta["cols"]])
+                rec_bytes = _rle_encode(units, codes, final=False)
+                meta["rle"] = True
+            meta["final"] = is_final
             meta["rec_off"] = f.tell()
             meta["rec_len"] = len(rec_bytes)
             f.write(rec_bytes)
             sections.append(meta)
     return sections
+
+
+def _section_dtype(cols: list[dict]) -> np.dtype:
+    return np.dtype(
+        {
+            "names": [f"f{i}" for i in range(len(cols))],
+            "formats": ["<f8" if not c["is_str"] else f"S{c['width'] * 8}" for c in cols],
+            "offsets": np.cumsum([0] + [c["width"] * 8 for c in cols[:-1]]).tolist(),
+            "itemsize": sum(c["width"] for c in cols) * 8,
+        }
+    )
 
 
 def assemble_sav(
@@ -322,12 +374,17 @@ def assemble_sav(
     data_label: str = "",
     user_missing: dict[str, list[float]] | None = None,
     compress: bool = False,
+    declared: dict[str, int] | None = None,
 ) -> None:
     """Driver side: global layout from section metadata, then stream
-    every section through a numpy re-stride into the final file."""
+    every section into the final file. Sections already in the global
+    layout (``final``/``rle`` from :func:`spill_sav_partition`) are
+    byte-copied; only local-layout sections pay a numpy re-stride (and,
+    under ``compress``, driver-side RLE)."""
     value_labels = value_labels or {}
     variable_labels = variable_labels or {}
     user_missing = user_missing or {}
+    declared = declared or {}
     all_secs = [s for _, secs in parts for s in secs]
     nobs = sum(s["nrows"] for s in all_secs)
     names = [f.name for f in schema]
@@ -337,7 +394,7 @@ def assemble_sav(
         t = f.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             sl = max((s["cols"][i]["string_len"] for s in all_secs), default=1)
-            sl = max(sl, 1)
+            sl = max(sl, declared.get(f.name, 0), 1)
             specs.append(SavSpec(f.name, shorts[i], True, sl, (sl + 7) // 8, 1))
         else:
             fmt = 20 if pa.types.is_date32(t) else 22 if pa.types.is_timestamp(t) else 5
@@ -367,21 +424,18 @@ def assemble_sav(
             with open(blob_path, "rb") as blob:
                 for sec in secs:
                     blob.seek(sec["rec_off"])
+                    if sec.get("rle") or (sec.get("final") and not compress):
+                        # executor emitted the final (possibly compressed)
+                        # byte stream — pure copy, bounded chunks
+                        left = sec["rec_len"]
+                        while left:
+                            chunk = blob.read(min(left, 8 << 20))
+                            out.write(chunk)
+                            left -= len(chunk)
+                        continue
                     raw = blob.read(sec["rec_len"])
                     n = sec["nrows"]
-                    l_dt = np.dtype(
-                        {
-                            "names": [f"f{i}" for i in range(len(sec["cols"]))],
-                            "formats": [
-                                "<f8" if not c["is_str"] else f"S{c['width'] * 8}"
-                                for c in sec["cols"]
-                            ],
-                            "offsets": np.cumsum(
-                                [0] + [c["width"] * 8 for c in sec["cols"][:-1]]
-                            ).tolist(),
-                            "itemsize": sum(c["width"] for c in sec["cols"]) * 8,
-                        }
-                    )
+                    l_dt = _section_dtype(sec["cols"])
                     local = np.frombuffer(raw, dtype=l_dt, count=n)
                     if l_dt == g_dt:
                         rec = local

@@ -369,3 +369,62 @@ def test_distributed_compressed_sav_write(spark, tmp_path):
     assert parser.read_metadata(pc).compression == 1
     tc, tu = parser.read_table(pc), parser.read_table(pu)
     assert tc.equals(tu) and tc.num_rows == 3000
+
+
+def test_executor_final_sav_sections(spark, tmp_path):
+    """When the global layout is known executor-side (all-numeric schema,
+    or string widths declared via option('string_widths')), sections are
+    emitted final — RLE-compressed on the executor under compress — and
+    commit() only concatenates blobs. Verify the section metadata says
+    so and the files read back exactly."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.formats.spss.writer import spill_sav_partition
+
+    # unit level: all-numeric sections are final; compress marks rle
+    import pyarrow as pa
+
+    batch = pa.record_batch({"a": pa.array([1.0, 2.0]), "b": pa.array([3.0, None])})
+    secs = spill_sav_partition([batch], str(tmp_path / "blob1.bin"), compress=True)
+    assert secs[0]["final"] and secs[0]["rle"]
+    secs_u = spill_sav_partition([batch], str(tmp_path / "blob2.bin"))
+    assert secs_u[0]["final"] and "rle" not in secs_u[0]
+    # undeclared strings stay local-layout
+    sbatch = pa.record_batch({"a": pa.array([1.0]), "s": pa.array(["xy"])})
+    secs_s = spill_sav_partition([sbatch], str(tmp_path / "blob3.bin"), compress=True)
+    assert not secs_s[0]["final"]
+    # declared strings become final (and pad to the declared width)
+    secs_d = spill_sav_partition(
+        [sbatch], str(tmp_path / "blob4.bin"), declared={"s": 10}, compress=True
+    )
+    assert secs_d[0]["final"] and secs_d[0]["rle"]
+    assert secs_d[0]["cols"][1]["string_len"] == 10
+
+    # end to end: declared-width compressed distributed write round-trips
+    df = spark.range(0, 4000, 1, 5).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.concat(F.lit("name_"), F.col("id")).alias("s"),
+    )
+    p = str(tmp_path / "final.sav")
+    (
+        df.write.format("readstat")
+        .mode("overwrite")
+        .option("compress", "true")
+        .option("string_widths", '{"s": 16}')
+        .save(p)
+    )
+    meta = parser.read_metadata(p)
+    assert meta.compression == 1
+    back = spark.read.format("readstat").load(p)
+    assert sorted(df.collect()) == sorted(back.collect())
+
+    # declared width too small -> executor task raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeds the declared"):
+        (
+            df.write.format("readstat")
+            .mode("overwrite")
+            .option("string_widths", '{"s": 4}')
+            .save(str(tmp_path / "bad.sav"))
+        )
