@@ -232,6 +232,7 @@ class ReadstatDataSource(DataSource):
                 value_labels,
                 variable_labels,
                 staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         if fmt == "spss":
             return _SavWriter(
@@ -523,11 +524,14 @@ class _DtaWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
-                 staging_dir: str | None = None):
+                 staging_dir: str | None = None, string_widths=None):
         import uuid
 
         self.path = path
         self.schema = schema
+        # option("string_widths", '{"col": bytes}'): sections encode at
+        # the declared width, so commit()'s fast path byte-copies them
+        self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         # option("value_labels", '{"col": {"1": "label"}}') — JSON because
         # DataSource options are strings; keys are parsed back to ints.
         self.value_labels = {
@@ -546,7 +550,7 @@ class _DtaWriter(DataSourceArrowWriter):
 
         os.makedirs(self.stage_dir, exist_ok=True)
         blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
-        sections = spill_partition(batches, blob)
+        sections = spill_partition(batches, blob, declared=self.string_widths)
         if not sections:
             os.unlink(blob)
             return _DtaCommit("", [])
@@ -566,6 +570,7 @@ class _DtaWriter(DataSourceArrowWriter):
             parts,
             value_labels=self.value_labels,
             variable_labels=self.variable_labels,
+            declared=self.string_widths,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -443,13 +443,21 @@ def write_dta(
 #   "strl"  — V8 GSO refs with section-local observation numbers
 
 
-def encode_section(batch: pa.RecordBatch) -> tuple[bytes, bytes, dict]:
+def encode_section(
+    batch: pa.RecordBatch, declared: dict[str, int] | None = None
+) -> tuple[bytes, bytes, dict]:
     """Encode one Arrow batch into (record_bytes, gso_bytes, meta).
 
     meta["cols"][i] may carry a "bitmap" bytes entry (packed null rows
     for i64 columns) that the caller must spill and replace with
     (bitmap_off, bitmap_len).
+
+    ``declared`` maps string column name -> fixed byte width (<= 2045).
+    Declared columns encode at that width (error when a value exceeds
+    it), so every section shares the global layout and assemble's
+    fast path byte-copies instead of re-striding.
     """
+    declared = declared or {}
     n = batch.num_rows
     col_metas: list[dict] = []
     datas: list[np.ndarray] = []
@@ -490,8 +498,18 @@ def encode_section(batch: pa.RecordBatch) -> tuple[bytes, bytes, dict]:
                 datas.append(refs.view("V8"))
             else:
                 w = max(1, wmax)
+                dw = declared.get(f.name)
+                if dw is not None:
+                    if wmax > dw:
+                        raise ValueError(
+                            f"column {f.name}: value of {wmax} bytes exceeds the "
+                            f"declared string_widths width {dw}"
+                        )
+                    w = max(1, min(int(dw), _MAX_STR))
                 col_metas.append({"kind": "str", "np": f"S{w}", "width": w})
-                datas.append(sbytes.astype(f"S{w}") if wmax == 0 else sbytes)
+                datas.append(
+                    sbytes if sbytes.dtype == np.dtype(f"S{w}") else sbytes.astype(f"S{w}")
+                )
         else:
             c = _Col(f.name, arr)
             col_metas.append(
@@ -516,7 +534,9 @@ def encode_section(batch: pa.RecordBatch) -> tuple[bytes, bytes, dict]:
     return rec.tobytes(), b"".join(gso_parts), meta
 
 
-def spill_partition(batches, blob_path: str) -> list[dict]:
+def spill_partition(
+    batches, blob_path: str, declared: dict[str, int] | None = None
+) -> list[dict]:
     """Executor side of the distributed write: encode every batch to a
     section appended to ``blob_path``; return the section metadata list
     (pure dicts — this travels through the WriterCommitMessage)."""
@@ -525,7 +545,7 @@ def spill_partition(batches, blob_path: str) -> list[dict]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            rec_bytes, gso_bytes, meta = encode_section(batch)
+            rec_bytes, gso_bytes, meta = encode_section(batch, declared=declared)
             meta["rec_off"] = f.tell()
             f.write(rec_bytes)
             for cm in meta["cols"]:
@@ -547,8 +567,11 @@ def _default_spec(name: str, t: pa.DataType) -> ColSpec:
     return ColSpec(name, c.typecode, c.width, c.fmt)
 
 
-def decide_layout(schema: pa.Schema, all_sections: list[dict]) -> list[ColSpec]:
+def decide_layout(
+    schema: pa.Schema, all_sections: list[dict], declared: dict[str, int] | None = None
+) -> list[ColSpec]:
     """Resolve the global record layout from per-section metadata."""
+    declared = declared or {}
     specs: list[ColSpec] = []
     for i, f in enumerate(schema):
         metas = [s["cols"][i] for s in all_sections]
@@ -566,7 +589,7 @@ def decide_layout(schema: pa.Schema, all_sections: list[dict]) -> list[ColSpec]:
             if any(m["kind"] == "strl" for m in metas):
                 specs.append(ColSpec(f.name, _TYPE_STRL, 8, "%9s"))
             else:
-                w = max([m["width"] for m in metas], default=1)
+                w = max([m["width"] for m in metas] + [declared.get(f.name, 0)] + [1])
                 specs.append(ColSpec(f.name, w, w, f"%{min(w, 99)}s"))
         else:
             if metas:
@@ -673,13 +696,14 @@ def assemble_dta(
     parts: list[tuple[str, list[dict]]],
     value_labels: dict[str, dict[int, str]] | None = None,
     variable_labels: dict[str, str] | None = None,
+    declared: dict[str, int] | None = None,
 ) -> None:
     """Driver side of the distributed write: stream spilled sections into
     one .dta file. Holds one section in memory at a time — total dataset
     size is irrelevant to driver memory."""
     value_labels = value_labels or {}
     all_sections = [s for _, secs in parts for s in secs]
-    specs = decide_layout(schema, all_sections)
+    specs = decide_layout(schema, all_sections, declared=declared)
     for spec in specs:
         if value_labels.get(spec.name):
             spec.label_name = spec.name

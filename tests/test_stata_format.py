@@ -268,3 +268,40 @@ def test_informative_nulls_pre_v113_floats():
     assert out["x"].to_pylist() == [2.5, None, None]
     assert out["i__missing"].to_pylist() == [None, None, None]  # no tags pre-113
     assert out["i"].to_pylist() == [5, None, 9]
+
+
+def test_dta_declared_string_widths(spark, tmp_path):
+    """option('string_widths') pre-declares string byte widths so every
+    executor section is already in the global layout — commit()'s fast
+    path byte-copies sections instead of re-striding. Values and widths
+    must match the undeclared write exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000, 1, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("n_"), (F.col("id") % 50).cast("string")).alias("s"),
+    )
+    p = str(tmp_path / "d.dta")
+    (
+        df.write.format("readstat")
+        .mode("overwrite")
+        .option("string_widths", '{"s": 8}')
+        .save(p)
+    )
+    back = spark.read.format("readstat").load(p)
+    assert sorted(df.collect()) == sorted(back.collect())
+    # declared width drives the layout even when all values are narrower
+    import pandas as pd
+
+    ref = pd.read_stata(p)
+    assert len(ref) == 3000
+
+    from polars_readstat_rs_spark.formats.stata.writer import encode_section
+    import pyarrow as pa
+    import pytest as _pytest
+
+    batch = pa.record_batch({"s": pa.array(["abcdef"])})
+    with _pytest.raises(ValueError, match="exceeds the declared"):
+        encode_section(batch, declared={"s": 4})
+    _, _, meta = encode_section(batch, declared={"s": 10})
+    assert meta["cols"][0]["width"] == 10
