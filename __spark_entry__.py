@@ -29,14 +29,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # every distinct operator family still gets a recorded row.
 _COVERAGE_DUPES = [
     "q02_filter_project",
+    "q03_shipping_priority",  # join+agg+topk: proven by q05 (multi-join agg) + q11 (topk)
+    "q06_revenue_forecast",  # filter + global decimal agg: proven by q01
     "q08_semi_join_broadcast",
     "q09_distinct",
+    "q10_count_distinct",  # exact count(distinct): q09 distinct + q35 approx sketches
     "q12_window_running",
     "q14_rollup",
     "q15_cube",
     "q18_string_funcs",
     "q23_sessionization",
     "q31_count_if",  # conditional agg: count_if ~ sum(case when), proven by q14-q16 aggregates
+    "r07_informative_nulls_merged",  # merged mode: r06 proves the reader option, q20 the expression
+    "p02_stratified_sample",  # per-stratum CASE over the p01 hash-Bernoulli filter
+    "p05_det_shuffle",  # hash bucket (p01) + per-partition row_number window (q11)
     "d04_simhash",
     "v03_ivf_topk",
     "s02_stream_sessions",

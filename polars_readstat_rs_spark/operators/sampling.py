@@ -1,0 +1,202 @@
+"""Training-data sampling, packing and ordering operators.
+
+Everything here is deterministic (hash-derived, no RNG state) so results
+are reproducible across runs, engines, and partitionings — the property
+a 100 TB training-data pipeline actually needs from "random" sampling:
+
+- hash_sample / stratified_sample: Bernoulli sampling by md5 bucket.
+  Pure filter expressions — no shuffle, fully pushdown-friendly, and the
+  sample is stable under repartitioning and incremental reruns (a doc's
+  keep/drop never depends on which partition it landed in).
+- domain_mix: two-pass rate computation (tiny per-source aggregate,
+  broadcast back) + hash filter, targeting a desired per-source row
+  budget — the "mix CommonCrawl at 60%, books at 10%…" step.
+- pack_sequences: contiguous token-budget packing via one window cumsum.
+  Approximation contract: documents are packed in ascending id order and
+  a pack may overshoot the budget by less than one document (the
+  streaming-greedy equivalent with zero coordination; exact bin packing
+  is NP-hard and needs global state).
+- deterministic_shuffle: global training order by md5(seed || id) — a
+  distributed range-partitioned sort, the standard epoch-shuffle shape.
+
+All expressions are built-in pyspark.sql.functions (JVM codegen); the
+DuckDB oracles in queries/pipeline.py mirror them literally
+(Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+``('0x' || substr(md5(x),1,8))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 32-bit bucket space: md5's first 8 hex chars as an unsigned int
+BUCKETS = 1 << 32
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    """Deterministic uniform bucket in [0, 2^32) for (seed, id)."""
+    key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: str = "s0") -> DataFrame:
+    """Keep each row independently with probability ``rate``,
+    deterministically: bucket(id) < rate * 2^32. A pure filter — no
+    shuffle, survives repartitioning, and re-running on grown data keeps
+    every previously-sampled row (stable incremental sampling)."""
+    threshold = int(rate * BUCKETS)
+    return df.filter(_bucket(id_col, seed) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float], seed: str = "s0"
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. per-language). Strata absent
+    from ``rates`` are dropped. Still a pure filter: the rate lookup is
+    a literal CASE over the (small) strata set."""
+    expr = None
+    for k, r in rates.items():
+        t = F.when(F.col(stratum_col) == k, F.lit(int(r * BUCKETS)))
+        expr = t if expr is None else expr.when(F.col(stratum_col) == k, F.lit(int(r * BUCKETS)))
+    expr = expr.otherwise(F.lit(0))
+    return df.filter(_bucket(id_col, seed) < expr)
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Downsample each source so the result approximates ``target_total``
+    rows distributed by ``weights`` (a source with fewer rows than its
+    budget keeps everything — rates cap at 1).
+
+    Two passes: a per-source count (tiny aggregate — one row per
+    source, broadcast back onto the fact table) decides each source's
+    keep-rate; the filter itself is the same deterministic hash
+    Bernoulli as :func:`hash_sample`. Adding a source or rerunning on
+    grown data changes no previously-kept row's fate."""
+    w_items = list(weights.items())
+    wmap = F.create_map(*[F.lit(x) for kv in w_items for x in kv])
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(wmap[F.col(source_col)], F.lit(0.0)) * F.lit(float(target_total))
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), source_col)
+    return joined.filter(
+        _bucket(id_col, seed) < (F.col("_rate") * F.lit(float(BUCKETS))).cast("bigint")
+    ).drop("_rate")
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, n_tokens: Column, budget: int, group_span: int = 100_000
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context windows).
+
+    Ids are split into contiguous blocks of ``group_span``
+    (group = id div span) and each block packs independently: within a
+    block, documents are taken in ascending id order and pack boundaries
+    fall where the running token total crosses a budget multiple —
+    local_pack = floor((cumsum - n_tokens) / budget). A pack overshoots
+    the budget by less than one document (exact bin packing is NP-hard
+    and needs global state); packs never span blocks, so the window
+    cumsum is partitioned by group and runs embarrassingly parallel — no
+    single-partition global sort at 100 TB, no driver loop.
+
+    pack_id = group * group_span + local_pack is globally unique (a
+    block of span ids holds at most span documents, hence < span packs).
+    Returns (id, n_tokens, pack_id, pack_pos)."""
+    wg = (
+        Window.partitionBy("_grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.select(F.col(id_col), n_tokens.cast("bigint").alias("n_tokens"))
+        .withColumn("_grp", F.expr(f"cast({id_col} as bigint) div {group_span}"))
+        .withColumn("_cum", F.sum("n_tokens").over(wg))
+        .withColumn(
+            "pack_id",
+            F.col("_grp") * F.lit(group_span)
+            + F.expr(f"(_cum - n_tokens) div {budget}"),
+        )
+    )
+    wp = Window.partitionBy("pack_id").orderBy(id_col)
+    return out.withColumn("pack_pos", F.row_number().over(wp)).drop("_cum", "_grp")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "epoch0", n_buckets: int = 256
+) -> DataFrame:
+    """Deterministic training order: (shuffle_bucket, shuffle_pos).
+
+    The md5(seed || id) key assigns each row a bucket (key's leading
+    bits) and a position within the bucket (row_number over the full
+    key). A training loader reading buckets in order visits rows in one
+    global pseudo-random permutation; per-bucket windows keep the sort
+    embarrassingly parallel (no single-partition global row_number —
+    raise ``n_buckets`` with corpus size). Changing ``seed`` reshuffles
+    independently (per-epoch)."""
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    df2 = df.withColumn("_k", key).withColumn(
+        "shuffle_bucket",
+        (F.conv(F.substring("_k", 1, 8), 16, 10).cast("bigint") % F.lit(n_buckets)).cast("int"),
+    )
+    w = Window.partitionBy("shuffle_bucket").orderBy(F.col("_k"), F.col(id_col))
+    return df2.withColumn("shuffle_pos", F.row_number().over(w)).drop("_k")
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/test n-gram contamination: for each test document, how many
+    of its distinct n-gram shingles appear in ANY train document, and
+    the contamination rate (overlap / test shingle count).
+
+    Shape at scale: both sides explode to (doc, shingle); the train side
+    reduces to DISTINCT shingles (the only join key), so the join is a
+    shuffle semi-join on a uniform hash-like key — no doc×doc blowup.
+    """
+    from .text import shingles_expr
+
+    test_sh = test.repartition(32).select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
+    )
+    train_sh = (
+        train.repartition(32)
+        .select(F.explode(shingles_expr(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    sizes = test_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(hits, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

@@ -282,3 +282,71 @@ def test_frame_sampling_shape(spark, sf_dir):
         fr.sort()
         assert [i for i, _ in fr] == list(range(len(fr))) and len(fr) <= 4
         assert "".join(f for _, f in fr) == texts[doc_id][: len(fr) * 10]
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    """The hash Bernoulli sample is a pure function of (seed, id): the
+    same rows are kept regardless of partitioning, and a superset input
+    keeps every previously-sampled row (incremental stability)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import sampling
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "k")
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in sampling.hash_sample(small, "k", 0.3).collect()}
+    s1b = {r.k for r in sampling.hash_sample(small.repartition(13), "k", 0.3).collect()}
+    s2 = {r.k for r in sampling.hash_sample(big, "k", 0.3).collect()}
+    assert s1 == s1b
+    assert s1 == {k for k in s2 if k < 1000}
+    assert 0.2 < len(s1) / 1000 < 0.4  # roughly the asked rate
+    # a different seed gives a different (but equally deterministic) set
+    s3 = {r.k for r in sampling.hash_sample(small, "k", 0.3, seed="other").collect()}
+    assert s3 != s1
+
+
+def test_pack_sequences_budget_contract(spark):
+    """Packs are contiguous in id, never span a group block, and
+    overshoot the budget by less than one document."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import sampling
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 90 + 10).alias("tok")
+    )
+    out = sampling.pack_sequences(df, "id", F.col("tok"), budget=200, group_span=100)
+    rows = out.orderBy("id").collect()
+    assert len(rows) == 500
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, docs in by_pack.items():
+        total = sum(d.n_tokens for d in docs)
+        # overshoot strictly less than the last document's size
+        assert total < 200 + docs[-1].n_tokens
+        # contiguous ids, all within one group block
+        ids = [d.id for d in docs]
+        assert ids == sorted(ids)
+        assert len({d.id // 100 for d in docs}) == 1
+        assert [d.pack_pos for d in docs] == list(range(1, len(docs) + 1))
+
+
+def test_contamination_report_exact_dup(spark):
+    """A test doc identical to a train doc is 100% contaminated; a
+    disjoint-vocabulary doc reports no overlap (absent from result)."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sampling.contamination_report(train, test, "doc_id", "text", n=3).collect()
+    assert len(rows) == 1 and rows[0].doc == 100
+    assert rows[0].contamination == 1.0
