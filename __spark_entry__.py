@@ -38,6 +38,7 @@ _COVERAGE_DUPES = [
     "q14_rollup",
     "q15_cube",
     "q18_string_funcs",
+    "q28_except_all",  # exceptAll: q13 proves union/intersect/except semantics
     "q23_sessionization",
     "q31_count_if",  # conditional agg: count_if ~ sum(case when), proven by q14-q16 aggregates
     "r07_informative_nulls_merged",  # merged mode: r06 proves the reader option, q20 the expression

@@ -175,6 +175,112 @@ def blocked_neardup_pairs(
     return _track(out, normed)
 
 
+# ---------------------------------------------------- SRP-LSH near-dup
+#
+# blocked_neardup_pairs is O(block^2) within a cell — fine when cells
+# stay bounded (max_block), but a corpus whose cells grow with it goes
+# quadratic (tools/scale_smoke.py measures exactly that). Signed random
+# projections are the subdividing alternative: near-identical vectors
+# share sign bits with probability 1 - theta/pi, so banded sign
+# signatures bucket near-dups together while the bucket count (2^band
+# bits per band) keeps subdividing as the corpus grows — the embedding
+# analogue of the 64-bit SimHash design in operators/dedup.py.
+
+import hashlib
+
+
+def _srp_plane(seed: str, b: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is
+    md5(seed:b:j)'s first 32 bits mapped to [-1, 1). Reproducible from
+    the same arithmetic in any engine (the oracle recomputes it in SQL,
+    bitwise identically)."""
+    return [
+        int(hashlib.md5(f"{seed}:{b}:{j}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+        for j in range(dim)
+    ]
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 32,
+    nbands: int = 4,
+    seed: str = "srp",
+) -> DataFrame:
+    """Per-vector SRP signature as ``nbands`` band integers b0..b{n-1}
+    (8 sign bits each for the defaults): bit b = (vec . plane_b) >= 0,
+    computed as the same left-fold dot product the oracles replay."""
+    bits_per_band = nbits // nbands
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    band_cols = []
+    for k in range(nbands):
+        term = None
+        for r in range(bits_per_band):
+            b = k * bits_per_band + r
+            plane = F.array(*[F.lit(v) for v in _srp_plane(seed, b, dim)])
+            dot = F.aggregate(
+                F.zip_with(vec_d, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            t = F.when(dot >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+            term = t if term is None else term + t
+        band_cols.append(term.cast("int").alias(f"b{k}"))
+    return df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), *band_cols)
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    nbits: int = 32,
+    nbands: int = 4,
+    seed: str = "srp",
+) -> DataFrame:
+    """Near-duplicate vector pairs via SRP-LSH: candidates where any
+    sign-bit band collides, verified by exact cosine >= threshold.
+
+    Scale shape: one shuffle on (band_idx, band_val) — band keys
+    subdivide with corpus growth (no fixed cell list to go quadratic
+    in), then a candidate-restricted verify join. Approximate by
+    construction: a pair whose every band differs is missed; with the
+    defaults (4 bands x 8 bits) recall at cosine 0.9 is ~0.75 and rises
+    toward 1 with similarity — raise nbands for higher recall."""
+    sigs = srp_signatures(df, id_col, vec_col, dim, nbits, nbands, seed).persist()
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(nbands))
+    bands_long = sigs.select(
+        "vid", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"))
+        .distinct()
+    )
+    normed = sigs.select(
+        "vid", "vec", F.sqrt(dot_expr("vec", "vec")).alias("nrm")
+    )
+    a = normed.select(F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm"))
+    b = normed.select(F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm"))
+    out = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn(
+            "sim", F.round(dot_expr("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+    return _track(out, sigs)
+
+
 # ------------------------------------------------------------- k-means IVF
 
 def _sqdist_expr(a: str | Column, b: str | Column) -> Column:

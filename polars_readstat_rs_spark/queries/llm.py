@@ -220,6 +220,65 @@ def v02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.blocked_neardup_pairs(emb, threshold=0.4)
 
 
+
+# ------------------------------------------------ SRP-LSH near-dup (v05)
+
+_SRP_DIM, _SRP_NBITS, _SRP_NBANDS, _SRP_SEED = 64, 32, 4, "srp"
+_SRP_THRESHOLD = 0.3
+
+
+def _srp_band_sql(k: int) -> str:
+    """One 8-bit band integer: bit r set when the left-fold dot of the
+    embedding with deterministic hyperplane b = 8k+r is >= 0. The
+    hyperplane component for (b, j) is md5('srp:b:j') first 32 bits
+    mapped to [-1, 1) — recomputed here so the oracle shares every
+    double with operators.similarity._srp_plane."""
+    bits = _SRP_NBITS // _SRP_NBANDS
+    terms = []
+    for r in range(bits):
+        b = k * bits + r
+        h = (
+            f"(('0x' || substr(md5('{_SRP_SEED}:{b}:' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+        dot = (
+            f"list_reduce(list_transform(range(1, {_SRP_DIM} + 1), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * {h}), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "v05_srp_neardup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"CAST({_srp_band_sql(k)} AS INT) AS b{k}" for k in range(_SRP_NBANDS))}
+      FROM embeddings),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT vec_id, {k} AS band_idx, b{k} AS band_val FROM sig" for k in range(_SRP_NBANDS))}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+    SELECT c.a_id, c.b_id, {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+    FROM cand c JOIN embeddings a ON c.a_id = a.vec_id JOIN embeddings b ON c.b_id = b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {_SRP_THRESHOLD}
+    """,
+)
+def v05_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup: band buckets subdivide as
+    the corpus grows (the scale-correct alternative to v02's fixed-cell
+    blocking, whose per-cell cost is quadratic — tools/scale_smoke.py
+    measures both)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_neardup_pairs(
+        emb, threshold=_SRP_THRESHOLD, dim=_SRP_DIM,
+        nbits=_SRP_NBITS, nbands=_SRP_NBANDS, seed=_SRP_SEED,
+    )
+
+
 def _cosine_sql_raw(a: str, b: str) -> str:
     dot = _COS.format(a=a, b=b)
     na = _COS.format(a=a, b=a)

@@ -350,3 +350,30 @@ def test_contamination_report_exact_dup(spark):
     rows = sampling.contamination_report(train, test, "doc_id", "text", n=3).collect()
     assert len(rows) == 1 and rows[0].doc == 100
     assert rows[0].contamination == 1.0
+
+
+def test_srp_neardup_finds_planted_pair(spark):
+    """A planted near-identical vector pair must collide in at least one
+    SRP band and survive the cosine verify; the band join must not
+    produce the full cross product on dissimilar vectors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import similarity
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 40):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.srp_neardup_pairs(df, threshold=0.99)
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+    assert (0, 1) in got
+    similarity.release_cached(out)
+    # signatures of identical vectors are identical
+    sigs = similarity.srp_signatures(df).collect()
+    by_id = {r.vid: (r.b0, r.b1, r.b2, r.b3) for r in sigs}
+    assert by_id[0] == by_id[1]

@@ -1,0 +1,142 @@
+"""Scale smoke: do the headline operators scale ~linearly in rows?
+
+Synthesizes template-based corpora (documents + embeddings) at several
+sizes under /tmp, runs the heavy operators at each size, and prints one
+JSON line per (operator, size) with wall seconds — the point is the
+RATIO between sizes, not the absolute number: an operator whose time
+grows much faster than its input (pair blowup, driver materialization,
+single-partition window) fails the 100 TB design contract even though
+sf0.1 correctness is green.
+
+Usage: python tools/scale_smoke.py [sizes...]   (default 5000 25000 50000)
+Synthetic inputs here are for SCALING measurements only — correctness
+gates always run on /root/testdata (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+WORDS = (
+    "the quick brown fox jumps lazy dog data spark scale shuffle partition "
+    "model train corpus token sample pack dedup embed vector cosine hash "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+).split()
+
+
+def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
+    """Template docs (~40 tokens, overlapping vocabulary so dedup
+    operators find real candidates) + 64-dim embeddings."""
+    from pyspark.sql import functions as F
+
+    doc_path = os.path.join(base, f"docs_{n_docs}.parquet")
+    emb_path = os.path.join(base, f"emb_{n_docs}.parquet")
+    if not os.path.exists(doc_path):
+        words = F.array(*[F.lit(w) for w in WORDS])
+        df = (
+            spark.range(n_docs)
+            .withColumn("doc_id", F.col("id"))
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(40)),
+                        lambda i: F.element_at(
+                            words,
+                            (
+                                (F.xxhash64(F.col("id") % 500, i) % len(WORDS) + len(WORDS))
+                                % len(WORDS)
+                                + 1
+                            ).cast("int"),
+                        ),
+                    ),
+                ),
+            )
+            .withColumn("lang", F.element_at(F.array(F.lit("en"), F.lit("de")), (F.col("id") % 2 + 1).cast("int")))
+            .withColumn("source", F.concat(F.lit("src"), (F.col("id") % 20).cast("string")))
+            .select("doc_id", "text", "lang", "source")
+        )
+        df.write.mode("overwrite").parquet(doc_path)
+    if not os.path.exists(emb_path):
+        emb = (
+            spark.range(n_docs)
+            .withColumn("vec_id", F.col("id"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (
+                        ((F.xxhash64(F.col("id") % 1000, i) % 1000 + 1000) % 1000) / 1000.0
+                    ).cast("float"),
+                ),
+            )
+            .withColumn("label", (F.col("id") % 32).cast("int"))
+            .select("vec_id", "embedding", "label")
+        )
+        emb.write.mode("overwrite").parquet(emb_path)
+    return doc_path, emb_path
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [5000, 25000, 50000]
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import dedup, sampling, similarity, textstats
+    from polars_readstat_rs_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.path.join(tempfile.gettempdir(), "readstat_scale_smoke")
+    os.makedirs(base, exist_ok=True)
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    results: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        doc_path, emb_path = synth(spark, n, base)
+        docs = spark.read.parquet(doc_path)
+        emb = spark.read.parquet(emb_path)
+        ops = {
+            "exact_dedup": lambda: dedup.exact_dedup_groups(docs, "doc_id", "text"),
+            "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text"),
+            "minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text"),
+            "simhash_pairs": lambda: dedup.simhash_pairs(docs, "doc_id", "text"),
+            "blocked_neardup": lambda: similarity.blocked_neardup_pairs(
+                emb, threshold=0.9, max_block=2000
+            ),
+            "srp_neardup": lambda: similarity.srp_neardup_pairs(emb, threshold=0.9),
+            "hash_sample": lambda: sampling.hash_sample(docs, "doc_id", 0.25),
+            "pack_sequences": lambda: sampling.pack_sequences(
+                docs, "doc_id", F.size(F.split("text", " ")), 512, 1000
+            ),
+            "det_shuffle": lambda: sampling.deterministic_shuffle(docs, "doc_id"),
+            "quality_score": lambda: textstats.quality_score(docs),
+        }
+        for name, mk in ops.items():
+            out = mk()
+            secs = run(name, out)
+            dedup.release_cached(out)
+            results.setdefault(name, {})[n] = secs
+            print(json.dumps({"op": name, "rows": n, "sec": secs}), flush=True)
+        spark.catalog.clearCache()
+
+    if len(sizes) >= 2:
+        lo, hi = sizes[0], sizes[-1]
+        print(f"\n# scaling {lo} -> {hi} rows ({hi / lo:.0f}x input):")
+        for name, by_n in results.items():
+            r = by_n[hi] / max(by_n[lo], 1e-9)
+            print(json.dumps({"op": name, "time_ratio": round(r, 1), "input_ratio": hi / lo}))
+
+
+if __name__ == "__main__":
+    main()
