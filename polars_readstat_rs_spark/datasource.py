@@ -347,7 +347,11 @@ class _ReadstatReader(DataSourceReader):
                         f"schema mismatch in multi-file scan: {p!r} has {s} "
                         f"!= {paths[0]!r} {first_schema}"
                     )
-            out.extend(self._file_partitions(p))
+            # intra-file RLE split planning decompresses the file on the
+            # driver — fine for one file, O(corpus) driver work for a
+            # directory. Multi-file scans parallelize on the file axis
+            # instead: one partition per compressed file.
+            out.extend(self._file_partitions(p, allow_expensive_split=len(paths) == 1))
         return out
 
     def _arrow_schema_of(self, path: str):
@@ -367,7 +371,7 @@ class _ReadstatReader(DataSourceReader):
             informative_null_columns=self.opts.informative_null_columns,
         )
 
-    def _file_partitions(self, path: str):
+    def _file_partitions(self, path: str, allow_expensive_split: bool = True):
         if self.fmt == "stata":
             meta = stata_parser.read_metadata(path)
             nobs, rec = meta.nobs, max(1, meta.record_len)
@@ -376,6 +380,9 @@ class _ReadstatReader(DataSourceReader):
 
             meta = spss_parser.read_metadata(path)
             if not spss_parser.splittable(meta):
+                if not allow_expensive_split:
+                    start, count = self._slice(meta.row_count)
+                    return [_RowRange(path, start, count)]
                 # compressed (.sav RLE / .zsav): one planning pass records
                 # RLE command-group recovery points, then executors decode
                 # disjoint block/byte ranges independently — beyond the
