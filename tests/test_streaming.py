@@ -116,3 +116,29 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     # watermark window are dropped, so counts sit between distinct and
     # total (late re-arrivals past the watermark may legitimately reappear)
     assert distinct <= got < ev.count()
+
+
+def test_hash_sample_on_stream_equals_batch(spark, sf_dir):
+    """hash_sample is a stateless deterministic filter, so it applies to
+    a stream unchanged and selects exactly the same rows as the batch
+    run over the same data — the property that lets one sampling policy
+    govern both the backfill and the live pipeline."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    stream = events_stream(spark, sf_dir)
+    sampled = sampling.hash_sample(stream, "event_id", 0.2).select("event_id")
+    # plain filter -> append mode (run_to_completion's complete mode is
+    # for aggregations only)
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("t_sampled")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.event_id for r in spark.table("t_sampled").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {r.event_id for r in sampling.hash_sample(ev, "event_id", 0.2).select("event_id").collect()}
+    assert streamed == expected and len(streamed) > 0
