@@ -355,13 +355,38 @@ def _sqdist_expr(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def pair_sqdist_udf(a: str | Column, b: str | Column) -> Column:
+    """Arrow-vectorized squared L2 distance with :func:`_sqdist_expr`'s
+    exact fold order (see pair_dot_udf) — for corpus x centroid
+    assignment tables."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _sqd(sa, sb):
+        if not len(sa):
+            return pd.Series([], dtype="float64")
+        ma = np.array(sa.tolist(), dtype=np.float64)
+        mb = np.array(sb.tolist(), dtype=np.float64)
+        acc = np.zeros(len(ma), dtype=np.float64)
+        for j in range(ma.shape[1]):
+            d = ma[:, j] - mb[:, j]
+            acc += d * d
+        return pd.Series(acc)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _sqd(a, b)
+
+
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (ties -> lowest cell id). Centroids
     are broadcast — ncells is small by construction."""
     w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .withColumn("d", _sqdist_expr("vec", "centroid"))
+        .withColumn("d", pair_sqdist_udf("vec", "centroid"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", "cell")
@@ -478,7 +503,7 @@ def kmeans_ivf_topk(
     w_q = W.partitionBy("q_id").orderBy(F.asc("pd"), F.asc("cell"))
     probed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("pd", _sqdist_expr("q_vec", "centroid"))
+        .withColumn("pd", pair_sqdist_udf("q_vec", "centroid"))
         .withColumn("prank", F.row_number().over(w_q))
         .filter(F.col("prank") <= nprobe)
         .select("q_id", "q_vec", "q_norm", "cell")

@@ -32,7 +32,12 @@ WORDS = (
 
 def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
     """Template docs (~40 tokens, overlapping vocabulary so dedup
-    operators find real candidates) + 64-dim embeddings."""
+    operators find real candidates) + 64-dim embeddings.
+
+    Duplicate-cluster size stays CONSTANT as the corpus grows (the
+    pattern count scales with n): otherwise the true near-dup pair count
+    — the output — grows quadratically and wall-time ratios measure the
+    output explosion, not the operator."""
     from pyspark.sql import functions as F
 
     doc_path = os.path.join(base, f"docs_{n_docs}.parquet")
@@ -51,7 +56,7 @@ def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
                         lambda i: F.element_at(
                             words,
                             (
-                                (F.xxhash64(F.col("id") % 500, i) % len(WORDS) + len(WORDS))
+                                (F.xxhash64(F.col("id") % F.lit(max(500, n_docs // 10)), i) % len(WORDS) + len(WORDS))
                                 % len(WORDS)
                                 + 1
                             ).cast("int"),
@@ -73,7 +78,7 @@ def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
                 F.transform(
                     F.sequence(F.lit(1), F.lit(64)),
                     lambda i: (
-                        ((F.xxhash64(F.col("id") % 1000, i) % 1000 + 1000) % 1000) / 1000.0
+                        ((F.xxhash64(F.col("id") % F.lit(max(1000, n_docs // 5)), i) % 1000 + 1000) % 1000) / 1000.0
                     ).cast("float"),
                 ),
             )
