@@ -33,9 +33,12 @@ HEADLINE = [
     "d05_simhash_pairs",
     "v01_cosine_topk",
     "v02_embedding_neardup",
+    "v05_srp_neardup",
     "t02_quality_score",
     "t04_fingerprints",
     "m01_multimodal_bytes",
+    "p04_pack_sequences",
+    "p06_contamination",
 ]
 
 

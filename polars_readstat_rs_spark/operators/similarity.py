@@ -303,8 +303,12 @@ def srp_neardup_pairs(
 
     Scale shape: one shuffle on (band_idx, band_val) — band keys
     subdivide with corpus growth (no fixed cell list to go quadratic
-    in), then a candidate-restricted verify join. Approximate by
-    construction: a pair whose every band differs is missed; the default
+    in), then a candidate-restricted verify join. Anisotropy caveat: if
+    the corpus occupies a narrow cone (e.g. all-positive activations),
+    every random pair is moderately similar and ANY sign-based LSH
+    floods with candidates — mean-center such embeddings upstream.
+    Approximate by construction: a pair whose every band differs is
+    missed; the default
     4 bands x 16 bits (65,536 buckets per band, the same geometry as the
     64-bit SimHash) targets high-similarity near-dups — recall ~0.5 at
     cosine 0.99 and ~1 for exact dups; use 8-bit bands (nbits=32) for
@@ -380,13 +384,17 @@ def pair_sqdist_udf(a: str | Column, b: str | Column) -> Column:
     return _sqd(a, b)
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(vecs: DataFrame, cents: DataFrame, vectorized: bool = False) -> DataFrame:
     """Nearest-centroid assignment (ties -> lowest cell id). Centroids
-    are broadcast — ncells is small by construction."""
+    are broadcast — ncells is small by construction. ``vectorized``
+    swaps the interpreted fold for pair_sqdist_udf (identical doubles):
+    worth it when corpus x ncells is large; at probe-sized inputs the
+    Arrow worker roundtrip costs more than it saves."""
+    dist = pair_sqdist_udf if vectorized else _sqdist_expr
     w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .withColumn("d", pair_sqdist_udf("vec", "centroid"))
+        .withColumn("d", dist("vec", "centroid"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", "cell")
@@ -400,6 +408,7 @@ def kmeans_cells(
     ncells: int = 8,
     iters: int = 2,
     exact: bool = True,
+    vectorized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic distributed Lloyd's k-means over an embedding
     column; returns (assignment: vec_id/vec/cell, centroids:
@@ -440,7 +449,7 @@ def kmeans_cells(
         )
     )
     for _ in range(iters):
-        assigned = _assign_cells(vecs, cents)
+        assigned = _assign_cells(vecs, cents, vectorized)
         if exact:
             mem = assigned.groupBy("cell").agg(
                 F.array_sort(F.collect_list(F.struct("vec_id", "vec"))).alias("mem"),
@@ -472,7 +481,7 @@ def kmeans_cells(
                 .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
             )
         cents = _materialize(cents)
-    return _assign_cells(vecs, cents), cents
+    return _assign_cells(vecs, cents, vectorized), cents
 
 
 def kmeans_ivf_topk(
@@ -485,12 +494,13 @@ def kmeans_ivf_topk(
     ncells: int = 8,
     iters: int = 2,
     exact: bool = True,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k with learned k-means cells (the production
     upgrade over ivf_topk's label cells): cluster once, probe the
     ``nprobe`` nearest centroids per query, brute-force inside the
     probed cells. Cost scales with nprobe/ncells, not corpus size."""
-    assigned, cents = kmeans_cells(corpus, id_col, vec_col, ncells, iters, exact)
+    assigned, cents = kmeans_cells(corpus, id_col, vec_col, ncells, iters, exact, vectorized)
     assigned = assigned.persist()
     q = (
         queries.select(
@@ -503,7 +513,7 @@ def kmeans_ivf_topk(
     w_q = W.partitionBy("q_id").orderBy(F.asc("pd"), F.asc("cell"))
     probed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("pd", pair_sqdist_udf("q_vec", "centroid"))
+        .withColumn("pd", _sqdist_expr("q_vec", "centroid"))
         .withColumn("prank", F.row_number().over(w_q))
         .filter(F.col("prank") <= nprobe)
         .select("q_id", "q_vec", "q_norm", "cell")

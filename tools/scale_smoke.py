@@ -77,8 +77,12 @@ def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
                 "embedding",
                 F.transform(
                     F.sequence(F.lit(1), F.lit(64)),
+                    # centered coordinates in [-1, 1): an all-positive
+                    # quadrant would make every random pair ~0.75 cosine
+                    # and flood any sign-based LSH with candidates
                     lambda i: (
-                        ((F.xxhash64(F.col("id") % F.lit(max(1000, n_docs // 5)), i) % 1000 + 1000) % 1000) / 1000.0
+                        ((F.xxhash64(F.col("id") % F.lit(max(1000, n_docs // 5)), i) % 2000 + 2000) % 2000 - 1000)
+                        / 1000.0
                     ).cast("float"),
                 ),
             )
