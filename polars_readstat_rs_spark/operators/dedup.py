@@ -102,16 +102,21 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
-def _jaccard_on(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _jaccard_on(
+    sh: DataFrame, pairs: DataFrame | None = None, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard between docs sharing >=1 shingle (or the given
     candidate pairs): |A∩B| from the inverted-index self-join,
-    |A|,|B| from per-doc shingle counts.
+    |A|,|B| from per-doc shingle counts (pass ``sizes`` when the caller
+    already aggregated them — the LSH path folds the count into its
+    signature groupBy, saving a full shuffle of the shingle table).
 
     With candidate pairs, the self-join is first restricted to candidate
     docs (semi-join) — LSH typically leaves a tiny candidate set, so the
     quadratic co-shingle expansion only runs over those documents.
     """
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     sh_join = sh
     if pairs is not None:
         cand_docs = (
@@ -181,7 +186,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     aggregation and the verification join.
     """
     sh_shared = _shingle_table(df, id_col, text_col, n)
-    sig = minhash_signatures(df, id_col, text_col, n, _sh=sh_shared)
+    # ONE groupBy(doc) computes the 8 band mins AND the per-doc shingle
+    # count the verification needs — the count rides along for free
+    # instead of a second full shuffle of the shingle table
+    hashed = sh_shared.select("doc", F.sha2(F.col("sh"), 256).alias("hx"))
+    stats = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[F.min(F.substring("hx", 1 + 8 * i, 8)).alias(f"h{i}") for i in range(NUM_HASHES)],
+    ).persist()
+    sig = stats
     band_cols = []
     for b in range(NUM_BANDS):
         hs = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -203,7 +216,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         .distinct()
         .persist()  # reused for the doc restriction AND the final pair filter
     )
-    return _track(_jaccard_on(sh_shared, pairs=cand), sh_shared, cand)
+    return _track(
+        _jaccard_on(sh_shared, pairs=cand, sizes=stats.select("doc", "sz")),
+        sh_shared,
+        cand,
+        stats,
+    )
 
 
 # Per-nibble packed-lane lookup: LUT[n] spreads nibble n's four bits into
