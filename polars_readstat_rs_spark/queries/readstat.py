@@ -251,8 +251,10 @@ def r03_dta_metadata_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r08_distributed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-side section encoding end to end for BOTH distributed
     writers: the slice goes out through df.write.format("readstat") as
-    .dta AND .sav (multi-partition, so commit() exercises the global
-    re-stride), and both files must agree with the parquet oracle."""
+    .dta AND .sav (multi-partition, declared string widths -> the
+    sections leave the executors in FINAL form, the .sav ones
+    RLE-compressed there; commit() only concatenates), and both files
+    must agree with the parquet oracle."""
     from ..api import _ensure_registered
 
     _ensure_registered(spark)  # the write runs before any readstat_scan
@@ -266,7 +268,13 @@ def r08_distributed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     paths = {}
     for ext in ("dta", "sav"):
         p = os.path.join(tempfile.gettempdir(), f"readstat_dist_{tag}.{ext}")
-        li.write.format("readstat").mode("overwrite").save(p)
+        w = li.write.format("readstat").mode("overwrite")
+        # declared width -> executor-final sections; .sav additionally
+        # RLE-compresses them on the workers (commit only concatenates)
+        w = w.option("string_widths", '{"l_returnflag": 1}')
+        if ext == "sav":
+            w = w.option("compress", "true")
+        w.save(p)
         paths[ext] = p
 
     def agg(df: DataFrame) -> DataFrame:
