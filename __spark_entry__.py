@@ -38,6 +38,7 @@ _COVERAGE_DUPES = [
     "q14_rollup",
     "q15_cube",
     "q18_string_funcs",
+    "t03_token_stats",  # pure string-expression family proven by t01/t02/t04
     "q28_except_all",  # exceptAll: q13 proves union/intersect/except semantics
     "q23_sessionization",
     "q31_count_if",  # conditional agg: count_if ~ sum(case when), proven by q14-q16 aggregates

@@ -345,3 +345,49 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .distinct()
     )
     return _track(out, fps)
+
+
+def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document
+    that appears in a pair gets the component label = the smallest doc
+    id reachable from it. (doc, comp) is what a dedup pipeline keeps:
+    drop every doc where doc != comp and the corpus retains exactly one
+    representative per duplicate cluster.
+
+    Distributed min-label propagation: each iteration joins the
+    (bidirectional) edge list against current labels and takes the
+    per-node min over neighbors' labels; convergence (no label changed)
+    is checked with a count — O(graph diameter) iterations, and near-dup
+    graphs are shallow (clusters are cliques or near-cliques from the
+    band join, so 2-3 iterations in practice). Each iteration is one
+    shuffle on node id; labels persist iteration-to-iteration and
+    previous generations are released."""
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).persist()
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.union(neighbor).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("node", "comp")
+    return _track(out, edges, labels)

@@ -221,6 +221,38 @@ def v02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ------------------------------------------- dedup components (d06)
+
+
+@register(
+    "d06_dedup_components",
+    oracle=f"""
+    WITH {_sh_ctes()},
+    pairs AS (
+      SELECT a_id, b_id FROM ({_JACCARD_SELECT}) WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r)
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    """,
+)
+def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups: distributed min-label propagation
+    assigns every paired document the smallest reachable doc id; keeping
+    rows where node == comp leaves one representative per duplicate
+    cluster. The oracle walks the same graph with recursive SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=_SHINGLE_N, threshold=0.2)
+    return dedup.neardup_components(pairs)
+
+
 # ------------------------------------------------ SRP-LSH near-dup (v05)
 
 _SRP_DIM, _SRP_NBITS, _SRP_NBANDS, _SRP_SEED = 64, 32, 4, "srp"

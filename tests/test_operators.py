@@ -377,3 +377,21 @@ def test_srp_neardup_finds_planted_pair(spark):
     sigs = similarity.srp_signatures(df).collect()
     by_id = {r.vid: (r.b0, r.b1, r.b2, r.b3) for r in sigs}
     assert by_id[0] == by_id[1]
+
+
+def test_neardup_components_labels(spark):
+    """Min-label propagation: a chain a-b-c collapses to one component
+    labeled by the smallest id; disjoint pairs stay separate; the keep
+    list (node == comp) has exactly one representative per cluster."""
+    from polars_readstat_rs_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a_id long, b_id long",
+    )
+    out = dedup.neardup_components(pairs)
+    comp = {r.node: r.comp for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    keepers = {n for n, c in comp.items() if n == c}
+    assert keepers == {1, 10, 20}
+    dedup.release_cached(out)
