@@ -224,17 +224,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     )
 
 
-# Per-nibble packed-lane lookup: LUT[n] spreads nibble n's four bits into
-# four 16-bit lanes of one bigint, so one SUM per nibble accumulates four
-# per-bit counts at once (16 aggregates for 64 bits, not 64).
-_SIMHASH_LANE_BITS = 16
-_SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE_BITS) - 1
-_SIMHASH_LUT = [
-    sum(((n >> r) & 1) << (_SIMHASH_LANE_BITS * r) for r in range(4)) for n in range(16)
-]
+def _simhash_luts(lane_bits: int) -> list[list[int]]:
+    """Per-nibble packed-lane lookup tables. With ``lane_bits=16`` one
+    bigint word holds all four of a nibble's bit-counts (16 aggregates
+    for 64 bits); with 32-bit lanes a nibble needs two words (32
+    aggregates) but counts up to 2^32-1 tokens per doc."""
+    lanes_per_word = 64 // lane_bits
+    n_words = (4 + lanes_per_word - 1) // lanes_per_word
+    luts = []
+    for w in range(n_words):
+        bits = range(w * lanes_per_word, min((w + 1) * lanes_per_word, 4))
+        luts.append(
+            [
+                sum(((n >> r) & 1) << (lane_bits * (r - w * lanes_per_word)) for r in bits)
+                for n in range(16)
+            ]
+        )
+    return luts
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> DataFrame:
     """64-bit SimHash per document over distinct word tokens, as four
     16-bit band integers b0..b3 (b0 = low bits) plus the 16-hex-char
     fingerprint string — no signed-64-bit edge cases, and the bands
@@ -242,13 +251,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     The hot path is narrow and integer-only: one md5 per token, two
     conv() calls turn the first 16 hex chars into two 32-bit ints, each
-    nibble indexes a 16-entry packed-lane lookup table (four bit-counts
-    per bigint lane), and the per-doc aggregate is 16 bigint sums plus a
-    token count (sign test: 2*count_of_ones > n_tokens). Lane capacity
-    is 2^16-1 = 65,535 distinct tokens per document — enforced with a
-    runtime raise_error guard; such a document (~0.5 MB of unique words)
-    should be length-filtered upstream anyway."""
-    lut = F.array(*[F.lit(v) for v in _SIMHASH_LUT])
+    nibble indexes a 16-entry packed-lane lookup table (``lane_bits``
+    bit-counts per bigint lane), and the per-doc aggregate is 16 (or 32
+    with ``lane_bits=32``) bigint sums plus a token count (sign test:
+    2*count_of_ones > n_tokens). The default 16-bit lanes count up to
+    65,535 distinct tokens per document — enforced with a runtime
+    raise_error guard; pass ``lane_bits=32`` for corpora with larger
+    documents (identical output, twice the aggregate width)."""
+    if lane_bits not in (16, 32):
+        raise ValueError("lane_bits must be 16 or 32")
+    lane_mask = (1 << lane_bits) - 1
+    lanes_per_word = 64 // lane_bits
+    luts = [F.array(*[F.lit(v) for v in lut]) for lut in _simhash_luts(lane_bits)]
+    n_words = len(luts)
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
     ).select(
@@ -258,34 +273,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # nibble m (= hex char m+1 of the md5) lives in v1 for m<8 else v2,
     # at shift 4*(7 - m%8) — hex strings read MSB-first
+    def nib(m):
+        return (
+            F.shiftrightunsigned(F.col("v1" if m < 8 else "v2"), 4 * (7 - m % 8))
+            .bitwiseAND(F.lit(15)) + 1
+        ).cast("int")
+
     packed = toks.select(
         "doc",
         *[
-            F.element_at(
-                lut,
-                (F.shiftrightunsigned(F.col("v1" if m < 8 else "v2"), 4 * (7 - m % 8))
-                 .bitwiseAND(F.lit(15)) + 1).cast("int"),
-            ).alias(f"p{m}")
+            F.element_at(luts[w], nib(m)).alias(f"p{m}_{w}")
             for m in range(SIMHASH_BITS // 4)
+            for w in range(n_words)
         ],
     )
     sums = packed.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(f"p{m}").alias(f"p{m}") for m in range(SIMHASH_BITS // 4)],
+        *[
+            F.sum(f"p{m}_{w}").alias(f"p{m}_{w}")
+            for m in range(SIMHASH_BITS // 4)
+            for w in range(n_words)
+        ],
     )
-    # overflow guard: lanes hold counts up to 65,535 tokens per doc
+    # overflow guard: lanes hold counts up to 2^lane_bits - 1 per doc
     nt = F.when(
-        F.col("n_tok") > _SIMHASH_LANE_MASK,
-        F.raise_error(F.lit("simhash: >65535 distinct tokens in one document overflows 16-bit count lanes")),
+        F.col("n_tok") > lane_mask,
+        F.raise_error(F.lit(
+            f"simhash: more than {lane_mask} distinct tokens in one document "
+            f"overflows {lane_bits}-bit count lanes; use lane_bits=32"
+        )),
     ).otherwise(F.col("n_tok"))
 
     def band_value(k: int):
-        # band k = bits 16k..16k+15 = nibbles 4k..4k+3, 4 lanes each
+        # band k = bits 16k..16k+15 = nibbles 4k..4k+3
         term = None
         for m in range(4 * k, 4 * k + 4):
             for r in range(4):
-                s_j = F.shiftrightunsigned(F.col(f"p{m}"), _SIMHASH_LANE_BITS * r).bitwiseAND(
-                    F.lit(_SIMHASH_LANE_MASK)
+                w, lane = divmod(r, lanes_per_word)
+                s_j = F.shiftrightunsigned(F.col(f"p{m}_{w}"), lane_bits * lane).bitwiseAND(
+                    F.lit(lane_mask)
                 )
                 t = F.when(2 * s_j > nt, F.lit(1 << (4 * (m - 4 * k) + r))).otherwise(F.lit(0))
                 term = t if term is None else term + t
@@ -301,7 +327,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, lane_bits: int = 16
+) -> DataFrame:
     """Near-dup pairs: 4x16-bit band-equality candidates, then Hamming
     distance over the full 64-bit fingerprints (summed per band). Band
     keys live in a 65,536-bucket space per band, so candidate volume
@@ -313,7 +341,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     join against the fingerprint table exists. On clustered corpora
     (where one band bucket holds thousands of docs) this cuts the
     distinct() input by ~10x."""
-    fps = simhash(df, id_col, text_col).persist()  # feeds the 4 band views
+    fps = simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the 4 band views
     stack_args = ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
     bands_long = fps.select(
         "doc",

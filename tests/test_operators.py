@@ -395,3 +395,33 @@ def test_neardup_components_labels(spark):
     keepers = {n for n, c in comp.items() if n == c}
     assert keepers == {1, 10, 20}
     dedup.release_cached(out)
+
+
+def test_simhash_lane_widths_agree(spark):
+    """lane_bits=32 produces identical fingerprints to the default
+    16-bit lanes; a document with more distinct tokens than a 16-bit
+    lane can count fails loudly at 16 and succeeds at 32."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, dedup.simhash(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, dedup.simhash(docs, "doc_id", "text", lane_bits=32).collect()))
+    assert a == b
+
+    big = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70000)))], ["doc_id", "text"]
+    )
+    import pytest as _pytest
+
+    # either the lane-capacity raise_error fires (n_tok guard) or, for
+    # very large token counts, the ANSI long-overflow check in the
+    # packed SUM itself — both are loud, neither corrupts silently
+    with _pytest.raises(Exception, match="overflow"):
+        dedup.simhash(big, "doc_id", "text").collect()
+    rows = dedup.simhash(big, "doc_id", "text", lane_bits=32).collect()
+    assert len(rows) == 1 and len(rows[0].simhash) == 16
