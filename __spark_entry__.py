@@ -39,6 +39,8 @@ _COVERAGE_DUPES = [
     "q15_cube",
     "q18_string_funcs",
     "t03_token_stats",  # pure string-expression family proven by t01/t02/t04
+    "m02_frame_sample",  # 1:N mapInPandas fan-out: m01 multimodal + q33 pandas-udf families
+    "p03_domain_mix",  # broadcast-agg rates (q05) + the p01 hash-Bernoulli filter
     "q28_except_all",  # exceptAll: q13 proves union/intersect/except semantics
     "q23_sessionization",
     "q31_count_if",  # conditional agg: count_if ~ sum(case when), proven by q14-q16 aggregates

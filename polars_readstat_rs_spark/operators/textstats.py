@@ -101,3 +101,62 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("fp_prefix8"),
         F.array_min(F.transform(shingles_expr("text", 5), F.md5)).alias("fp_winnow5"),
     )
+
+
+# PII patterns: character-class-only regexes, identical semantics under
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from the text and
+    count what was removed — the pre-training privacy pass. Pure
+    regexp_replace/regexp_count expressions inside codegen; patterns are
+    restricted to constructs whose semantics agree between Java regex
+    and RE2 so the oracle reproduces them exactly. Order is fixed
+    (email, phone, ipv4) so overlapping matches resolve identically."""
+    out = docs.select("doc_id", F.col(text_col).alias("_t"))
+    for name, pat in PII_PATTERNS.items():
+        # DataFrame API, not F.expr: a SQL string literal would eat the
+        # regex backslashes
+        out = out.withColumn(f"n_{name}", F.regexp_count("_t", F.lit(pat)))
+        out = out.withColumn("_t", F.regexp_replace("_t", pat, f"<{name.upper()}>"))
+    return out.select(
+        "doc_id",
+        F.col("_t").alias("redacted"),
+        *[F.col(f"n_{n}").cast("bigint").alias(f"n_{n}") for n in PII_PATTERNS],
+        sum(F.col(f"n_{n}") for n in PII_PATTERNS).cast("bigint").alias("n_pii"),
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3, max_dup_frac: float = 0.2) -> DataFrame:
+    """Repeated-n-gram fraction per document (the Gopher/MassiveText
+    repetition quality filter): dup_frac = 1 - distinct/total n-grams;
+    documents above ``max_dup_frac`` are flagged for removal. Pure
+    array expressions — no shuffle at all (a per-row map stage)."""
+    words = "split(lower(text), ' ')"
+    grams = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({grams})").cast("bigint").alias("n_grams"),
+        F.expr(f"size(array_distinct({grams}))").cast("bigint").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    ).withColumn("flagged", F.col("dup_frac") > max_dup_frac)

@@ -221,6 +221,85 @@ def v02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --------------------------------------- PII + repetition (t05, t06)
+
+_PII_SUFFIX = " contact bob@example.com or 555-123-4567 at 10.0.0.1"
+
+
+@register(
+    "t05_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS t
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+      FROM seeded),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '\+?[0-9]{{3}}[- .][0-9]{{3}}[- .][0-9]{{4}}')) AS n_phone,
+             regexp_replace(t, '\+?[0-9]{{3}}[- .][0-9]{{3}}[- .][0-9]{{4}}', '<PHONE>', 'g') AS t
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_email, n_phone,
+             len(regexp_extract_all(t, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}')) AS n_ipv4,
+             regexp_replace(t, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<IPV4>', 'g') AS t
+      FROM s2)
+    SELECT doc_id, t AS redacted,
+           CAST(n_email AS BIGINT) AS n_email, CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_email + n_phone + n_ipv4 AS BIGINT) AS n_pii
+    FROM s3
+    """,
+)
+def t05_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4 -> typed placeholders + counts).
+    The synthetic corpus carries no PII, so the gate deterministically
+    appends a PII suffix to every 7th document IN BOTH ENGINES before
+    redacting — the operator then has real matches to remove."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_SUFFIX)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(seeded)
+
+
+@register(
+    "t06_repetition",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+               list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                              i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
+             ELSE [] END AS g
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+                THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN len(g) > 0
+                THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+                ELSE 0.0 END) > 0.2 AS flagged
+    FROM grams
+    """,
+)
+def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram fraction (Gopher-style repetition filter): a
+    shuffle-free per-row map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, n=3, max_dup_frac=0.2)
+
+
 # ------------------------------------------- dedup components (d06)
 
 

@@ -425,3 +425,30 @@ def test_simhash_lane_widths_agree(spark):
         dedup.simhash(big, "doc_id", "text").collect()
     rows = dedup.simhash(big, "doc_id", "text", lane_bits=32).collect()
     assert len(rows) == 1 and len(rows[0].simhash) == 16
+
+
+def test_redact_pii_and_repetition(spark):
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+x@corp.example.org or call 555-867-5309 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textstats.redact_pii(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_pii == 2
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_ipv4 == 2 and out[2].redacted.count("<IPV4>") == 2
+    assert out[3].n_pii == 0 and out[3].redacted == "clean text with no identifiers at all"
+
+    rep = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here are different tokens")],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x for x in textstats.repetition_stats(rep).collect()}
+    assert r[1].n_grams == 4 and r[1].n_distinct == 1 and r[1].flagged
+    assert r[2].dup_frac == 0.0 and not r[2].flagged
