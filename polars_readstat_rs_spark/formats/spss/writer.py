@@ -207,12 +207,16 @@ def write_sav(
     data_label: str = "",
     user_missing: dict[str, list[float]] | None = None,
     endian: str = "<",
-    compress: bool = False,
+    compress: bool | str = False,
 ) -> None:
     """``user_missing``: up to 3 discrete user-declared missing doubles
     per numeric column (reference W2 / F3 fixture semantics).
     ``endian``: "<" (default) or ">" — big-endian output exists mainly to
-    exercise the reader's byte-order handling."""
+    exercise the reader's byte-order handling.
+    ``compress``: False = raw fixed-width records; True = bytecode RLE
+    (.sav compression=1); "zsav" = the RLE stream wrapped in zlib blocks
+    with a ztrailer index (compression=2) — smallest output, and the
+    reader still splits it block-parallel."""
     if hasattr(table, "to_arrow"):
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
@@ -251,15 +255,50 @@ def write_sav(
         rec[f"f{i}"] = c.data
     if compress:
         if endian != "<":
-            raise ValueError("compress=True supports little-endian output only")
-        struct.pack_into("<i", out, 72, 1)  # header: bytecode RLE
+            raise ValueError("compress supports little-endian output only")
         units, codes = _unit_codes(rec, [(c.is_str, c.width) for c in cols])
-        out += _rle_encode(units, codes)
+        rle = _rle_encode(units, codes)
+        if compress == "zsav":
+            # zlib-block container over the bytecode stream (the reference
+            # READS zsav but never writes it; our reader splits the result
+            # block-parallel via the ztrailer index + checkpoint recovery)
+            out[0:4] = b"$FL3"
+            struct.pack_into("<i", out, 72, 2)
+            out += _zsav_body(bytes(rle), len(out), int(100))
+        else:
+            struct.pack_into("<i", out, 72, 1)  # header: bytecode RLE
+            out += rle
     else:
         out += rec.tobytes()
 
     with open(path, "wb") as f:
         f.write(out)
+
+
+ZSAV_BLOCK_BYTES = 0x3FF000  # SPSS's standard uncompressed block size
+
+
+def _zsav_body(rle: bytes, zheader_ofs: int, bias: int,
+               block_bytes: int = ZSAV_BLOCK_BYTES) -> bytes:
+    """zheader + zlib blocks + ztrailer for an RLE bytecode stream
+    (layout per the reference reader, src/spss/data.rs:1687-1761)."""
+    import zlib
+
+    blocks = [rle[i : i + block_bytes] for i in range(0, len(rle), block_bytes)] or [b""]
+    comp = [zlib.compress(b) for b in blocks]
+    body_start = zheader_ofs + 24
+    ztrailer_ofs = body_start + sum(len(c) for c in comp)
+    out = bytearray()
+    out += struct.pack("<3Q", zheader_ofs, ztrailer_ofs, 24 + 24 * len(blocks))
+    for c in comp:
+        out += c
+    out += struct.pack("<qqii", bias, 0, block_bytes, len(blocks))
+    uofs, cofs = zheader_ofs, body_start
+    for b, c in zip(blocks, comp):
+        out += struct.pack("<qqii", uofs, cofs, len(b), len(c))
+        uofs += len(b)
+        cofs += len(c)
+    return bytes(out)
 
 
 # ------------------------------------------------- distributed write path
