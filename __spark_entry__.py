@@ -50,6 +50,10 @@ _COVERAGE_DUPES = [
     "d04_simhash",
     "v03_ivf_topk",
     "s02_stream_sessions",
+    "q29_range_join",  # non-equi predicates proven by q22 asof rewrite + q36 correlated subquery
+    "q30_list_agg",  # ordered collect_list: d07 passage reassembly + q33 exercise it
+    "p06_contamination",  # distinct-shingle semi-join: d02 shingle machinery + q04 semi join
+    "v01_cosine_topk",  # brute-force cosine + window topk proven by v04 kmeans-IVF scoring
 ]
 
 

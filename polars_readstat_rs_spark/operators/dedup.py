@@ -419,3 +419,78 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             break
     out = labels.select("node", "comp")
     return _track(out, edges, labels)
+
+
+MAX_PASSAGE_IDX = 1 << 20  # chunk ordinal bound for the first-occurrence key
+
+
+def passage_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Passage-level exact dedup (the CCNet paragraph-hash filter,
+    generalized to fixed ``chunk_words``-word windows for corpora
+    without line structure): split every document into non-overlapping
+    word chunks, hash each chunk, keep only the globally FIRST
+    occurrence of every distinct chunk (smallest (doc, position)), and
+    reassemble each document from its surviving chunks.
+
+    Returns per document: ``n_chunks``, ``n_kept``, ``dup_ratio`` and
+    the deduplicated ``clean_text`` (documents whose every chunk was
+    seen earlier come back with n_kept = 0 and empty text — the rows a
+    pipeline drops).
+
+    Scale: one shuffle on the chunk hash (uniform 128-bit key) for the
+    first-occurrence window, one shuffle on the doc id to reassemble.
+    Boilerplate chunks repeated across millions of docs are a single
+    hot hash partition-wise — the window min is partially aggregated
+    and AQE splits any residual skew. First-occurrence keys pack
+    (doc_id, chunk_idx) into one BIGINT: doc ids must stay below
+    2^43 and documents below ``MAX_PASSAGE_IDX`` chunks.
+    """
+    k = chunk_words
+    w = f"split(lower({text_col}), ' ')"
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size({w}) / cast({k} as double)) as int) - 1), "
+        f"i -> concat_ws(' ', slice({w}, i * {k} + 1, {k})))"
+    )
+    ch = (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+        .withColumn("k", F.col(id_col) * MAX_PASSAGE_IDX + F.col("chunk_idx"))
+    )
+    kept = (
+        ch.withColumn("first_k", F.min("k").over(Window.partitionBy("h")))
+        .filter(F.col("k") == F.col("first_k"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"cast(ceil(size({w}) / cast({k} as double)) as bigint)").alias("n_chunks"),
+    )
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_chunks") - F.col("n_kept")).cast("double")
+            / F.col("n_chunks").cast("double"),
+        )
+    )

@@ -532,3 +532,67 @@ def kmeans_ivf_topk(
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
     return _track(out, assigned, q)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    ncells: int = 8,
+    iters: int = 2,
+    exact: bool = True,
+    vectorized: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding space, compare only vectors that land in the same cell,
+    link pairs above the cosine ``threshold``, and collapse each linked
+    component to its lowest-id representative.
+
+    Returns one row per input vector: ``vec_id``, ``rep_id`` (the
+    representative that survives dedup — itself when the vector is
+    unique or the cluster minimum), ``is_rep``. A pipeline keeps the
+    rows where is_rep and drops the rest.
+
+    Scale: clustering is the existing deterministic distributed Lloyd
+    (bounded centroid model broadcast each iteration); the pair join
+    shuffles once on the cell id, and per-cell cost is quadratic in the
+    cell population — exactly the SemDeDup compromise; raise ``ncells``
+    so cells stay bounded as the corpus grows (cells subdivide, unlike
+    fixed label blocking). Component collapse is the min-label
+    propagation of :func:`~..dedup.neardup_components` (near-dup
+    clusters are near-cliques, so it converges in 2-3 shuffles).
+    """
+    from .dedup import neardup_components
+
+    assigned, _ = kmeans_cells(corpus, id_col, vec_col, ncells, iters, exact, vectorized)
+    assigned = assigned.withColumn("norm", F.sqrt(dot_expr("vec", "vec"))).persist()
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "sim", pair_dot_udf("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm"))
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id")
+    )
+    comps = neardup_components(pairs)
+    out = (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(comps.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select("vec_id", F.coalesce("comp", "vec_id").alias("rep_id"))
+        .withColumn("is_rep", F.col("rep_id") == F.col("vec_id"))
+    )
+    return _track(out, assigned, comps)

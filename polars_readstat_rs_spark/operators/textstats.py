@@ -160,3 +160,48 @@ def repetition_stats(docs: DataFrame, n: int = 3, max_dup_frac: float = 0.2) -> 
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     ).withColumn("flagged", F.col("dup_frac") > max_dup_frac)
+
+
+def unigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Corpus-unigram language-model scoring (the CCNet/KenLM-style
+    quality filter, reduced to the unigram case): pass 1 builds the
+    corpus token-frequency table, pass 2 scores every document by the
+    average log-probability of its tokens under that table.
+
+    Returns per document: ``n_tokens``, ``sum_tok_count`` (sum of the
+    corpus frequencies of each token occurrence), ``min_tok_count``
+    (the rarest token's corpus count), ``corpus_tokens``, and
+    ``avg_logprob`` (mean ln(count/corpus_total); higher = more typical
+    text, the usual perplexity-filter axis).
+
+    Scale: the vocabulary aggregation shuffles on the token (uniform
+    after partial aggregation — stopword skew collapses map-side); the
+    count join is a shuffle join by default (AQE splits the residual
+    skew on very frequent tokens). ``broadcast_vocab=True`` switches to
+    a broadcast join — only for corpora whose vocabulary is known to be
+    driver-sized. The corpus re-tokenizes once per pass: at scale,
+    rescanning is cheaper than caching an exploded token table.
+    """
+    toks = docs.select(F.col(id_col), F.explode(words_expr(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    totals = vocab.agg(F.sum("tok_count").alias("corpus_tokens"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = toks.join(v, "tok").crossJoin(F.broadcast(totals))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tok_count").alias("sum_tok_count"),
+            F.min("tok_count").alias("min_tok_count"),
+            F.first("corpus_tokens").alias("corpus_tokens"),
+            F.sum(
+                F.log(F.col("tok_count").cast("double") / F.col("corpus_tokens").cast("double"))
+            ).alias("sum_logprob"),
+        )
+        .withColumn("avg_logprob", F.col("sum_logprob") / F.col("n_tokens").cast("double"))
+    )

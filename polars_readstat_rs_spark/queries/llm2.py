@@ -1,0 +1,204 @@
+"""Round-4 LLM-pipeline gate queries: unigram-LM quality scoring,
+passage-level exact dedup, SemDeDup-style semantic dedup, and BM25
+full-text search.
+
+Determinism notes (per registry rules):
+- t07 emits only BIGINT aggregates (the operator's double avg_logprob
+  uses ln, which differs between Spark's Math.log and DuckDB's libm in
+  the last ulp on ~1/7 of inputs — measured, so it stays out of gates);
+- t08 uses the operator's ``idf='rational'`` mode (no transcendental)
+  and an ordered left fold per (query, doc), so every score double is
+  bitwise identical;
+- d07 strings/ints pass through; dup_ratio is a single exact division;
+- d08 reuses the v04 k-means CTE fragments plus the d06 recursive
+  reach; cosine thresholds compare bitwise-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, search, similarity, textstats
+from ..tables import load_table
+from .llm import _DOTD, _km_assign, _km_update
+from .registry import register
+
+# ------------------------------------------------- t07 unigram LM scoring
+
+
+@register(
+    "t07_unigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_tokens FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.tok_count) AS BIGINT) AS sum_tok_count,
+           min(v.tok_count) AS min_tok_count,
+           any_value(tot.corpus_tokens) AS corpus_tokens
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def t07_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring (operators/textstats.py
+    unigram_lm): the gate emits the exact-integer skeleton (token
+    counts, corpus-frequency sums, rarest-token count); avg_logprob is
+    derived from exactly these integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.unigram_lm(docs).select(
+        "doc_id", "n_tokens", "sum_tok_count", "min_tok_count", "corpus_tokens"
+    )
+
+
+# ------------------------------------------------- d07 passage-level dedup
+
+_CHUNK_W = 8
+
+
+@register(
+    "d07_passage_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    w2 AS (SELECT doc_id, words,
+                  CAST(ceil(len(words) / {float(_CHUNK_W)!r}) AS BIGINT) AS n_chunks FROM w),
+    ch AS (
+      SELECT doc_id, n_chunks,
+             CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx,
+             unnest(list_transform(range(0, n_chunks),
+                    i -> array_to_string(words[i*{_CHUNK_W}+1 : i*{_CHUNK_W}+{_CHUNK_W}], ' '))) AS chunk
+      FROM w2),
+    kk AS (
+      SELECT doc_id, chunk_idx, chunk,
+             doc_id * {dedup.MAX_PASSAGE_IDX} + chunk_idx AS k,
+             min(doc_id * {dedup.MAX_PASSAGE_IDX} + chunk_idx)
+               OVER (PARTITION BY md5(chunk)) AS first_k
+      FROM ch),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS clean_text
+      FROM kk WHERE k = first_k GROUP BY doc_id)
+    SELECT d.doc_id, d.n_chunks,
+           COALESCE(kept.n_kept, 0) AS n_kept,
+           COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(d.n_chunks - COALESCE(kept.n_kept, 0) AS DOUBLE)
+             / CAST(d.n_chunks AS DOUBLE) AS dup_ratio
+    FROM (SELECT doc_id, n_chunks FROM w2) d LEFT JOIN kept USING (doc_id)
+    """,
+)
+def d07_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (operators/dedup.py passage_dedup):
+    keep the globally first occurrence of every 8-word chunk and
+    reassemble documents from surviving chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.passage_dedup(docs, chunk_words=_CHUNK_W)
+
+
+# ------------------------------------------------- d08 semantic dedup
+
+_SEM_THRESHOLD = 0.3
+_SEM_NCELLS = 8
+
+
+@register(
+    "d08_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_SEM_NCELLS})),
+    a1 AS ({_km_assign('c0')}),
+    c1 AS ({_km_update('a1')}),
+    a2 AS ({_km_assign('c1')}),
+    c2 AS ({_km_update('a2')}),
+    af AS ({_km_assign('c2')}),
+    n AS (
+      SELECT vec_id, vec, cell, sqrt({_DOTD.format(a='vec', b='vec')}) AS norm FROM af),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_DOTD.format(a='a.vec', b='b.vec')} / (a.norm * b.norm) >= {_SEM_THRESHOLD}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r),
+    comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           COALESCE(c.comp, v.vec_id) AS rep_id,
+           COALESCE(c.comp, v.vec_id) = v.vec_id AS is_rep
+    FROM v LEFT JOIN comps c ON c.node = v.vec_id
+    """,
+)
+def d08_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means cells
+    -> within-cell cosine pairs -> min-label components -> one
+    representative per semantic cluster. Oracle unrolls the same two
+    Lloyd iterations (v04 fragments) and walks the pair graph with
+    recursive SQL (d06 fragment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=_SEM_THRESHOLD, ncells=_SEM_NCELLS, iters=2
+    )
+
+
+# ------------------------------------------------- t08 BM25 search
+
+_BM_K, _BM_K1, _BM_B = 5, 1.2, 0.75
+
+
+@register(
+    "t08_bm25_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    toks AS (SELECT doc_id, CAST(len(words) AS INT) AS dl, unnest(words) AS tok FROM w),
+    postings AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+      FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY tok),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(words)) AS BIGINT) AS sum_dl
+      FROM w),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(words[1:3])) AS tok
+      FROM w WHERE doc_id % 50 = 0),
+    j AS (
+      SELECT q.query_id, p.doc_id, q.tok,
+             ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+             * ((CAST(p.tf AS DOUBLE) * {_BM_K1 + 1.0!r})
+                / (CAST(p.tf AS DOUBLE) + {_BM_K1!r} * ({1.0 - _BM_B!r} + {_BM_B!r}
+                   * (CAST(p.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+             AS contrib
+      FROM q JOIN postings p USING (tok) JOIN dfreq d USING (tok) CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list(contrib ORDER BY tok), (x, y) -> x + y) AS score
+      FROM j GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored) WHERE rank <= {_BM_K}
+    """,
+)
+def t08_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/search.py bm25_topk): inverted
+    postings + Okapi scoring; gate uses the log-free rational-idf mode
+    and 3-word queries synthesized from every 50th document."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("q_text"),
+    )
+    return search.bm25_topk(
+        docs, queries, k=_BM_K, k1=_BM_K1, b=_BM_B, idf="rational"
+    )
