@@ -51,40 +51,49 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query times measure compute
-    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # warmup failure must not zero the whole bench
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        # noisy-neighbor shared VM: retry until the min stabilizes
-        # (two consecutive runs within 20% of the best), cap 5 runs
-        best = None
-        stable = 0
-        for _ in range(5):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
-                stable = 0
-            elif dt <= best * 1.2:
-                stable += 1
-            if stable >= 1 and _ >= 2:
-                break
-        times[name] = round(best, 3)
+        # per-query isolation: one broken query must not zero out the
+        # round's entire perf signal (BENCH_r02 died at its 4th query).
+        try:
+            # noisy-neighbor shared VM: retry until the min stabilizes
+            # (two consecutive runs within 20% of the best), cap 5 runs
+            best = None
+            stable = 0
+            for _ in range(5):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+                    stable = 0
+                elif dt <= best * 1.2:
+                    stable += 1
+                if stable >= 1 and _ >= 2:
+                    break
+            times[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -388,17 +388,31 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     is checked with a count — O(graph diameter) iterations, and near-dup
     graphs are shallow (clusters are cliques or near-cliques from the
     band join, so 2-3 iterations in practice). Each iteration is one
-    shuffle on node id; labels persist iteration-to-iteration and
-    previous generations are released."""
+    shuffle on node id.
+
+    Lineage hygiene: the loop uses ``localCheckpoint`` (eager), NOT
+    ``persist``. Persist keeps the full logical lineage, and an
+    iterative consumer nests its own cached output back into the next
+    round's plan; when the input itself carries cached AQE subplans
+    (d08's kmeans -> pair-UDF chain) Spark's per-action plan-description
+    render (TreeNode.generateTreeString) goes super-linear in that
+    nesting depth and pins the DRIVER for minutes before a single task
+    launches — the round-2 d08 hang. Checkpointing cuts each generation
+    to a flat LogicalRDD scan: O(1) plan depth at any iteration count.
+    Old generations are executor-resident blocks reaped by the
+    ContextCleaner when the DataFrame is GC'd. On a cluster with
+    dynamic allocation, swap localCheckpoint for a reliable
+    ``checkpoint()`` (spark.checkpoint.dir) — the operator only needs
+    *some* lineage cut here, and the label tables are O(nodes) rows."""
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -406,19 +420,18 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         new_labels = (
             labels.union(neighbor).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     out = labels.select("node", "comp")
-    return _track(out, edges, labels)
+    return _track(out)
 
 
 MAX_PASSAGE_IDX = 1 << 20  # chunk ordinal bound for the first-occurrence key

@@ -543,6 +543,7 @@ def semantic_dedup(
     iters: int = 2,
     exact: bool = True,
     vectorized: bool = False,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     embedding space, compare only vectors that land in the same cell,
@@ -559,14 +560,29 @@ def semantic_dedup(
     shuffles once on the cell id, and per-cell cost is quadratic in the
     cell population — exactly the SemDeDup compromise; raise ``ncells``
     so cells stay bounded as the corpus grows (cells subdivide, unlike
-    fixed label blocking). Component collapse is the min-label
-    propagation of :func:`~..dedup.neardup_components` (near-dup
-    clusters are near-cliques, so it converges in 2-3 shuffles).
+    fixed label blocking), and/or set ``max_cell`` to hard-cap a runaway
+    hot cell (keeps the ``max_cell`` lowest-id members, the same
+    deterministic truncation as blocked_neardup_pairs' ``max_block``).
+    Component collapse is the min-label propagation of
+    :func:`~..dedup.neardup_components` (near-dup clusters are
+    near-cliques, so it converges in 2-3 shuffles); that operator
+    localCheckpoints, which also cuts this function's kmeans/UDF lineage
+    out of the iterative plans (see its docstring — round-2's d08 driver
+    hang was exponential plan-string rendering over nested cached AQE
+    subplans).
     """
     from .dedup import neardup_components
 
     assigned, _ = kmeans_cells(corpus, id_col, vec_col, ncells, iters, exact, vectorized)
-    assigned = assigned.withColumn("norm", F.sqrt(dot_expr("vec", "vec"))).persist()
+    assigned = assigned.withColumn("norm", F.sqrt(dot_expr("vec", "vec")))
+    if max_cell is not None:
+        w = W.partitionBy("cell").orderBy(F.asc("vec_id"))
+        assigned = (
+            assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_cell)
+            .drop("__rn")
+        )
+    assigned = assigned.persist()
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("a_id"),

@@ -1,7 +1,30 @@
 """Query registry: importing this package registers the relational and
-LLM-pipeline suites."""
+LLM-pipeline suites.
+
+Ordering contract: the driver's correctness runner executes QUERIES in
+dict (insertion) order with a global time budget, so one pathological
+query stalls everything registered after it (round 2: d08 hung at
+position ~17 and zeroed the whole correctness file). We therefore
+rebuild the dict so the long-verified relational suite runs first and
+_RISKY_TAIL — the most expensive / most recently added entries — runs
+LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
+until a full tools/check_oracle.py run has passed it.
+"""
 
 from . import llm, llm2, pipeline, readstat, relational, relational2, streaming_q  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
+
+_RISKY_TAIL = (
+    "d08_semantic_dedup",
+    "s01_stream_windowed_counts",
+    "s02_stream_sessions",
+)
+
+_ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [
+    n for n in _RISKY_TAIL if n in QUERIES
+]
+_q = {n: QUERIES[n] for n in _ordered}
+QUERIES.clear()
+QUERIES.update(_q)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -38,8 +38,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
     return deco
 
 
-# DuckDB oracle helper: events.ts is parquet TIMESTAMP(NANOS); cast to µs
-# to match the Spark-side normalization in tables.load_table.
+# DuckDB oracle helper: events.ts is parquet timestamp[us] today (was
+# TIMESTAMP(NANOS) in older testdata drops); either way the cast matches
+# the Spark-side per-dtype normalization in tables.load_table.
 EVENTS_US = (
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 )

@@ -30,47 +30,36 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("s02_stream_sessions")  # no oracle: custom stateful operator (rows-only gate)
 def s02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful sessionizer (applyInPandasWithState) driven over the
-    bounded events stream. Event-time gaps close sessions as data
-    arrives; each user's trailing session is flushed by the
-    processing-time idle timeout, so the emitted set converges to
-    exactly the batch sessionization — we poll the sink until the
-    expected count (computed batch-side) is reached.
+    """Stateful sessionizer (applyInPandasWithState, EventTimeTimeout)
+    driven over the bounded events stream. Event-time gaps close
+    sessions as data arrives; each user's trailing session flushes when
+    the watermark passes its gap — the sentinel staging file
+    (events_stream(sentinel=True)) supplies the final watermark push, so
+    processAllAvailable() terminates deterministically with the complete
+    session set. No wall-clock polling, no mid-batch stop.
 
     Not SQL-expressible (per-key mutable state + timers), hence
     rows-only: the driver checks a stable row count, and
     tests/test_streaming.py asserts full value equality with the batch
     sessionizer.
     """
-    import time
-
-    from pyspark.sql.window import Window
-
     from ..streaming.sessions import sessionize_stream
-    from ..tables import load_table
+    from ..streaming.windows import SENTINEL_USER
 
     gap_ms = 30 * 60 * 1000
-    ev = load_table(spark, sf_dir, "events")
-    n_sessions = (
-        ev.select("user_id", F.unix_millis("ts").alias("ts_ms"))
-        .withColumn("prev", F.lag("ts_ms").over(Window.partitionBy("user_id").orderBy("ts_ms")))
-        .filter(F.col("prev").isNull() | (F.col("ts_ms") - F.col("prev") > gap_ms))
-        .count()
-    )
-
     name = "s02_sessions"
-    stream = events_stream(spark, sf_dir)
+    stream = events_stream(spark, sf_dir, sentinel=True)
+    sessions = sessionize_stream(stream, gap_ms=gap_ms).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
     q = (
-        sessionize_stream(stream, gap_ms=gap_ms, idle_timeout_ms=2000)
-        .writeStream.outputMode("append")
+        sessions.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline and spark.table(name).count() < n_sessions:
-            time.sleep(1)
+        q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(name)

@@ -22,6 +22,10 @@ _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.python.filterPushdown.enabled": "true",
+    # testdata events.ts is parquet timestamp[us] (not UTC-adjusted); read
+    # it as plain TIMESTAMP (identical micros under the UTC session zone)
+    # instead of TIMESTAMP_NTZ, which unix_millis/window reject.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -59,6 +63,7 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long ns and normalize in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

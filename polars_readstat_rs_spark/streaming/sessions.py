@@ -5,6 +5,16 @@ stateful operator — reference has none; SURVEY §2.6 extension).
 Sessions close after `gap` of event-time inactivity; each emitted row is
 one closed (or final) session: (user_id, session_start_ms,
 session_end_ms, n_events, total_value).
+
+Termination contract: timers are EVENT-time (setTimeoutTimestamp =
+session_end + gap), so the operator is deterministic — a session flushes
+exactly when the watermark passes its gap, never on wall clock. A
+bounded stream therefore terminates under plain processAllAvailable()
+once something advances the watermark past the last trailing timer;
+windows.events_stream(sentinel=True) provides that final watermark push.
+(The previous design used ProcessingTimeTimeout + sink polling, which
+both never terminated under processAllAvailable and raced q.stop()
+against in-flight state-store commits — round-2's s02 failure mode.)
 """
 
 from __future__ import annotations
@@ -37,9 +47,9 @@ STATE_SCHEMA = T.StructType(
 GAP_MS = 30 * 60 * 1000
 
 
-def _make_update(gap_ms: int, idle_timeout_ms: int):
-    """Build the stateful update fn with the gap/timeout baked into the
-    closure (applyInPandasWithState has no side-channel for params)."""
+def _make_update(gap_ms: int):
+    """Build the stateful update fn with the gap baked into the closure
+    (applyInPandasWithState has no side-channel for params)."""
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -64,15 +74,20 @@ def _make_update(gap_ms: int, idle_timeout_ms: int):
             else:
                 end, n, total = ts, n + 1, total + float(val)
         if state.hasTimedOut:
-            # idle key: flush the trailing session and drop the state —
-            # this completes the "closed (or final) session" contract and
-            # keeps state size bounded on long-running streams
+            # watermark passed end+gap: the trailing session is final by
+            # event time — flush it and drop the state (bounded state on
+            # long-running streams)
             if start is not None:
                 out.append((user_id, start, end, n, total))
             state.remove()
         elif start is not None:
             state.update((start, end, n, total))
-            state.setTimeoutDuration(idle_timeout_ms)  # re-arm the idle timer
+            # event-time timer: fire when the watermark passes the gap.
+            # Spark requires the timestamp to sit above the current
+            # watermark; a key whose gap already elapsed (late-ish data)
+            # flushes at the next watermark tick instead.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(end + gap_ms, wm + 1))
         yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return _update
@@ -81,31 +96,26 @@ def _make_update(gap_ms: int, idle_timeout_ms: int):
 def sessionize_stream(
     events: DataFrame,
     gap_ms: int = GAP_MS,
-    idle_timeout_ms: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """events (with ts timestamp, user_id, value) -> closed sessions.
 
-    ProcessingTimeTimeout fires after ``idle_timeout_ms`` (default: the
-    session gap) of wall-clock inactivity on a key, emitting the final
-    session and clearing its state — idle users no longer pin state
-    forever. Event-time gaps within arriving data still close sessions
-    immediately.
-
-    Note: processing-time timeouts make the engine run empty micro-batches
-    to give timers a chance to fire, so `shouldRunAnotherBatch` is always
-    true — run this query with a processing-time trigger interval in
-    production, and poll the sink rather than `processAllAvailable()` in
-    tests (which would block forever).
+    Event-time gaps within arriving data close sessions immediately;
+    each key's trailing session flushes via an EventTimeTimeout once the
+    watermark (``ts`` minus ``watermark`` delay) passes its gap. Pair
+    with events_stream(sentinel=True) on bounded streams so the final
+    watermark advance (and with it the last flush batch) always happens;
+    drop windows.SENTINEL_USER rows from the result.
     """
     from pyspark.sql import functions as F
 
-    prepped = events.select(
-        "user_id", F.unix_millis("ts").alias("ts_ms"), "value"
+    prepped = events.withWatermark("ts", watermark).select(
+        "user_id", "ts", F.unix_millis("ts").alias("ts_ms"), "value"
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _make_update(gap_ms, idle_timeout_ms if idle_timeout_ms is not None else gap_ms),
+        _make_update(gap_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -17,44 +17,92 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong parquet read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+SENTINEL_USER = -1
+# far enough past any testdata event that every event-time timer
+# (last_event + gap) sits below the watermark this sentinel produces
+_SENTINEL_ISO = "2100-01-01T00:00:00"
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _write_sentinel(stage: str, src: str) -> None:
+    """Drop a one-row far-future event (user_id = SENTINEL_USER) into the
+    staging dir as a SECOND file. The file source (oldest-mtime-first,
+    maxFilesPerTrigger=1) processes it after the real data, pushing the
+    global watermark past every pending event-time timer, which makes the
+    engine run one final timer-flush batch and then terminate — the
+    deterministic replacement for wall-clock sink polling."""
+    import datetime
+    import os
+
+    path = os.path.join(stage, "zz_sentinel.parquet")
+    if os.path.exists(path):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src)
+    ts_field = schema.field("ts")
+    dt = datetime.datetime.fromisoformat(_SENTINEL_ISO)
+    if pa.types.is_timestamp(ts_field.type):
+        ts_arr = pa.array([dt], type=ts_field.type)
+    else:  # legacy nanosAsLong int64 contract
+        ts_arr = pa.array([int(dt.timestamp() * 1e9)], type=ts_field.type)
+    cols = []
+    for f in schema:
+        if f.name == "ts":
+            cols.append(ts_arr)
+        elif f.name == "user_id":
+            cols.append(pa.array([SENTINEL_USER], type=f.type))
+        else:
+            cols.append(pa.nulls(1, type=f.type))
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_arrays(cols, schema=schema), tmp)
+    os.replace(tmp, path)  # atomic: the source never lists a half-written file
+
+
+def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> DataFrame:
     """File-source stream of the events table with ts normalized to a
-    proper timestamp (same µs truncation as tables.load_table).
+    proper timestamp — the same per-dtype contract as tables.load_table
+    (bigint = legacy nanosAsLong -> truncating div; timestamp_ntz =
+    µs-identity cast under the forced UTC session zone). The stream
+    schema is taken from the parquet footer, NOT hardcoded, so testdata
+    type drift cannot silently corrupt timestamps again.
 
     Spark's file stream source requires a directory, so the single
     parquet file is exposed through a symlinked staging dir.
+
+    ``sentinel=True`` stages into a separate directory that also holds a
+    far-future marker event (see _write_sentinel) — used by stateful
+    queries with event-time timers to flush trailing state and terminate
+    deterministically. Consumers must drop ``user_id = SENTINEL_USER``.
     """
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = sf_dir.strip("/").replace("/", "_") + ("_sentinel" if sentinel else "")
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         try:
-            os.symlink(f"{sf_dir}/events.parquet", link)
+            os.symlink(src, link)
         except FileExistsError:
             pass  # concurrent creator won the race — same target
+    if sentinel:
+        _write_sentinel(stage, src)
+    batch_schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(batch_schema)
         .option("maxFilesPerTrigger", "1")
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType) for f in batch_schema.fields).get("ts")
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "6 hours", watermark: str = "1 hour") -> DataFrame:

@@ -3,10 +3,14 @@
 Tables (one parquet each, see /root/repo/TESTDATA.md): region nation
 customer supplier part orders lineitem events documents embeddings.
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
-LongType (nanosAsLong) and we normalize to TimestampType at microsecond
-precision here, so every downstream operator sees a regular timestamp.
-DuckDB oracles must apply the matching cast (``CAST(ts AS TIMESTAMP)``).
+``events.ts`` normalization contract: whatever physical type the
+testdata stores (`timestamp[us]` -> Spark TIMESTAMP_NTZ today;
+TIMESTAMP(NANOS) -> LongType under nanosAsLong in older drops), every
+downstream operator sees a plain TimestampType at microsecond
+precision under the UTC session zone. The NTZ->TIMESTAMP cast is a
+bitwise-identity on the stored micros because the session zone is
+forced to UTC (session.ensure_session_confs); the nanos branch uses
+integer div to match DuckDB's truncating ns->µs cast.
 """
 
 from __future__ import annotations
@@ -33,11 +37,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns since epoch -> µs-precision timestamp (Spark's native precision).
-        # Integer `div` (not /1000, which round-trips through double and can
-        # be off by 1µs at 1.7e18 ns) to match DuckDB's truncating ns->µs cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns since epoch -> µs-precision timestamp (Spark's native
+            # precision). Integer `div` (not /1000, which round-trips through
+            # double and can be off by 1µs at 1.7e18 ns) to match DuckDB's
+            # truncating ns->µs cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] (isAdjustedToUTC=false) -> TIMESTAMP_NTZ.
+            # Under the forced-UTC session zone this cast keeps the stored
+            # micros bit-for-bit while giving downstream unix_millis/window
+            # the TIMESTAMP type they require.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

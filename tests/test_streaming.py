@@ -33,14 +33,14 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir):
 
 
 def test_stateful_sessionization(spark, sf_dir):
-    """Every session — including each user's trailing one, which only a
-    ProcessingTimeTimeout flush emits — must match the batch sessionizer
-    exactly. processAllAvailable() would block forever with processing-time
-    timeouts (the engine keeps scheduling empty batches to fire timers),
-    so poll the memory sink instead."""
-    import time
-
+    """Every session — including each user's trailing one, which only
+    the event-time-timeout flush emits — must match the batch
+    sessionizer exactly. The sentinel staging file advances the
+    watermark past every trailing timer, so processAllAvailable()
+    terminates deterministically with the complete set."""
     from pyspark.sql.window import Window
+
+    from polars_readstat_rs_spark.streaming.windows import SENTINEL_USER
 
     gap_ms = 30 * 60 * 1000
     ev = load_table(spark, sf_dir, "events")
@@ -67,8 +67,10 @@ def test_stateful_sessionization(spark, sf_dir):
         for r in batch.collect()
     }
 
-    stream = events_stream(spark, sf_dir)
-    sessions = sessionize_stream(stream, gap_ms=gap_ms, idle_timeout_ms=2000)
+    stream = events_stream(spark, sf_dir, sentinel=True)
+    sessions = sessionize_stream(stream, gap_ms=gap_ms).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
@@ -76,11 +78,7 @@ def test_stateful_sessionization(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table("t_sessions").count() >= len(expected):
-                break
-            time.sleep(1)
+        q.processAllAvailable()
         got = {
             (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events, round(r.total_value, 6))
             for r in spark.table("t_sessions").collect()
