@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from polars_readstat_rs_spark.queries import QUERIES
 from polars_readstat_rs_spark.session import get_spark
 
+# The 14-query set benched in round 1 — kept stable so round-over-round
+# totals stay comparable; extensions are appended AFTER this block and
+# reported separately via value_r1set vs value.
+R1_SET = 14
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -84,10 +88,12 @@ def main() -> None:
             print(f"{name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    r1_total = round(sum(times[n] for n in HEADLINE[:R1_SET] if n in times), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "value_r1set": r1_total,
         "queries": times,
         "sf": sf,
     }

@@ -27,6 +27,52 @@ def _ensure_registered(spark: SparkSession) -> None:
         _registered.add(id(spark))
 
 
+def plan_rle_partitions(
+    spark: SparkSession,
+    path: str,
+    partitions: int = 0,
+    target_bytes: int | None = None,
+) -> dict[str, list]:
+    """Compute compressed-SPSS (.sav RLE / .zsav) split plans for every
+    file under ``path`` as a SPARK JOB, not on the driver.
+
+    The recovery-point scan reads each file's RLE control stream —
+    O(file bytes) work that is fine driver-side for one file but
+    O(corpus) for a directory. Here each executor task scans one file
+    and returns only the bounded plan tuples (rows × anchors), so
+    driver time is O(#files) collect. Feed the result to
+    readstat_scan(..., split_compressed=True) or pass it as the
+    ``rle_plan`` JSON option directly.
+    """
+    import json
+
+    from .datasource import TARGET_PARTITION_BYTES, expand_paths
+
+    tb = target_bytes or TARGET_PARTITION_BYTES
+    files = expand_paths(path)
+
+    def _plan_one(p: str) -> tuple[str, list] | None:
+        from .formats.spss import parser as spss_parser
+
+        try:
+            meta = spss_parser.read_metadata(p)
+        except Exception:
+            return None  # not SPSS (mixed dir) — nothing to plan
+        if spss_parser.splittable(meta):
+            return None
+        plan = spss_parser.rle_partition_plan(p, meta, 0, meta.row_count, partitions, tb)
+        return (p, [list(t) for t in plan]) if plan else None
+
+    if len(files) <= 1:
+        out = [_plan_one(p) for p in files]
+    else:
+        sc = spark.sparkContext
+        out = sc.parallelize(files, min(len(files), sc.defaultParallelism)).map(_plan_one).collect()
+    result = {p: plan for entry in out if entry for p, plan in [entry]}
+    json.dumps(result)  # fail fast if anything non-serializable slips in
+    return result
+
+
 def readstat_scan(
     spark: SparkSession,
     path: str,
@@ -39,9 +85,16 @@ def readstat_scan(
     partitions: int | None = None,
     informative_nulls: bool | str = False,
     informative_null_columns: list[str] | None = None,
+    split_compressed: bool = False,
 ) -> DataFrame:
     _ensure_registered(spark)
     r = spark.read.format("readstat")
+    if split_compressed:
+        import json
+
+        plan = plan_rle_partitions(spark, path, partitions or 0)
+        if plan:
+            r = r.option("rle_plan", json.dumps(plan))
     if columns:
         r = r.option("columns", ",".join(columns))
     if offset:

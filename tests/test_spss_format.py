@@ -428,3 +428,40 @@ def test_executor_final_sav_sections(spark, tmp_path):
             .option("string_widths", '{"s": 4}')
             .save(str(tmp_path / "bad.sav"))
         )
+
+
+def test_directory_rle_plan_distributed(spark, tmp_path):
+    """Directory of compressed .sav files: api.plan_rle_partitions runs
+    the recovery-point scans as a Spark job, and the resulting plan lets
+    the scan split INSIDE each compressed file (previously multi-file
+    scans fell back to one partition per file). Values must equal the
+    plain unsplit read."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        df = spark.range(i * 10000, (i + 1) * 10000, 1, 2).select(
+            F.col("id").cast("double").alias("x"),
+            (F.col("id") % 7).cast("double").alias("g"),
+        )
+        df.write.format("readstat").mode("overwrite").option("compress", "true").save(
+            str(d / f"part{i}.sav")
+        )
+
+    plan = api.plan_rle_partitions(spark, str(d), partitions=3)
+    assert len(plan) == 3 and all(len(v) > 1 for v in plan.values())
+
+    split = api.readstat_scan(spark, str(d), split_compressed=True, partitions=3)
+    plain = api.readstat_scan(spark, str(d))
+    assert split.rdd.getNumPartitions() > plain.rdd.getNumPartitions() >= 3
+    assert sorted(r.x for r in split.collect()) == sorted(r.x for r in plain.collect())
+    assert split.count() == 30000
+
+    # plan survives a JSON roundtrip through the option channel
+    rt = json.loads(json.dumps(plan))
+    assert rt == plan
