@@ -21,10 +21,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from polars_readstat_rs_spark.queries import QUERIES
 from polars_readstat_rs_spark.session import get_spark
 
-# The 14-query set benched in round 1 — kept stable so round-over-round
-# totals stay comparable; extensions are appended AFTER this block and
-# reported separately via value_r1set vs value.
-R1_SET = 14
+# The 14-query set benched in round 1 — kept stable (by NAME, not list
+# position: v05/p04/p06 were later inserted mid-list) so round-over-round
+# totals stay comparable; extensions are reported separately via
+# value_r1set vs value.
+R1_SET = {
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q12_window_running",
+    "q22_asof_join",
+    "q24_windowed_agg",
+    "d02_dedup_ngram_jaccard",
+    "d03_dedup_minhash_lsh",
+    "d05_simhash_pairs",
+    "v01_cosine_topk",
+    "v02_embedding_neardup",
+    "t02_quality_score",
+    "t04_fingerprints",
+    "m01_multimodal_bytes",
+}
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -88,7 +104,7 @@ def main() -> None:
             print(f"{name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    r1_total = round(sum(times[n] for n in HEADLINE[:R1_SET] if n in times), 3)
+    r1_total = round(sum(times[n] for n in R1_SET if n in times), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
