@@ -62,8 +62,11 @@ _COVERAGE_DUPES = [
 # round 2's d08 hang at position ~17 zeroed the whole correctness file).
 _RISKY_TAIL = [
     "d08_semantic_dedup",
+    "v06_ann_recall",
     "s01_stream_windowed_counts",
     "s02_stream_sessions",
+    "s03_stream_stream_join",
+    "s04_stream_dedup",
 ]
 
 

@@ -103,6 +103,42 @@ def brute_force_topk(
     return _track(out, q, c)
 
 
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of an approximate top-k result against brute-force
+    ground truth — the standard eval harness for tuning an ANN index
+    (ncells/nprobe for IVF, bands for SRP) before committing to a
+    100 TB run.
+
+    Both inputs use the (q_id, vec_id, rank) contract that
+    brute_force_topk / ivf_topk / kmeans_ivf_topk emit. Per query:
+    ``n_truth`` ground-truth neighbors (<= k — a query can have fewer
+    than k scoreable neighbors), ``n_hit`` of them found by the
+    approximate index, ``recall`` = n_hit / n_truth as an exact single
+    division.
+
+    Scale: one semi-join shuffled on (q_id, vec_id) + one groupBy on
+    q_id; both inputs are already <= k rows per query, so the eval
+    costs O(queries x k) regardless of corpus size.
+    """
+    t = truth.filter(F.col("rank") <= k).select("q_id", "vec_id")
+    a = approx.filter(F.col("rank") <= k).select("q_id", "vec_id")
+    hits = (
+        t.join(a, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = t.groupBy("q_id").agg(F.count("*").alias("n_truth"))
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_truth").cast("double")
+        ).alias("recall"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

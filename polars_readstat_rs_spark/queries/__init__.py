@@ -16,8 +16,11 @@ from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
     "d08_semantic_dedup",
+    "v06_ann_recall",
     "s01_stream_windowed_counts",
     "s02_stream_sessions",
+    "s03_stream_stream_join",
+    "s04_stream_dedup",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

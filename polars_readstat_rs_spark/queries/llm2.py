@@ -202,3 +202,41 @@ def t08_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(
         docs, queries, k=_BM_K, k1=_BM_K1, b=_BM_B, idf="rational"
     )
+
+
+# ------------------------------------------------- v06 ANN recall eval
+
+from .registry import ORACLES  # noqa: E402  (composes earlier oracles)
+
+_RECALL_K = 10
+
+# The oracle recomputes BOTH rankings by embedding the v01 (brute-force
+# ground truth) and v03 (IVF) oracle bodies as nested subqueries, then
+# joins them — every sim double and rank is therefore bitwise-identical
+# to the gates those oracles already pass.
+ORACLES["v06_ann_recall"] = f"""
+    WITH bf AS ({ORACLES["v01_cosine_topk"]}),
+    iv AS ({ORACLES["v03_ivf_topk"]}),
+    base AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM bf GROUP BY q_id),
+    hits AS (
+      SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM bf JOIN iv ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
+      GROUP BY bf.q_id)
+    SELECT base.q_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """
+
+
+@register("v06_ann_recall")
+def v06_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index (v03 configuration) against
+    brute-force ground truth (v01 configuration) — the eval harness
+    (operators/similarity.py ann_recall) that sizes ncells/nprobe
+    before a full-corpus ANN run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(emb, queries, k=_RECALL_K)
+    approx = similarity.ivf_topk(emb, queries, k=_RECALL_K, nprobe=3)
+    return similarity.ann_recall(truth, approx, k=_RECALL_K)

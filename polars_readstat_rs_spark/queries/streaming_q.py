@@ -63,3 +63,67 @@ def s02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "s03_stream_stream_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+    FROM {EVENTS_US} c JOIN {EVENTS_US} p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def s03_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (streaming/joins.py
+    attribution_join): purchases attributed to clicks by the same user
+    within 30 minutes. Inner joins emit eagerly on match, so draining
+    the bounded file stream yields the complete deterministic match
+    set — equal to the batch interval join the oracle runs."""
+    from ..streaming.joins import attribution_join
+
+    name = "s03_attribution"
+    joined = attribution_join(events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "s04_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py dedup_stream,
+    dropDuplicatesWithinWatermark): first arrival per
+    (user_id, event_type) fingerprint with watermark-bounded state.
+    Only the key columns are emitted — which physical row wins within a
+    micro-batch is execution-order dependent, but its key is not — so
+    the drained result is exactly the batch DISTINCT."""
+    from ..streaming.dedup import dedup_stream
+
+    name = "s04_dedup"
+    out = dedup_stream(events_stream(spark, sf_dir), ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

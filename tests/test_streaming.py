@@ -140,3 +140,68 @@ def test_hash_sample_on_stream_equals_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     expected = {r.event_id for r in sampling.hash_sample(ev, "event_id", 0.2).select("event_id").collect()}
     assert streamed == expected and len(streamed) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream self-join drained over bounded input
+    equals the batch interval join — the attribution contract."""
+    from polars_readstat_rs_spark.streaming.joins import attribution_join
+
+    joined = attribution_join(events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.unix_millis("c_ts").alias("click_ms"),
+            F.unix_millis("p_ts").alias("purchase_ms"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_ann_recall_eval(spark, sf_dir):
+    """ann_recall: identical rankings give recall 1.0; a truncated
+    approximate result gives the exact expected fraction."""
+    from polars_readstat_rs_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    truth = similarity.brute_force_topk(emb, queries, k=5)
+    perfect = similarity.ann_recall(truth, truth, k=5).collect()
+    assert all(r.recall == 1.0 and r.n_hit == r.n_truth for r in perfect)
+
+    # drop the top-2 ranked hits per query from the approx side:
+    # recall must be exactly (n_truth - 2) / n_truth
+    worse = truth.filter(F.col("rank") > 2)
+    partial = similarity.ann_recall(truth, worse, k=5).collect()
+    assert all(r.n_hit == r.n_truth - 2 for r in partial)
