@@ -262,3 +262,104 @@ def q31_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_discount") == 0.0).alias("n_nodisc"),
         F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_hightax"),
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — funnel analysis: ordered step progression per user
+# (signup -> click -> purchase, each step strictly after the previous).
+# The canonical product-analytics operator; Spark has no MATCH_RECOGNIZE,
+# so the funnel is three conditional min-aggregations chained by
+# time-bound joins — all shuffles on user_id, broadcast-free and
+# skew-safe (user_id is the natural partition key of an event log).
+@register(
+    "q38_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM {EVENTS_US} e
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM {EVENTS_US} e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM {EVENTS_US} e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT s1.user_id,
+           1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS reached_step,
+           epoch_ms(t1) AS signup_ms, epoch_ms(t2) AS click_ms, epoch_ms(t3) AS purchase_ms
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q38_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNull(), 0).otherwise(1)
+                + F.when(F.col("t3").isNull(), 0).otherwise(1)
+            ).cast("int").alias("reached_step"),
+            F.unix_millis("t1").alias("signup_ms"),
+            F.unix_millis("t2").alias("click_ms"),
+            F.unix_millis("t3").alias("purchase_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — cohort retention: users grouped by first-activity week, counted
+# in each later week they return. Two aggregations (first-seen per user,
+# then distinct user-weeks) and one join — the standard retention
+# matrix, all shuffles on user_id / (cohort, offset).
+@register(
+    "q39_retention",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(min(ts)) / 604800000) AS BIGINT) AS cohort_week
+      FROM {EVENTS_US} e GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS week
+      FROM {EVENTS_US} e)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.floor(F.unix_millis(c) / F.lit(604800000)).cast("bigint")  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", wk(F.col("ts")).alias("week")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -124,6 +124,11 @@ def main() -> None:
                 emb, threshold=0.9, max_block=2000
             ),
             "srp_neardup": lambda: similarity.srp_neardup_pairs(emb, threshold=0.9),
+            # ncells grows with the corpus so cell population stays
+            # ~constant — the documented SemDeDup scaling contract
+            "semantic_dedup": lambda: similarity.semantic_dedup(
+                emb, threshold=0.9, ncells=max(8, n // 600), max_cell=2000
+            ),
             "hash_sample": lambda: sampling.hash_sample(docs, "doc_id", 0.25),
             "pack_sequences": lambda: sampling.pack_sequences(
                 docs, "doc_id", F.size(F.split("text", " ")), 512, 1000
