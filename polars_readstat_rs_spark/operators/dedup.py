@@ -224,6 +224,88 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     )
 
 
+def incremental_minhash_pairs(
+    base: DataFrame, new: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs between a NEW batch and
+    the existing BASE corpus (base-vs-base pairs are deliberately not
+    recomputed — the base was already deduped when it was ingested).
+
+    Same machinery as :func:`minhash_lsh_pairs` (shared shingle table,
+    one sha256 -> 8 minhash chunks -> 4 banded keys, exact Jaccard
+    verify on candidates), but the band join is base x new only: at
+    100 TB the base side's signatures/bands are precomputed artifacts
+    of earlier ingests (persist ``stats``/``banded`` to a table), so an
+    incremental run costs O(new batch + touched buckets), not O(corpus).
+    The df-cap is computed over base+new together, as a full-corpus run
+    would.
+
+    Output: ``base_id``, ``new_id``, ``inter``, ``un``, ``jaccard`` for
+    every banded candidate pair; filter ``jaccard`` downstream for the
+    reject list.
+    """
+    union = base.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"), F.lit(False).alias("is_new")
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"), F.lit(True).alias("is_new")
+        )
+    )
+    sh_shared = _shingle_table(union, "__id", "__txt", n)
+    side = union.select(F.col("__id").alias("doc"), "is_new")
+    hashed = sh_shared.select("doc", F.sha2(F.col("sh"), 256).alias("hx"))
+    stats = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[F.min(F.substring("hx", 1 + 8 * i, 8)).alias(f"h{i}") for i in range(NUM_HASHES)],
+    ).persist()
+    band_cols = []
+    for b in range(NUM_BANDS):
+        hs = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws("|", *hs)).alias(f"b{b}"))
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
+    bands_long = (
+        stats.select("doc", *band_cols)
+        .select("doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)"))
+        .join(side, "doc")
+    )
+    x = bands_long.filter(~F.col("is_new")).select(
+        F.col("doc").alias("base_id"), "band_idx", "band_key"
+    )
+    y = bands_long.filter(F.col("is_new")).select(
+        F.col("doc").alias("new_id"), "band_idx", "band_key"
+    )
+    cand = x.join(y, ["band_idx", "band_key"]).select("base_id", "new_id").distinct().persist()
+    sh_b = sh_shared.join(
+        cand.select(F.col("base_id").alias("doc")).distinct(), "doc", "left_semi"
+    )
+    sh_n = sh_shared.join(
+        cand.select(F.col("new_id").alias("doc")).distinct(), "doc", "left_semi"
+    )
+    inter = (
+        sh_b.alias("a")
+        .join(sh_n.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.doc").alias("base_id"), F.col("b.doc").alias("new_id"))
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["base_id", "new_id"], "left_semi")
+    )
+    sizes = stats.select("doc", "sz")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "base_id").withColumnRenamed("sz", "sz_a"), "base_id")
+        .join(sizes.withColumnRenamed("doc", "new_id").withColumnRenamed("sz", "sz_b"), "new_id")
+        .select(
+            "base_id",
+            "new_id",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("un"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return _track(out, sh_shared, stats, cand)
+
+
 def _simhash_luts(lane_bits: int) -> list[list[int]]:
     """Per-nibble packed-lane lookup tables. With ``lane_bits=16`` one
     bigint word holds all four of a nibble's bit-counts (16 aggregates

@@ -1,0 +1,64 @@
+"""One-pass numeric column profiling (the engine-side `summarize`).
+
+A data-ingest pipeline profiles every candidate table before committing
+compute to it: row/null/distinct counts, range, exact totals and
+percentiles per column. This operator does it in ONE aggregation pass
+over the table (a single groupBy().agg() with all columns' aggregates),
+then melts the one-row result into a row-per-column report driver-side
+free (the melt is a `stack` projection over a 1-row DataFrame).
+
+Scale notes:
+- exact count(distinct) over multiple columns uses Catalyst's Expand
+  (one input-row copy per distinct aggregate). That is the documented
+  cost of exactness; pass ``approx_distinct=True`` at 100 TB to use
+  HLL sketches (approx_count_distinct) with no Expand.
+- ``percentile`` is exact (sort-based within partial aggregates);
+  at extreme scale swap for percentile_approx — kept exact here so the
+  DuckDB oracle (quantile_cont) matches bitwise.
+- sums accumulate in DECIMAL(12,2) (exact, order-insensitive) and cast
+  to double once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PERCENTILES = (0.25, 0.5, 0.75)
+
+
+def profile_numeric(
+    df: DataFrame, cols: list[str], approx_distinct: bool = False
+) -> DataFrame:
+    """Per-column profile: n, n_null, n_distinct, min/max, exact
+    decimal sum, mean, p25/p50/p75 — one row per profiled column from a
+    single aggregation pass."""
+    pcts = ", ".join(repr(p) for p in PERCENTILES)
+    aggs = []
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c) if approx_distinct else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__n_null"),
+            nd.alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(12,2)")).cast("double").alias(f"{c}__sum"),
+            F.expr(f"percentile({c}, array({pcts}))").alias(f"{c}__pct"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, "
+        f"{c}__sum, {c}__sum / {c}__n, "
+        + ", ".join(f"{c}__pct[{i}]" for i in range(len(PERCENTILES)))
+        for c in cols
+    )
+    pct_names = ", ".join(f"p{int(p * 100)}" for p in PERCENTILES)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            f"(col_name, n, n_null, n_distinct, min_v, max_v, sum_v, mean_v, {pct_names})"
+        )
+    )

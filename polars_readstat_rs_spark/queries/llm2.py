@@ -240,3 +240,59 @@ def v06_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = similarity.brute_force_topk(emb, queries, k=_RECALL_K)
     approx = similarity.ivf_topk(emb, queries, k=_RECALL_K, nprobe=3)
     return similarity.ann_recall(truth, approx, k=_RECALL_K)
+
+
+# ------------------------------------------------- d09 incremental dedup
+
+
+def _incr_minhash_oracle() -> str:
+    """Mirror of operators.dedup.incremental_minhash_pairs: shared
+    df-capped shingle table over base+new, minhash bands, base x new
+    band-bucket candidates, exact Jaccard verify (new batch = doc_id
+    divisible by 5; base = the rest)."""
+    from .llm import _SHINGLE_N, _sh_ctes
+
+    sig_cols = ", ".join(
+        f"min(substring(sha256(sh), {1 + 8 * i}, 8)) AS h{i}" for i in range(dedup.NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(dedup.NUM_BANDS):
+        hs = [f"h{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)]
+        key = " || '|' || ".join(hs)
+        band_selects.append(f"SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    # _sh_ctes supplies toks/sh_all/rare/sh/sizes (+ an a<b `inter` CTE
+    # the incremental query ignores — base/new orientation replaces it)
+    return f"""
+    WITH {_sh_ctes(_SHINGLE_N)},
+    sig AS (SELECT doc, {sig_cols} FROM (SELECT doc, sh FROM sh) GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT x.doc AS base_id, y.doc AS new_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc % 5 <> 0 AND y.doc % 5 = 0),
+    inter2 AS (
+      SELECT a.doc AS base_id, b.doc AS new_id, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc % 5 <> 0 AND b.doc % 5 = 0
+      GROUP BY 1, 2)
+    SELECT c.base_id, c.new_id, i.inter, (sa.sz + sb.sz - i.inter) AS un,
+           CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+    FROM inter2 i
+    JOIN cand c ON i.base_id = c.base_id AND i.new_id = c.new_id
+    JOIN sizes sa ON i.base_id = sa.doc JOIN sizes sb ON i.new_id = sb.doc
+    """
+
+
+@register("d09_incremental_dedup", oracle=_incr_minhash_oracle())
+def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py
+    incremental_minhash_pairs): every 5th document plays the NEW batch,
+    deduplicated against the remaining corpus as BASE — the
+    index-reuse shape of a continuously-ingesting 100 TB pipeline."""
+    from .llm import _SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_minhash_pairs(base, new, "doc_id", "text", n=_SHINGLE_N)

@@ -363,3 +363,36 @@ def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# q40 — one-pass numeric column profiler (operators/profile.py): the
+# engine-side `summarize` a pipeline runs before committing compute to
+# a table. Exact count-distinct (Catalyst Expand) and exact percentiles
+# here so the oracle matches bitwise; the operator's approx_distinct
+# flag is the documented 100 TB path.
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name, count({c}) AS n, count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v,
+           CAST(sum(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+           CAST(sum(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) / count({c}) AS mean_v,
+           CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont({c}, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS p75
+    FROM lineitem"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "q40_profile",
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def q40_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(li, _PROFILE_COLS)

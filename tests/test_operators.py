@@ -452,3 +452,53 @@ def test_redact_pii_and_repetition(spark):
     r = {x.doc_id: x for x in textstats.repetition_stats(rep).collect()}
     assert r[1].n_grams == 4 and r[1].n_distinct == 1 and r[1].flagged
     assert r[2].dup_frac == 0.0 and not r[2].flagged
+
+
+def test_incremental_dedup_matches_full_run(spark, sf_dir):
+    """Base-vs-new incremental pairs are exactly the full-corpus LSH
+    pairs that cross the base/new boundary — no pair lost, none added,
+    and no base-vs-base recompute in the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    incr = dedup.incremental_minhash_pairs(base, new, "doc_id", "text")
+    got = {(r.base_id, r.new_id, r.inter) for r in incr.collect()}
+    dedup.release_cached(incr)
+
+    full = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    crossing = {
+        (r.a_id, r.b_id) if r.b_id % 5 == 0 else (r.b_id, r.a_id): r.inter
+        for r in full.collect()
+        if (r.a_id % 5 == 0) != (r.b_id % 5 == 0)
+    }
+    dedup.release_cached(full)
+    assert {(b, n) for b, n, _ in got} == set(crossing)
+    for b, n, inter in got:
+        assert crossing[(b, n)] == inter
+
+
+def test_profile_numeric_matches_direct_aggregates(spark, sf_dir):
+    from polars_readstat_rs_spark.operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = {r.col_name: r for r in profile_numeric(li, ["l_quantity", "l_tax"]).collect()}
+    assert set(rows) == {"l_quantity", "l_tax"}
+    direct = li.agg(
+        F.count("l_quantity").alias("n"),
+        F.count_distinct("l_quantity").alias("nd"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+    ).collect()[0]
+    q = rows["l_quantity"]
+    assert (q.n, q.n_distinct, q.min_v, q.max_v, q.p50) == (
+        direct.n, direct.nd, float(direct.mn), float(direct.mx), direct.p50
+    )
+    assert q.n_null == 0 and q.mean_v == q.sum_v / q.n
+
+    # approx_distinct path: same shape, estimate within HLL tolerance
+    approx = {
+        r.col_name: r
+        for r in profile_numeric(li, ["l_quantity"], approx_distinct=True).collect()
+    }["l_quantity"]
+    assert abs(approx.n_distinct - direct.nd) <= max(3, 0.1 * direct.nd)

@@ -8,7 +8,8 @@ grows much faster than its input (pair blowup, driver materialization,
 single-partition window) fails the 100 TB design contract even though
 sf0.1 correctness is green.
 
-Usage: python tools/scale_smoke.py [sizes...]   (default 5000 25000 50000)
+Usage: python tools/scale_smoke.py [sizes...] [op_names...]
+(default sizes 5000 25000 50000; default ops: all)
 Synthetic inputs here are for SCALING measurements only — correctness
 gates always run on /root/testdata (TESTDATA.md).
 """
@@ -94,7 +95,8 @@ def synth(spark, n_docs: int, base: str) -> tuple[str, str]:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [5000, 25000, 50000]
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [5000, 25000, 50000]
+    only = {a for a in sys.argv[1:] if not a.isdigit()}
     from pyspark.sql import functions as F
 
     from polars_readstat_rs_spark.operators import dedup, sampling, similarity, textstats
@@ -105,10 +107,16 @@ def main() -> None:
     base = os.path.join(tempfile.gettempdir(), "readstat_scale_smoke")
     os.makedirs(base, exist_ok=True)
 
-    def run(name, df):
+    def run(name, mk):
+        # time CONSTRUCTION + materialization: iterative operators
+        # (semantic_dedup's component loop) localCheckpoint eagerly, so
+        # most of their work happens while the plan is being built
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 2)
+        out = mk()
+        out.write.format("noop").mode("overwrite").save()
+        secs = round(time.time() - t0, 2)
+        dedup.release_cached(out)
+        return secs
 
     results: dict[str, dict[int, float]] = {}
     for n in sizes:
@@ -137,9 +145,9 @@ def main() -> None:
             "quality_score": lambda: textstats.quality_score(docs),
         }
         for name, mk in ops.items():
-            out = mk()
-            secs = run(name, out)
-            dedup.release_cached(out)
+            if only and name not in only:
+                continue
+            secs = run(name, mk)
             results.setdefault(name, {})[n] = secs
             print(json.dumps({"op": name, "rows": n, "sec": secs}), flush=True)
         spark.catalog.clearCache()
