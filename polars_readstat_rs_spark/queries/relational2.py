@@ -396,3 +396,46 @@ def q40_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_numeric(li, _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------------
+# q41 — declarative data-quality expectations (operators/expectations.py):
+# named row predicates + uniqueness constraints validated in one
+# aggregation pass; the pre-training gate of a 100 TB ingest.
+@register(
+    "q41_expectations",
+    oracle="""
+    SELECT 'qty_in_range' AS rule_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_le_10pct', count(*),
+           CAST(sum(CASE WHEN l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN l_discount <= 0.1 THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_valid', count(*),
+           CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_line_unique', count(*),
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    """,
+)
+def q41_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import expect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expect(
+        li,
+        rules={
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "discount_le_10pct": F.col("l_discount") <= 0.1,
+            "returnflag_valid": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique={"orderkey_line_unique": ["l_orderkey", "l_linenumber"]},
+    )

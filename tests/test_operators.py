@@ -502,3 +502,37 @@ def test_profile_numeric_matches_direct_aggregates(spark, sf_dir):
         for r in profile_numeric(li, ["l_quantity"], approx_distinct=True).collect()
     }["l_quantity"]
     assert abs(approx.n_distinct - direct.nd) <= max(3, 0.1 * direct.nd)
+
+
+def test_expectations_report(spark, sf_dir):
+    from polars_readstat_rs_spark.operators.expectations import expect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    report = {
+        r.rule_name: r
+        for r in expect(
+            li,
+            rules={
+                "qty_positive": F.col("l_quantity") > 0,
+                "qty_over_45": F.col("l_quantity") > 45,  # known violations
+                "tax_not_null": F.col("l_tax").isNotNull(),
+            },
+            unique={
+                "pk_unique": ["l_orderkey", "l_linenumber"],
+                "qty_unique": ["l_quantity"],  # known violations
+            },
+        ).collect()
+    }
+    n = li.count()
+    assert report["qty_positive"].passed and report["qty_positive"].n_violations == 0
+    over = li.filter(~(F.col("l_quantity") > 45)).count()
+    assert report["qty_over_45"].n_violations == over and not report["qty_over_45"].passed
+    assert report["tax_not_null"].passed
+    # the synthetic testdata does NOT keep (orderkey, linenumber) unique;
+    # assert the exact violation count rather than assuming a clean PK
+    nd_pk = li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert report["pk_unique"].n_violations == n - nd_pk
+    assert report["pk_unique"].passed == (n == nd_pk)
+    nd = li.select("l_quantity").distinct().count()
+    assert report["qty_unique"].n_violations == n - nd
+    assert all(r.n_rows == n for r in report.values())
