@@ -65,6 +65,37 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
+def pair_cosine_udf(a: str | Column, b: str | Column) -> Column:
+    """Arrow-vectorized full cosine for PAIR tables: dot(a,b) /
+    (sqrt(dot(a,a)) * sqrt(dot(b,b))) with every fold accumulating
+    dimension j = 0..d-1 in ascending order — bitwise-identical to the
+    oracles' list_reduce expression, with no separate norm projection
+    (so no persist/localCheckpoint barrier is needed to stop Catalyst
+    re-inlining a norm column into every pair row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(sa, sb):
+        if not len(sa):
+            return pd.Series([], dtype="float64")
+        ma = np.array(sa.tolist(), dtype=np.float64)
+        mb = np.array(sb.tolist(), dtype=np.float64)
+        dot = np.zeros(len(ma), dtype=np.float64)
+        na = np.zeros(len(ma), dtype=np.float64)
+        nb = np.zeros(len(ma), dtype=np.float64)
+        for j in range(ma.shape[1]):
+            dot += ma[:, j] * mb[:, j]
+            na += ma[:, j] * ma[:, j]
+            nb += mb[:, j] * mb[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,32 +106,21 @@ def brute_force_topk(
     """Top-k cosine neighbors per query vector (brute force baseline).
 
     ``queries`` must be small enough to broadcast; the corpus is scanned
-    once. Norms are computed once per vector BEFORE the pair join (one
-    fold per pair instead of three). Deterministic tie-break on id.
+    once, zero shuffles before the tiny per-query top-k. The whole
+    cosine runs in one Arrow-vectorized projection over the pair rows
+    (pair_cosine_udf) — no separate norm stage, no persist barriers,
+    one job. Deterministic tie-break on id.
     """
-    # persist the normed sides: Catalyst's projection collapse would
-    # otherwise inline the norm fold back into every pair row
-    q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("q_norm", F.sqrt(dot_expr("q_vec", "q_vec")))
-        .persist()
-    )
-    c = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
-        .withColumn("c_norm", F.sqrt(dot_expr("c_vec", "c_vec")))
-        .persist()
-    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn(
-            "sim",
-            F.round(pair_dot_udf("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6),
-        )
+        .withColumn("sim", F.round(pair_cosine_udf("q_vec", "c_vec"), 6))
         .select("q_id", "vec_id", "sim")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    return _track(out, q, c)
+    return _track(out)
 
 
 def ann_recall(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
