@@ -67,6 +67,7 @@ _RISKY_TAIL = [
     "s02_stream_sessions",
     "s03_stream_stream_join",
     "s04_stream_dedup",
+    "s05_stream_static_join",
 ]
 
 

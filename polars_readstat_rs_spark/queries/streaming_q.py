@@ -127,3 +127,41 @@ def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "s05_stream_static_join",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment,
+           epoch_ms(e.ts) AS ts_ms
+    FROM {EVENTS_US} e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third canonical Structured
+    Streaming join shape (after stream-stream s03 and the windowed aggs):
+    each micro-batch of the events stream joins against a STATIC
+    dimension table (customer), stateless, no watermark needed. At
+    100 TB the static side is a broadcast (small dim) or a co-partitioned
+    bucketed table; Catalyst picks per micro-batch exactly as in batch."""
+    from ..tables import load_table
+
+    name = "s05_enriched"
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    stream = events_stream(spark, sf_dir)
+    out = stream.join(cust, stream.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "mktsegment", F.unix_millis("ts").alias("ts_ms")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -205,3 +205,34 @@ def test_ann_recall_eval(spark, sf_dir):
     worse = truth.filter(F.col("rank") > 2)
     partial = similarity.ann_recall(truth, worse, k=5).collect()
     assert all(r.n_hit == r.n_truth - 2 for r in partial)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment drained over bounded input equals the
+    batch join (stateless per micro-batch, no watermark)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    stream = events_stream(spark, sf_dir)
+    out = stream.join(cust, stream.user_id == cust.c_custkey).select(
+        "event_id", "seg"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("t_enriched").collect()}
+    finally:
+        q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("event_id", "seg")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
