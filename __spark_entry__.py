@@ -61,6 +61,9 @@ _COVERAGE_DUPES = [
 # records complete results for the rest even if one of these runs long —
 # round 2's d08 hang at position ~17 zeroed the whole correctness file).
 _RISKY_TAIL = [
+    "t09_gopher_quality",
+    "t10_bigram_lm",
+    "q42_salted_join",
     "d08_semantic_dedup",
     "v06_ann_recall",
     "s01_stream_windowed_counts",

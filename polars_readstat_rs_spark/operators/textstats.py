@@ -205,3 +205,107 @@ def unigram_lm(
         )
         .withColumn("avg_logprob", F.col("sum_logprob") / F.col("n_tokens").cast("double"))
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) adapted
+# to the synthetic corpus: the word-count floor is lowered (docs are
+# 10-100 words) and the symbol/ellipsis rules are dropped (the closed
+# vocabulary has no punctuation), keeping the word-shape and stopword
+# rules that transfer.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_LEN = 3.0
+GOPHER_MAX_AVG_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition-free quality rules as one map-only pass.
+
+    Emits the per-rule booleans plus the conjunction (``keep``) so a
+    pipeline can both filter and audit rule-level rejection rates.
+    Every expression is a built-in function over the token array —
+    shuffle-free, stays inside whole-stage codegen, scales linearly.
+    """
+    words = words_expr(text_col)
+    n_words = F.size(words)
+    # Same fixed-order arithmetic as quality_score so oracles match bitwise.
+    avg_len = (F.length(text_col) - (n_words - F.lit(1))).cast("double") / n_words.cast("double")
+    alpha_frac = (
+        F.expr(f"size(filter(split(lower({text_col}), ' '), w -> w rlike '[a-z]'))").cast("double")
+        / n_words.cast("double")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_avg = (avg_len >= GOPHER_MIN_AVG_LEN) & (avg_len <= GOPHER_MAX_AVG_LEN)
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_avg.alias("rule_avg_len"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_avg & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-bigram language-model scoring — the KenLM-style perplexity
+    filter one order up from :func:`unigram_lm`.
+
+    Pass 1 aggregates corpus bigram counts and left-context (unigram
+    prefix) counts; pass 2 scores each document by the average
+    ln P(w2|w1) = ln(c(w1,w2)/c(w1·)) over its bigrams. Documents with
+    fewer than two tokens score NULL.
+
+    Scale shape: both count tables shuffle on their key with map-side
+    partial aggregation; the scoring join shuffles on the bigram key
+    (AQE splits residual hot-bigram skew). Everything else is map-only
+    expression work — no UDFs, no driver materialization.
+    """
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(lower({text_col}), ' ')) >= 2 THEN "
+                f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1), "
+                f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, 2))) "
+                f"ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("bg_count"))
+    prefix_counts = (
+        bg_counts.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("bg_count").alias("w1_count"))
+    )
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(prefix_counts, "w1")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bg_count").alias("sum_bg_count"),
+        F.min("bg_count").alias("min_bg_count"),
+        F.sum(
+            F.log(F.col("bg_count").cast("double") / F.col("w1_count").cast("double"))
+        ).alias("sum_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn("avg_logprob", F.col("sum_logprob") / F.col("n_bigrams").cast("double"))
+    )

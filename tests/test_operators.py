@@ -536,3 +536,63 @@ def test_expectations_report(spark, sf_dir):
     nd = li.select("l_quantity").distinct().count()
     assert report["qty_unique"].n_violations == n - nd
     assert all(r.n_rows == n for r in report.values())
+
+
+def test_gopher_quality_rules(spark):
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            # 20 words of length 4 incl. 2 stopwords -> every rule passes
+            (1, "the and " + " ".join(["word"] * 18)),
+            (2, "the and tiny doc"),  # word-count rule fails
+            (3, " ".join(["word"] * 25)),  # no stopwords -> stopword rule fails
+            (4, "the and " + " ".join(["x"] * 30)),  # avg word length too small
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_quality(docs).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["rule_word_count"] and not out[2]["keep"]
+    assert out[3]["rule_word_count"] and not out[3]["rule_stopwords"]
+    assert not out[4]["rule_avg_len"]
+
+
+def test_bigram_lm_counts(spark):
+    import math
+
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    # corpus bigrams: doc1 {a b, b a, a b}, doc2 {a b, b c}
+    # counts: "a b"=3, "b a"=1, "b c"=1; prefix counts: a->3... wait
+    # c(a ·)=3 ("a b" x3), c(b ·)=2 ("b a","b c")
+    out = {r["doc_id"]: r for r in textstats.bigram_lm(docs).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[1]["sum_bg_count"] == 3 + 1 + 3
+    assert out[2]["n_bigrams"] == 2 and out[2]["min_bg_count"] == 1
+    assert out[3]["n_bigrams"] is None  # single-token doc scores NULL
+    # P(b|a)=3/3, P(a|b)=1/2, P(b|a)=1 -> sum ln = ln(1)+ln(.5)+ln(1)
+    assert abs(out[1]["sum_logprob"] - math.log(0.5)) < 1e-12
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import skew
+    from polars_readstat_rs_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    salted = skew.salted_join(orders, cust, "custkey")
+    plain = orders.join(cust, "custkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew.salted_join(orders, cust, "custkey", how="full_outer")
