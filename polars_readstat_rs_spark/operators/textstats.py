@@ -309,3 +309,45 @@ def bigram_lm(
         .join(per_doc, id_col, "left")
         .withColumn("avg_logprob", F.col("sum_logprob") / F.col("n_bigrams").cast("double"))
     )
+
+
+# GPT-2-style pre-tokenizer, reduced to the synthetic corpus's lowercase
+# alphabet: contraction suffixes, space-prefixed letter runs, digit runs,
+# and punctuation runs. Character classes only — identical semantics under
+# Java regex (Spark) and RE2 (DuckDB); no lookarounds (the original GPT-2
+# pattern's \s+(?!\S) needs one, dropped here).
+BPE_PRETOKEN_RE = r"('s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9' ]+)"
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """First iteration of BPE training: pre-tokenize with the GPT-2-style
+    regex, then count adjacent character pairs within each pre-token —
+    the corpus statistic whose argmax becomes the first BPE merge.
+
+    Two map stages and one shuffle on the pair key (tiny domain: at most
+    |alphabet|² distinct pairs, so the shuffle is a broadcast-sized
+    aggregation with map-side combine). Emits per-pair totals and
+    document frequency.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), \"{BPE_PRETOKEN_RE}\", 1)")
+        ).alias("tok"),
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            # CASE guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+            # so single-char tokens must short-circuit to an empty array.
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN "
+                "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.count("*").alias("n_pair"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

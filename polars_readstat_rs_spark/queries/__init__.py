@@ -18,6 +18,8 @@ _RISKY_TAIL = (
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",
+    "t11_bpe_pairs",
+    "q43_upsert",
     "d08_semantic_dedup",
     "v06_ann_recall",
     "s01_stream_windowed_counts",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import skew, textstats
+from ..operators import merge, skew, textstats
 from ..tables import load_table
 from .registry import register
 
@@ -134,4 +134,86 @@ def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# ------------------------------------------------- t11 BPE pair counting
+
+
+@register(
+    "t11_bpe_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '{textstats.BPE_PRETOKEN_RE.replace("'", "''")}', 1)) AS tok
+      FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(tok), 1)),
+                    i -> tok[i:i+1])) AS pair
+      FROM toks)
+    SELECT pair,
+           CAST(count(*) AS BIGINT) AS n_pair,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM pairs GROUP BY pair
+    """,
+)
+def t11_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge statistics (operators/textstats.py bpe_pair_counts):
+    GPT-2-style regex pre-tokenization, then adjacent-character-pair
+    corpus counts — the argmax of n_pair is the first BPE merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(docs)
+
+
+# ------------------------------------------------- q43 upsert / MERGE INTO
+
+
+@register(
+    "q43_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(12,2)) AS DOUBLE)
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, 'I', o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey))
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q43_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-pipeline MERGE INTO (operators/merge.py upsert): a CDC
+    batch (10% updated rows, ~1% inserts with fresh keys) merged into
+    the orders table with one key shuffle, then summarized by status so
+    the gate sees updated/inserted/untouched populations separately."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(2).cast("decimal(12,2)"))
+            .cast("double"),
+        )
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
+        .withColumn("o_orderstatus", F.lit("I"))
+    )
+    merged = merge.upsert(orders, updates.select(orders.columns), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )

@@ -596,3 +596,37 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
     with pytest.raises(ValueError):
         skew.salted_join(orders, cust, "custkey", how="full_outer")
+
+
+def test_upsert_semantics(spark):
+    from polars_readstat_rs_spark.operators import merge
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], ["k", "s", "v"])
+    out = {r["k"]: r for r in merge.upsert(base, updates, ["k"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["s"] == "B" and out[2]["v"] == 99.0  # update wins
+    assert out[4]["s"] == "d"  # insert appended
+    assert out[1]["v"] == 10.0 and out[3]["v"] == 30.0  # untouched survive
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge.upsert(base, updates.select("s", "k", "v"), ["k"])
+
+
+def test_bpe_pair_counts(spark):
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "it's abc abc"), (2, "x 12 abc")], ["doc_id", "text"]
+    )
+    # pre-tokens doc1: [it, 's, " abc", " abc"]; doc2: [x, " 12", " abc"]
+    # "it" -> pair "it"; "'s" -> "'s"; " abc" -> [" a","ab","bc"]
+    out = {r["pair"]: r for r in textstats.bpe_pair_counts(docs).collect()}
+    assert out["ab"]["n_pair"] == 3 and out["ab"]["n_docs"] == 2
+    assert out["it"]["n_pair"] == 1
+    assert out["'s"]["n_pair"] == 1
+    assert out[" 1"]["n_pair"] == 1  # digit-run token keeps its space prefix
+    assert "x" not in out  # single-char token contributes no pair
