@@ -1,0 +1,63 @@
+"""Bucketed tables: pre-shuffled layouts for co-located joins and aggs.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle of both
+sides. Writing the fact tables bucketed (hash-partitioned into a fixed
+number of files per key column, optionally sorted within buckets) moves
+that shuffle to write time, once; every subsequent equi-join or groupBy
+on the bucket columns reads both sides already co-partitioned and runs
+shuffle-free (Catalyst recognizes the bucketing as a satisfied
+HashPartitioning requirement — the plan shows SortMergeJoin with NO
+Exchange under either side).
+
+Rules of thumb encoded here:
+- bucket counts must MATCH (or divide) across tables meant to be joined,
+  so both sides land in compatible hash spaces;
+- sortBy on the join key makes the within-bucket merge zero-sort;
+- bucket count is a real tuning knob: ~(table size / 256 MB) rounded to
+  a power of two, fixed once per table family.
+
+Spark only honors bucketing through the catalog (``saveAsTable``), not
+bare ``parquet(path)`` — these helpers write external tables with an
+explicit ``path`` so the data stays wherever the pipeline keeps it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external bucketed parquet table named ``table``
+    at ``path``. ``sort_cols`` defaults to ``bucket_cols`` (sorted
+    buckets make downstream merge joins sort-free)."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    writer = writer.sortBy(*(sort_cols if sort_cols is not None else bucket_cols))
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket
+    columns. With matching bucket counts this plans as a shuffle-free
+    sort-merge join; tests assert the absence of Exchange nodes."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)

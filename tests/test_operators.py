@@ -630,3 +630,40 @@ def test_bpe_pair_counts(spark):
     assert out["'s"]["n_pair"] == 1
     assert out[" 1"]["n_pair"] == 1  # digit-run token keeps its space prefix
     assert "x" not in out  # single-char token contributes no pair
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import bucketing
+    from polars_readstat_rs_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bucketing.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "orders_b", str(tmp_path / "orders_b"), ["custkey"], 8,
+    )
+    bucketing.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        "customer_b", str(tmp_path / "customer_b"), ["custkey"], 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(spark, "orders_b", "customer_b", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing satisfied both distributions
+        expected = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        )
+        assert joined.count() == expected
+        # groupBy on the bucket column is shuffle-free too
+        agg = spark.table("orders_b").groupBy("custkey").agg(F.count("*").alias("n"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
