@@ -135,9 +135,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
     price, disc = _money("l_extendedprice"), _rate("l_discount")
+    # lineitem-rooted join order (see q05): the filtered cust/orders sides
+    # hash-build, the big lineitem side probes.
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(
             F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
@@ -194,9 +196,14 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     price, disc = _money("l_extendedprice"), _rate("l_discount")
+    # lineitem is the join ROOT (probe side): every other table hash-builds
+    # against it, so the biggest table is never the build/broadcast side.
+    # (The cust-first ordering made Catalyst broadcast-build LINEITEM —
+    # a 600k-entry single-threaded hash build locally, and exactly the
+    # plan that dies at 100 TB.)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
