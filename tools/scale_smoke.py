@@ -99,7 +99,7 @@ def main() -> None:
     only = {a for a in sys.argv[1:] if not a.isdigit()}
     from pyspark.sql import functions as F
 
-    from polars_readstat_rs_spark.operators import dedup, sampling, similarity, textstats
+    from polars_readstat_rs_spark.operators import dedup, merge, sampling, similarity, textstats
     from polars_readstat_rs_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
@@ -143,6 +143,12 @@ def main() -> None:
             ),
             "det_shuffle": lambda: sampling.deterministic_shuffle(docs, "doc_id"),
             "quality_score": lambda: textstats.quality_score(docs),
+            "gopher_quality": lambda: textstats.gopher_quality(docs),
+            "bigram_lm": lambda: textstats.bigram_lm(docs),
+            "bpe_pairs": lambda: textstats.bpe_pair_counts(docs),
+            "upsert": lambda: merge.upsert(
+                docs, docs.filter(F.col("doc_id") % 10 == 0), ["doc_id"]
+            ),
         }
         for name, mk in ops.items():
             if only and name not in only:
