@@ -73,6 +73,7 @@ _RISKY_TAIL = [
     "s03_stream_stream_join",
     "s04_stream_dedup",
     "s05_stream_static_join",
+    "s06_incremental_agg",
 ]
 
 

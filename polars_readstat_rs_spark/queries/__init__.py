@@ -27,6 +27,7 @@ _RISKY_TAIL = (
     "s03_stream_stream_join",
     "s04_stream_dedup",
     "s05_stream_static_join",
+    "s06_incremental_agg",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -165,3 +165,24 @@ def s05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "s06_incremental_agg",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def s06_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental materialized view
+    (streaming/incremental.py): the events table arrives as a 4-file
+    micro-batched stream; each batch pre-aggregates map-side and merges
+    additively into a localCheckpoint-ed accumulator. Decimal sums make
+    the merge order-independent, so the drained state equals the
+    one-shot batch aggregate bitwise — which is exactly what the oracle
+    asserts."""
+    from ..streaming.incremental import incremental_event_totals
+
+    return incremental_event_totals(spark, sf_dir)

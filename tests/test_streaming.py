@@ -236,3 +236,22 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_incremental_agg_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.streaming.incremental import incremental_event_totals
+    from polars_readstat_rs_spark.tables import load_table
+
+    inc = incremental_event_totals(spark, sf_dir, n_chunks=3)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    assert inc.count() == batch.count()
+    assert inc.exceptAll(batch).count() == 0 and batch.exceptAll(inc).count() == 0
