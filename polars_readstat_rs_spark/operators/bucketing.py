@@ -61,3 +61,29 @@ def bucketed_join(
     columns. With matching bucket counts this plans as a shuffle-free
     sort-merge join; tests assert the absence of Exchange nodes."""
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``).
+
+    The complementary layout to bucketing: bucketing pre-shuffles for
+    JOIN keys, directory partitioning prunes for FILTER keys. At 100 TB
+    a date/tenant-partitioned fact table turns a day's query into a
+    one-directory scan — the listing itself is the pushdown. Keep
+    partition cardinality bounded (date, region — never user_id): each
+    value is a directory, and millions of tiny files kill the listing
+    and the name node alike.
+    """
+    df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def read_pruned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; filters on partition columns prune at
+    planning time (assert via explain: PartitionFilters, and the scan's
+    'number of files read')."""
+    return spark.read.parquet(path)

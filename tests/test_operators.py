@@ -667,3 +667,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import bucketing
+    from polars_readstat_rs_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    bucketing.write_partitioned(ev, path, ["event_type"])
+    back = bucketing.read_pruned(spark, path)
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter reached the scan and pruned to ONE directory
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    n_types = ev.select("event_type").distinct().count()
+    import glob
+
+    assert len(glob.glob(f"{path}/event_type=*")) == n_types
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert one.count() == expected
