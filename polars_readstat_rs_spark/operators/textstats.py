@@ -286,22 +286,29 @@ def bigram_lm(
             )
         ).alias("bg"),
     )
-    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("bg_count"))
+    # Partial reduction before the scoring join: a document's repeated
+    # bigrams collapse to one (doc, bg, cnt) row map-side, so the join
+    # moves distinct-bigrams-per-doc instead of every occurrence — the
+    # difference between O(tokens) and O(distinct) rows through the
+    # hot-bigram shuffle (Zipf corpora: the top bigrams ARE the bulk).
+    doc_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("bg_count"))
     prefix_counts = (
         bg_counts.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("bg_count").alias("w1_count"))
     )
     scored = (
-        bigrams.join(bg_counts, "bg")
+        doc_bg.join(bg_counts, "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .join(prefix_counts, "w1")
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("bg_count").alias("sum_bg_count"),
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.col("cnt") * F.col("bg_count")).alias("sum_bg_count"),
         F.min("bg_count").alias("min_bg_count"),
         F.sum(
-            F.log(F.col("bg_count").cast("double") / F.col("w1_count").cast("double"))
+            F.col("cnt").cast("double")
+            * F.log(F.col("bg_count").cast("double") / F.col("w1_count").cast("double"))
         ).alias("sum_logprob"),
     )
     return (
