@@ -1,0 +1,122 @@
+"""Multi-file layout bench: the testdata parquet files are ONE row group
+each, so scans are single-task in every engine and the headline bench
+mostly measures fixed per-job overhead on the small relational queries.
+Real 100 TB tables arrive as thousands of files; this tool stages the
+same sf tables as N-file directories (pyarrow row-slice split, written
+once to /tmp) and re-times the scan-heavy queries in BOTH engines on
+the identical multi-file layout. Both engines parallelize across files
+(measured: DuckDB gains too); what the layout removes is the
+single-task scan bottleneck, leaving Spark's remaining deficit at this
+size as pure per-job constants (~0.1-0.2 s scheduling + broadcast
+builds) that are flat in data volume — they amortize at real scale
+where a scan is minutes, not milliseconds.
+
+Usage: python tools/bench_multifile.py [sf_dir] [n_files]
+Prints one JSON line: spark + duckdb per-query seconds on the staged
+layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+QUERIES_TO_RUN = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q06_revenue_forecast",
+    "t02_quality_score",
+]
+SPLIT_TABLES = ("lineitem", "orders", "customer", "documents")
+ALL_TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def stage(sf_dir: str, n_files: int) -> str:
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"multifile_{tag}_{n_files}")
+    done = os.path.join(base, "_STAGED")
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    for name in ALL_TABLES:
+        src = f"{sf_dir}/{name}.parquet"
+        dst = os.path.join(base, f"{name}.parquet")
+        if name in SPLIT_TABLES:
+            os.makedirs(dst, exist_ok=True)
+            t = pq.read_table(src)
+            step = max(1, (t.num_rows + n_files - 1) // n_files)
+            for i, lo in enumerate(range(0, t.num_rows, step)):
+                pq.write_table(t.slice(lo, step), os.path.join(dst, f"part-{i:04d}.parquet"))
+        else:
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def time_min(fn, runs: int = 3) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    staged = stage(sf_dir, n_files)
+
+    import duckdb
+
+    from polars_readstat_rs_spark.queries import ORACLES, QUERIES
+    from polars_readstat_rs_spark.session import get_spark
+
+    spark = get_spark("bench-multifile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for name in ALL_TABLES:
+        path = os.path.join(staged, f"{name}.parquet")
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
+
+    # warmup both engines
+    QUERIES["q01_pricing_summary"](spark, staged).write.format("noop").mode("overwrite").save()
+    con.execute(ORACLES["q01_pricing_summary"]).fetchall()
+
+    spark_times, duck_times = {}, {}
+    for q in QUERIES_TO_RUN:
+        spark_times[q] = time_min(
+            lambda: QUERIES[q](spark, staged).write.format("noop").mode("overwrite").save()
+        )
+        duck_times[q] = time_min(lambda: con.execute(ORACLES[q]).fetchall())
+
+    print(
+        json.dumps(
+            {
+                "metric": "multifile_layout",
+                "n_files": n_files,
+                "sf_dir": sf_dir,
+                "spark": spark_times,
+                "spark_total": round(sum(spark_times.values()), 3),
+                "duckdb": duck_times,
+                "duckdb_total": round(sum(duck_times.values()), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
