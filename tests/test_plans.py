@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on, pinned so a refactor can't silently regress them.
+
+These assert the *strategy*, not timings: filters reach the parquet
+scan (PushedFilters), projections prune the read schema, dimension
+tables build while the fact table probes, and window/agg stages stay
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filter_pushdown_reaches_scan(spark, sf_dir):
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q06_revenue_forecast"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q02_projection_prunes_read_schema(spark, sf_dir):
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q02_filter_project"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, plan
+    # the 16-column lineitem scan must skip the columns q02 never touches
+    # (the plan string truncates the schema, so assert on the visible
+    # prefix: unused early columns must be absent, used ones present)
+    visible = m.group(1)
+    assert "l_orderkey" in visible and "l_quantity" in visible
+    assert "l_partkey" not in visible and "l_suppkey" not in visible
+
+
+def test_q05_lineitem_probes_never_builds(spark, sf_dir):
+    """Every BroadcastExchange in the TPC-H Q5 plan must carry dimension
+    columns, never lineitem fact columns (round-3 regression: the
+    cust-first join order broadcast-built the whole fact table)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q05_nation_revenue"](spark, sf_dir))
+    for block in plan.split("BroadcastExchange")[1:]:
+        head = block.splitlines()[0]
+        assert "l_extendedprice" not in head and "l_orderkey" not in head, head
+
+
+def test_q01_whole_stage_codegen_covers_agg(spark, sf_dir):
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    # collect() executes the Dataset's OWN QueryExecution, so the AQE
+    # root is finalized in place and toString shows the real stages
+    # (a .write would plan a fresh execution and leave this one unfinal)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen stages;
+    # both the partial and final HashAggregate must carry one
+    assert len(re.findall(r"\*\(\d+\) HashAggregate", plan)) >= 2, plan[:900]
+
+
+def test_salted_join_spreads_shuffle_keys(spark, sf_dir):
+    """The salted join's shuffle must hash on (key, salt), not key alone."""
+    from polars_readstat_rs_spark.operators import skew
+    from polars_readstat_rs_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # surface the shuffle
+    try:
+        plan = _plan(skew.salted_join(orders, cust, "custkey"))
+        m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+        assert m and "__salt" in m.group(1), plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
