@@ -49,6 +49,18 @@ def hash_sample(df: DataFrame, id_col: str, rate: float, seed: str = "s0") -> Da
     return df.filter(_bucket(id_col, seed) < F.lit(threshold))
 
 
+def importance_sample(df: DataFrame, id_col: str, weight: Column, seed: str = "s0") -> DataFrame:
+    """Quality-weighted (importance) sampling: keep each row
+    independently with probability ``clamp(weight, 0, 1)``, where
+    ``weight`` is any per-row expression (a quality score, an inverse
+    duplication count, a domain prior ...). The continuous
+    generalization of :func:`stratified_sample` — still a pure
+    deterministic filter: bucket(id) < weight * 2^32, no shuffle, no RNG
+    state, stable under repartitioning and incremental reruns."""
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight.cast("double")))
+    return df.filter(_bucket(id_col, seed) < (p * F.lit(float(BUCKETS))).cast("bigint"))
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float], seed: str = "s0"
 ) -> DataFrame:

@@ -4,7 +4,7 @@ document fingerprinting. All pure built-in-function expressions (no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles_expr, words_expr
@@ -357,4 +357,39 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return pairs.groupBy("pair").agg(
         F.count("*").alias("n_pair"),
         F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def zipf_stats(docs: DataFrame, text_col: str = "text", top_k: int = 1000) -> DataFrame:
+    """Vocabulary frequency table with Zipf ranks: per-token corpus
+    count, frequency rank (count desc, token asc), corpus share, and
+    cumulative share — the vocabulary-coverage curve a tokenizer/corpus
+    audit reads.
+
+    Scale shape: the corpus-sized work is one exploded token count with
+    map-side combine (one shuffle on a uniform token key). Everything
+    after operates on the VOCABULARY table — sublinear in corpus size by
+    Heaps' law — so the unpartitioned rank window sorts a table that is
+    orders of magnitude smaller than the input; the shares are exact
+    integer counts divided once at the end (deterministic, no float
+    accumulation).
+    """
+    counts = (
+        docs.select(F.explode(words_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("_cum", F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(F.col("rank") <= top_k)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        "rank",
+        (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias("share"),
+        (F.col("_cum").cast("double") / F.col("_total").cast("double")).alias("cum_share"),
     )

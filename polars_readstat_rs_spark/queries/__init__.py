@@ -11,10 +11,15 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, pipeline, readstat, relational, relational2, streaming_q  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, pipeline, readstat, relational, relational2, relational3, streaming_q  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
+    "q44_fuzzy_match",
+    "q45_gapfill",
+    "q46_moving_window",
+    "p07_importance_sample",
+    "t12_zipf_stats",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

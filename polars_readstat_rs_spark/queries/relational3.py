@@ -1,0 +1,185 @@
+"""Round-3 (third session) additions: blocked fuzzy entity matching,
+time-series gap-fill, RANGE-frame moving aggregates, importance
+sampling, and Zipf vocabulary stats.
+
+Determinism notes (per registry rules):
+- q44's levenshtein is an exact integer metric with identical semantics
+  in Spark (JVM) and DuckDB;
+- q45/q46 sum in exact DECIMAL and cast to DOUBLE at the end; the
+  forward-fill picks an order statistic (last non-null), not a float
+  accumulation;
+- p07 reuses the verified md5-bucket arithmetic of p01-p03; the weight
+  is a single IEEE multiply/divide chain evaluated identically;
+- t12's share/cum_share are one division of exact BIGINT counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import fuzzy, sampling, textstats, timeseries
+from ..tables import load_table
+from .registry import EVENTS_US, register
+from .pipeline import _bucket_sql
+
+# ------------------------------------------------- q44 fuzzy entity match
+
+_Q44_MAXDIST = 4
+
+
+@register(
+    "q44_fuzzy_match",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_Q44_MAXDIST}
+    """,
+)
+def q44_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (operators/fuzzy.py): DISTINCT
+    names -> block by last token -> levenshtein verify. The distinct()
+    collapses the fact table to vocabulary size before any pairing."""
+    part = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.col("name"), " "), -1)
+    pairs = fuzzy.blocked_fuzzy_pairs(part, "p_name", block, max_dist=_Q44_MAXDIST)
+    return pairs.withColumn("dist", F.col("dist").cast("int"))
+
+
+# ------------------------------------------------- q45 time-series gap-fill
+
+
+@register(
+    "q45_gapfill",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM {EVENTS_US} ev),
+    span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                   CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span),
+    daily AS (
+      SELECT user_id, day, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+      FROM e GROUP BY user_id, day)
+    SELECT g.user_id, g.day,
+           coalesce(d.n, 0) AS n_events, d.day_total,
+           last_value(d.day_total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q45_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + LOCF gap-fill (operators/timeseries.py): per-key
+    calendar grid via explode(sequence), one window shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.resample_gapfill_daily(ev, "user_id", "ts", "value")
+
+
+# ------------------------------------------------- q46 RANGE-frame moving sum
+
+_Q46_DAYS = 30
+
+
+@register(
+    "q46_moving_window",
+    oracle=f"""
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL {_Q46_DAYS} DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_total,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL {_Q46_DAYS} DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_orders
+    FROM orders
+    """,
+)
+def q46_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (the moving-aggregate shape q12's running
+    ROWS frame doesn't cover): per-customer trailing-30-day order total.
+    The frame key is integer days-since-epoch, so Spark's rangeBetween
+    bounds mean exactly DuckDB's INTERVAL frame; the sum is exact
+    DECIMAL. One shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-_Q46_DAYS, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_total"),
+        F.count(F.lit(1)).over(w).alias("trailing_orders"),
+    )
+
+
+# ------------------------------------------------- p07 importance sampling
+
+_P07_SEED = "s0"
+_P07_SCALE = 500.0
+
+
+@register(
+    "p07_importance_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_bucket_sql(_P07_SEED, "doc_id")} <
+      CAST(least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / {_P07_SCALE!r})) * {float(sampling.BUCKETS)!r} AS BIGINT)
+    """,
+)
+def p07_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling (operators/sampling.py:
+    importance_sample): keep probability proportional to a per-row
+    quality proxy (here document length), clamped to [0, 1]. Pure
+    deterministic filter — no shuffle, stable under reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.col("n_chars").cast("double") / F.lit(_P07_SCALE)
+    return sampling.importance_sample(docs, "doc_id", weight, _P07_SEED).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ------------------------------------------------- t12 Zipf vocabulary stats
+
+_T12_TOPK = 200
+
+
+@register(
+    "t12_zipf_stats",
+    oracle=f"""
+    WITH counts AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    agg AS (SELECT token, count(*) AS cnt FROM counts GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM agg),
+    ranked AS (
+      SELECT token, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM agg)
+    SELECT token, cnt, rank,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM ranked, tot
+    WHERE rank <= {_T12_TOPK}
+    """,
+)
+def t12_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-frequency / Zipf-rank audit
+    (operators/textstats.py:zipf_stats): corpus-sized work is one
+    token-count shuffle; ranking happens on the vocabulary table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.zipf_stats(docs, top_k=_T12_TOPK)

@@ -689,3 +689,107 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{path}/event_type=*")) == n_types
     expected = ev.filter(F.col("event_type") == "click").count()
     assert one.count() == expected
+
+
+def test_blocked_fuzzy_pairs_and_cap(spark):
+    """Fuzzy matching pairs names within a block by edit distance; hot
+    blocks above max_block are excluded deterministically."""
+    from polars_readstat_rs_spark.operators import fuzzy
+
+    rows = [("red bolt",), ("red bolt",), ("rod bolt",), ("blue bolt",), ("red gear",), ("rad gear",)]
+    df = spark.createDataFrame(rows, ["nm"])
+    block = F.element_at(F.split(F.col("name"), " "), -1)
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy.blocked_fuzzy_pairs(df, "nm", block, max_dist=2).collect()
+    }
+    # duplicates collapse via distinct; cross-block pairs never compared
+    assert ("red bolt", "rod bolt", 1) in got
+    assert ("rad gear", "red gear", 1) in got
+    assert all(a.split()[-1] == b.split()[-1] for a, b, _ in got)
+    # the bolt block has 3 distinct names -> capped out with max_block=2
+    capped = {
+        (r.name_a, r.name_b)
+        for r in fuzzy.blocked_fuzzy_pairs(df, "nm", block, max_dist=2, max_block=2).collect()
+    }
+    assert capped == {("rad gear", "red gear")}
+
+
+def test_fuzzy_join_best_match(spark):
+    """fuzzy_join keeps every fact row once with its best dim match."""
+    from polars_readstat_rs_spark.operators import fuzzy
+
+    facts = spark.createDataFrame(
+        [(1, "red bollt"), (2, "blue bolt"), (3, "zzz qqq")], ["fid", "fname"]
+    )
+    dim = spark.createDataFrame([("red bolt",), ("blue bolt",), ("red gear",)], ["dname"])
+    blk = F.element_at(F.split(F.col("fname"), " "), 1)
+    dblk = F.element_at(F.split(F.col("dname"), " "), 1)
+    out = {
+        r.fid: (r.matched_name, r.match_dist)
+        for r in fuzzy.fuzzy_join(facts, dim, "fid", "fname", "dname", blk, dblk, max_dist=2).collect()
+    }
+    assert out[1] == ("red bolt", 1)
+    assert out[2] == ("blue bolt", 0)
+    assert out[3] == (None, None)  # unmatched rows survive with NULLs
+    assert len(out) == 3
+
+
+def test_resample_gapfill_daily(spark):
+    """Gap days appear with n_events=0 and forward-filled totals."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators import timeseries
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5), 10.0),
+        (1, d(2024, 1, 1, 7), 2.5),
+        (1, d(2024, 1, 4, 1), 4.0),  # 2-day gap before this
+        (2, d(2024, 1, 2, 0), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r.user_id, str(r.day)): (r.n_events, r.day_total, r.filled_total)
+        for r in timeseries.resample_gapfill_daily(ev, "user_id", "ts", "value").collect()
+    }
+    assert out[(1, "2024-01-01")] == (2, 12.5, 12.5)
+    assert out[(1, "2024-01-02")] == (0, None, 12.5)  # gap row, LOCF
+    assert out[(1, "2024-01-03")] == (0, None, 12.5)
+    assert out[(1, "2024-01-04")] == (1, 4.0, 4.0)
+    assert out[(2, "2024-01-02")] == (1, 1.0, 1.0)
+    assert len(out) == 5  # user 2 spans a single day
+
+
+def test_importance_sample_weight_monotone(spark):
+    """Keep probability follows the weight column: weight 0 keeps
+    nothing, weight 1 keeps everything, and the kept set is stable."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    none = sampling.importance_sample(df, "k", F.lit(0.0)).count()
+    everything = sampling.importance_sample(df, "k", F.lit(1.0)).count()
+    half = sampling.importance_sample(df, "k", F.lit(0.5)).count()
+    assert none == 0 and everything == 2000
+    assert 800 < half < 1200
+    # equivalent to hash_sample at the same rate (same bucket arithmetic)
+    a = {r.k for r in sampling.importance_sample(df, "k", F.lit(0.3)).collect()}
+    b = {r.k for r in sampling.hash_sample(df, "k", 0.3).collect()}
+    assert a == b
+
+
+def test_zipf_stats_counts_and_shares(spark):
+    """Ranks order by count desc then token; shares are exact-count
+    ratios; cum_share is monotone to 1 over the full vocabulary."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x")], ["doc_id", "text"]
+    )
+    rows = {r.token: r for r in textstats.zipf_stats(docs, top_k=10).collect()}
+    assert rows["a"].rank == 1 and rows["a"].cnt == 4
+    assert rows["b"].rank == 2 and rows["b"].cnt == 3
+    assert {rows["c"].rank, rows["x"].rank} == {3, 4}
+    assert abs(rows["a"].share - 4 / 9) < 1e-15
+    last = max(rows.values(), key=lambda r: r.rank)
+    assert abs(last.cum_share - 1.0) < 1e-15
