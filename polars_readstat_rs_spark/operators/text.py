@@ -25,3 +25,40 @@ def shingles_expr(text_col: str, n: int = 3) -> Column:
         f"i -> concat_ws(' ', slice({words}, i, {n})))) "
         f"ELSE array() END"
     )
+
+
+def chunk_documents(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    chunk_size: int = 64, stride: int = 32,
+):
+    """Split documents into overlapping fixed-token windows — the
+    chunking pass that precedes embedding in a retrieval/training
+    pipeline.
+
+    Chunk i covers words [1 + i*stride, 1 + i*stride + chunk_size); the
+    last chunk is the first one whose window reaches the document's end
+    (partial tail chunks are emitted, empty ones are not). Pure
+    explode(transform(sequence(...))) — per-row work bounded by
+    doc length, no shuffle at all; output order/ids deterministic.
+
+    Returns (id, chunk_id, chunk_tokens, chunk_text).
+    """
+    words = f"split(lower({text_col}), ' ')"
+    n = f"size({words})"
+    # index of the last chunk: ceil((n - chunk_size) / stride), floored at 0
+    kmax = f"greatest(0, ({n} - {chunk_size} + {stride} - 1) div {stride})"
+    chunks = F.expr(
+        f"transform(sequence(0, {kmax}), i -> named_struct("
+        f"'chunk_id', cast(i as int), "
+        f"'chunk_tokens', least({chunk_size}, {n} - i * {stride}), "
+        f"'chunk_text', concat_ws(' ', slice({words}, i * {stride} + 1, {chunk_size}))))"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_tokens").alias("chunk_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )

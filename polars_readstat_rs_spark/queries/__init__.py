@@ -20,6 +20,8 @@ _RISKY_TAIL = (
     "q46_moving_window",
     "p07_importance_sample",
     "t12_zipf_stats",
+    "t13_chunk_documents",
+    "g01_triangle_stats",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

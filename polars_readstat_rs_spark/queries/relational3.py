@@ -183,3 +183,79 @@ def t12_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count shuffle; ranking happens on the vocabulary table."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.zipf_stats(docs, top_k=_T12_TOPK)
+
+
+# ------------------------------------------------- t13 document chunking
+
+_T13_SIZE = 64
+_T13_STRIDE = 32
+
+
+@register(
+    "t13_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    k AS (
+      SELECT doc_id, words, len(words) AS n,
+             greatest(0, (len(words) - {_T13_SIZE} + {_T13_STRIDE} - 1) // {_T13_STRIDE}) AS kmax
+      FROM base),
+    ch AS (SELECT doc_id, unnest(range(0, kmax + 1)) AS i, words, n FROM k)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(least({_T13_SIZE}, n - i * {_T13_STRIDE}) AS INT) AS chunk_tokens,
+           array_to_string(words[(i * {_T13_STRIDE} + 1):(i * {_T13_STRIDE} + {_T13_SIZE})], ' ')
+             AS chunk_text
+    FROM ch
+    """,
+)
+def t13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token document chunking (operators/text.py:
+    chunk_documents) — the pre-embedding pass of a retrieval pipeline.
+    Pure per-row explode, zero shuffles."""
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", _T13_SIZE, _T13_STRIDE)
+
+
+# ------------------------------------------------- g01 triangle counting
+
+_G01_MAX_BASKET = 1000
+
+
+@register(
+    "g01_triangle_stats",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= {_G01_MAX_BASKET}),
+    it AS (SELECT items.g, items.p FROM items JOIN ok USING (g)),
+    edges AS (
+      SELECT DISTINCT a.p AS s, b.p AS d
+      FROM it a JOIN it b ON a.g = b.g AND a.p < b.p),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT s AS v FROM edges UNION ALL SELECT d AS v FROM edges)
+      GROUP BY v),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.d = e2.s
+      JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+           (3.0 * (SELECT CAST(n_triangles AS DOUBLE) FROM tri))
+             / (SELECT CAST(sum((deg * (deg - 1)) // 2) AS DOUBLE) FROM deg) AS clustering
+    """,
+)
+def g01_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph summary (operators/graph.py): parts sharing an
+    order form edges; triangles counted on degree-oriented wedges (the
+    m^1.5-bounded compact-forward shape — the count itself is
+    orientation-invariant, so the id-ordered oracle agrees exactly)."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
+    return graph.triangle_stats(edges)

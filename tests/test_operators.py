@@ -793,3 +793,52 @@ def test_zipf_stats_counts_and_shares(spark):
     assert abs(rows["a"].share - 4 / 9) < 1e-15
     last = max(rows.values(), key=lambda r: r.rank)
     assert abs(last.cum_share - 1.0) < 1e-15
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the document with the configured stride; the last
+    chunk reaches the end; short docs yield exactly one chunk."""
+    from polars_readstat_rs_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "solo token")], ["doc_id", "text"])
+    rows = chunk_documents(docs, "doc_id", "text", chunk_size=4, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    d1 = by_doc[1]
+    # 10 words, size 4, stride 2 -> kmax = ceil(6/2) = 3 -> 4 chunks
+    assert sorted(d1) == [0, 1, 2, 3]
+    assert d1[0].chunk_text == "w0 w1 w2 w3" and d1[0].chunk_tokens == 4
+    assert d1[1].chunk_text == "w2 w3 w4 w5"
+    assert d1[3].chunk_text == "w6 w7 w8 w9"  # reaches the document end
+    assert by_doc[2][0].chunk_text == "solo token" and by_doc[2][0].chunk_tokens == 2
+    assert len(by_doc[2]) == 1
+
+
+def test_triangle_stats_known_graph(spark):
+    """A 4-clique plus a pendant vertex: C(4,3)=4 triangles, the count
+    is orientation-invariant and the clustering ratio exact."""
+    from polars_readstat_rs_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["s", "d"]
+    )
+    r = graph.triangle_stats(edges).collect()[0]
+    assert r.n_vertices == 5 and r.n_edges == 7
+    assert r.n_triangles == 4
+    # degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert r.n_wedges == 15
+    assert abs(r.clustering - 3.0 * 4 / 15) < 1e-15
+
+
+def test_cooccurrence_edges_basket_cap(spark):
+    """Groups above max_basket are excluded deterministically."""
+    from polars_readstat_rs_spark.operators import graph
+
+    rows = [(1, p) for p in range(5)] + [(2, 10), (2, 11), (2, 10)]
+    df = spark.createDataFrame(rows, ["g", "p"])
+    all_edges = graph.cooccurrence_edges(df, "g", "p").count()
+    assert all_edges == 10 + 1  # C(5,2) + one (10,11) edge; dup row collapses
+    capped = {(r.s, r.d) for r in graph.cooccurrence_edges(df, "g", "p", max_basket=2).collect()}
+    assert capped == {(10, 11)}
