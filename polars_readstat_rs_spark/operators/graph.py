@@ -100,3 +100,35 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded by ``max_hops`` —
+    the iterative-algorithm shape (frontier expansion + min-combine)
+    with an exact, order-free result: (v, hop) for every vertex within
+    ``max_hops`` of any seed.
+
+    Each iteration is one join + one min-aggregation, both shuffling on
+    the vertex key; the loop state is localCheckpoint'ed every
+    generation so the plan stays O(1) deep (the d08 lesson: persist
+    alone nests AQE subplans and the driver's plan rendering goes
+    super-linear). ``max_hops`` iterations always suffice because hop
+    values beyond the cap are discarded anyway.
+
+    ``seeds`` is a one-column (v) DataFrame; ``edges`` the undirected
+    (s < d) edge list.
+    """
+    adj = edges.select(F.col("s").alias("v"), F.col("d").alias("n")).unionAll(
+        edges.select(F.col("d").alias("v"), F.col("s").alias("n"))
+    )
+    dist = seeds.select(F.col(seeds.columns[0]).alias("v"), F.lit(0).alias("hop"))
+    dist = dist.localCheckpoint(eager=True)
+    for i in range(1, max_hops + 1):
+        grown = dist.join(adj, "v").select(F.col("n").alias("v"), F.lit(i).alias("hop"))
+        dist = (
+            dist.unionAll(grown)
+            .groupBy("v")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.filter(F.col("hop") <= max_hops)

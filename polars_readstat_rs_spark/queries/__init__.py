@@ -22,6 +22,7 @@ _RISKY_TAIL = (
     "t12_zipf_stats",
     "t13_chunk_documents",
     "g01_triangle_stats",
+    "g02_bfs_hops",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -259,3 +259,43 @@ def g01_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
     return graph.triangle_stats(edges)
+
+
+# ------------------------------------------------- g02 BFS hop distance
+
+_G02_MAX_HOPS = 3
+_G02_SEED_MAX = 10
+
+
+@register(
+    "g02_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= {_G01_MAX_BASKET}),
+    it AS (SELECT items.g, items.p FROM items JOIN ok USING (g)),
+    edges AS (
+      SELECT DISTINCT a.p AS s, b.p AS d
+      FROM it a JOIN it b ON a.g = b.g AND a.p < b.p),
+    adj AS (SELECT s AS v, d AS n FROM edges UNION ALL SELECT d AS v, s AS n FROM edges),
+    walk AS (
+      SELECT p AS v, 0 AS hop
+      FROM (SELECT DISTINCT l_partkey AS p FROM lineitem WHERE l_partkey < {_G02_SEED_MAX})
+      UNION
+      SELECT a.n AS v, w.hop + 1 AS hop
+      FROM walk w JOIN adj a ON w.v = a.v
+      WHERE w.hop < {_G02_MAX_HOPS})
+    SELECT v, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY v
+    """,
+)
+def g02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from a seed set over the co-purchase graph
+    (operators/graph.py:bfs_hops) — the iterative frontier-expansion
+    shape with a localCheckpoint'ed O(1)-depth loop plan; the DuckDB
+    oracle is the equivalent recursive CTE."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
+    seeds = li.filter(F.col("l_partkey") < _G02_SEED_MAX).select("l_partkey").distinct()
+    return graph.bfs_hops(edges, seeds, _G02_MAX_HOPS)

@@ -842,3 +842,18 @@ def test_cooccurrence_edges_basket_cap(spark):
     assert all_edges == 10 + 1  # C(5,2) + one (10,11) edge; dup row collapses
     capped = {(r.s, r.d) for r in graph.cooccurrence_edges(df, "g", "p", max_basket=2).collect()}
     assert capped == {(10, 11)}
+
+
+def test_bfs_hops_path_graph(spark):
+    """On a path 1-2-3-4-5 seeded at 1, hops are positions; the cap
+    truncates the frontier."""
+    from polars_readstat_rs_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["s", "d"])
+    seeds = spark.createDataFrame([(1,)], ["v"])
+    out = {r.v: r.hop for r in graph.bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # vertex 5 is beyond the cap
+    # two seeds: min distance wins
+    seeds2 = spark.createDataFrame([(1,), (5,)], ["v"])
+    out2 = {r.v: r.hop for r in graph.bfs_hops(edges, seeds2, max_hops=3).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
