@@ -99,7 +99,17 @@ def main() -> None:
     only = {a for a in sys.argv[1:] if not a.isdigit()}
     from pyspark.sql import functions as F
 
-    from polars_readstat_rs_spark.operators import dedup, merge, sampling, similarity, textstats
+    from polars_readstat_rs_spark.operators import (
+        dedup,
+        fuzzy,
+        graph,
+        merge,
+        sampling,
+        similarity,
+        textstats,
+        timeseries,
+    )
+    from polars_readstat_rs_spark.operators import text as textops
     from polars_readstat_rs_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
@@ -123,6 +133,21 @@ def main() -> None:
         doc_path, emb_path = synth(spark, n, base)
         docs = spark.read.parquet(doc_path)
         emb = spark.read.parquet(emb_path)
+        # events: ~n/100 users over a span growing with n (grid rows grow
+        # linearly); baskets: 4-item groups over an n/20 item space, so
+        # item degree stays ~constant and edges grow linearly
+        events = spark.range(n).select(
+            (F.col("id") % F.lit(max(50, n // 100))).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * F.lit(37_000_000)
+            ).alias("ts"),
+            ((F.col("id") % 100) / F.lit(4.0)).alias("value"),
+        )
+        baskets = spark.range(n).select(
+            (F.col("id") / 4).cast("long").alias("g"),
+            F.pmod(F.xxhash64("id"), F.lit(max(100, n // 20))).alias("p"),
+        )
+        edges = graph.cooccurrence_edges(baskets, "g", "p")
         ops = {
             "exact_dedup": lambda: dedup.exact_dedup_groups(docs, "doc_id", "text"),
             "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text"),
@@ -148,6 +173,27 @@ def main() -> None:
             "bpe_pairs": lambda: textstats.bpe_pair_counts(docs),
             "upsert": lambda: merge.upsert(
                 docs, docs.filter(F.col("doc_id") % 10 == 0), ["doc_id"]
+            ),
+            "zipf_stats": lambda: textstats.zipf_stats(docs),
+            "chunk_documents": lambda: textops.chunk_documents(
+                docs, chunk_size=16, stride=8
+            ),
+            # names = first two tokens (vocabulary-bounded), blocked by
+            # the second token
+            "fuzzy_pairs": lambda: fuzzy.blocked_fuzzy_pairs(
+                docs.select(
+                    F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("nm")
+                ),
+                "nm",
+                F.element_at(F.split(F.col("name"), " "), -1),
+                max_dist=3,
+            ),
+            "gapfill": lambda: timeseries.resample_gapfill_daily(
+                events, "user_id", "ts", "value"
+            ),
+            "triangle_stats": lambda: graph.triangle_stats(edges),
+            "bfs_hops": lambda: graph.bfs_hops(
+                edges, baskets.select("p").filter(F.col("p") < 10).distinct(), 3
             ),
         }
         for name, mk in ops.items():
