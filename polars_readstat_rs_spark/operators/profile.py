@@ -62,3 +62,57 @@ def profile_numeric(
             f"(col_name, n, n_null, n_distinct, min_v, max_v, sum_v, mean_v, {pct_names})"
         )
     )
+
+
+def iqr_outliers(df: DataFrame, group_col: str, value_col: str, k: float = 1.5) -> DataFrame:
+    """Per-group Tukey-fence outlier report: rows outside
+    [p25 - k*IQR, p75 + k*IQR] counted per group, with the fences and
+    the extreme outlier values.
+
+    Two passes: exact per-group quartiles (a tiny one-row-per-group
+    aggregate, broadcast back) then a filtered count. All emitted
+    doubles are order statistics or single IEEE expressions over them —
+    no float accumulation, so results are engine-exact. At 100 TB the
+    exact percentile is the only wide sort; swap in approx_percentile
+    for the sketch path (same plan shape, documented trade)."""
+    fences = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(value_col, 0.25).alias("p25"),
+            F.percentile(value_col, 0.75).alias("p75"),
+        )
+        .select(
+            group_col,
+            "p25",
+            "p75",
+            (F.col("p25") - k * (F.col("p75") - F.col("p25"))).alias("lo"),
+            (F.col("p75") + k * (F.col("p75") - F.col("p25"))).alias("hi"),
+        )
+    )
+    out = df.join(F.broadcast(fences), group_col).filter(
+        (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+    )
+    return out.groupBy(group_col, "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.min(value_col).alias("min_outlier"),
+        F.max(value_col).alias("max_outlier"),
+    )
+
+
+def histogram(df: DataFrame, group_col: str, value_col: str, bin_width: float) -> DataFrame:
+    """Fixed-width histogram per group: bin = floor(value / width),
+    count and within-group share (one exact-integer division). A single
+    map-side-combined aggregation — the distribution profile that scales
+    to any corpus size because the output is bins, not rows."""
+    bin_id = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    counts = df.groupBy(F.col(group_col), bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("n").alias("_t"))
+    return counts.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "bin",
+        (F.col("bin") * F.lit(bin_width)).alias("bin_lo"),
+        "n",
+        (F.col("n").cast("double") / F.col("_t").cast("double")).alias("share"),
+    )

@@ -23,6 +23,8 @@ _RISKY_TAIL = (
     "t13_chunk_documents",
     "g01_triangle_stats",
     "g02_bfs_hops",
+    "q47_iqr_outliers",
+    "q48_histogram",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

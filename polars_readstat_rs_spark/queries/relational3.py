@@ -299,3 +299,62 @@ def g02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
     seeds = li.filter(F.col("l_partkey") < _G02_SEED_MAX).select("l_partkey").distinct()
     return graph.bfs_hops(edges, seeds, _G02_MAX_HOPS)
+
+
+# ------------------------------------------------- q47 IQR outliers
+
+
+@register(
+    "q47_iqr_outliers",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75
+      FROM {EVENTS_US} e GROUP BY event_type),
+    f2 AS (
+      SELECT event_type, p25 - 1.5 * (p75 - p25) AS lo,
+             p75 + 1.5 * (p75 - p25) AS hi
+      FROM f)
+    SELECT e.event_type, lo, hi, count(*) AS n_outliers,
+           min(value) AS min_outlier, max(value) AS max_outlier
+    FROM {EVENTS_US} e JOIN f2 USING (event_type)
+    WHERE value < lo OR value > hi
+    GROUP BY e.event_type, lo, hi
+    """,
+)
+def q47_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence anomaly report (operators/profile.py:
+    iqr_outliers): exact quartile fences broadcast back over the fact
+    table; all doubles are order statistics (engine-exact)."""
+    from ..operators.profile import iqr_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return iqr_outliers(ev, "event_type", "value")
+
+
+# ------------------------------------------------- q48 histogram
+
+_Q48_WIDTH = 5.0
+
+
+@register(
+    "q48_histogram",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(floor(value / {_Q48_WIDTH!r}) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM {EVENTS_US} e GROUP BY 1, 2),
+    totals AS (SELECT event_type, sum(n) AS t FROM counts GROUP BY event_type)
+    SELECT c.event_type, c.bin, c.bin * {_Q48_WIDTH!r} AS bin_lo,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM counts c JOIN totals USING (event_type)
+    """,
+)
+def q48_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width per-group histogram (operators/profile.py:histogram):
+    one map-side-combined aggregation; output is bins, not rows."""
+    from ..operators.profile import histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram(ev, "event_type", "value", _Q48_WIDTH)

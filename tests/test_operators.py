@@ -857,3 +857,22 @@ def test_bfs_hops_path_graph(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], ["v"])
     out2 = {r.v: r.hop for r in graph.bfs_hops(edges, seeds2, max_hops=3).collect()}
     assert out2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_iqr_outliers_and_histogram(spark):
+    """Fences derive from exact quartiles; histogram shares sum to 1."""
+    from polars_readstat_rs_spark.operators.profile import histogram, iqr_outliers
+
+    rows = [("a", float(v)) for v in range(1, 12)] + [("a", 100.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in iqr_outliers(df, "g", "v").collect()}
+    # group a: p25=3.75, p75=9.25 over 1..11 + 100 -> 100 is the only outlier
+    assert out["a"].n_outliers == 1
+    assert out["a"].min_outlier == 100.0 and out["a"].max_outlier == 100.0
+    assert "b" not in out  # a single value can't leave its own fences
+
+    h = histogram(df.filter(F.col("g") == "a"), "g", "v", 10.0).collect()
+    by_bin = {r.bin: r for r in h}
+    assert by_bin[0].n == 9 and by_bin[1].n == 2 and by_bin[10].n == 1
+    assert abs(sum(r.share for r in h) - 1.0) < 1e-12
+    assert by_bin[10].bin_lo == 100.0
