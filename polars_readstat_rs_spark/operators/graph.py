@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
+
 
 def cooccurrence_edges(
     facts: DataFrame, group_col: str, item_col: str, max_basket: int = 1000
@@ -62,7 +64,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Wedge enumeration runs on degree-oriented edges (low (deg, id) ->
     high), bounding the blowup at skewed vertices; the closing step is a
     semi-join-shaped inner join back to the oriented edge set. Three
-    shuffles total, each on a vertex key."""
+    shuffles total, each on a vertex key.
+
+    The edge list and its oriented form are persisted (they feed the
+    degree, wedge, close and count branches — without the persist every
+    branch would re-derive the co-occurrence join from the fact table).
+    Call :func:`release_cached` on the result when done."""
+    edges = edges.persist()
     deg = degrees(edges)
     ds = deg.select(F.col("v").alias("s"), F.col("deg").alias("_ds"))
     dd = deg.select(F.col("v").alias("d"), F.col("deg").alias("_dd"))
@@ -73,7 +81,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = withdeg.select(
         F.when(s_first, F.col("s")).otherwise(F.col("d")).alias("lo"),
         F.when(s_first, F.col("d")).otherwise(F.col("s")).alias("hi"),
-    )
+    ).persist()
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     wedges = e1.join(e2, "b")
@@ -86,7 +94,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
     )
-    return (
+    out = (
         verts.crossJoin(counts)
         .crossJoin(tri)
         .select(
@@ -100,6 +108,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+    return _track(out, edges, oriented)
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
@@ -118,9 +127,13 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame
     ``seeds`` is a one-column (v) DataFrame; ``edges`` the undirected
     (s < d) edge list.
     """
+    # persisted for the loop: every generation joins against adj, and
+    # without the persist each iteration re-derives the edge list from
+    # the fact table. Safe to release before returning — the final dist
+    # is an already-materialized checkpoint.
     adj = edges.select(F.col("s").alias("v"), F.col("d").alias("n")).unionAll(
         edges.select(F.col("d").alias("v"), F.col("s").alias("n"))
-    )
+    ).persist()
     dist = seeds.select(F.col(seeds.columns[0]).alias("v"), F.lit(0).alias("hop"))
     dist = dist.localCheckpoint(eager=True)
     for i in range(1, max_hops + 1):
@@ -131,4 +144,5 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame
             .agg(F.min("hop").alias("hop"))
             .localCheckpoint(eager=True)
         )
+    adj.unpersist()
     return dist.filter(F.col("hop") <= max_hops)

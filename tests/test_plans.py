@@ -85,3 +85,52 @@ def test_salted_join_spreads_shuffle_keys(spark, sf_dir):
         assert m and "__salt" in m.group(1), plan[:800]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fuzzy_and_graph_plans_have_no_cartesian(spark, sf_dir):
+    """The fuzzy-match and graph queries must pair rows only through
+    equi-joins on block/vertex keys — a CartesianProduct or
+    BroadcastNestedLoopJoin means the blocking broke."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q44_fuzzy_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # g01's final crossJoin of three ONE-ROW aggregates legitimately
+    # plans as BroadcastNestedLoopJoin (scale-free); the data-sized
+    # wedge/close joins must still be key joins.
+    plan = _plan(QUERIES["g01_triangle_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly the two scalar crossJoins, never a data-sized nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q46_range_frame_single_exchange(spark, sf_dir):
+    """The trailing-window query needs exactly one shuffle (on
+    o_custkey); both window aggregates must share it."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q46_moving_window"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_p07_importance_sample_is_pure_filter(spark, sf_dir):
+    """Importance sampling must stay a scan + filter: no Exchange at
+    all in the plan (the 100 TB contract: sampling never shuffles)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["p07_importance_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan
+
+
+def test_t13_chunking_is_shuffle_free(spark, sf_dir):
+    """Document chunking is per-row explode work — zero shuffles."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["t13_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan
