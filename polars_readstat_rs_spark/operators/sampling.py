@@ -212,3 +212,22 @@ def contamination_report(
         )
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def sample_n_per_group(
+    df: DataFrame, id_col: str, group_col: str, n: int, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic EXACT-SIZE sample: the n rows per group with the
+    smallest md5(seed:id) — a distributed reservoir-sample equivalent
+    with no RNG state. Unlike the Bernoulli samplers this guarantees
+    |group| rows exactly (or the whole group if smaller), at the cost
+    of one shuffle on the group key; the hash order makes the chosen
+    set stable across runs and partitionings, and a grown corpus only
+    swaps rows whose hash displaces a previous winner."""
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -25,6 +25,8 @@ _RISKY_TAIL = (
     "g02_bfs_hops",
     "q47_iqr_outliers",
     "q48_histogram",
+    "p08_group_sample",
+    "q49_ntile",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

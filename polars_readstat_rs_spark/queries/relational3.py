@@ -358,3 +358,71 @@ def q48_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return histogram(ev, "event_type", "value", _Q48_WIDTH)
+
+
+# ------------------------------------------------- p08 exact-size sample
+
+_P08_N = 40
+
+
+@register(
+    "p08_group_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('s0' || ':' || CAST(doc_id AS VARCHAR)) AS _k
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY _k, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang FROM ranked WHERE rn <= {_P08_N}
+    """,
+)
+def p08_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic per-group sample (operators/sampling.py:
+    sample_n_per_group): the n smallest md5(seed:id) rows per stratum —
+    reservoir-sampling semantics with no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_n_per_group(docs, "doc_id", "lang", _P08_N).select(
+        "doc_id", "lang"
+    )
+
+
+# ------------------------------------------------- q49 NTILE binning
+
+
+@register(
+    "q49_ntile",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             ntile(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile,
+             l_extendedprice
+      FROM lineitem)
+    SELECT l_returnflag, quartile, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM t GROUP BY l_returnflag, quartile
+    """,
+)
+def q49_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (NTILE) binning — the quantile-bucket assignment
+    a feature pipeline uses; a fully-tiebroken ORDER BY makes the bucket
+    assignment engine-exact. One shuffle on the partition key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.ntile(4).over(w).alias("quartile"),
+            "l_extendedprice",
+        )
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        )
+    )

@@ -876,3 +876,22 @@ def test_iqr_outliers_and_histogram(spark):
     assert by_bin[0].n == 9 and by_bin[1].n == 2 and by_bin[10].n == 1
     assert abs(sum(r.share for r in h) - 1.0) < 1e-12
     assert by_bin[10].bin_lo == 100.0
+
+
+def test_sample_n_per_group_exact_and_stable(spark):
+    """Exactly n rows per group (or the whole group), and the chosen set
+    is a pure function of (seed, id) — stable across partitionings."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    out = sampling.sample_n_per_group(df, "k", "g", 10)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
+    a = {r.k for r in out.collect()}
+    b = {r.k for r in sampling.sample_n_per_group(df.repartition(17), "k", "g", 10).collect()}
+    assert a == b
+    # tiny group: returned whole
+    tiny = df.filter(F.col("k") < 5)
+    assert sampling.sample_n_per_group(tiny, "k", "g", 10).count() == 5
