@@ -27,6 +27,7 @@ _RISKY_TAIL = (
     "q48_histogram",
     "p08_group_sample",
     "q49_ntile",
+    "q50_asof_nearest",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -426,3 +426,62 @@ def q49_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+# ------------------------------------------------- q50 as-of nearest
+
+_Q50_TOL_MS = 6 * 3600 * 1000
+
+
+@register(
+    "q50_asof_nearest",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id, ts, 1 AS is_l, NULL::TIMESTAMP AS rts FROM {EVENTS_US} e
+      UNION ALL
+      SELECT user_id, NULL, ts, 0, ts FROM {EVENTS_US} e WHERE event_type = 'signup'),
+    w AS (
+      SELECT user_id, event_id, ts, is_l,
+        last_value(rts IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, is_l
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value(rts IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, is_l
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u),
+    d AS (
+      SELECT user_id, event_id, ts,
+             epoch_ms(ts) - epoch_ms(prev) AS db, prev,
+             epoch_ms(nxt) - epoch_ms(ts) AS df, nxt
+      FROM w WHERE is_l = 1)
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      CASE WHEN prev IS NOT NULL AND db <= {_Q50_TOL_MS}
+                AND (NOT (nxt IS NOT NULL AND df <= {_Q50_TOL_MS}) OR db <= df)
+           THEN epoch_ms(prev)
+           WHEN nxt IS NOT NULL AND df <= {_Q50_TOL_MS} THEN epoch_ms(nxt)
+           END AS matched_ms,
+      CASE WHEN prev IS NOT NULL AND db <= {_Q50_TOL_MS}
+                AND (NOT (nxt IS NOT NULL AND df <= {_Q50_TOL_MS}) OR db <= df)
+           THEN -db
+           WHEN nxt IS NOT NULL AND df <= {_Q50_TOL_MS} THEN df
+           END AS delta_ms
+    FROM d
+    """,
+)
+def q50_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polars-style strategy="nearest" as-of join with tolerance
+    (operators/asof.py): one union + two windows per key — no range
+    self-join, no row explosion."""
+    from ..operators.asof import asof_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_nearest(left, right, "user_id", "ts", _Q50_TOL_MS)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("matched_ts").alias("matched_ms"),
+        "delta_ms",
+    )

@@ -895,3 +895,39 @@ def test_sample_n_per_group_exact_and_stable(spark):
     # tiny group: returned whole
     tiny = df.filter(F.col("k") < 5)
     assert sampling.sample_n_per_group(tiny, "k", "g", 10).count() == 5
+
+
+def test_asof_nearest_directions_and_tolerance(spark):
+    """Nearest matches look both directions, ties break backward, and
+    rows beyond the tolerance stay unmatched."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators.asof import asof_nearest
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 100, d(2024, 1, 1, 12, 0)),   # signup 1h before vs 2h after -> backward
+            (1, 101, d(2024, 1, 1, 13, 30)),  # 30m to later signup -> forward
+            (1, 102, d(2024, 1, 2, 23, 0)),   # nothing within 6h -> null
+            (2, 200, d(2024, 1, 1, 9, 0)),    # exact-tie: same-ts signup wins at delta 0
+        ],
+        ["user_id", "event_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 11, 0)),
+            (1, d(2024, 1, 1, 14, 0)),
+            (2, d(2024, 1, 1, 9, 0)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {
+        r.event_id: (r.matched_ts, r.delta_ms)
+        for r in asof_nearest(left, right, "user_id", "ts", 6 * 3600 * 1000).collect()
+    }
+    assert out[100] == (d(2024, 1, 1, 11, 0), -3600 * 1000)
+    assert out[101] == (d(2024, 1, 1, 14, 0), 1800 * 1000)
+    assert out[102] == (None, None)
+    assert out[200] == (d(2024, 1, 1, 9, 0), 0)
+    assert len(out) == 4
