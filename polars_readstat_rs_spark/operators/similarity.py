@@ -668,3 +668,73 @@ def semantic_dedup(
         .withColumn("is_rep", F.col("rep_id") == F.col("vec_id"))
     )
     return _track(out, assigned, comps)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC search: split the vector into ``m``
+    subspaces, k-means each (the deterministic Lloyd of kmeans_cells),
+    encode every corpus vector as m small codes, and score queries by
+    ASYMMETRIC DISTANCE COMPUTATION — a per-(query, subspace, code)
+    lookup table of partial dot products, summed across subspaces in a
+    fixed order. Returns (q_id, vec_id, approx_dot, rank<=k).
+
+    This is the memory-compressed ANN path for corpora whose raw
+    vectors don't fit the cluster: codes are m bytes/vector (vs 4*dim),
+    and scoring never touches the original embeddings — only the m
+    broadcast-sized LUT joins. All per-subspace folds are left-to-right
+    (engine-exact), the cross-subspace sum has an explicit association,
+    and code assignment inherits kmeans_cells' tie-breaking, so a SQL
+    oracle reproduces every ranked double bitwise.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, "vector dim must divide into m subspaces"
+    sub = dim // m
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    codes = None
+    luts = []
+    for j in range(m):
+        subv = corpus.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding")
+        )
+        assigned, cents = kmeans_cells(subv, id_col, "embedding", ncells=ksub, iters=iters)
+        cj = assigned.select("vec_id", F.col("cell").alias(f"k{j}"))
+        codes = cj if codes is None else codes.join(cj, "vec_id")
+        qsub = qv.select("q_id", F.slice("q_vec", j * sub + 1, sub).alias("q_sub"))
+        luts.append(
+            qsub.crossJoin(F.broadcast(cents)).select(
+                "q_id",
+                F.col("cell").alias(f"k{j}"),
+                F.aggregate(
+                    F.zip_with("q_sub", "centroid", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias(f"part{j}"),
+            )
+        )
+    scored = codes.join(F.broadcast(luts[0]), "k0")
+    for j in range(1, m):
+        scored = scored.join(F.broadcast(luts[j]), ["q_id", f"k{j}"])
+    approx = F.col("part0")
+    for j in range(1, m):
+        approx = approx + F.col(f"part{j}")
+    out = (
+        scored.select("q_id", "vec_id", approx.alias("approx_dot"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "vec_id")
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

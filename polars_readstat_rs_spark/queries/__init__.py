@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, pipeline, readstat, relational, relational2, relational3, streaming_q  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
@@ -28,6 +28,7 @@ _RISKY_TAIL = (
     "p08_group_sample",
     "q49_ntile",
     "q50_asof_nearest",
+    "v07_pq_topk",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -931,3 +931,19 @@ def test_asof_nearest_directions_and_tolerance(spark):
     assert out[102] == (None, None)
     assert out[200] == (d(2024, 1, 1, 9, 0), 0)
     assert len(out) == 4
+
+
+def test_pq_topk_finds_duplicate_vector(spark, sf_dir):
+    """A duplicated query vector shares all m codes with the original,
+    so ADC scores it at the query's own reconstruction — rank 1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    res = similarity.pq_topk(
+        emb.union(dup), emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    assert len(res) == 5
+    assert [r.rank for r in sorted(res, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    top = min(res, key=lambda r: r.rank)
+    assert top.vec_id == 999999
