@@ -35,3 +35,33 @@ def upsert(base: DataFrame, updates: DataFrame, key_cols: Sequence[str]) -> Data
         .filter(F.col("_pri") == F.col("_mx"))
         .drop("_pri", "_mx")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the CDC-audit companion to
+    :func:`upsert`: classify every key as added / removed / changed /
+    unchanged by a full outer join on the key and null-safe column
+    comparison (no hashing, so the classification is engine-exact and
+    null-vs-null counts as equal).
+
+    One shuffle on the key on each side. At 100 TB both sides are
+    key-partitioned scans; emit-side filters (e.g. dropping 'unchanged')
+    push into the join's output projection.
+    """
+    # presence sentinels (a compare column may be legitimately NULL, so
+    # side-membership can't be inferred from the data columns)
+    o = old.select(*keys, F.lit(1).alias("_in_o"), *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(1).alias("_in_n"), *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change_type"))

@@ -393,3 +393,47 @@ def zipf_stats(docs: DataFrame, text_col: str = "text", top_k: int = 1000) -> Da
         (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias("share"),
         (F.col("_cum").cast("double") / F.col("_total").cast("double")).alias("cum_share"),
     )
+
+
+EVENT_CODES = {"click": "c", "view": "v", "signup": "s", "purchase": "p", "error": "e"}
+
+
+def event_patterns(
+    events: DataFrame,
+    pattern: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    codes: dict[str, str] = EVENT_CODES,
+) -> DataFrame:
+    """Behavioral pattern mining — the poor-man's MATCH_RECOGNIZE: each
+    key's event history becomes an ordered one-char-per-event string and
+    ``pattern`` (a regex over those codes, e.g. ``cc*p`` = "a click run
+    ending in a purchase") is counted non-overlapping left-to-right.
+
+    One shuffle on the key; the sequence string is bounded by the per-key
+    event count (cap upstream for pathological keys). The (ts, sort-key)
+    tiebreak makes the sequence — and therefore the match count —
+    deterministic. Keep the pattern to character classes + */+/? so Java
+    regex (Spark) and RE2 (DuckDB) agree.
+    """
+    code_col = F.create_map(*[F.lit(x) for kv in codes.items() for x in kv])[
+        F.col(type_col)
+    ]
+    seqs = (
+        events.select(
+            F.col(key_col),
+            F.struct(F.col(ts_col), F.col("event_id"), code_col.alias("c")).alias("ev"),
+        )
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        .select(
+            key_col,
+            F.array_join(F.transform("evs", lambda s: s["c"]), "").alias("seq"),
+        )
+    )
+    return seqs.select(
+        key_col,
+        F.length("seq").alias("n_events"),
+        F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)")).alias("n_matches"),
+    )

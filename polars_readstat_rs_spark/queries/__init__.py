@@ -29,6 +29,8 @@ _RISKY_TAIL = (
     "q49_ntile",
     "q50_asof_nearest",
     "v07_pq_topk",
+    "q51_event_patterns",
+    "q52_snapshot_diff",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -485,3 +485,87 @@ def q50_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("matched_ts").alias("matched_ms"),
         "delta_ms",
     )
+
+
+# ------------------------------------------------- q51 event patterns
+
+_Q51_PATTERN = "cc*p"  # a click run ending in a purchase
+
+
+@register(
+    "q51_event_patterns",
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+               WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+               WHEN 'error' THEN 'e' END AS c
+      FROM {EVENTS_US} e),
+    seqs AS (
+      SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{_Q51_PATTERN}')) AS INT) AS n_matches
+    FROM seqs
+    """,
+)
+def q51_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style behavioral pattern counting
+    (operators/textstats.py:event_patterns): per-key ordered event-code
+    string + non-overlapping regex count, one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    return textstats.event_patterns(ev, _Q51_PATTERN)
+
+
+# ------------------------------------------------- q52 snapshot diff
+
+
+def _q52_new_sql() -> str:
+    # the synthetic "next snapshot": drop %31 keys, retext %17 keys, add
+    # shifted copies of %29 keys
+    return """
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 31 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
+    """
+
+
+@register(
+    "q52_snapshot_diff",
+    oracle=f"""
+    WITH new_snap AS ({_q52_new_sql()}),
+    o AS (SELECT doc_id, 1 AS in_o, text AS o_text FROM documents),
+    n AS (SELECT doc_id, 1 AS in_n, text AS n_text FROM new_snap)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      CASE WHEN in_o IS NULL THEN 'added'
+           WHEN in_n IS NULL THEN 'removed'
+           WHEN o_text IS NOT DISTINCT FROM n_text THEN 'unchanged'
+           ELSE 'changed' END AS change_type
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def q52_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC audit between two table snapshots
+    (operators/merge.py:snapshot_diff): full outer join + null-safe
+    column comparison classifying added/removed/changed/unchanged."""
+    from ..operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text"])

@@ -947,3 +947,36 @@ def test_pq_topk_finds_duplicate_vector(spark, sf_dir):
     assert [r.rank for r in sorted(res, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
     top = min(res, key=lambda r: r.rank)
     assert top.vec_id == 999999
+
+
+def test_event_patterns_counts(spark):
+    """Ordered code strings and non-overlapping regex match counts."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators import textstats
+
+    d = datetime.datetime
+    rows = [
+        (1, 1, d(2024, 1, 1, 1), "click"),
+        (1, 2, d(2024, 1, 1, 2), "click"),
+        (1, 3, d(2024, 1, 1, 3), "purchase"),   # ccp -> one "cc*p" match
+        (1, 4, d(2024, 1, 1, 4), "purchase"),   # no preceding click
+        (2, 5, d(2024, 1, 1, 1), "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    out = {r.user_id: (r.n_events, r.n_matches) for r in textstats.event_patterns(ev, "cc*p").collect()}
+    assert out == {1: (4, 1), 2: (1, 0)}
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/changed/unchanged, with NULL == NULL on compares."""
+    from polars_readstat_rs_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "t"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], ["k", "t"]
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["t"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
