@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -87,3 +88,40 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     planning time (assert via explain: PartitionFilters, and the scan's
     'number of files read')."""
     return spark.read.parquet(path)
+
+
+def zvalue(cols: list, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    (non-negative integral) column expression. Rows close in z-value are
+    close in EVERY interleaved dimension, so range-partitioning by
+    z-value clusters a multi-dimensional space onto files — the layout
+    lever that lets min/max (row-group / file) statistics prune scans
+    filtered on ANY of the dimensions, where a plain sort only serves
+    its leading column.
+
+    Pure bit arithmetic (shiftleft/or) inside codegen; 2 dims x 16 bits
+    fills 32 bits — widen ``bits`` as domains require (total must stay
+    < 63)."""
+    assert len(cols) * bits < 63, "z-value must fit a signed 64-bit long"
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], files: int = 8, bits: int = 16
+) -> None:
+    """Write ``df`` as ``files`` parquet files range-partitioned by the
+    Morton key of ``cols`` — multi-dimensional clustering for stats-based
+    pruning. One range shuffle (sampled boundaries), no global sort."""
+    keyed = df.withColumn("_z", zvalue([F.col(c) for c in cols], bits))
+    (
+        keyed.repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -31,6 +31,7 @@ _RISKY_TAIL = (
     "v07_pq_topk",
     "q51_event_patterns",
     "q52_snapshot_diff",
+    "q53_zorder",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -569,3 +569,41 @@ def q52_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["doc_id"], ["text"])
+
+
+# ------------------------------------------------- q53 Z-order key
+
+_Q53_BITS = 16
+
+
+def _zvalue_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for bit in range(bits):
+        terms.append(f"(((({a}) >> {bit}) & 1) << {bit * 2})")
+        terms.append(f"(((({b}) >> {bit}) & 1) << {bit * 2 + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "q53_zorder",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_zvalue_sql("CAST(o_custkey AS BIGINT)",
+                             "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)",
+                             _Q53_BITS)} AS BIGINT) AS zval
+    FROM orders
+    """,
+)
+def q53_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (customer, order day)
+    (operators/bucketing.py:zvalue) — pure bit interleave in codegen;
+    range-partitioning by it clusters BOTH dimensions onto files so
+    min/max statistics prune filters on either one."""
+    from ..operators.bucketing import zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zvalue([F.col("o_custkey"), day], _Q53_BITS).alias("zval"),
+    )

@@ -134,3 +134,39 @@ def test_t13_chunking_is_shuffle_free(spark, sf_dir):
     plan = _plan(QUERIES["t13_chunk_documents"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Generate explode" in plan
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Range-partitioning by the Morton key must give each output file a
+    bounding box far smaller than the global domain in BOTH dimensions —
+    the property min/max stats pruning depends on. A layout sorted by
+    one column alone fails this for the other column."""
+    import glob
+
+    from polars_readstat_rs_spark.operators.bucketing import write_zordered
+    from polars_readstat_rs_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day"),
+    )
+    path = str(tmp_path / "zorders")
+    write_zordered(orders, path, ["o_custkey", "day"], files=8)
+
+    stats = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        df = spark.read.parquet(f).agg(
+            F.min("o_custkey"), F.max("o_custkey"), F.min("day"), F.max("day")
+        ).collect()[0]
+        stats.append(df)
+    full = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("day"), F.max("day")
+    ).collect()[0]
+    cust_dom = full[1] - full[0] + 1
+    day_dom = full[3] - full[2] + 1
+    # average per-file bbox area must be well under the full domain area
+    # (a random layout gives ~full area per file)
+    areas = [(s[1] - s[0] + 1) * (s[3] - s[2] + 1) for s in stats]
+    assert len(areas) >= 4
+    assert sum(areas) / len(areas) < 0.5 * cust_dom * day_dom, areas
