@@ -88,13 +88,12 @@ def _ordered(d: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Exactly two entries have NO oracle_sql() counterpart (rows-only
-    checks, both intentional): ``q35_approx_sketches`` (HLL/KLL sketch
-    estimates are engine-specific by construction) and
-    ``s02_stream_sessions`` (per-key mutable state + event-time timers
-    are not SQL-expressible; tests/test_streaming.py asserts full value
-    equality against the batch sessionizer instead). Every other query
-    is value-hash-gated.
+    Exactly one entry has NO oracle_sql() counterpart (a rows-only
+    check, intentional): ``q35_approx_sketches`` — HLL/KLL sketch
+    estimates are engine-specific by construction. Every other query is
+    value-hash-gated, including the stateful streaming sessionizer
+    (``s02``): its integer-cent accumulation makes the drained stream
+    bitwise-equal to the batch lag/cumsum sessionization oracle.
     """
     return _ordered(QUERIES)
 
@@ -102,7 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column names/types).
 
-    Keys are a strict subset of queries(): all but the two documented
-    rows-only entries (see queries() docstring).
+    Keys are a strict subset of queries(): all but the one documented
+    rows-only entry (see queries() docstring).
     """
     return _ordered(ORACLES)

@@ -28,7 +28,33 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("s02_stream_sessions")  # no oracle: custom stateful operator (rows-only gate)
+_S02_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "s02_stream_sessions",
+    # hash-gated since the sessionizer accumulates exact integer cents:
+    # the drained bounded stream equals the classic lag + cumulative-sum
+    # batch sessionization bit-for-bit (same oracle family as q34).
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {_S02_GAP_MS} THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US} e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS session_end_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def s02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionizer (applyInPandasWithState, EventTimeTimeout)
     driven over the bounded events stream. Event-time gaps close
@@ -38,18 +64,17 @@ def s02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     processAllAvailable() terminates deterministically with the complete
     session set. No wall-clock polling, no mid-batch stop.
 
-    Not SQL-expressible (per-key mutable state + timers), hence
-    rows-only: the driver checks a stable row count, and
-    tests/test_streaming.py asserts full value equality with the batch
-    sessionizer.
+    The per-key mutable state + timers aren't SQL, but the RESULT is:
+    with exact integer-cent accumulation the drained stream hash-matches
+    the lag/cumsum batch sessionization oracle; tests/test_streaming.py
+    additionally asserts equality with the batch sessionizer.
     """
     from ..streaming.sessions import sessionize_stream
     from ..streaming.windows import SENTINEL_USER
 
-    gap_ms = 30 * 60 * 1000
     name = "s02_sessions"
     stream = events_stream(spark, sf_dir, sentinel=True)
-    sessions = sessionize_stream(stream, gap_ms=gap_ms).filter(
+    sessions = sessionize_stream(stream, gap_ms=_S02_GAP_MS).filter(
         F.col("user_id") != SENTINEL_USER
     )
     q = (

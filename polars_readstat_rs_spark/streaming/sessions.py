@@ -40,7 +40,11 @@ STATE_SCHEMA = T.StructType(
         T.StructField("start_ms", T.LongType()),
         T.StructField("end_ms", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        # exact integer cents: float accumulation order would make
+        # total_value depend on arrival batching; integer sums are
+        # associative, so the emitted double equals the batch engine's
+        # exact DECIMAL sum bit-for-bit (values are 2-decimal by contract)
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
@@ -59,29 +63,33 @@ def _make_update(gap_ms: int):
         else:
             rows = pd.DataFrame({"ts_ms": [], "value": []})
         if state.exists:
-            start, end, n, total = state.get
+            start, end, n, cents = state.get
         else:
             start = end = None
-            n, total = 0, 0.0
+            n, cents = 0, 0
         out = []
         for ts, val in zip(rows["ts_ms"], rows["value"]):
             ts = int(ts)
+            fv = float(val)
+            # NULL value (e.g. the termination sentinel row) -> 0, matching
+            # SQL SUM's null-skipping; real events carry non-null values
+            c = int(round(fv * 100)) if fv == fv else 0
             if start is None:
-                start, end, n, total = ts, ts, 1, float(val)
+                start, end, n, cents = ts, ts, 1, c
             elif ts - end > gap_ms:
-                out.append((user_id, start, end, n, total))
-                start, end, n, total = ts, ts, 1, float(val)
+                out.append((user_id, start, end, n, cents / 100.0))
+                start, end, n, cents = ts, ts, 1, c
             else:
-                end, n, total = ts, n + 1, total + float(val)
+                end, n, cents = ts, n + 1, cents + c
         if state.hasTimedOut:
             # watermark passed end+gap: the trailing session is final by
             # event time — flush it and drop the state (bounded state on
             # long-running streams)
             if start is not None:
-                out.append((user_id, start, end, n, total))
+                out.append((user_id, start, end, n, cents / 100.0))
             state.remove()
         elif start is not None:
-            state.update((start, end, n, total))
+            state.update((start, end, n, cents))
             # event-time timer: fire when the watermark passes the gap.
             # Spark requires the timestamp to sit above the current
             # watermark; a key whose gap already elapsed (late-ish data)
