@@ -61,3 +61,52 @@ def resample_gapfill_daily(
             F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per key — the canonical
+    financial downsample. Open/close are order statistics under the
+    deterministic (ts, tiebreak) order, high/low plain min/max, volume
+    the row count: every output is engine-exact with no float
+    accumulation. One aggregation with map-side combine."""
+    day = F.to_date(F.col(ts_col))
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return events.groupBy(F.col(key_col), day.alias("day")).agg(
+        F.min_by(value_col, order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    ts_col: str,
+    width: str = "6 hours",
+    slide: str = "3 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Overlapping (hopping) event-time windows: each event lands in
+    width/slide windows. Spark's window() generator handles the
+    replication inside codegen; epoch-aligned starts make the window
+    identity engine-independent. Shuffles once on (window, group)."""
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )

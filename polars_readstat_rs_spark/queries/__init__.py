@@ -32,6 +32,8 @@ _RISKY_TAIL = (
     "q51_event_patterns",
     "q52_snapshot_diff",
     "q53_zorder",
+    "q54_ohlc",
+    "q55_hopping_window",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

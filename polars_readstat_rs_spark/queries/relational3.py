@@ -607,3 +607,63 @@ def q53_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zvalue([F.col("o_custkey"), day], _Q53_BITS).alias("zval"),
     )
+
+
+# ------------------------------------------------- q54 OHLC bars
+
+
+@register(
+    "q54_ohlc",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM {EVENTS_US} e)
+    SELECT user_id, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume
+    FROM r GROUP BY user_id, day
+    """,
+)
+def q54_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user (operators/timeseries.py:ohlc_bars):
+    open/close via min_by/max_by under the deterministic (ts, event_id)
+    order — all outputs order statistics, one map-side-combined agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(ev, "user_id", "ts", "value")
+
+
+# ------------------------------------------------- q55 hopping windows
+
+_Q55_WIDTH_MS = 6 * 3600 * 1000
+_Q55_SLIDE_MS = 3 * 3600 * 1000
+
+
+@register(
+    "q55_hopping_window",
+    oracle=f"""
+    WITH hop AS (
+      SELECT event_type, value,
+             (epoch_ms(ts) // {_Q55_SLIDE_MS} - k) * {_Q55_SLIDE_MS} AS window_start_ms,
+             epoch_ms(ts) AS t
+      FROM {EVENTS_US} e
+      CROSS JOIN (SELECT unnest(range(0, {_Q55_WIDTH_MS // _Q55_SLIDE_MS})) AS k))
+    SELECT window_start_ms, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM hop
+    WHERE t >= window_start_ms AND t < window_start_ms + {_Q55_WIDTH_MS}
+    GROUP BY window_start_ms, event_type
+    """,
+)
+def q55_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) event-time windows
+    (operators/timeseries.py:hopping_window_counts): width 6h, slide 3h
+    — each event replicated into width/slide windows inside codegen;
+    the oracle unnests the same epoch-aligned window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.hopping_window_counts(ev, "ts", "6 hours", "3 hours")

@@ -980,3 +980,43 @@ def test_snapshot_diff_classification(spark):
     )
     out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["t"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+
+
+def test_ohlc_bars_order_statistics(spark):
+    """Open/close follow the (ts, event_id) order; high/low/volume."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators import timeseries
+
+    d = datetime.datetime
+    rows = [
+        (1, 1, d(2024, 1, 1, 9), 10.0),
+        (1, 2, d(2024, 1, 1, 12), 50.0),
+        (1, 3, d(2024, 1, 1, 12), 5.0),   # same ts: event_id breaks the tie
+        (1, 4, d(2024, 1, 1, 16), 20.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    r = timeseries.ohlc_bars(ev, "user_id", "ts", "value").collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.volume) == (10.0, 50.0, 5.0, 20.0, 4)
+
+
+def test_hopping_windows_replicate_events(spark):
+    """width/slide = 2 -> every event appears in exactly two windows."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 7, 30), "click", 1.0)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = sorted(
+        (r.window_start_ms, r.n)
+        for r in timeseries.hopping_window_counts(ev, "ts").collect()
+    )
+    # 07:30 lands in the 03:00-09:00 and 06:00-12:00 windows
+    h = 3600 * 1000
+    base = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+    ) * 1000
+    assert out == [(base + 3 * h, 1), (base + 6 * h, 1)]
