@@ -100,6 +100,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from polars_readstat_rs_spark.operators import (
+        asof,
         dedup,
         fuzzy,
         graph,
@@ -194,6 +195,39 @@ def main() -> None:
             "triangle_stats": lambda: graph.triangle_stats(edges),
             "bfs_hops": lambda: graph.bfs_hops(
                 edges, baskets.select("p").filter(F.col("p") < 10).distinct(), 3
+            ),
+            "asof_nearest": lambda: asof.asof_nearest(
+                events.select("user_id", "ts"),
+                events.filter(F.col("value") > 20).select("user_id", "ts"),
+                "user_id",
+                "ts",
+                6 * 3600 * 1000,
+            ),
+            "ohlc_bars": lambda: timeseries.ohlc_bars(
+                events.withColumn("event_id", F.monotonically_increasing_id()),
+                "user_id",
+                "ts",
+                "value",
+            ),
+            "event_patterns": lambda: textstats.event_patterns(
+                events.withColumn("event_id", F.monotonically_increasing_id())
+                .withColumn(
+                    "event_type",
+                    F.element_at(
+                        F.array(*[F.lit(t) for t in ("click", "view", "purchase")]),
+                        (F.pmod(F.xxhash64("value"), F.lit(3)) + 1).cast("int"),
+                    ),
+                ),
+                "cc*p",
+            ),
+            "snapshot_diff": lambda: merge.snapshot_diff(
+                docs.select("doc_id", "text"),
+                docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text"),
+                ["doc_id"],
+                ["text"],
+            ),
+            "pq_topk": lambda: similarity.pq_topk(
+                emb, emb.filter(F.col("vec_id") < 5), k=10
             ),
         }
         for name, mk in ops.items():
