@@ -589,3 +589,53 @@ def passage_dedup(
             / F.col("n_chunks").cast("double"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join — the
+    database-literature alternative to MinHash-LSH candidate
+    generation, and unlike LSH it is EXACT: every pair with Jaccard >=
+    ``threshold`` survives (no probabilistic misses).
+
+    Shingles are globally ordered by rarity (document frequency asc);
+    each doc's PREFIX is its |d| - ceil(t*|d|) + 1 rarest shingles. Two
+    docs with Jaccard >= t must share a prefix shingle (the classic
+    prefix-filter bound with o = ceil(t*max(|a|,|b|)) — the per-doc
+    ceil(t*|d|) only lengthens the prefix, preserving completeness), so
+    the candidate join runs on prefixes only: frequent shingles never
+    generate candidates, which is the skew story the df-cap solves more
+    bluntly for LSH. Exact Jaccard verification then makes the filter
+    threshold authoritative.
+
+    Scale shape: the rarity ranking is one window over the VOCABULARY
+    table (Heaps-sublinear in corpus size); prefix assignment shuffles
+    once on doc; the candidate join's key distribution is by
+    construction biased toward rare shingles (small buckets).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = dfreq.select(
+        "sh", F.row_number().over(Window.orderBy("_df", "sh")).alias("_rk")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    pos = F.row_number().over(Window.partitionBy("doc").orderBy("_rk"))
+    prefix = (
+        sh.join(ranked, "sh")
+        .join(sizes, "doc")
+        .withColumn("_pos", pos)
+        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
+        .select("doc", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .distinct()
+        .persist()
+    )
+    out = _jaccard_on(sh, pairs=cand, sizes=sizes).filter(
+        F.col("jaccard") >= threshold
+    )
+    return _track(out, sh, cand)

@@ -34,6 +34,7 @@ _RISKY_TAIL = (
     "q53_zorder",
     "q54_ohlc",
     "q55_hopping_window",
+    "d10_prefix_filter",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity
 from ..tables import load_table
 from .llm import _DOTD, _SQD
+from .llm import _JACCARD_SELECT, _sh_ctes
 from .registry import register
 
 _V07_M = 4
@@ -98,3 +99,30 @@ def v07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, queries, k=_V07_K, m=_V07_M, ksub=_V07_KSUB, iters=2
     )
+
+
+# --------------------------------------------- d10 prefix-filter join
+
+_D10_T = 0.5
+
+
+@register(
+    "d10_prefix_filter",
+    # prefix filtering is COMPLETE for Jaccard >= t and the verify step
+    # is exact, so the result is definitionally the full-join d02 oracle
+    # restricted to the threshold — the oracle needs no prefix CTEs, and
+    # a hash match proves the pruning lost nothing.
+    oracle=f"""
+    WITH {_sh_ctes()}
+    SELECT * FROM ({_JACCARD_SELECT}) WHERE jaccard >= {_D10_T!r}
+    """,
+)
+def d10_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering
+    (operators/dedup.py:prefix_filter_pairs) — the non-probabilistic
+    alternative to d03's MinHash-LSH."""
+    from ..operators import dedup
+    from ..tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, "doc_id", "text", _D10_T)

