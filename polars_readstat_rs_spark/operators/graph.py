@@ -146,3 +146,45 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame
         )
     adj.unpersist()
     return dist.filter(F.col("hop") <= max_hops)
+
+
+PR_SCALE = 10**12  # fixed-point rank unit
+
+
+def pagerank_int(edges: DataFrame, iters: int = 5, damping_num: int = 17, damping_den: int = 20) -> DataFrame:
+    """Deterministic fixed-point PageRank over an undirected (s < d)
+    edge list: ranks are exact integers (unit = PR_SCALE) and every
+    update is integer arithmetic — rank' = (1-d)*S + sum over neighbors
+    of (d * rank) div deg — so the result is bit-identical on any
+    engine, partitioning, or summation order (integer addition is
+    associative; the div-truncation is part of the operator's defined
+    semantics, d = damping_num/damping_den = 0.85).
+
+    One join + one sum-aggregation per iteration, both shuffling on the
+    vertex key; adjacency and degrees are persisted across the loop and
+    the rank state is localCheckpoint'ed per generation (O(1) plan
+    depth). Every vertex in an edge list has degree >= 1, so there are
+    no dangling-mass corrections.
+    """
+    adj = edges.select(F.col("s").alias("v"), F.col("d").alias("n")).unionAll(
+        edges.select(F.col("d").alias("v"), F.col("s").alias("n"))
+    ).persist()
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg")).persist()
+    base = PR_SCALE * (damping_den - damping_num) // damping_den
+    rank = deg.select("v", F.lit(PR_SCALE).cast("long").alias("r")).localCheckpoint(eager=True)
+    contrib = (
+        F.expr(f"(({damping_num} * r) div {damping_den}) div deg")
+    )
+    for _ in range(iters):
+        out = (
+            rank.join(deg, "v")
+            .join(adj, "v")
+            .select(F.col("n").alias("v"), contrib.alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select("v", (F.lit(base) + F.col("s")).cast("long").alias("r"))
+        )
+        rank = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
+    return rank.select("v", "r")

@@ -35,6 +35,7 @@ _RISKY_TAIL = (
     "q54_ohlc",
     "q55_hopping_window",
     "d10_prefix_filter",
+    "g03_pagerank",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -667,3 +667,43 @@ def q55_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle unnests the same epoch-aligned window starts."""
     ev = load_table(spark, sf_dir, "events")
     return timeseries.hopping_window_counts(ev, "ts", "6 hours", "3 hours")
+
+
+# ------------------------------------------------- g03 integer PageRank
+
+_G03_ITERS = 5
+
+
+def _g03_oracle() -> str:
+    from ..operators.graph import PR_SCALE
+
+    base = PR_SCALE * 3 // 20
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem)",
+        f"ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= {_G01_MAX_BASKET})",
+        "it AS (SELECT items.g, items.p FROM items JOIN ok USING (g))",
+        "edges AS (SELECT DISTINCT a.p AS s, b.p AS d FROM it a JOIN it b ON a.g = b.g AND a.p < b.p)",
+        "adj AS (SELECT s AS v, d AS n FROM edges UNION ALL SELECT d AS v, s AS n FROM edges)",
+        "deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v)",
+        f"r0 AS (SELECT v, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _G03_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT a.n AS v, CAST({base} + sum(((17 * r.r) // 20) // d.deg) AS BIGINT) AS r "
+            f"FROM r{i - 1} r JOIN deg d ON r.v = d.v JOIN adj a ON a.v = r.v GROUP BY a.n)"
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT v, r FROM r{_G03_ITERS}"
+
+
+@register("g03_pagerank", oracle=_g03_oracle())
+def g03_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (operators/graph.py:
+    pagerank_int) over the co-purchase graph: exact integer ranks, so
+    five unrolled oracle iterations hash-match bit-for-bit — the
+    iterative vertex-program shape with none of the float-order
+    nondeterminism that usually makes PageRank ungateable."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
+    return graph.pagerank_int(edges, iters=_G03_ITERS)

@@ -1041,3 +1041,18 @@ def test_prefix_filter_complete_and_pruning(spark, sf_dir):
     got = {(r.a_id, r.b_id, r.jaccard) for r in pref.collect()}
     assert want == got and len(got) >= 6
     dedup.release_cached(pref)
+
+
+def test_pagerank_int_symmetric_and_conserved(spark):
+    """On a 3-cycle all ranks are equal; a star concentrates rank at
+    the hub; results are exact integers independent of partitioning."""
+    from polars_readstat_rs_spark.operators import graph
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["s", "d"])
+    r = {x.v: x.r for x in graph.pagerank_int(cyc, iters=3).collect()}
+    assert len(set(r.values())) == 1  # symmetry -> identical ranks
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["s", "d"])
+    rs = {x.v: x.r for x in graph.pagerank_int(star, iters=5).collect()}
+    assert rs[1] > rs[2] == rs[3] == rs[4]
+    rs2 = {x.v: x.r for x in graph.pagerank_int(star.repartition(7), iters=5).collect()}
+    assert rs == rs2  # exact integers: partitioning-independent
