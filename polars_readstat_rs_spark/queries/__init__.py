@@ -36,6 +36,8 @@ _RISKY_TAIL = (
     "q55_hopping_window",
     "d10_prefix_filter",
     "g03_pagerank",
+    "q56_trend",
+    "q57_group_center",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

@@ -707,3 +707,92 @@ def g03_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", _G01_MAX_BASKET)
     return graph.pagerank_int(edges, iters=_G03_ITERS)
+
+
+# ------------------------------------------------- q56 regression trend
+
+
+@register(
+    "q56_trend",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM {EVENTS_US} e),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM p GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope_cents_per_day
+    FROM s
+    """,
+)
+def q56_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (regr_slope) computed from EXACT
+    integer sums — x in days, y in cents, the closed-form slope is one
+    double division of two exact BIGINTs, so the regression hash-matches
+    across engines (the built-in float regr_slope wouldn't). One
+    map-side-combined aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_cents_per_day"),
+    )
+
+
+# ------------------------------------------------- q57 grouped-map UDF
+
+
+@register(
+    "q57_group_center",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} e),
+    m AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // count(*) AS mean_floor FROM c GROUP BY event_type)
+    SELECT c.event_id, c.event_type,
+           CAST(c.cents - m.mean_floor AS BIGINT) AS centered_cents
+    FROM c JOIN m USING (event_type)
+    """,
+)
+def q57_group_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the remaining Python-UDF surface after
+    scalar pandas_udf / mapInPandas / applyInPandasWithState): per-group
+    mean-centering in EXACT integer cents, so even the Arrow-batched
+    Python path hash-matches the oracle. The group mean is the floored
+    integer mean — pure int arithmetic end to end."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _center(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        mean_floor = int(cents.sum()) // len(cents)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "centered_cents": cents - mean_floor,
+            }
+        )
+
+    return ev.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        _center, "event_id long, event_type string, centered_cents long"
+    )
