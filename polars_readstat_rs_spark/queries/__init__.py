@@ -38,6 +38,8 @@ _RISKY_TAIL = (
     "g03_pagerank",
     "q56_trend",
     "q57_group_center",
+    "q58_rank_family",
+    "q59_array_funcs",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

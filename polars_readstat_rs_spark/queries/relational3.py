@@ -796,3 +796,74 @@ def q57_group_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
         _center, "event_id long, event_type string, centered_cents long"
     )
+
+
+# ------------------------------------------------- q58 rank-family windows
+
+
+@register(
+    "q58_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q58_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions (rank / dense_rank /
+    percent_rank / cume_dist). The fully-tiebroken ORDER BY makes even
+    the ratio outputs engine-exact — each is one division of exact row
+    counts. One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# ------------------------------------------------- q59 array higher-order fns
+
+
+@register(
+    "q59_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, x) -> a + x) AS fold_sum,
+           CAST(list_min(embedding) AS DOUBLE) AS min_v,
+           CAST(list_max(embedding) AS DOUBLE) AS max_v,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)), 6) AS l2
+    FROM embeddings
+    """,
+)
+def q59_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column
+    (transform / aggregate-fold / filter / element min-max) — all
+    codegen'd, zero shuffles; folds are left-to-right so even the
+    floating outputs are engine-exact (l2 rounded per the v-family
+    sqrt convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        fold(dbl).alias("fold_sum"),
+        F.array_min("embedding").cast("double").alias("min_v"),
+        F.array_max("embedding").cast("double").alias("max_v"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(fold(sq)), 6).alias("l2"),
+    )
