@@ -229,6 +229,8 @@ def main() -> None:
             "pq_topk": lambda: similarity.pq_topk(
                 emb, emb.filter(F.col("vec_id") < 5), k=10
             ),
+            "prefix_filter": lambda: dedup.prefix_filter_pairs(docs, "doc_id", "text"),
+            "pagerank": lambda: graph.pagerank_int(edges, iters=5),
         }
         for name, mk in ops.items():
             if only and name not in only:
