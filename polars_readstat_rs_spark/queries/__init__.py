@@ -40,6 +40,8 @@ _RISKY_TAIL = (
     "q57_group_center",
     "q58_rank_family",
     "q59_array_funcs",
+    "q60_unpivot",
+    "q61_lateral",
     "t09_gopher_quality",
     "t10_bigram_lm",
     "q42_salted_join",

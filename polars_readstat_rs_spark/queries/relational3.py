@@ -867,3 +867,53 @@ def q59_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.round(F.sqrt(fold(sq)), 6).alias("l2"),
     )
+
+
+# ------------------------------------------------- q60 unpivot / melt
+
+_Q60_MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "q60_unpivot",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{m}' AS measure, count(*) AS n,
+            CAST(sum(CAST({m} AS DECIMAL(12,2))) AS DOUBLE) AS total
+            FROM lineitem"""
+        for m in _Q60_MEASURES
+    ),
+)
+def q60_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of q27's pivot: wide measure columns
+    to long (measure, value) rows via the native unpivot operator
+    (codegen'd row expansion, no shuffle until the aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"], _Q60_MEASURES, "measure", "val"
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+# ------------------------------------------------- q61 lateral join
+
+_Q61_SQL = """
+    SELECT p.pri, o.o_orderkey, o.o_totalprice
+    FROM (SELECT DISTINCT o_orderpriority AS pri FROM {src}) p,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM {src}
+      WHERE o_orderpriority = p.pri
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+"""
+
+
+@register("q61_lateral", oracle=_Q61_SQL.format(src="orders"))
+def q61_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per priority) — the
+    SQL-surface twin of q11's window top-k, exercising Spark's lateral
+    join decorrelation; fully tiebroken so the row set is exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q61_orders")
+    return spark.sql(_Q61_SQL.format(src="_q61_orders"))
