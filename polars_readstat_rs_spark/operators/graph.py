@@ -61,10 +61,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row graph summary: vertex/edge/wedge/triangle counts and the
     global clustering coefficient (3*triangles / wedges).
 
-    Wedge enumeration runs on degree-oriented edges (low (deg, id) ->
-    high), bounding the blowup at skewed vertices; the closing step is a
-    semi-join-shaped inner join back to the oriented edge set. Three
-    shuffles total, each on a vertex key.
+    Triangles are counted on degree-oriented edges (low (deg, id) ->
+    high), bounding the quadratic term at skewed vertices, as per-edge
+    sorted-adjacency intersections (see inline note). Three shuffles
+    total, each on a vertex key.
 
     The edge list and its oriented form are persisted (they feed the
     degree, wedge, close and count branches — without the persist every
@@ -152,7 +152,12 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame
     dist = seeds.select(F.col(seeds.columns[0]).alias("v"), F.lit(0).alias("hop"))
     dist = dist.localCheckpoint(eager=True)
     for i in range(1, max_hops + 1):
-        grown = dist.join(adj, "v").select(F.col("n").alias("v"), F.lit(i).alias("hop"))
+        # expand only the FRONTIER (vertices first reached last round):
+        # a settled vertex's neighbors were already labeled when it was
+        # discovered, so re-expanding it every generation would traverse
+        # each edge once per remaining iteration instead of once overall
+        frontier = dist.filter(F.col("hop") == i - 1)
+        grown = frontier.join(adj, "v").select(F.col("n").alias("v"), F.lit(i).alias("hop"))
         dist = (
             dist.unionAll(grown)
             .groupBy("v")

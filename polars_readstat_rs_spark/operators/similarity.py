@@ -695,7 +695,10 @@ def pq_topk(
     and code assignment inherits kmeans_cells' tie-breaking, so a SQL
     oracle reproduces every ranked double bitwise.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_topk: corpus is empty or its first vector is NULL")
+    dim = len(head[0])
     assert dim % m == 0, "vector dim must divide into m subspaces"
     sub = dim // m
     qv = queries.select(

@@ -404,6 +404,7 @@ def event_patterns(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
     codes: dict[str, str] = EVENT_CODES,
 ) -> DataFrame:
     """Behavioral pattern mining — the poor-man's MATCH_RECOGNIZE: each
@@ -423,7 +424,7 @@ def event_patterns(
     seqs = (
         events.select(
             F.col(key_col),
-            F.struct(F.col(ts_col), F.col("event_id"), code_col.alias("c")).alias("ev"),
+            F.struct(F.col(ts_col), F.col(tiebreak_col), code_col.alias("c")).alias("ev"),
         )
         .groupBy(key_col)
         .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
@@ -435,5 +436,6 @@ def event_patterns(
     return seqs.select(
         key_col,
         F.length("seq").alias("n_events"),
-        F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)")).alias("n_matches"),
+        # pattern passed as a literal column — never spliced into SQL text
+        F.size(F.regexp_extract_all("seq", F.lit(pattern), F.lit(0))).alias("n_matches"),
     )

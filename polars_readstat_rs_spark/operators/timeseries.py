@@ -92,6 +92,7 @@ def hopping_window_counts(
     width: str = "6 hours",
     slide: str = "3 hours",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Overlapping (hopping) event-time windows: each event lands in
     width/slide windows. Spark's window() generator handles the
@@ -101,7 +102,7 @@ def hopping_window_counts(
         events.groupBy(F.window(ts_col, width, slide).alias("w"), group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.unix_millis("w.start").alias("window_start_ms"),

@@ -81,7 +81,7 @@ _P03_TARGET = 1000
       FROM counts)
     SELECT d.doc_id, d.source
     FROM documents d JOIN rates r USING (source)
-    WHERE {_bucket_sql(_P01_SEED, "d.doc_id")} < CAST(r._rate * {float(sampling.BUCKETS)} AS BIGINT)
+    WHERE {_bucket_sql(_P01_SEED, "d.doc_id")} < CAST(floor(r._rate * {float(sampling.BUCKETS)}) AS BIGINT)
     """,
 )
 def p03_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

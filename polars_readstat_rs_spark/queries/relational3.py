@@ -26,16 +26,19 @@ from .pipeline import _bucket_sql
 # ------------------------------------------------- q44 fuzzy entity match
 
 _Q44_MAXDIST = 4
+_Q44_MAXBLOCK = 10_000
 
 
 @register(
     "q44_fuzzy_match",
     oracle=f"""
     WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-    blocked AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+    blocked AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names),
+    ok_blocks AS (SELECT blk FROM blocked GROUP BY blk HAVING count(*) <= {_Q44_MAXBLOCK}),
+    inb AS (SELECT b.name, b.blk FROM blocked b JOIN ok_blocks USING (blk))
     SELECT a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS dist
-    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    FROM inb a JOIN inb b ON a.blk = b.blk AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {_Q44_MAXDIST}
     """,
 )
@@ -45,7 +48,9 @@ def q44_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses the fact table to vocabulary size before any pairing."""
     part = load_table(spark, sf_dir, "part")
     block = F.element_at(F.split(F.col("name"), " "), -1)
-    pairs = fuzzy.blocked_fuzzy_pairs(part, "p_name", block, max_dist=_Q44_MAXDIST)
+    pairs = fuzzy.blocked_fuzzy_pairs(
+        part, "p_name", block, max_dist=_Q44_MAXDIST, max_block=_Q44_MAXBLOCK
+    )
     return pairs.withColumn("dist", F.col("dist").cast("int"))
 
 
@@ -136,7 +141,7 @@ _P07_SCALE = 500.0
     SELECT doc_id, source, n_chars
     FROM documents
     WHERE {_bucket_sql(_P07_SEED, "doc_id")} <
-      CAST(least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / {_P07_SCALE!r})) * {float(sampling.BUCKETS)!r} AS BIGINT)
+      CAST(floor(least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / {_P07_SCALE!r})) * {float(sampling.BUCKETS)!r}) AS BIGINT)
     """,
 )
 def p07_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,15 +722,15 @@ def g03_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT event_type,
-             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
              CAST(round(value * 100) AS BIGINT) AS y
       FROM {EVENTS_US} e),
     s AS (
       SELECT event_type, count(*) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
       FROM p GROUP BY event_type)
-    SELECT event_type, n,
+    SELECT event_type, CAST(n AS BIGINT) AS n,
            CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
              AS slope_cents_per_day
     FROM s
@@ -738,7 +743,10 @@ def q56_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines (the built-in float regr_slope wouldn't). One
     map-side-combined aggregation."""
     ev = load_table(spark, sf_dir, "events")
-    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    # x recentered at the data epoch keeps the BIGINT sums small; the
+    # n*sxy - sx*sy combination runs in DECIMAL(38,0) (HUGEINT on the
+    # oracle side) so it cannot overflow at any realistic group size
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
     y = F.round(F.col("value") * 100).cast("long")
     s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -747,13 +755,13 @@ def q56_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
     return s.select(
         "event_type",
         "n",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        ).alias("slope_cents_per_day"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
     )
 
 
@@ -766,7 +774,14 @@ def q56_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
       FROM {EVENTS_US} e),
-    m AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // count(*) AS mean_floor FROM c GROUP BY event_type)
+    m AS (
+      SELECT event_type,
+             -- exact floor division for any sign: subtract the
+             -- non-negative remainder first, then truncation == floor
+             CAST((s - (((s % k) + k) % k)) // k AS BIGINT) AS mean_floor
+      FROM (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM c GROUP BY event_type))
     SELECT c.event_id, c.event_type,
            CAST(c.cents - m.mean_floor AS BIGINT) AS centered_cents
     FROM c JOIN m USING (event_type)
