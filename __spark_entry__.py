@@ -56,25 +56,13 @@ _COVERAGE_DUPES = [
 ]
 
 
-# Absolute tail: the most expensive / most recently hardened entries run
+# Absolute tail: the most expensive / most recently added entries run
 # after EVERYTHING else (a sequential driver with a global time budget
 # records complete results for the rest even if one of these runs long —
 # round 2's d08 hang at position ~17 zeroed the whole correctness file).
-_RISKY_TAIL = [
-    "t09_gopher_quality",
-    "t10_bigram_lm",
-    "q42_salted_join",
-    "t11_bpe_pairs",
-    "q43_upsert",
-    "d08_semantic_dedup",
-    "v06_ann_recall",
-    "s01_stream_windowed_counts",
-    "s02_stream_sessions",
-    "s03_stream_stream_join",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_incremental_agg",
-]
+# Single source of truth: the queries package's RISKY_TAIL — a stale
+# duplicate here once let brand-new queries run ahead of verified ones.
+from polars_readstat_rs_spark.queries import RISKY_TAIL as _RISKY_TAIL
 
 
 def _ordered(d: dict) -> dict:

@@ -386,9 +386,12 @@ class _ReadstatReader(DataSourceReader):
 
             meta = spss_parser.read_metadata(path)
             if not spss_parser.splittable(meta):
-                if path in self.rle_plan:
+                if path in self.rle_plan and self.offset == 0 and self.limit < 0:
                     # executor-computed plan (api.plan_rle_partitions):
-                    # no driver-side stream scan at all
+                    # no driver-side stream scan at all. Precomputed plans
+                    # cover the WHOLE file, so an offset/limit request must
+                    # fall through to the slicing planner below instead of
+                    # silently returning every row.
                     return [
                         _RlePartition(path, s, c, anchor, skip, ub)
                         for s, c, anchor, skip, ub in self.rle_plan[path]

@@ -31,6 +31,8 @@ def expect(
     ``unique`` maps rule name -> column list that must be unique.
     Returns (rule_name, n_rows, n_violations, passed) per rule."""
     unique = unique or {}
+    if not rules and not unique:
+        raise ValueError("expect() needs at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
     names: list[str] = []
     for i, (name, cond) in enumerate(rules.items()):
@@ -44,11 +46,17 @@ def expect(
         )
         names.append(name)
     one = df.agg(*aggs)
+
+    def q(name: str) -> str:
+        # SQL string literal: double any single quote (rule names are
+        # user-supplied free text)
+        return "'" + name.replace("'", "''") + "'"
+
     parts = []
     for i in range(len(rules)):
-        parts.append(f"'{names[i]}', __n, __v{i}")
+        parts.append(f"{q(names[i])}, __n, __v{i}")
     for j in range(len(unique)):
-        parts.append(f"'{names[len(rules) + j]}', __n, __u{j}")
+        parts.append(f"{q(names[len(rules) + j])}, __n, __u{j}")
     return one.select(
         F.expr(
             f"stack({len(parts)}, {', '.join(parts)}) AS (rule_name, n_rows, n_violations)"

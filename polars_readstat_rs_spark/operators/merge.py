@@ -26,6 +26,11 @@ def upsert(base: DataFrame, updates: DataFrame, key_cols: Sequence[str]) -> Data
     """
     if base.columns != updates.columns:
         raise ValueError(f"schema mismatch: {base.columns} vs {updates.columns}")
+    clash = {"_pri", "_mx"} & set(base.columns)
+    if clash:
+        # withColumn would silently REPLACE (and drop() later remove) a
+        # user column of the same name — refuse instead of destroying data
+        raise ValueError(f"upsert reserves column names {sorted(clash)}; rename them first")
     tagged = updates.withColumn("_pri", F.lit(1)).unionByName(
         base.withColumn("_pri", F.lit(0))
     )
@@ -50,6 +55,9 @@ def snapshot_diff(
     key-partitioned scans; emit-side filters (e.g. dropping 'unchanged')
     push into the join's output projection.
     """
+    clash = {"_in_o", "_in_n"} & (set(old.columns) | set(new.columns))
+    if clash:
+        raise ValueError(f"snapshot_diff reserves column names {sorted(clash)}; rename them first")
     # presence sentinels (a compare column may be legitimately NULL, so
     # side-membership can't be inferred from the data columns)
     o = old.select(*keys, F.lit(1).alias("_in_o"), *[F.col(c).alias(f"_o_{c}") for c in compare_cols])

@@ -64,4 +64,6 @@ _q = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_q)
 
-__all__ = ["QUERIES", "ORACLES"]
+RISKY_TAIL = _RISKY_TAIL  # single source of truth — __spark_entry__ imports this
+
+__all__ = ["QUERIES", "ORACLES", "RISKY_TAIL"]

@@ -133,12 +133,19 @@ def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark): first arrival per
     (user_id, event_type) fingerprint with watermark-bounded state.
     Only the key columns are emitted — which physical row wins within a
-    micro-batch is execution-order dependent, but its key is not — so
-    the drained result is exactly the batch DISTINCT."""
+    micro-batch is execution-order dependent, but its key is not — and
+    the gate's watermark delay covers the whole dataset span, so state
+    is never evicted mid-stream and the drained result equals the batch
+    DISTINCT even if the source delivers multiple micro-batches
+    (production uses a small delay where the semantic IS windowed
+    dedup; equality to global DISTINCT then only holds within the
+    window)."""
     from ..streaming.dedup import dedup_stream
 
     name = "s04_dedup"
-    out = dedup_stream(events_stream(spark, sf_dir), ["user_id", "event_type"]).select(
+    out = dedup_stream(
+        events_stream(spark, sf_dir), ["user_id", "event_type"], watermark="400 days"
+    ).select(
         "user_id", "event_type"
     )
     q = (

@@ -21,6 +21,12 @@ def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "1 hou
     md5 over the key columns (same construction as the batch
     exact_dedup), so state size is one 32-char key + timestamp per
     distinct fingerprint in the window.
+
+    Equality with a global batch DISTINCT holds only while no key's
+    state is evicted — i.e. when ``watermark`` covers the stream's
+    event-time span. With a smaller delay the (documented) semantic is
+    windowed dedup: a duplicate arriving after its key's eviction
+    re-emits.
     """
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
     return (

@@ -33,13 +33,16 @@ def stage_chunked_events(spark: SparkSession, sf_dir: str, n_chunks: int = 4) ->
     stream source delivers a genuine multi-batch stream."""
     import pyarrow.parquet as pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    from .windows import _src_fingerprint
+
+    src = f"{sf_dir}/events.parquet"
+    tag = sf_dir.strip("/").replace("/", "_") + "_" + _src_fingerprint(src)
     stage = os.path.join(tempfile.gettempdir(), f"events_chunks_{tag}_{n_chunks}")
     done = os.path.join(stage, "_STAGED")
     if os.path.exists(done):
         return stage
     os.makedirs(stage, exist_ok=True)
-    table = pq.read_table(f"{sf_dir}/events.parquet")
+    table = pq.read_table(src)
     n = table.num_rows
     step = max(1, (n + n_chunks - 1) // n_chunks)
     for i, lo in enumerate(range(0, n, step)):

@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SENTINEL_USER = -1
+
+
+def _src_fingerprint(path: str) -> str:
+    """Staging dirs embed the source file's (size, mtime_ns) so a
+    refreshed testdata drop can never be served from a stale /tmp cache
+    (round-2 lesson: the events parquet's physical type DOES drift
+    between drops)."""
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_size}_{st.st_mtime_ns}"
 # far enough past any testdata event that every event-time timer
 # (last_event + gap) sits below the watermark this sentinel produces
 _SENTINEL_ISO = "2100-01-01T00:00:00"
@@ -78,7 +89,12 @@ def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> D
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_") + ("_sentinel" if sentinel else "")
+    src0 = f"{sf_dir}/events.parquet"
+    tag = (
+        sf_dir.strip("/").replace("/", "_")
+        + "_" + _src_fingerprint(src0)
+        + ("_sentinel" if sentinel else "")
+    )
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
@@ -90,6 +106,9 @@ def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> D
             pass  # concurrent creator won the race — same target
     if sentinel:
         _write_sentinel(stage, src)
+    # the RAW footer schema (pre-normalization types) is required here —
+    # tables.load_table's cached plan is already ts-normalized, so this
+    # one footer read per call is intentional, not an oversight
     batch_schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.format("parquet")

@@ -43,7 +43,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import ensure_session_confs
 
     ensure_session_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # the fingerprint invalidates the cached plan when the testdata file
+    # is replaced mid-session (its FileIndex pins the old file otherwise);
+    # a missing file falls through to spark.read for the native error
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, sf_dir, name, fp)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached

@@ -465,3 +465,24 @@ def test_directory_rle_plan_distributed(spark, tmp_path):
     # plan survives a JSON roundtrip through the option channel
     rt = json.loads(json.dumps(plan))
     assert rt == plan
+
+
+def test_rle_plan_respects_offset_limit(spark, tmp_path):
+    """A precomputed rle_plan covers the whole file; an offset/limit
+    scan must fall back to the slicing planner instead of silently
+    returning every row (review regression)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    p = tmp_path / "one.sav"
+    spark.range(0, 20000, 1, 2).select(
+        F.col("id").cast("double").alias("x")
+    ).write.format("readstat").mode("overwrite").option("compress", "true").save(str(p))
+
+    sliced = api.readstat_scan(
+        spark, str(p), offset=100, limit=50, split_compressed=True
+    )
+    rows = sliced.orderBy("x").collect()
+    assert len(rows) == 50
+    assert rows[0].x == 100.0 and rows[-1].x == 149.0

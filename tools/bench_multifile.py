@@ -40,7 +40,10 @@ ALL_TABLES = "region nation customer supplier part orders lineitem events docume
 def stage(sf_dir: str, n_files: int) -> str:
     import pyarrow.parquet as pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    # fingerprint the largest split table so a refreshed testdata drop
+    # invalidates the staged layout (stale-cache lesson from round 2)
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    tag = sf_dir.strip("/").replace("/", "_") + f"_{st.st_size}_{st.st_mtime_ns}"
     base = os.path.join(tempfile.gettempdir(), f"multifile_{tag}_{n_files}")
     done = os.path.join(base, "_STAGED")
     if os.path.exists(done):
