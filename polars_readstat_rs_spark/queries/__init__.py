@@ -15,6 +15,7 @@ from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2
 from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
+    "r09_sav_option_interaction",
     "q44_fuzzy_match",
     "q45_gapfill",
     "q46_moving_window",

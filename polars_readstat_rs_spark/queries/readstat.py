@@ -290,3 +290,51 @@ def r08_distributed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     # both writers must produce identical aggregates: intersect then
     # compare against the oracle (row-count mismatch -> gate failure)
     return a.intersect(b)
+
+
+_R09_OFF, _R09_LIM = 150, 100
+
+
+@register(
+    "r09_sav_option_interaction",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < {_FILTER_KEY})
+    SELECT CAST(rid AS BIGINT) AS _row_idx, o_orderkey, o_totalprice
+    FROM s WHERE rid >= {_R09_OFF} AND rid < {_R09_OFF + _R09_LIM}
+    """,
+)
+def r09_sav_option_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader OPTION-INTERACTION gate: a compressed .sav scanned with
+    columns + offset + limit + split_compressed + row_index all at once
+    — guards the class of bug where a fast path honors one option and
+    silently drops another (e.g. the precomputed-RLE-plan path once
+    ignored offset/limit). The file is written o_orderkey-sorted, so
+    the slice equals the oracle's row_number window."""
+    from ..formats.spss import writer as spss_writer
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r09_{tag}.sav")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _FILTER_KEY)
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .sort("o_orderkey")
+    )
+    spss_writer.write_sav(orders.toArrow(), path, compress=True)
+    df = readstat_scan(
+        spark,
+        path,
+        columns=["o_orderkey", "o_totalprice"],
+        offset=_R09_OFF,
+        limit=_R09_LIM,
+        split_compressed=True,
+        row_index=True,
+    )
+    return df.select(
+        "_row_idx",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+    )
