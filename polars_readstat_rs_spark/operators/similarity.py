@@ -741,3 +741,67 @@ def pq_topk(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_append_topk(
+    base: DataFrame,
+    new: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    ncells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Incremental-ingest IVF: centroids are trained on the BASE corpus
+    only (the persisted index artifact of the original build); NEW
+    vectors are assigned to the frozen cells with no retraining, and
+    queries probe the union — the index-reuse shape of continuous
+    vector ingest (the d09 pattern for embeddings). At 100 TB the base
+    assignment and centroid model are precomputed tables; an append
+    costs one broadcast nearest-centroid pass over the new batch plus
+    the probe-bounded scoring, never a re-cluster of the corpus.
+
+    Deterministic end to end (kmeans_cells' init/tie/fold rules +
+    frozen-centroid assignment), so the SQL oracle reproduces every
+    ranked double.
+    """
+    assigned_b, cents = kmeans_cells(base, id_col, vec_col, ncells, iters)
+    newv = new.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned = assigned_b.select("vec_id", "vec", "cell").unionByName(
+        _assign_cells(newv, cents)
+    ).persist()
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+        )
+        .withColumn("q_norm", F.sqrt(dot_expr("q_vec", "q_vec")))
+        .persist()
+    )
+    w_q = W.partitionBy("q_id").orderBy(F.asc("pd"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("pd", _sqdist_expr("q_vec", "centroid"))
+        .withColumn("prank", F.row_number().over(w_q))
+        .filter(F.col("prank") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    c = assigned.select(
+        "cell", F.col("vec_id"), F.col("vec").alias("c_vec")
+    ).withColumn("c_norm", F.sqrt(dot_expr("c_vec", "c_vec")))
+    scored = (
+        c.join(F.broadcast(probed), ["cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6)
+        )
+        .select("q_id", "vec_id", "sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    return _track(out, assigned, q)

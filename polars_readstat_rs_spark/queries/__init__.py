@@ -56,6 +56,8 @@ _RISKY_TAIL = (
     "s04_stream_dedup",
     "s05_stream_static_join",
     "s06_incremental_agg",
+    "v08_ivf_append",
+    "s07_stream_hopping",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

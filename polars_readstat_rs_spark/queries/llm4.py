@@ -126,3 +126,63 @@ def d10_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _lt(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(docs, "doc_id", "text", _D10_T)
+
+
+# --------------------------------------------- v08 incremental IVF append
+
+_V08_NPROBE = 3
+_V08_K = 10
+
+
+def _v08_oracle() -> str:
+    dotq = _DOTD.format(a="vec", b="vec")
+    sqd_probe = _SQD.format(a="q.q_vec", b="c.centroid")
+    dot_score = _DOTD.format(a="p.q_vec", b="a.vec")
+    norm_c = _DOTD.format(a="a.vec", b="a.vec")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+    vb AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+    vn AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
+      FROM (SELECT * FROM vb ORDER BY vec_id LIMIT 8)),
+    a1 AS ({_assign('vb', 'c0')}),
+    c1 AS ({_update('a1')}),
+    a2 AS ({_assign('vb', 'c1')}),
+    c2 AS ({_update('a2')}),
+    afb AS ({_assign('vb', 'c2')}),
+    afn AS ({_assign('vn', 'c2')}),
+    af AS (SELECT * FROM afb UNION ALL SELECT * FROM afn),
+    q AS (
+      SELECT vec_id AS q_id, vec AS q_vec, sqrt({dotq}) AS q_norm
+      FROM v WHERE vec_id < 5),
+    probed AS (
+      SELECT q_id, q_vec, q_norm, cell FROM (
+        SELECT q.q_id, q.q_vec, q.q_norm, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {sqd_probe} ASC, c.cell ASC) AS prank
+        FROM q CROSS JOIN c2 c) WHERE prank <= {_V08_NPROBE}),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             round({dot_score} / (p.q_norm * sqrt({norm_c})), 6) AS sim
+      FROM af a JOIN probed p ON a.cell = p.cell AND a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= {_V08_K}"""
+
+
+@register("v08_ivf_append", oracle=_v08_oracle())
+def v08_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest IVF (operators/similarity.py:ivf_append_topk):
+    centroids frozen from the base build, new vectors assigned without
+    retraining, queries probe the union — the vector-side analog of
+    d09's incremental MinHash band join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_append_topk(
+        base, new, queries, k=_V08_K, nprobe=_V08_NPROBE, ncells=8, iters=2
+    )

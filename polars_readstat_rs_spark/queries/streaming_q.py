@@ -218,3 +218,44 @@ def s06_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import incremental_event_totals
 
     return incremental_event_totals(spark, sf_dir)
+
+
+_S07_WIDTH_MS = 6 * 3600 * 1000
+_S07_SLIDE_MS = 3 * 3600 * 1000
+
+
+@register(
+    "s07_stream_hopping",
+    oracle=f"""
+    WITH hop AS (
+      SELECT event_type, value,
+             (epoch_ms(ts) // {_S07_SLIDE_MS} - k) * {_S07_SLIDE_MS} AS window_start_ms,
+             epoch_ms(ts) AS t
+      FROM {EVENTS_US} e
+      CROSS JOIN (SELECT unnest(range(0, {_S07_WIDTH_MS // _S07_SLIDE_MS})) AS k))
+    SELECT window_start_ms, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM hop
+    WHERE t >= window_start_ms AND t < window_start_ms + {_S07_WIDTH_MS}
+    GROUP BY window_start_ms, event_type
+    """,
+)
+def s07_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOPPING (sliding) windows — the overlapping-window
+    twin of s01's tumbling aggregate: the same
+    operators/timeseries.hopping_window_counts plan bound to the
+    bounded events stream, drained through the complete-mode memory
+    sink; equals batch q55 exactly (decimal sums, epoch-aligned
+    windows)."""
+    from ..operators.timeseries import hopping_window_counts
+    from ..streaming.windows import run_to_completion
+
+    agg = hopping_window_counts(
+        events_stream(spark, sf_dir).withWatermark("ts", "1 hour"),
+        "ts",
+        "6 hours",
+        "3 hours",
+    )
+    name = "s07_hopping"
+    run_to_completion(agg, name)
+    return spark.table(name)

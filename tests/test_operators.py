@@ -1056,3 +1056,17 @@ def test_pagerank_int_symmetric_and_conserved(spark):
     assert rs[1] > rs[2] == rs[3] == rs[4]
     rs2 = {x.v: x.r for x in graph.pagerank_int(star.repartition(7), iters=5).collect()}
     assert rs == rs2  # exact integers: partitioning-independent
+
+
+def test_ivf_append_matches_full_probe_semantics(spark, sf_dir):
+    """Appended vectors are searchable without retraining: a new vector
+    duplicating a query lands in the query's own probed cell and ranks
+    first; the base-only index never re-clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    q0 = emb.filter(F.col("vec_id") == 1)
+    dup = q0.select(F.lit(777777).cast("long").alias("vec_id"), "embedding", "label")
+    out = similarity.ivf_append_topk(base, dup, q0, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].vec_id == 777777 and rows[0].sim == 1.0
+    similarity.release_cached(out)
