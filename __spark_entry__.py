@@ -76,12 +76,14 @@ def _ordered(d: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Exactly one entry has NO oracle_sql() counterpart (a rows-only
-    check, intentional): ``q35_approx_sketches`` — HLL/KLL sketch
-    estimates are engine-specific by construction. Every other query is
-    value-hash-gated, including the stateful streaming sessionizer
-    (``s02``): its integer-cent accumulation makes the drained stream
-    bitwise-equal to the batch lag/cumsum sessionization oracle.
+    Every entry is value-hash-gated (an oracle_sql() counterpart
+    exists for all of them). Notables: the stateful streaming
+    sessionizer (``s02``) hash-matches because its integer-cent
+    accumulation makes the drained stream bitwise-equal to the batch
+    lag/cumsum sessionization oracle; ``q35_approx_sketches``
+    hash-matches because it emits exact NDV/median companion columns
+    plus an in-query relative-error assertion over the engine-specific
+    sketch values (the sketches themselves are never hashed).
     """
     return _ordered(QUERIES)
 
@@ -89,7 +91,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column names/types).
 
-    Keys are a strict subset of queries(): all but the one documented
-    rows-only entry (see queries() docstring).
+    Keys cover every queries() entry (121/121 hash-gated).
     """
     return _ordered(ORACLES)

@@ -113,7 +113,7 @@ _P04_SPAN = 1000
       FROM toks),
     packs AS (
       SELECT doc_id, n_tokens,
-             _grp * {_P04_SPAN} + (_cum - n_tokens) // {_P04_BUDGET} AS pack_id
+             CAST(_grp * {_P04_SPAN} + (_cum - n_tokens) // {_P04_BUDGET} AS BIGINT) AS pack_id
       FROM cums)
     SELECT doc_id, n_tokens, pack_id,
            CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id) AS INT) AS pack_pos

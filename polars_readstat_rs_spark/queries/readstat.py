@@ -179,8 +179,8 @@ def _tagged_missing_path(spark: SparkSession, sf_dir: str) -> str:
     "r06_informative_nulls_struct",
     oracle="""
     SELECT n_nationkey AS n_key,
-      CASE WHEN n_nationkey % 5 IN (1, 2, 3) THEN NULL
-           ELSE n_nationkey + 0.5 END AS val,
+      CAST(CASE WHEN n_nationkey % 5 IN (1, 2, 3) THEN NULL
+           ELSE n_nationkey + 0.5 END AS DOUBLE) AS val,
       CASE WHEN n_nationkey % 5 = 1 THEN '.a'
            WHEN n_nationkey % 5 = 2 THEN '.b' END AS tag
     FROM nation

@@ -79,16 +79,47 @@ def q36_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q35 — approximate sketches (rows-only: approx algorithms differ by
-# engine, so the driver records the weaker rows-only check — SURVEY §2.6
-# approx_count_distinct / percentile_approx surface).
-@register("q35_approx_sketches")
+# q35 — approximate sketches, hash-gated: sketch values differ by engine,
+# so the EMITTED columns are the exact NDV / exact median (identical
+# cross-engine, same convention as q40_profile) plus `approx_ok`, a
+# boolean asserting the engine's HLL++ / KLL sketches land within a
+# relative-error bound of the exact answers. A sketch gone wrong flips
+# approx_ok to FALSE and fails the driver's value hash — the gate is no
+# longer unverifiable (SURVEY §2.6 approx_count_distinct /
+# percentile_approx surface).
+@register(
+    "q35_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE)
+             AS exact_median_price,
+           count(*) AS n,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.percentile_approx(price, 0.5).alias("_approx_median"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.percentile(price, F.lit(0.5)).alias("exact_median_price"),
         F.count("*").alias("n"),
+    )
+    # HLL++ default rsd = 0.05 (3-sigma ~ 15%); percentile_approx default
+    # accuracy 10000 -> rank error 1e-4, generous 10% value bound.
+    ok = (
+        F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+        <= 0.15 * F.col("exact_parts")
+    ) & (
+        F.abs(F.col("_approx_median") - F.col("exact_median_price"))
+        <= 0.10 * F.abs(F.col("exact_median_price"))
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", "exact_median_price", "n", ok.alias("approx_ok")
     )
 
 

@@ -350,7 +350,7 @@ _Q48_WIDTH = 5.0
              count(*) AS n
       FROM {EVENTS_US} e GROUP BY 1, 2),
     totals AS (SELECT event_type, sum(n) AS t FROM counts GROUP BY event_type)
-    SELECT c.event_type, c.bin, c.bin * {_Q48_WIDTH!r} AS bin_lo,
+    SELECT c.event_type, c.bin, CAST(c.bin * {_Q48_WIDTH!r} AS DOUBLE) AS bin_lo,
            CAST(c.n AS BIGINT) AS n,
            CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE) AS share
     FROM counts c JOIN totals USING (event_type)
