@@ -22,7 +22,15 @@ Four families, all shuffle-aware and driver-materialization-free:
 
 At 100 TB the candidate joins shuffle on (band_idx, band_key) /
 shingle — uniform hash-derived keys, so no salting needed; the df-cap
-removes the only natural skew source (stop-shingles).
+removes the stop-shingle skew source, and the band self-joins take a
+``max_bucket`` cap (``MAX_BAND_BUCKET`` by default) because band keys
+are NOT uniform on real corpora: millions of near-identical boilerplate
+pages share one band key, and an uncapped bucket turns into a single
+O(n^2) join task. The cap keeps the lowest-N doc ids per (band, key) —
+deterministic, documented truncation, same discipline as
+similarity.max_block (and each doc carries 4 band keys, so a doc
+truncated from one saturated bucket usually still pairs through its
+other bands).
 
 Persisted intermediates (the shingle inverted index, candidate sets,
 fingerprints) are recorded on the returned DataFrame as
@@ -41,6 +49,7 @@ NUM_HASHES = 8  # 8 x 32-bit chunks carved from ONE sha256 per shingle
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_SHINGLE_DF = 100  # skew guard: drop shingles appearing in > this many docs
+MAX_BAND_BUCKET = 10_000  # skew guard: per-(band, key) population cap in LSH joins
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
@@ -64,6 +73,29 @@ def release_cached(df: DataFrame) -> None:
     for c in getattr(df, "_readstat_cached", []):
         c.unpersist()
     df._readstat_cached = []
+
+
+def _cap_buckets(
+    bands_long: DataFrame, key_cols: list[str], doc_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Hot-bucket skew guard for LSH band joins: keep only the
+    ``max_bucket`` lowest ``doc_col`` ids per band bucket. Band keys are
+    hash-derived but their POPULATIONS mirror corpus structure — a web
+    corpus's boilerplate cluster puts millions of docs under one
+    (band_idx, band_key), and the bucket self-join then runs O(n^2)
+    rows in a single task. The cap is one extra window over the
+    already-required (band, key) shuffle partitioning (no new
+    exchange), deterministic, and documented truncation — the same
+    discipline as :func:`similarity.blocked_neardup_pairs`'s
+    ``max_block``."""
+    if max_bucket is None:
+        return bands_long
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(doc_col))
+    return (
+        bands_long.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -177,13 +209,22 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
     """LSH-banded candidate pairs + exact Jaccard verification.
 
     shingle -> 8 minhashes -> 4 bands of 2 -> bucket join on
     (band_idx, band_key) -> verify candidates with exact Jaccard.
     The shingle table is built once and shared between the signature
-    aggregation and the verification join.
+    aggregation and the verification join. ``max_bucket`` bounds each
+    band bucket's population before the self-join (see
+    :func:`_cap_buckets`); the default never binds below 10k docs per
+    bucket, so small-corpus results are identical to uncapped.
     """
     sh_shared = _shingle_table(df, id_col, text_col, n)
     # ONE groupBy(doc) computes the 8 band mins AND the per-doc shingle
@@ -201,8 +242,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
         band_cols.append(F.md5(F.concat_ws("|", *hs)).alias(f"b{b}"))
     banded = sig.select("doc", *band_cols)
     stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
-    bands_long = banded.select(
-        "doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)")
+    bands_long = _cap_buckets(
+        banded.select(
+            "doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)")
+        ),
+        ["band_idx", "band_key"],
+        "doc",
+        max_bucket,
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
     cand = (
@@ -225,7 +271,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
 
 
 def incremental_minhash_pairs(
-    base: DataFrame, new: DataFrame, id_col: str, text_col: str, n: int = 3
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Incremental ingest dedup: near-dup pairs between a NEW batch and
     the existing BASE corpus (base-vs-base pairs are deliberately not
@@ -268,11 +319,23 @@ def incremental_minhash_pairs(
         .select("doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)"))
         .join(side, "doc")
     )
-    x = bands_long.filter(~F.col("is_new")).select(
-        F.col("doc").alias("base_id"), "band_idx", "band_key"
+    # cap each side's bucket population independently (the join is
+    # base x new per bucket, so the bound is max_bucket^2 rows/bucket)
+    x = _cap_buckets(
+        bands_long.filter(~F.col("is_new")).select(
+            F.col("doc").alias("base_id"), "band_idx", "band_key"
+        ),
+        ["band_idx", "band_key"],
+        "base_id",
+        max_bucket,
     )
-    y = bands_long.filter(F.col("is_new")).select(
-        F.col("doc").alias("new_id"), "band_idx", "band_key"
+    y = _cap_buckets(
+        bands_long.filter(F.col("is_new")).select(
+            F.col("doc").alias("new_id"), "band_idx", "band_key"
+        ),
+        ["band_idx", "band_key"],
+        "new_id",
+        max_bucket,
     )
     cand = x.join(y, ["band_idx", "band_key"]).select("base_id", "new_id").distinct().persist()
     sh_b = sh_shared.join(
@@ -410,7 +473,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> D
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, lane_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    lane_bits: int = 16,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs: 4x16-bit band-equality candidates, then Hamming
     distance over the full 64-bit fingerprints (summed per band). Band
@@ -422,14 +490,20 @@ def simhash_pairs(
     ``max_hamming`` die before the dedup shuffle, and no separate verify
     join against the fingerprint table exists. On clustered corpora
     (where one band bucket holds thousands of docs) this cuts the
-    distinct() input by ~10x."""
+    distinct() input by ~10x. ``max_bucket`` bounds each band bucket's
+    population before the self-join (see :func:`_cap_buckets`)."""
     fps = simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the 4 band views
     stack_args = ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
-    bands_long = fps.select(
+    bands_long = _cap_buckets(
+        fps.select(
+            "doc",
+            "simhash",
+            *[f"b{k}" for k in range(SIMHASH_BANDS)],
+            F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)"),
+        ),
+        ["band_idx", "band_val"],
         "doc",
-        "simhash",
-        *[f"b{k}" for k in range(SIMHASH_BANDS)],
-        F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)"),
+        max_bucket,
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
     ham = None

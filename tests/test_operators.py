@@ -143,6 +143,48 @@ def test_simhash_band_cardinality_scales(spark, sf_dir):
     assert int(row.simhash, 16) == (row.b3 << 48) | (row.b2 << 32) | (row.b1 << 16) | row.b0
 
 
+def test_simhash_hot_bucket_cap(spark):
+    """Adversarial skew fixture (VERDICT r3 #3): a corpus of identical
+    boilerplate pages puts the WHOLE corpus in one band bucket per band;
+    ``max_bucket`` must truncate deterministically (lowest-N ids) so the
+    self-join stays O(cap^2), not O(n^2)."""
+    boiler = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated across the whole corpus").alias(
+            "text"
+        ),
+    )
+    pairs = dedup.simhash_pairs(boiler, "doc_id", "text", max_bucket=50)
+    rows = pairs.collect()
+    # only the 50 lowest ids survive the cap -> C(50,2) hamming-0 pairs
+    assert len(rows) == 50 * 49 // 2
+    assert all(r.hamming == 0 and r.a_id < 50 and r.b_id < 50 for r in rows)
+    dedup.release_cached(pairs)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """20 groups x 80 identical docs (under MAX_SHINGLE_DF, so the
+    shingle df-cap does not erase them): each group floods its 4 band
+    buckets with 80 docs; cap=10 keeps the 10 lowest ids per bucket ->
+    exactly C(10,2) jaccard-1.0 pairs per group."""
+    docs = spark.range(1600).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat((F.col("id") % 20).cast("string"), F.lit(f"w{i}")))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
+    rows = pairs.collect()
+    assert len(rows) == 20 * (10 * 9 // 2)
+    # survivors are each group's 10 lowest ids: g, g+20, ..., g+180
+    assert all(r.jaccard == 1.0 and r.a_id < 200 and r.b_id < 200 for r in rows)
+    dedup.release_cached(pairs)
+
+
 def test_lsh_verify_has_no_forced_broadcast(spark, sf_dir):
     """The candidate-doc restriction must be a plain semi-join (AQE may
     still broadcast at runtime when small, but the plan must not force a

@@ -231,6 +231,44 @@ def main() -> None:
             ),
             "prefix_filter": lambda: dedup.prefix_filter_pairs(docs, "doc_id", "text"),
             "pagerank": lambda: graph.pagerank_int(edges, iters=5),
+            # adversarial skew: every doc identical -> every simhash band
+            # bucket holds the WHOLE corpus. With the max_bucket cap the
+            # band self-join is O(cap^2) regardless of n, so wall time
+            # must stay ~flat as rows grow (uncapped it is O(n^2)).
+            "simhash_hotbucket": lambda: dedup.simhash_pairs(
+                spark.range(n).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("identical boilerplate page body for every document").alias(
+                        "text"
+                    ),
+                ),
+                "doc_id",
+                "text",
+                max_bucket=500,
+            ),
+            # minhash variant: identical-doc GROUPS of 90 (under the
+            # shingle df-cap, which structurally bounds minhash buckets
+            # at ~MAX_SHINGLE_DF docs); cap=20 truncates each bucket
+            "minhash_hotbucket": lambda: dedup.minhash_lsh_pairs(
+                spark.range(n).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.md5(
+                                F.concat(
+                                    (F.col("id") % F.lit(max(1, n // 90))).cast("string"),
+                                    F.lit(f"w{i}"),
+                                )
+                            )
+                            for i in range(12)
+                        ],
+                    ).alias("text"),
+                ),
+                "doc_id",
+                "text",
+                max_bucket=20,
+            ),
         }
         for name, mk in ops.items():
             if only and name not in only:
