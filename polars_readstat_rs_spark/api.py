@@ -63,11 +63,14 @@ def plan_rle_partitions(
         plan = spss_parser.rle_partition_plan(p, meta, 0, meta.row_count, partitions, tb)
         return (p, [list(t) for t in plan]) if plan else None
 
-    if len(files) <= 1:
-        out = [_plan_one(p) for p in files]
-    else:
-        sc = spark.sparkContext
-        out = sc.parallelize(files, min(len(files), sc.defaultParallelism)).map(_plan_one).collect()
+    # ALWAYS a job, even for one file: a single 500 GB .zsav's recovery
+    # scan would otherwise pin the driver before the query starts
+    sc = spark.sparkContext
+    out = (
+        sc.parallelize(files, max(1, min(len(files), sc.defaultParallelism)))
+        .map(_plan_one)
+        .collect()
+    )
     result = {p: plan for entry in out if entry for p, plan in [entry]}
     json.dumps(result)  # fail fast if anything non-serializable slips in
     return result
@@ -89,6 +92,26 @@ def readstat_scan(
 ) -> DataFrame:
     _ensure_registered(spark)
     r = spark.read.format("readstat")
+    if not split_compressed and offset == 0 and limit is None:
+        # Auto-route: splitting a SINGLE compressed .sav/.zsav otherwise
+        # falls to an O(file-bytes) control-stream scan inside the
+        # planner (datasource._file_partitions) — driver-adjacent work
+        # that pins planning on a 500 GB file. Detect compression from
+        # the header (O(1) bytes) and let the executor job compute the
+        # split plan instead. Directories already avoid the expensive
+        # scan (one partition per file) unless split_compressed=True.
+        from .datasource import expand_paths
+
+        files = expand_paths(path)
+        if len(files) == 1 and files[0].lower().endswith((".sav", ".zsav")):
+            from .formats.spss import parser as spss_parser
+
+            try:
+                split_compressed = not spss_parser.splittable(
+                    spss_parser.read_metadata(files[0])
+                )
+            except Exception:
+                pass
     if split_compressed:
         import json
 

@@ -403,7 +403,11 @@ class _ReadstatReader(DataSourceReader):
                 # RLE command-group recovery points, then executors decode
                 # disjoint block/byte ranges independently — beyond the
                 # reference, which is sequential-only here
-                # (src/spss/data.rs:1687-1761)
+                # (src/spss/data.rs:1687-1761). This in-planner scan is
+                # O(file bytes); api.readstat_scan auto-routes single
+                # compressed files through the api.plan_rle_partitions
+                # executor job instead, so this branch only runs for raw
+                # spark.read.format("readstat") use without a plan option.
                 start, count = self._slice(meta.row_count)
                 plan = spss_parser.rle_partition_plan(
                     path, meta, start, count, self.n_partitions, TARGET_PARTITION_BYTES

@@ -467,6 +467,44 @@ def test_directory_rle_plan_distributed(spark, tmp_path):
     assert rt == plan
 
 
+def test_single_file_rle_plan_auto_distributed(spark, tmp_path, monkeypatch):
+    """A plain readstat_scan of ONE compressed .sav must auto-route its
+    split planning through the api.plan_rle_partitions executor job (no
+    explicit split_compressed needed), still splitting inside the file
+    (VERDICT r3 #4)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    p = tmp_path / "solo.sav"
+    spark.range(0, 20000, 1, 2).select(
+        F.col("id").cast("double").alias("x")
+    ).write.format("readstat").mode("overwrite").option("compress", "true").save(str(p))
+
+    calls = []
+    orig = api.plan_rle_partitions
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(api, "plan_rle_partitions", spy)
+    df = api.readstat_scan(spark, str(p), partitions=4)
+    assert calls, "single compressed file did not route through the planning job"
+    assert df.rdd.getNumPartitions() > 1  # split INSIDE the file
+    assert df.count() == 20000
+    assert sorted(r.x for r in df.limit(0).union(df).collect()) == [float(i) for i in range(20000)]
+
+    # uncompressed single file: no planning job launched
+    q = tmp_path / "plain.sav"
+    spark.range(100).select(F.col("id").cast("double").alias("x")).write.format(
+        "readstat"
+    ).mode("overwrite").save(str(q))
+    calls.clear()
+    assert api.readstat_scan(spark, str(q)).count() == 100
+    assert not calls
+
+
 def test_rle_plan_respects_offset_limit(spark, tmp_path):
     """A precomputed rle_plan covers the whole file; an offset/limit
     scan must fall back to the slicing planner instead of silently
