@@ -345,11 +345,33 @@ def write_sas_package(df: DataFrame, csv_path: str, script_path: str, **kwargs) 
 
 
 def readstat_batch_iter(path: str, columns: list[str] | None = None, batch_size: int = 65536,
-                        offset: int = 0, limit: int | None = None):
+                        offset: int = 0, limit: int | None = None,
+                        compress: bool = False, infer_boolean: bool = True,
+                        schema=None):
     """Pull-based Arrow batch iterator, no Spark job and no full
     materialization (reference S6, src/readstat_stream.rs:53-140) —
     the driver-local streaming entry point; the Spark path gets the
-    same batches through the DataSource partitions."""
+    same batches through the DataSource partitions.
+
+    ``compress=True`` applies the reference's per-batch type narrowing
+    (src/readstat_stream.rs:129-137: compress_df_if_enabled maps over
+    the iterator) — each batch narrows INDEPENDENTLY, so types may vary
+    between batches, exactly as in the reference. For a stable narrowed
+    schema, do the two-pass flow instead: ``schema=infer_schema(...)``
+    casts every batch to the given Arrow schema as it is read
+    (SCHEMA_INFERENCE.md's ArrowBatchStream::with_schema). ``schema``
+    and ``compress`` are mutually exclusive."""
+    if compress and schema is not None:
+        raise ValueError("pass either compress=True or schema=, not both")
+    if compress or schema is not None:
+        from .functions.narrow import cast_batch, narrow_batch
+
+        inner = readstat_batch_iter(path, columns, batch_size, offset, limit)
+        if compress:
+            yield from (narrow_batch(b, infer_boolean) for b in inner)
+        else:
+            yield from (cast_batch(b, schema) for b in inner)
+        return
     ext = path.rsplit(".", 1)[-1].lower()
     if ext == "dta":
         meta = stata_parser.read_metadata(path)
@@ -392,6 +414,54 @@ def readstat_batch_iter(path: str, columns: list[str] | None = None, batch_size:
         yield from sas_parser.read_partition(path, start, count, columns, batch_size)
         return
     raise ValueError(f"unsupported extension for {path}")
+
+
+def infer_schema(
+    spark: SparkSession,
+    path: str,
+    infer_boolean: bool = True,
+    as_arrow: bool = True,
+    **scan_kwargs,
+):
+    """Pass 1 of the reference's two-pass flow (SCHEMA_INFERENCE.md:5-17:
+    infer_arrow_schema): scan the file's data as a distributed aggregate
+    and return the optimal narrowed schema WITHOUT materializing rows.
+    Feed the result to ``readstat_batch_iter(path, schema=...)`` for a
+    stable-schema stream (pass 2), or to :func:`cast_to_schema` after a
+    Spark scan.
+
+    ``infer_boolean`` matches the reference flag (0/1-integral columns
+    -> Boolean when True, smallest int tier when False). Returns an
+    Arrow schema by default; ``as_arrow=False`` returns the Spark
+    StructType instead.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .functions.narrow import _SPARK_TYPES, _kind, narrowing_stats
+
+    df = readstat_scan(spark, path, **scan_kwargs)
+    dtypes = dict(df.dtypes)
+    cols = [c for c in df.columns if _kind(dtypes[c]) is not None]
+    decisions = (
+        {r["col_name"]: r["narrowed_type"] for r in narrowing_stats(df, cols, infer_boolean).collect()}
+        if cols
+        else {}
+    )
+    narrowed = df.select(
+        *[
+            F.col(c).cast(_SPARK_TYPES[decisions[c]]).alias(c)
+            if c in decisions and decisions[c] in _SPARK_TYPES
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    if not as_arrow:
+        return narrowed.schema
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in narrowed.schema.fields]
+    )
 
 
 def read_narrowed(spark: SparkSession, path: str, **scan_kwargs) -> DataFrame:

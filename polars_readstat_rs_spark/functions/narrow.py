@@ -55,13 +55,21 @@ def _parsed(c: str):
     return F.when(F.length(t) == 0, F.lit(None).cast("double")).otherwise(t.try_cast("double"))
 
 
-def narrowing_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def narrowing_stats(
+    df: DataFrame, cols: list[str] | None = None, infer_boolean: bool = True
+) -> DataFrame:
     """One-pass stats + the narrowed-type decision per column.
 
     Output: (col_name, vmin, vmax, all_int, narrowed_type). All columns
     are computed in a single aggregate (no N scans) and then unpivoted
     driver-side — the agg result is one row, so this stays fully
     distributed regardless of table size.
+
+    ``infer_boolean=False`` mirrors the reference's infer_arrow_schema
+    flag (SCHEMA_INFERENCE.md): 0/1-integral columns stay in the
+    smallest integer tier instead of Boolean (the reference uses UInt8
+    there; this repo's integer tiers are the documented Stata-sentinel
+    deviation shared with :func:`narrow`).
     """
     dtypes = dict(df.dtypes)
     if cols is None:
@@ -122,11 +130,13 @@ def narrowing_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    numeric = (
-        F.when((F.col("__n") > 0) & (F.col("__nn") == 0), F.lit("boolean"))  # all-null
-        .when(~F.col("all_int"), F.lit("double"))
-        .when((F.col("vmin") >= 0) & (F.col("vmax") <= 1), F.lit("boolean"))  # 0/1
-    )
+    numeric = F.when(
+        (F.col("__n") > 0) & (F.col("__nn") == 0), F.lit("boolean")  # all-null
+    ).when(~F.col("all_int"), F.lit("double"))
+    if infer_boolean:
+        numeric = numeric.when(
+            (F.col("vmin") >= 0) & (F.col("vmax") <= 1), F.lit("boolean")  # 0/1
+        )
     for name, lo, hi in _BOUNDS:
         numeric = numeric.when((F.col("vmin") >= lo) & (F.col("vmax") <= hi), F.lit(name))
     numeric = numeric.otherwise(F.lit("double"))  # no int64 tier in the reference
@@ -149,6 +159,117 @@ _SPARK_TYPES = {
     "date": "date",
     "double": "double",
 }
+
+
+def _decide_arrow(n_rows, n_nonnull, vmin, vmax, all_int, infer_boolean):
+    """The narrowing_stats decision chain over scalar stats, returning a
+    pyarrow DataType — shared by the per-batch Arrow path so both passes
+    apply identical rules."""
+    import pyarrow as pa
+
+    if n_rows > 0 and n_nonnull == 0:
+        return pa.bool_()  # all-null
+    if not all_int:
+        return pa.float64()
+    if infer_boolean and vmin >= 0 and vmax <= 1:
+        return pa.bool_()
+    for name, lo, hi in _BOUNDS:
+        if vmin >= lo and vmax <= hi:
+            return {"int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32()}[name]
+    return pa.float64()
+
+
+def narrow_batch(batch, infer_boolean: bool = True):
+    """Arrow-side narrowing of ONE RecordBatch — the per-batch compress
+    hook of the driver-local stream (reference readstat_batch_iter,
+    src/readstat_stream.rs:129-137: ``compress_df_if_enabled`` runs on
+    EACH batch independently). Same caveat as the reference: two batches
+    of one file may narrow to different types; for a stable schema,
+    infer once (api.infer_schema) and pass it as the iterator's
+    ``schema`` instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrays, fields = [], []
+    for field in batch.schema:
+        col = batch.column(field.name)
+        t, new = field.type, None
+        if (
+            pa.types.is_floating(t)
+            or pa.types.is_integer(t)
+            or pa.types.is_decimal(t)
+        ):
+            d = pc.cast(col, pa.float64())
+            nn = len(col) - col.null_count
+            all_int = (
+                bool(pc.all(pc.equal(pc.floor(d), d)).as_py()) if nn else True
+            )
+            mm = pc.min_max(d)
+            target = _decide_arrow(
+                len(col), nn, mm["min"].as_py(), mm["max"].as_py(), all_int, infer_boolean
+            )
+            if pa.types.is_boolean(target):
+                new = pa.nulls(len(col), pa.bool_()) if nn == 0 else pc.equal(d, 1.0)
+            elif target != t:
+                new = pc.cast(d, target)
+        elif pa.types.is_timestamp(t):
+            nn = len(col) - col.null_count
+            if nn and bool(
+                pc.all(pc.equal(pc.floor_temporal(col, unit="day"), col)).as_py()
+            ):
+                new = pc.cast(col, pa.date32())
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # try_parse_string_to_f64 semantics: trimmed, empty -> null;
+            # narrow only when EVERY non-empty value parses
+            import pandas as pd
+
+            s = col.to_pandas().astype("object")
+            trimmed = s.str.strip() if hasattr(s, "str") else s
+            nonempty = trimmed.notna() & (trimmed != "")
+            parsed = pd.to_numeric(trimmed.where(nonempty), errors="coerce")
+            if not (nonempty & parsed.isna()).any():
+                d = pa.array(parsed, type=pa.float64())
+                nn = len(col) - d.null_count
+                all_int = (
+                    bool(pc.all(pc.equal(pc.floor(d), d)).as_py()) if nn else True
+                )
+                mm = pc.min_max(d)
+                target = _decide_arrow(
+                    len(col), nn, mm["min"].as_py(), mm["max"].as_py(), all_int, infer_boolean
+                )
+                if pa.types.is_boolean(target):
+                    new = pa.nulls(len(col), pa.bool_()) if nn == 0 else pc.equal(d, 1.0)
+                else:
+                    new = pc.cast(d, target)
+        if new is None:
+            arrays.append(col)
+            fields.append(field)
+        else:
+            arrays.append(new)
+            fields.append(pa.field(field.name, new.type, field.nullable))
+    return pa.record_batch(arrays, schema=pa.schema(fields))
+
+
+def cast_batch(batch, schema):
+    """Cast ONE RecordBatch to a target Arrow schema as it is read —
+    the reference's ArrowBatchStream::with_schema semantics
+    (SCHEMA_INFERENCE.md:90-108: batches cast individually, in
+    parallel, never after concatenation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrays = []
+    for f in schema:
+        col = batch.column(f.name)
+        if pa.types.is_boolean(f.type) and not pa.types.is_boolean(col.type):
+            arrays.append(
+                pa.nulls(len(col), pa.bool_())
+                if col.null_count == len(col)
+                else pc.equal(pc.cast(col, pa.float64()), 1.0)
+            )
+        else:
+            arrays.append(pc.cast(col, f.type))
+    return pa.record_batch(arrays, schema=schema)
 
 
 def narrow(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

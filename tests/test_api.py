@@ -31,6 +31,68 @@ def test_batch_iter_sas():
     assert sum(b.num_rows for b in batches) == 9000
 
 
+def test_batch_iter_compress_per_batch(tmp_path):
+    """Reference readstat_batch_iter compress option
+    (src/readstat_stream.rs:129-137): narrowing maps over EACH batch
+    independently — including the reference caveat that two batches may
+    narrow to different types."""
+    n = 2000
+    df = pd.DataFrame(
+        {
+            # batch 1 (rows 0..999) fits int8, batch 2 (1000..) needs int16
+            "i": np.where(np.arange(n) < 1000, np.arange(n) % 50, 1000.0 + np.arange(n)),
+            "flag": (np.arange(n) % 2).astype("float64"),
+            "f": np.arange(n) + 0.5,
+            "s": [str(k) for k in range(n)],
+        }
+    )
+    p = str(tmp_path / "c.dta")
+    df.to_stata(p, version=118, write_index=False)
+    b1, b2 = list(api.readstat_batch_iter(p, batch_size=1000, compress=True))
+    assert b1.schema.field("i").type == pa.int8()
+    assert b2.schema.field("i").type == pa.int16()  # per-batch, like the reference
+    for b in (b1, b2):
+        assert b.schema.field("flag").type == pa.bool_()
+        assert b.schema.field("f").type == pa.float64()
+        assert pa.types.is_integer(b.schema.field("s").type)  # parsed + narrowed
+    assert b1.column("flag").to_pylist()[:4] == [False, True, False, True]
+    # infer_boolean=False: 0/1 stays integer (reference flag semantics)
+    b1f = next(iter(api.readstat_batch_iter(p, batch_size=1000, compress=True, infer_boolean=False)))
+    assert b1f.schema.field("flag").type == pa.int8()
+
+
+def test_infer_schema_two_pass_stream(spark, tmp_path):
+    """Reference SCHEMA_INFERENCE.md two-pass flow: infer once, then
+    stream with the schema applied per batch — stable types across
+    batches, values preserved."""
+    n = 2000
+    pd.DataFrame(
+        {
+            "i": np.where(np.arange(n) < 1000, np.arange(n) % 50, 1000.0 + np.arange(n)),
+            "flag": (np.arange(n) % 2).astype("float64"),
+            "f": np.arange(n) + 0.5,
+        }
+    ).to_stata(str(tmp_path / "s.dta"), version=118, write_index=False)
+    p = str(tmp_path / "s.dta")
+
+    schema = api.infer_schema(spark, p)
+    assert schema.field("i").type == pa.int16()  # whole-file stats, not per-batch
+    assert schema.field("flag").type == pa.bool_()
+    assert schema.field("f").type == pa.float64()
+
+    batches = list(api.readstat_batch_iter(p, batch_size=1000, schema=schema))
+    assert all(b.schema == schema for b in batches)  # stable across batches
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.column("i").to_pylist()[:3] == [0, 1, 2]
+    assert tbl.column("i").to_pylist()[-1] == 1000 + n - 1
+    assert tbl.column("flag").to_pylist()[:2] == [False, True]
+
+    # Spark StructType flavor matches read_narrowed's resulting types
+    st = api.infer_schema(spark, p, as_arrow=False)
+    assert [f.dataType.simpleString() for f in st.fields] == ["smallint", "boolean", "double"]
+    assert api.read_narrowed(spark, p).schema == st
+
+
 def test_distributed_dta_write(spark, tmp_path, sf_dir):
     df = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
