@@ -3,11 +3,16 @@
 Images / audio / video ride through the engine as ``binary`` columns with
 a metadata struct alongside (modality, byte length, checksum). The
 Spark-side plumbing — schema, partitioning, Arrow batch shape through
-mapInPandas — is real and tested; the actual codec step is stubbed
-(image/audio libraries are not in this container) behind
-``decode_stub``: a deterministic fake "decoder" so the pipeline shape can
-be exercised end-to-end, and ``NotImplementedError`` where a real codec
-would plug in.
+mapInPandas — is real and tested. Decoding:
+
+- REAL codecs, pure numpy, no external media libraries: RIFF/WAVE PCM
+  (8/16-bit, chunk walk) and 24-bit uncompressed BMP (padded bottom-up
+  rows, BGR) — ``decode_wav``/``decode_bmp`` with matching encoders,
+  dispatched by magic bytes in ``decode_real`` and driven at scale by
+  :func:`decode_media_features`.
+- formats that need shipped codecs (JPEG/PNG/MP4/...) remain behind
+  ``decode_stub``, a deterministic fake exercising the identical Spark
+  plumbing, with ``decode_real`` raising for them.
 """
 
 from __future__ import annotations
@@ -51,11 +56,120 @@ def attach_payload(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Pure-numpy RIFF/WAVE writer: 8-bit unsigned PCM (uint8 input) or
+    16-bit signed PCM (int16 input), interleaved. Fixture/encode side of
+    the real codec pair."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples)
+    if samples.dtype == np.uint8:
+        bits, data = 8, samples.tobytes()
+    elif samples.dtype == np.int16:
+        bits, data = 16, samples.astype("<i2").tobytes()
+    else:
+        raise ValueError("samples must be uint8 (8-bit) or int16 (16-bit PCM)")
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-numpy RIFF/WAVE PCM decoder: chunk walk + vectorized sample
+    view. Supports uncompressed PCM, 8-bit unsigned / 16-bit signed, any
+    channel count. Returns kind/sample_rate/channels/bits plus the
+    interleaved ``samples`` int array."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype=np.uint8 if bits == 8 else "<i2").astype(np.int64)
+    return {
+        "kind": "wav",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "samples": samples,
+    }
+
+
+def encode_bmp(pixels) -> bytes:
+    """Pure-numpy 24-bit uncompressed BMP writer (bottom-up rows, 4-byte
+    row padding). ``pixels`` is (h, w, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(data), 0, 0, 14 + len(info))
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-numpy 24-bit uncompressed BMP decoder: header parse, padded
+    bottom-up row recovery, BGR->RGB. Returns kind/width/height plus the
+    (h, w, 3) uint8 ``pixels`` array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=data_off)
+    img = raw.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        img = img[::-1]  # bottom-up -> top-down
+    return {"kind": "bmp", "width": int(w), "height": int(abs(h)), "pixels": img[..., ::-1]}
+
+
 def decode_real(payload: bytes) -> dict:
-    """Placeholder for a real codec (PIL / torchaudio / pyav)."""
+    """Real codec dispatch on magic bytes: RIFF/WAVE PCM and 24-bit BMP
+    decode in pure numpy (no external media libraries needed); every
+    other container (JPEG/PNG/MP4/...) still raises — those need codecs
+    this container does not ship, and the deterministic ``decode_stub``
+    exercises the identical Spark plumbing for them."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return decode_wav(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
     raise NotImplementedError(
-        "no image/audio codecs in this container — use decode_stub, which "
-        "exercises the identical Spark plumbing with a deterministic fake"
+        "only WAV/BMP decode in-container; use decode_stub for other formats"
     )
 
 
@@ -93,6 +207,87 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
             yield _decode_stub_batch(b)
 
     return multimodal.mapInPandas(fn, DECODED_SCHEMA)
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("dim_a", T.IntegerType()),  # wav: sample_rate, bmp: width
+        T.StructField("dim_b", T.IntegerType()),  # wav: channels,    bmp: height
+        T.StructField("n_vals", T.LongType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("sumsq_vals", T.LongType()),
+    ]
+)
+
+
+def synth_media_payloads(docs: DataFrame, kind: str = "wav") -> DataFrame:
+    """Deterministic WAV/BMP payload synthesis per doc_id (mapInPandas,
+    numpy encoders) — the fixture generator for the real-codec gates:
+    sample/pixel values are closed-form in doc_id, so a SQL oracle can
+    recompute the decoded statistics independently.
+
+    wav: 64 + doc_id%32 samples of 8-bit PCM, sample[i] = (doc_id*31 +
+    i*7) % 256, mono @ 8 kHz. bmp: 8x6 RGB, pixel value at (x, y,
+    channel c) = (doc_id + 3x + 5y + 11c) % 256."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                if kind == "wav":
+                    n = 64 + int(doc_id) % 32
+                    s = (int(doc_id) * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+                    payloads.append(encode_wav(s.astype(np.uint8)))
+                else:
+                    x = np.arange(8).reshape(1, 8, 1)
+                    y = np.arange(6).reshape(6, 1, 1)
+                    c = np.arange(3).reshape(1, 1, 3)
+                    px = (int(doc_id) + 3 * x + 5 * y + 11 * c) % 256
+                    payloads.append(encode_bmp(px.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        fn,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+
+
+def decode_media_features(multimodal: DataFrame) -> DataFrame:
+    """REAL decode over binary payloads: mapInPandas -> decode_real
+    (magic-byte dispatch, numpy WAV/BMP codecs) -> exact int64 value
+    statistics. Same Arrow-batched, shuffle-free shape as
+    :func:`decode_features`, but the decoder is genuine — headers are
+    parsed, padding and bottom-up row order are undone, samples/pixels
+    are materialized — so the emitted stats are properties of the
+    decoded media, not of the container bytes."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "kind", "dim_a", "dim_b", "n_vals", "sum_vals", "sumsq_vals")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                d = decode_real(bytes(payload))
+                vals = (
+                    d["samples"] if d["kind"] == "wav" else d["pixels"].astype(np.int64).ravel()
+                )
+                rows["doc_id"].append(doc_id)
+                rows["kind"].append(d["kind"])
+                rows["dim_a"].append(d["sample_rate"] if d["kind"] == "wav" else d["width"])
+                rows["dim_b"].append(d["channels"] if d["kind"] == "wav" else d["height"])
+                rows["n_vals"].append(int(vals.size))
+                rows["sum_vals"].append(int(vals.sum()))
+                rows["sumsq_vals"].append(int((vals * vals).sum()))
+            out = pd.DataFrame(rows)
+            out["dim_a"] = out["dim_a"].astype("int32")
+            out["dim_b"] = out["dim_b"].astype("int32")
+            yield out
+
+    return multimodal.mapInPandas(fn, MEDIA_SCHEMA)
 
 
 def payload_stats(multimodal: DataFrame) -> DataFrame:

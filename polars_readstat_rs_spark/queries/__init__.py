@@ -58,6 +58,8 @@ _RISKY_TAIL = (
     "s06_incremental_agg",
     "v08_ivf_append",
     "s07_stream_hopping",
+    "m03_wav_codec",
+    "m04_bmp_codec",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

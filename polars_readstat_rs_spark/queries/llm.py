@@ -623,3 +623,55 @@ def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m01_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.payload_stats(multimodal.attach_payload(docs))
+
+
+@register(
+    "m03_wav_codec",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 64 + doc_id % 32)) AS i FROM documents),
+    v AS (SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS val FROM s)
+    SELECT doc_id, 'wav' AS kind, CAST(8000 AS INT) AS dim_a, CAST(1 AS INT) AS dim_b,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(val) AS BIGINT) AS sum_vals,
+           CAST(sum(val * val) AS BIGINT) AS sumsq_vals
+    FROM v GROUP BY doc_id
+    """,
+)
+def m03_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec gate: per-doc WAV payloads (headers, chunks,
+    8-bit PCM) are synthesized executor-side from closed-form sample
+    values, then decoded by the pure-numpy RIFF parser
+    (operators/multimodal.py:decode_wav) — the oracle recomputes the
+    decoded-sample statistics from the closed form, so a hash match
+    proves the container roundtrip, not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media_features(
+        multimodal.synth_media_payloads(docs, kind="wav")
+    )
+
+
+@register(
+    "m04_bmp_codec",
+    oracle="""
+    WITH s AS (SELECT doc_id, unnest(range(0, 144)) AS p FROM documents),
+    v AS (
+      SELECT doc_id,
+             (doc_id + 3 * ((p // 3) % 8) + 5 * ((p // 3) // 8) + 11 * (p % 3)) % 256 AS val
+      FROM s)
+    SELECT doc_id, 'bmp' AS kind, CAST(8 AS INT) AS dim_a, CAST(6 AS INT) AS dim_b,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(val) AS BIGINT) AS sum_vals,
+           CAST(sum(val * val) AS BIGINT) AS sumsq_vals
+    FROM v GROUP BY doc_id
+    """,
+)
+def m04_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec gate: 8x6 24-bit BMPs (padded bottom-up BGR
+    rows) synthesized executor-side, decoded by the pure-numpy BMP
+    parser (operators/multimodal.py:decode_bmp); the oracle recomputes
+    pixel statistics from the closed form (p enumerates (y, x, c))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media_features(
+        multimodal.synth_media_payloads(docs, kind="bmp")
+    )
