@@ -124,6 +124,19 @@ def main() -> None:
         # round — flag it loudly so a shrunken sum can't read as a win
         out["errors"] = errors
         out["partial"] = True
+
+    # Multi-file layout comparison (first-class artifact since r4): the
+    # single-file testdata parquets are ONE row group each, so the small
+    # relational queries above mostly measure fixed per-job constants.
+    # The staged N-file layout is the 100 TB-representative shape; both
+    # engines are timed on the identical staged files.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_multifile import run_multifile
+
+        out["multifile"] = run_multifile(spark, sf_dir, n_files=16, runs=2)
+    except Exception as exc:  # the layout bench must never zero the headline
+        out["multifile_error"] = f"{type(exc).__name__}: {exc}"[:300]
     print(json.dumps(out))
 
 

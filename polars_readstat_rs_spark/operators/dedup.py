@@ -22,15 +22,17 @@ Four families, all shuffle-aware and driver-materialization-free:
 
 At 100 TB the candidate joins shuffle on (band_idx, band_key) /
 shingle — uniform hash-derived keys, so no salting needed; the df-cap
-removes the stop-shingle skew source, and the band self-joins take a
-``max_bucket`` cap (``MAX_BAND_BUCKET`` by default) because band keys
-are NOT uniform on real corpora: millions of near-identical boilerplate
-pages share one band key, and an uncapped bucket turns into a single
-O(n^2) join task. The cap keeps the lowest-N doc ids per (band, key) —
-deterministic, documented truncation, same discipline as
-similarity.max_block (and each doc carries 4 band keys, so a doc
+removes the stop-shingle skew source. Band keys are NOT uniform on real
+corpora (millions of near-identical boilerplate pages share one band
+key, turning an uncapped bucket into a single O(n^2) join task), so the
+band self-joins take a ``max_bucket`` cap keeping the lowest-N doc ids
+per (band, key) — deterministic, documented truncation, same discipline
+as similarity.max_block; each doc carries 4 band keys, so a doc
 truncated from one saturated bucket usually still pairs through its
-other bands).
+other bands. Defaults: simhash caps at ``MAX_BAND_BUCKET`` (its bands
+are computed from raw tokens — nothing else bounds a boilerplate
+flood); minhash defaults to uncapped because its bucket populations are
+structurally bounded by the shingle df-cap (see minhash_lsh_pairs).
 
 Persisted intermediates (the shingle inverted index, candidate sets,
 fingerprints) are recorded on the returned DataFrame as
@@ -214,17 +216,25 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_bucket: int | None = MAX_BAND_BUCKET,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs + exact Jaccard verification.
 
     shingle -> 8 minhashes -> 4 bands of 2 -> bucket join on
     (band_idx, band_key) -> verify candidates with exact Jaccard.
     The shingle table is built once and shared between the signature
-    aggregation and the verification join. ``max_bucket`` bounds each
-    band bucket's population before the self-join (see
-    :func:`_cap_buckets`); the default never binds below 10k docs per
-    bucket, so small-corpus results are identical to uncapped.
+    aggregation and the verification join.
+
+    ``max_bucket`` bounds each band bucket's population before the
+    self-join (see :func:`_cap_buckets`). Default None: unlike simhash,
+    minhash band populations are STRUCTURALLY bounded by the shingle
+    df-cap — two docs share a band key (md5 of two min-hash chunks)
+    only by sharing the argmin shingle of each chunk, and every shingle
+    surviving ``MAX_SHINGLE_DF`` appears in <= 100 docs, so a bucket
+    tops out around MAX_SHINGLE_DF x (32-bit chunk-collision factor)
+    rather than at corpus scale; boilerplate floods are absorbed by the
+    df-cap itself (their shared shingles exceed the df-cap and drop
+    out). Set an explicit cap when raising MAX_SHINGLE_DF.
     """
     sh_shared = _shingle_table(df, id_col, text_col, n)
     # ONE groupBy(doc) computes the 8 band mins AND the per-doc shingle
@@ -276,7 +286,7 @@ def incremental_minhash_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_bucket: int | None = MAX_BAND_BUCKET,
+    max_bucket: int | None = None,  # structural bound: see minhash_lsh_pairs
 ) -> DataFrame:
     """Incremental ingest dedup: near-dup pairs between a NEW batch and
     the existing BASE corpus (base-vs-base pairs are deliberately not

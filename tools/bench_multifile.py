@@ -3,13 +3,16 @@ each, so scans are single-task in every engine and the headline bench
 mostly measures fixed per-job overhead on the small relational queries.
 Real 100 TB tables arrive as thousands of files; this tool stages the
 same sf tables as N-file directories (pyarrow row-slice split, written
-once to /tmp) and re-times the scan-heavy queries in BOTH engines on
-the identical multi-file layout. Both engines parallelize across files
+once to /tmp) and re-times the headline queries in BOTH engines on the
+identical multi-file layout. Both engines parallelize across files
 (measured: DuckDB gains too); what the layout removes is the
 single-task scan bottleneck, leaving Spark's remaining deficit at this
 size as pure per-job constants (~0.1-0.2 s scheduling + broadcast
 builds) that are flat in data volume — they amortize at real scale
 where a scan is minutes, not milliseconds.
+
+bench.py embeds run_multifile()'s result in the headline JSON artifact
+(the "multifile" key), so the layout comparison is recorded per round.
 
 Usage: python tools/bench_multifile.py [sf_dir] [n_files]
 Prints one JSON line: spark + duckdb per-query seconds on the staged
@@ -26,14 +29,38 @@ import time
 
 sys.path.insert(0, ".")
 
-QUERIES_TO_RUN = [
+# the full headline set (bench.py HEADLINE) — kept in sync by name
+DEFAULT_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
-    "q06_revenue_forecast",
+    "q12_window_running",
+    "q22_asof_join",
+    "q24_windowed_agg",
+    "d02_dedup_ngram_jaccard",
+    "d03_dedup_minhash_lsh",
+    "d05_simhash_pairs",
+    "v01_cosine_topk",
+    "v02_embedding_neardup",
+    "v05_srp_neardup",
     "t02_quality_score",
+    "t04_fingerprints",
+    "m01_multimodal_bytes",
+    "p04_pack_sequences",
+    "p06_contamination",
 ]
-SPLIT_TABLES = ("lineitem", "orders", "customer", "documents")
+# split every table a headline query scans at volume; region/nation are
+# broadcast dims and stay single-file (as they would on a real cluster)
+SPLIT_TABLES = (
+    "lineitem",
+    "orders",
+    "customer",
+    "supplier",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
+)
 ALL_TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -76,49 +103,68 @@ def time_min(fn, runs: int = 3) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    staged = stage(sf_dir, n_files)
-
+def run_multifile(
+    spark,
+    sf_dir: str,
+    n_files: int = 16,
+    queries: list[str] | None = None,
+    runs: int = 3,
+) -> dict:
+    """Stage the N-file layout (cached) and time each query on Spark and
+    its oracle on DuckDB over the SAME staged files. Returns the result
+    dict (no printing) for embedding in bench.py's artifact."""
     import duckdb
 
+    from polars_readstat_rs_spark.operators.dedup import release_cached
     from polars_readstat_rs_spark.queries import ORACLES, QUERIES
-    from polars_readstat_rs_spark.session import get_spark
 
-    spark = get_spark("bench-multifile")
-    spark.sparkContext.setLogLevel("ERROR")
+    staged = stage(sf_dir, n_files)
+    queries = queries or DEFAULT_QUERIES
 
     con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count()}")
     for name in ALL_TABLES:
         path = os.path.join(staged, f"{name}.parquet")
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
 
+    def run_spark(q):
+        spark.catalog.clearCache()
+        out = QUERIES[q](spark, staged)
+        out.write.format("noop").mode("overwrite").save()
+        release_cached(out)
+
     # warmup both engines
-    QUERIES["q01_pricing_summary"](spark, staged).write.format("noop").mode("overwrite").save()
+    run_spark("q01_pricing_summary")
     con.execute(ORACLES["q01_pricing_summary"]).fetchall()
 
     spark_times, duck_times = {}, {}
-    for q in QUERIES_TO_RUN:
-        spark_times[q] = time_min(
-            lambda: QUERIES[q](spark, staged).write.format("noop").mode("overwrite").save()
-        )
-        duck_times[q] = time_min(lambda: con.execute(ORACLES[q]).fetchall())
+    for q in queries:
+        spark_times[q] = time_min(lambda: run_spark(q), runs)
+        duck_times[q] = time_min(lambda: con.execute(ORACLES[q]).fetchall(), runs)
+    con.close()
 
-    print(
-        json.dumps(
-            {
-                "metric": "multifile_layout",
-                "n_files": n_files,
-                "sf_dir": sf_dir,
-                "spark": spark_times,
-                "spark_total": round(sum(spark_times.values()), 3),
-                "duckdb": duck_times,
-                "duckdb_total": round(sum(duck_times.values()), 3),
-            }
-        )
-    )
+    return {
+        "metric": "multifile_layout",
+        "n_files": n_files,
+        "sf_dir": sf_dir,
+        "spark": spark_times,
+        "spark_total": round(sum(spark_times.values()), 3),
+        "duckdb": duck_times,
+        "duckdb_total": round(sum(duck_times.values()), 3),
+        "ratio": round(sum(spark_times.values()) / max(sum(duck_times.values()), 1e-9), 3),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from polars_readstat_rs_spark.session import get_spark
+
+    spark = get_spark("bench-multifile")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_multifile(spark, sf_dir, n_files)))
 
 
 if __name__ == "__main__":
