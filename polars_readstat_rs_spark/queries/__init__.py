@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
@@ -60,6 +60,20 @@ _RISKY_TAIL = (
     "s07_stream_hopping",
     "m03_wav_codec",
     "m04_bmp_codec",
+    "q62_priority_exists",
+    "q63_volume_shipping",
+    "q64_market_share",
+    "q65_profit",
+    "q66_returned_items",
+    "q67_important_parts",
+    "q68_cust_order_dist",
+    "q69_promo_share",
+    "q70_top_supplier",
+    "q71_small_qty",
+    "q72_large_orders",
+    "q73_or_predicates",
+    "q74_waiting_supplier",
+    "q75_no_order_customers",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -170,3 +170,44 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     areas = [(s[1] - s[0] + 1) * (s[3] - s[2] + 1) for s in stats]
     assert len(areas) >= 4
     assert sum(areas) / len(areas) < 0.5 * cust_dom * day_dom, areas
+
+
+def test_tpch_suite_fact_never_broadcast(spark, sf_dir):
+    """Across the q62-q75 TPC-H adaptation suite, no BroadcastExchange
+    may carry lineitem or orders fact columns — dimensions build, facts
+    probe (the q05 lesson, pinned for the whole suite)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    for name in (
+        "q63_volume_shipping",
+        "q64_market_share",
+        "q65_profit",
+        "q66_returned_items",
+        "q69_promo_share",
+        "q73_or_predicates",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        for block in plan.split("BroadcastExchange")[1:]:
+            head = block.splitlines()[0]
+            assert "l_extendedprice" not in head and "l_orderkey" not in head, (name, head)
+
+
+def test_q62_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become a join (semi / existence), not
+    a per-row subquery plan."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q62_priority_exists"](spark, sf_dir))
+    assert re.search(r"(LeftSemi|ExistenceJoin)", plan), plan[:1500]
+
+
+def test_q73_or_predicates_push_part_filters(spark, sf_dir):
+    """The OR-branch brand/size predicates must reach the part scan
+    (each branch constrains p_brand/p_size, so their disjunction is
+    pushable)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q73_or_predicates"](spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("p_brand" in p for p in pushed), pushed  # part scan: brand OR-branches
+    assert any("l_quantity" in p for p in pushed), pushed  # lineitem: qty disjunction
