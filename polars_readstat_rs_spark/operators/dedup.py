@@ -726,3 +726,44 @@ def prefix_filter_pairs(
         F.col("jaccard") >= threshold
     )
     return _track(out, sh, cand)
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Substring-level duplication statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    signal, window-hash form): every OVERLAPPING k-token window is
+    hashed; a window appearing in >= 2 documents is a duplicated span.
+    Unlike :func:`passage_dedup`'s disjoint chunks, overlapping windows
+    catch copied substrings at ANY alignment.
+
+    Per document: ``n_windows`` (distinct window hashes), ``n_dup``
+    (how many of them also appear in another document), ``dup_ratio``.
+    Cost: one explode (n windows/doc), one shuffle on the window hash
+    for document-frequency, one groupBy doc — no pair join at all, so
+    the operator is immune to the quadratic blowups the pairwise family
+    guards against; boilerplate floods only grow a counter.
+    """
+    words = f"split(lower({text_col}), ' ')"
+    wins = df.selectExpr(
+        f"{id_col} AS doc",
+        f"explode(array_distinct(CASE WHEN size({words}) >= {k} THEN "
+        f"transform(sequence(1, size({words}) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice({words}, i, {k})))) "
+        f"ELSE array() END)) AS wh",
+    )
+    # df per window via a count window: stays hash-partitioned by wh,
+    # and the per-doc rollup is the only other shuffle
+    w = Window.partitionBy("wh")
+    flagged = wins.withColumn("wdf", F.count(F.lit(1)).over(w))
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("wdf") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup").cast("double") / F.col("n_windows").cast("double")
+        )
+    )

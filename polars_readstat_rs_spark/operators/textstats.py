@@ -439,3 +439,50 @@ def event_patterns(
         # pattern passed as a literal column — never spliced into SQL text
         F.size(F.regexp_extract_all("seq", F.lit(pattern), F.lit(0))).alias("n_matches"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/feature
+    extraction pass before sparse retrieval or topic labeling.
+
+    weight = round(tf * ln(N / df), 6) with exact-integer tf/df/N.
+    libm vs JVM ``ln`` can differ by 1 ulp, so the weight is rounded to
+    6 decimals (the similarity operators' convention) before ranking —
+    both the emitted value and the rank order are then cross-engine
+    deterministic (ties broken by token). Two shuffles total: tf per
+    (doc, token) and df per token (both map-side combined); N is a
+    broadcast scalar.
+    """
+    toks = docs.select(F.col(id_col).alias("doc"), F.explode(words_expr(text_col)).alias("tok"))
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "weight",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc").orderBy(F.desc("weight"), F.asc("tok"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("doc").alias(id_col), "rank", "tok", "tf", "df", "n_docs", "weight"
+        )
+    )

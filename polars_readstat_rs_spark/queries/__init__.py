@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 _RISKY_TAIL = (
@@ -74,6 +74,8 @@ _RISKY_TAIL = (
     "q73_or_predicates",
     "q74_waiting_supplier",
     "q75_no_order_customers",
+    "d11_span_dedup",
+    "t14_tfidf_terms",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -1178,3 +1178,36 @@ def test_ivf_append_matches_full_probe_semantics(spark, sf_dir):
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows[0].vec_id == 777777 and rows[0].sim == 1.0
     similarity.release_cached(out)
+
+
+def test_duplicated_spans_flags_copied_substrings(spark, sf_dir):
+    """Planted: doc B embeds a 6-word substring of doc A at a different
+    alignment — overlapping windows must flag it (d07's disjoint chunks
+    would only catch aligned copies)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix words beta gamma delta epsilon zeta end marker"),
+            (3, "completely different tokens nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in dedup.duplicated_spans(docs, "doc_id", "text", k=5).collect()}
+    # 5-token windows of "beta..zeta" appear in both docs 1 and 2
+    assert out[1].n_dup == 1 and out[2].n_dup == 1
+    assert out[3].n_dup == 0 and out[3].dup_ratio == 0.0
+    assert out[1].n_windows == 4  # 8 tokens -> 4 windows
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common filler words")],
+        ["doc_id", "text"],
+    )
+    out = textstats.tfidf_top_terms(docs, top_k=2).collect()
+    top = {r.doc_id: r.tok for r in out if r.rank == 1}
+    # 'common' has df=3 -> idf 0 -> rank below the doc-unique terms
+    assert top[1] == "rare1" and top[2] == "rare2"
+    assert all(r.weight == 0.0 for r in out if r.tok == "common")
