@@ -76,6 +76,7 @@ _RISKY_TAIL = (
     "q75_no_order_customers",
     "d11_span_dedup",
     "t14_tfidf_terms",
+    "s08_stream_outer_join",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -259,3 +259,44 @@ def s07_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "s07_hopping"
     run_to_completion(agg, name)
     return spark.table(name)
+
+
+@register(
+    "s08_stream_outer_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+    FROM {EVENTS_US} c LEFT JOIN {EVENTS_US} p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def s08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join (streaming/joins.py
+    attribution_join(how='left_outer')): unmatched clicks emit with null
+    purchase columns only after the watermark proves no match can still
+    arrive, so the sentinel staging file supplies the final watermark
+    push and the drained bounded stream equals the batch left join."""
+    from ..streaming.joins import attribution_join
+    from ..streaming.windows import SENTINEL_USER
+
+    name = "s08_outer_attribution"
+    joined = attribution_join(events_stream(spark, sf_dir, sentinel=2), how="left_outer")
+    # The sentinel-row filter runs on the DRAINED batch table, not
+    # inside the streaming plan: a pre-sink filter on user_id would be
+    # predicate-pushed below the event-time watermark operator into the
+    # scans, silently dropping the sentinel before it can advance the
+    # watermark — the exact failure this gate exists to catch.
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)

@@ -26,8 +26,9 @@ def attribution_join(
     right_type: str = "purchase",
     window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: every ``right_type`` event attributed to
+    """Stream-stream join: every ``right_type`` event attributed to
     each ``left_type`` event by the same user within ``window`` after it.
 
     ``events`` must carry TimestampType ``ts`` (the events_stream
@@ -36,6 +37,15 @@ def attribution_join(
     left.ts + window, right rows once the left watermark passes their
     ts. Output columns are all value-deterministic (ids + epoch
     millis), so the result is gate-hashable.
+
+    ``how="left_outer"`` additionally emits every unmatched left event
+    with null purchase columns — but only AFTER the watermark passes its
+    join window (the engine must prove no future match exists before it
+    may emit the null row). On a bounded stream that means the trailing
+    lefts never flush on their own: drive it with
+    ``events_stream(sentinel=True)`` so the far-future sentinel pushes
+    the final watermark, exactly like the stateful sessionizer's
+    termination contract.
     """
     left = (
         events.filter(F.col("event_type") == left_type)
@@ -61,7 +71,7 @@ def attribution_join(
             (F.col("user_id") == F.col("p_user_id"))
             & (F.col("p_ts") >= F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
-            "inner",
+            how,
         )
         .select(
             "click_id",

@@ -32,45 +32,74 @@ def _src_fingerprint(path: str) -> str:
 # far enough past any testdata event that every event-time timer
 # (last_event + gap) sits below the watermark this sentinel produces
 _SENTINEL_ISO = "2100-01-01T00:00:00"
+# the events table's closed event_type vocabulary (one sentinel row per
+# type so event_type-filtered legs still receive a watermark push)
+_SENTINEL_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
 
-def _write_sentinel(stage: str, src: str) -> None:
-    """Drop a one-row far-future event (user_id = SENTINEL_USER) into the
-    staging dir as a SECOND file. The file source (oldest-mtime-first,
-    maxFilesPerTrigger=1) processes it after the real data, pushing the
-    global watermark past every pending event-time timer, which makes the
-    engine run one final timer-flush batch and then terminate — the
-    deterministic replacement for wall-clock sink polling."""
+def _write_sentinel(stage: str, src: str, n: int = 1) -> None:
+    """Drop ``n`` one-row far-future events (user_id = SENTINEL_USER)
+    into the staging dir as separate files. The file source
+    (oldest-mtime-first, maxFilesPerTrigger=1) processes them after the
+    real data, each pushing the global watermark further, which makes
+    the engine run final flush batches and then terminate — the
+    deterministic replacement for wall-clock sink polling.
+
+    Why n matters: a watermark computed from batch K's data only takes
+    effect in batch K+1. Event-time TIMERS fire in the very next batch
+    (n=1 suffices — the sessionizer's contract), but stream-stream
+    OUTER-join null rows are emitted by the state-eviction path, which
+    needs one more DATA batch after the watermark already advanced —
+    processAllAvailable() does not wait for Spark's asynchronous
+    no-data batches, so n=2 makes the final eviction a data batch the
+    drain provably covers."""
     import datetime
     import os
 
-    path = os.path.join(stage, "zz_sentinel.parquet")
-    if os.path.exists(path):
-        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(src)
     ts_field = schema.field("ts")
-    dt = datetime.datetime.fromisoformat(_SENTINEL_ISO)
-    if pa.types.is_timestamp(ts_field.type):
-        ts_arr = pa.array([dt], type=ts_field.type)
-    else:  # legacy nanosAsLong int64 contract
-        ts_arr = pa.array([int(dt.timestamp() * 1e9)], type=ts_field.type)
-    cols = []
-    for f in schema:
-        if f.name == "ts":
-            cols.append(ts_arr)
-        elif f.name == "user_id":
-            cols.append(pa.array([SENTINEL_USER], type=f.type))
-        else:
-            cols.append(pa.nulls(1, type=f.type))
-    tmp = path + ".tmp"
-    pq.write_table(pa.Table.from_arrays(cols, schema=schema), tmp)
-    os.replace(tmp, path)  # atomic: the source never lists a half-written file
+    base = datetime.datetime.fromisoformat(_SENTINEL_ISO)
+    # one sentinel row per event type: a filter-then-watermark consumer
+    # (the attribution joins' event_type legs) must still see a
+    # far-future row AFTER its pushed filter, or its watermark never
+    # advances and trailing state never flushes — a NULL event_type
+    # sentinel is silently dropped at the scan.
+    types = _SENTINEL_EVENT_TYPES
+    for i in range(n):
+        path = os.path.join(stage, f"zz_sentinel{i or ''}.parquet")
+        if os.path.exists(path):
+            continue
+        dt = base + datetime.timedelta(days=i)
+        if pa.types.is_timestamp(ts_field.type):
+            ts_arr = pa.array([dt] * len(types), type=ts_field.type)
+        else:  # legacy nanosAsLong int64 contract
+            ts_arr = pa.array(
+                [int(dt.timestamp() * 1e9)] * len(types), type=ts_field.type
+            )
+        cols = []
+        for f in schema:
+            if f.name == "ts":
+                cols.append(ts_arr)
+            elif f.name == "user_id":
+                cols.append(pa.array([SENTINEL_USER] * len(types), type=f.type))
+            elif f.name == "event_type":
+                cols.append(pa.array(types, type=f.type))
+            else:
+                cols.append(pa.nulls(len(types), type=f.type))
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_arrays(cols, schema=schema), tmp)
+        os.replace(tmp, path)  # atomic: the source never lists a half-written file
+        # strictly increasing mtimes pin the oldest-first processing order
+        st = os.stat(path)
+        os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + i * 1_000_000_000))
 
 
-def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, sentinel: bool | int = False
+) -> DataFrame:
     """File-source stream of the events table with ts normalized to a
     proper timestamp — the same per-dtype contract as tables.load_table
     (bigint = legacy nanosAsLong -> truncating div; timestamp_ntz =
@@ -81,19 +110,23 @@ def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> D
     Spark's file stream source requires a directory, so the single
     parquet file is exposed through a symlinked staging dir.
 
-    ``sentinel=True`` stages into a separate directory that also holds a
-    far-future marker event (see _write_sentinel) — used by stateful
-    queries with event-time timers to flush trailing state and terminate
-    deterministically. Consumers must drop ``user_id = SENTINEL_USER``.
+    ``sentinel=True`` (or an int N) stages into a separate directory
+    that also holds far-future marker event file(s) (see
+    _write_sentinel; N=2 for stream-stream outer joins, whose
+    null-row eviction needs a data batch AFTER the watermark push) —
+    used by stateful queries with event-time timers to flush trailing
+    state and terminate deterministically. Consumers must drop
+    ``user_id = SENTINEL_USER``.
     """
     import os
     import tempfile
 
+    n_sentinels = int(sentinel)
     src0 = f"{sf_dir}/events.parquet"
     tag = (
         sf_dir.strip("/").replace("/", "_")
         + "_" + _src_fingerprint(src0)
-        + ("_sentinel" if sentinel else "")
+        + (f"_sentinel{n_sentinels}" if n_sentinels else "")
     )
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
@@ -104,8 +137,8 @@ def events_stream(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> D
             os.symlink(src, link)
         except FileExistsError:
             pass  # concurrent creator won the race — same target
-    if sentinel:
-        _write_sentinel(stage, src)
+    if n_sentinels:
+        _write_sentinel(stage, src, n_sentinels)
     # the RAW footer schema (pre-normalization types) is required here —
     # tables.load_table's cached plan is already ts-normalized, so this
     # one footer read per call is intentional, not an oversight
