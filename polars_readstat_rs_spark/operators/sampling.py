@@ -231,3 +231,38 @@ def sample_n_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame, id_col: str, source_col: str, target_total: int, seed: str = "s0"
+) -> DataFrame:
+    """sqrt-temperature source rebalancing (the multilingual-LM
+    alpha = 0.5 exponent): source s keeps
+    ``min(1, target * (w_s / sum_w) / n_s)`` of its rows where
+    ``w_s = sqrt(n_s)`` — low-resource sources are upweighted relative
+    to proportional sampling, the standard mitigation for head-language
+    dominance.
+
+    Determinism: sqrt is correctly rounded on every IEEE engine (unlike
+    pow), and the normalizing sum accumulates round(sqrt, 6) in exact
+    DECIMAL, so the per-source rates — and therefore every row's
+    keep/drop — are bit-reproducible across engines and partitionings.
+    Same two-pass shape as :func:`domain_mix`: tiny per-source
+    aggregate broadcast back, then the pure hash-Bernoulli filter."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w6 = F.round(F.sqrt(F.col("_n").cast("double")), 6).cast("decimal(18,6)")
+    weights = counts.select(F.col(source_col), F.col("_n"), w6.alias("_w"))
+    wsum = weights.agg(F.sum("_w").alias("_wsum"))  # exact DECIMAL sum
+    rates = weights.crossJoin(F.broadcast(wsum)).select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * (F.col("_w").cast("double") / F.col("_wsum").cast("double"))
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), source_col)
+    return joined.filter(
+        _bucket(id_col, seed) < F.floor(F.col("_rate") * F.lit(float(BUCKETS))).cast("bigint")
+    ).drop("_rate")

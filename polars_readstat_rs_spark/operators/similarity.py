@@ -805,3 +805,43 @@ def ivf_append_topk(
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
     return _track(out, assigned, q)
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Metadata-filtered vector search: each query's top-k is computed
+    only over corpus vectors sharing its ``filter_col`` value — the
+    filtered-ANN surface (language / license / source constraints
+    applied at query time), with PRE-filter semantics: the constraint
+    restricts the candidate set, it never truncates the top-k.
+
+    The metadata value is the JOIN KEY, so the corpus shuffles (or
+    broadcast-probes) on it and only same-group pairs are ever scored —
+    at 100 TB the cost is the selected groups' size, not the corpus.
+    Deterministic tie-break on id; sims rounded to 6 (the pair-UDF
+    convention)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(filter_col).alias("f"),
+    )
+    c = corpus.select(
+        F.col(filter_col).alias("f"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "f")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", F.round(pair_cosine_udf("q_vec", "c_vec"), 6))
+        .select("q_id", "vec_id", "sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _track(out)

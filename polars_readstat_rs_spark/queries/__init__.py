@@ -77,6 +77,8 @@ _RISKY_TAIL = (
     "d11_span_dedup",
     "t14_tfidf_terms",
     "s08_stream_outer_join",
+    "v09_filtered_topk",
+    "p09_temperature_mix",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

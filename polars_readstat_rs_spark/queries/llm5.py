@@ -4,6 +4,7 @@ TF-IDF keyword extraction (t14)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup, textstats
 from ..tables import load_table
@@ -69,3 +70,68 @@ def t14_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on the token."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.tfidf_top_terms(docs, top_k=3)
+
+
+# ------------------------------------------------- v09 filtered ANN
+
+from ..operators import sampling, similarity  # noqa: E402
+from .llm import _cosine_sql  # noqa: E402
+
+
+@register(
+    "v09_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS f
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {_cosine_sql('q.q_vec', 'e.embedding')} AS sim
+      FROM embeddings e JOIN q ON e.label = q.f AND e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def v09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (operators/similarity.py:
+    filtered_topk): each query's top-10 restricted to corpus vectors
+    with the query's own label — pre-filter semantics, constraint as
+    the join key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.filtered_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+# ------------------------------------------------- p09 temperature mix
+
+_P09_TARGET = 1000
+_P09_SEED = "s0"
+
+
+@register(
+    "p09_temperature_mix",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS _n FROM documents GROUP BY source),
+    w AS (SELECT source, _n,
+                 CAST(round(sqrt(CAST(_n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS _w
+          FROM counts),
+    tot AS (SELECT sum(_w) AS _wsum FROM w),
+    rates AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   {float(_P09_TARGET)!r} * (CAST(_w AS DOUBLE) / CAST(_wsum AS DOUBLE))
+                     / CAST(_n AS DOUBLE)) AS _rate
+      FROM w, tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('{_P09_SEED}' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CAST(floor(r._rate * {float(sampling.BUCKETS)!r}) AS BIGINT)
+    """,
+)
+def p09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature source rebalancing (operators/sampling.py:
+    temperature_mix, the multilingual alpha=0.5 exponent): rates from
+    exact-DECIMAL sqrt weights, filter is the stable hash Bernoulli."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mix(docs, "doc_id", "source", _P09_TARGET, _P09_SEED).select(
+        "doc_id", "source"
+    )
