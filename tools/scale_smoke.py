@@ -231,6 +231,14 @@ def main() -> None:
             ),
             "prefix_filter": lambda: dedup.prefix_filter_pairs(docs, "doc_id", "text"),
             "pagerank": lambda: graph.pagerank_int(edges, iters=5),
+            "span_dedup": lambda: dedup.duplicated_spans(docs, "doc_id", "text"),
+            "tfidf_terms": lambda: textstats.tfidf_top_terms(docs),
+            "temperature_mix": lambda: sampling.temperature_mix(
+                docs, "doc_id", "source", 1000
+            ),
+            "filtered_topk": lambda: similarity.filtered_topk(
+                emb, emb.filter(F.col("vec_id") < 5)
+            ),
             # adversarial skew: every doc identical -> every simhash band
             # bucket holds the WHOLE corpus. With the max_bucket cap the
             # band self-join is O(cap^2) regardless of n, so wall time
