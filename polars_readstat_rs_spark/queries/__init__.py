@@ -79,6 +79,7 @@ _RISKY_TAIL = (
     "s08_stream_outer_join",
     "v09_filtered_topk",
     "p09_temperature_mix",
+    "q76_recursive_cte",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -564,3 +564,41 @@ def q75_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — recursive CTE (Spark 4's WITH RECURSIVE): every supplier walks
+# the implicit binary-tree hierarchy parent(k) = k div 2 up to the
+# root; per supplier: depth, ancestor count, exact path-key sum. All
+# integer arithmetic — bitwise identical recursion on both engines.
+@register(
+    "q76_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up(start_key, cur, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT start_key, cur // 2, depth + 1 FROM up WHERE cur > 1
+    )
+    SELECT start_key AS s_suppkey,
+           CAST(max(depth) AS INT) AS depth,
+           count(*) AS n_nodes,
+           CAST(sum(cur) AS BIGINT) AS path_sum
+    FROM up GROUP BY start_key
+    """,
+)
+def q76_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(start_key, cur, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM _tpch_supplier
+          UNION ALL
+          SELECT start_key, cur DIV 2, depth + 1 FROM up WHERE cur > 1
+        )
+        SELECT start_key AS s_suppkey,
+               CAST(max(depth) AS INT) AS depth,
+               count(*) AS n_nodes,
+               CAST(sum(cur) AS BIGINT) AS path_sum
+        FROM up GROUP BY start_key
+        """
+    )
