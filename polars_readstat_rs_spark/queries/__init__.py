@@ -80,6 +80,9 @@ _RISKY_TAIL = (
     "v09_filtered_topk",
     "p09_temperature_mix",
     "q76_recursive_cte",
+    "q77_min_cost_supplier",
+    "q78_supplier_part_counts",
+    "q79_excess_suppliers",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

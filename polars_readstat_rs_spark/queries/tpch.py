@@ -602,3 +602,105 @@ def q76_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM up GROUP BY start_key
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — TPC-H Q2 shape (no partsupp): cheapest supplier per part — the
+# correlated =(SELECT min(...)) pattern, price proxied by the part's
+# minimum sold unit price (extendedprice/quantity exact-decimal ratio
+# avoided: compare extendedprice*qty' cross products? keep it simple —
+# minimum l_extendedprice per (part, supplier) pair).
+@register(
+    "q77_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS best
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT o.l_partkey, o.l_suppkey, s_name, CAST(o.best AS DOUBLE) AS best_price
+    FROM offers o JOIN supplier ON l_suppkey = s_suppkey
+    WHERE o.best = (SELECT min(best) FROM offers o2 WHERE o2.l_partkey = o.l_partkey)
+    """,
+)
+def q77_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS best
+          FROM _tpch_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT o.l_partkey, o.l_suppkey, s_name, CAST(o.best AS DOUBLE) AS best_price
+        FROM offers o JOIN _tpch_supplier ON l_suppkey = s_suppkey
+        WHERE o.best = (SELECT min(best) FROM offers o2 WHERE o2.l_partkey = o.l_partkey)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — TPC-H Q16 shape: distinct-supplier counts per part attribute
+# group, excluding a NOT IN subquery's supplier set.
+@register(
+    "q78_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11' AND p_size IN (5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q78_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM _tpch_lineitem JOIN _tpch_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11' AND p_size IN (5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM _tpch_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — TPC-H Q20 shape: suppliers with excess inventory of widget
+# parts — nested IN over a correlated half-of-total-demand threshold
+# (exact: 10 * supplier_qty > total_qty — a >10%% demand share;
+# the official half-of-total threshold empties on this data's ~30
+# suppliers per part).
+@register(
+    "q79_excess_suppliers",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_partkey),
+    per_supp AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey)
+    SELECT s_suppkey, s_name, count(*) AS n_excess_parts
+    FROM supplier JOIN per_supp ON s_suppkey = sk
+    JOIN demand USING (pk)
+    WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      AND 10 * supp_qty > total_qty
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q79_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier", "part")
+    return spark.sql(
+        """
+        WITH demand AS (
+          SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+          FROM _tpch_lineitem GROUP BY l_partkey),
+        per_supp AS (
+          SELECT l_suppkey AS sk, l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+          FROM _tpch_lineitem GROUP BY l_suppkey, l_partkey)
+        SELECT s_suppkey, s_name, count(*) AS n_excess_parts
+        FROM _tpch_supplier JOIN per_supp ON s_suppkey = sk
+        JOIN demand USING (pk)
+        WHERE pk IN (SELECT p_partkey FROM _tpch_part WHERE p_name LIKE '%widget%')
+          AND 10 * supp_qty > total_qty
+        GROUP BY s_suppkey, s_name
+        """
+    )
