@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column names/types).
 
-    Keys cover every queries() entry (121/121 hash-gated).
+    Keys cover EVERY queries() entry — the registry maintains a
+    100%-hash-gated invariant (no rows-only entries).
     """
     return _ordered(ORACLES)

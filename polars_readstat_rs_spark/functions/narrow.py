@@ -167,8 +167,11 @@ def _decide_arrow(n_rows, n_nonnull, vmin, vmax, all_int, infer_boolean):
     apply identical rules."""
     import pyarrow as pa
 
-    if n_rows > 0 and n_nonnull == 0:
-        return pa.bool_()  # all-null
+    if n_nonnull == 0:
+        # all-null (n_rows > 0) or EMPTY batch: min/max are null either
+        # way, so Boolean for all-null per the compress rules, and
+        # float64 identity for a zero-row batch (nothing to narrow on)
+        return pa.bool_() if n_rows > 0 else pa.float64()
     if not all_int:
         return pa.float64()
     if infer_boolean and vmin >= 0 and vmax <= 1:
@@ -254,19 +257,42 @@ def cast_batch(batch, schema):
     """Cast ONE RecordBatch to a target Arrow schema as it is read —
     the reference's ArrowBatchStream::with_schema semantics
     (SCHEMA_INFERENCE.md:90-108: batches cast individually, in
-    parallel, never after concatenation)."""
+    parallel, never after concatenation).
+
+    String sources casting to a numeric/boolean target go through the
+    SAME trim / empty-to-null parse rules the pass-1 inference used
+    (try_parse_string_to_f64) — a raw Arrow cast would reject exactly
+    the values (' 3 ', '') whose parse the inference already approved."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    def _numeric_view(col):
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            import pandas as pd
+
+            s = col.to_pandas().astype("object")
+            trimmed = s.str.strip() if hasattr(s, "str") else s
+            nonempty = trimmed.notna() & (trimmed != "")
+            return pa.array(
+                pd.to_numeric(trimmed.where(nonempty), errors="coerce"),
+                type=pa.float64(),
+            )
+        return pc.cast(col, pa.float64())
 
     arrays = []
     for f in schema:
         col = batch.column(f.name)
         if pa.types.is_boolean(f.type) and not pa.types.is_boolean(col.type):
+            d = _numeric_view(col)
             arrays.append(
                 pa.nulls(len(col), pa.bool_())
-                if col.null_count == len(col)
-                else pc.equal(pc.cast(col, pa.float64()), 1.0)
+                if d.null_count == len(col)
+                else pc.equal(d, 1.0)
             )
+        elif (
+            pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+        ) and (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            arrays.append(pc.cast(_numeric_view(col), f.type))
         else:
             arrays.append(pc.cast(col, f.type))
     return pa.record_batch(arrays, schema=schema)

@@ -426,8 +426,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> D
     luts = _simhash_luts(lane_bits)
     n_words = len(luts)
     toks = df.selectExpr(
-        f"{id_col} AS doc",
-        f"explode(array_distinct(split(lower({text_col}), ' '))) AS tok",
+        f"`{id_col}` AS doc",
+        f"explode(array_distinct(split(lower(`{text_col}`), ' '))) AS tok",
     ).selectExpr(
         "doc",
         "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) AS v1",
@@ -745,13 +745,11 @@ def duplicated_spans(
     the operator is immune to the quadratic blowups the pairwise family
     guards against; boilerplate floods only grow a counter.
     """
-    words = f"split(lower({text_col}), ' ')"
-    wins = df.selectExpr(
-        f"{id_col} AS doc",
-        f"explode(array_distinct(CASE WHEN size({words}) >= {k} THEN "
-        f"transform(sequence(1, size({words}) - {k - 1}), "
-        f"i -> md5(concat_ws(' ', slice({words}, i, {k})))) "
-        f"ELSE array() END)) AS wh",
+    # windowing reuses the shared shingle expression (one copy of the
+    # overlap/edge rules); md5 over distinct shingles == distinct md5s
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(shingles_expr(text_col, k), F.md5)).alias("wh"),
     )
     # df per window via a count window: stays hash-partitioned by wh,
     # and the per-doc rollup is the only other shuffle

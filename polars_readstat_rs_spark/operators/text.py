@@ -18,7 +18,7 @@ def words_expr(text_col: str) -> Column:
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the dedup unit for MinHash/Jaccard)."""
-    words = f"split(lower({text_col}), ' ')"
+    words = f"split(lower(`{text_col}`), ' ')"
     return F.expr(
         f"CASE WHEN size({words}) >= {n} THEN "
         f"array_distinct(transform(sequence(1, size({words}) - {n - 1}), "

@@ -179,8 +179,13 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate runs UNCAPPED (max_bucket=None): the oracle enumerates every
+    band-bucket pair, while the operator's production default truncates
+    hot buckets at MAX_BAND_BUCKET — a documented lossy skew guard whose
+    capped output is pinned by the adversarial unit/scale fixtures, not
+    by this SQL-equivalence gate (r3 verdict #3's contract)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, max_bucket=None)
 
 
 # -------------------------------------------------------------- similarity

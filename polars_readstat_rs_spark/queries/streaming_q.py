@@ -289,14 +289,5 @@ def s08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate-pushed below the event-time watermark operator into the
     # scans, silently dropping the sentinel before it can advance the
     # watermark — the exact failure this gate exists to catch.
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_to_completion(joined, name, output_mode="append")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)

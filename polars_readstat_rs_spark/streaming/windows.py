@@ -176,11 +176,14 @@ def windowed_counts(events: DataFrame, window: str = "6 hours", watermark: str =
     )
 
 
-def run_to_completion(agg: DataFrame, query_name: str) -> None:
-    """Drive a bounded file stream to completion through the memory sink
-    (complete mode: every window emitted once the source drains)."""
+def run_to_completion(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a bounded stream to completion through the memory sink
+    ("complete" re-emits every window once the source drains; "append"
+    for joins/dedup whose rows finalize as the watermark passes)."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -423,3 +423,31 @@ def test_multifile_scan(spark, tmp_path):
     sw.write_dta(bad, str(tmp_path / "zbad.dta"))
     with pytest.raises(Exception, match="schema mismatch"):
         spark.read.format("readstat").load(str(tmp_path / "*.dta")).count()
+
+
+def test_two_pass_schema_handles_parse_and_empty_batches(spark, tmp_path):
+    """Review regressions: (a) the schema= pass-2 cast must apply the
+    same trim/empty-to-null parse rules the pass-1 inference used —
+    a raw Arrow cast rejects ' 3 ' / '' that inference approved;
+    (b) narrow_batch must not crash on a zero-row batch."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.functions.narrow import cast_batch, narrow_batch
+
+    df = pd.DataFrame({"s": ["1", "", "2", " 3 "], "x": [1.0, 2.0, 3.0, 4.0]})
+    p = str(tmp_path / "p.dta")
+    df.to_stata(p, version=118, write_index=False)
+    schema = api.infer_schema(spark, p)
+    assert pa.types.is_integer(schema.field("s").type)
+    tbl = pa.Table.from_batches(list(api.readstat_batch_iter(p, batch_size=2, schema=schema)))
+    assert tbl.column("s").to_pylist() == [1, None, 2, 3]
+
+    empty = pa.record_batch(
+        [pa.array([], type=pa.float64()), pa.array([], type=pa.string())], names=["x", "s"]
+    )
+    out = narrow_batch(empty)
+    assert out.num_rows == 0 and out.schema.field("x").type == pa.float64()
+    # cast_batch parse path also roundtrips bools from strings
+    b = pa.record_batch([pa.array(["1", "0", "", None])], names=["f"])
+    casted = cast_batch(b, pa.schema([pa.field("f", pa.bool_())]))
+    assert casted.column("f").to_pylist() == [True, False, None, None]

@@ -1211,3 +1211,15 @@ def test_tfidf_ranks_rare_terms_first(spark):
     # 'common' has df=3 -> idf 0 -> rank below the doc-unique terms
     assert top[1] == "rare1" and top[2] == "rare2"
     assert all(r.weight == 0.0 for r in out if r.tok == "common")
+
+
+def test_simhash_quoted_identifiers(spark):
+    """selectExpr rewrite must keep the Column-API contract for names
+    needing quoting (review regression)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["my-id", "the text"]
+    )
+    fps = dedup.simhash(docs, "my-id", "the text").collect()
+    assert len(fps) == 2 and all(len(r.simhash) == 16 for r in fps)
+    spans = dedup.duplicated_spans(docs, "my-id", "the text", k=2).collect()
+    assert {r.doc for r in spans} == {1, 2}
