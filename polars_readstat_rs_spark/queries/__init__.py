@@ -83,6 +83,7 @@ _RISKY_TAIL = (
     "q77_min_cost_supplier",
     "q78_supplier_part_counts",
     "q79_excess_suppliers",
+    "q80_python_udtf",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

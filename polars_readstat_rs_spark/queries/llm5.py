@@ -135,3 +135,50 @@ def p09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_mix(docs, "doc_id", "source", _P09_TARGET, _P09_SEED).select(
         "doc_id", "source"
     )
+
+
+# ------------------------------------------------- q80 Python UDTF
+
+@register(
+    "q80_python_udtf",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+               WHERE doc_id % 50 = 0),
+    s AS (SELECT doc_id,
+                 CAST(unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS INT) AS seg_id,
+                 len(words) AS n FROM w)
+    SELECT doc_id, seg_id,
+           CAST(least(10, n - seg_id * 10) AS INT) AS seg_tokens
+    FROM s
+    """,
+)
+def q80_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function surface, the last missing
+    Python-UDF shape after scalar pandas_udf / grouped-map / mapInPandas
+    / applyInPandasWithState): a LATERAL-joined table function that
+    segments each document into 10-token spans. Deterministic integer
+    output; the oracle reproduces the segmentation with range/ceil
+    arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_id: int, seg_tokens: int")
+    class Segment:
+        def eval(self, n_tokens: int):
+            seg = 0
+            left = n_tokens
+            while left > 0:
+                yield seg, min(10, left)
+                seg += 1
+                left -= 10
+
+    spark.udtf.register("segment_doc", Segment)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id", "size(split(lower(text), ' ')) AS n_tokens"
+    ).createOrReplaceTempView("_q80_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_id, s.seg_tokens
+        FROM _q80_docs d, LATERAL segment_doc(d.n_tokens) s
+        """
+    )
