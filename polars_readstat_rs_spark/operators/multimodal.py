@@ -157,6 +157,25 @@ def decode_bmp(payload: bytes) -> dict:
     return {"kind": "bmp", "width": int(w), "height": int(abs(h)), "pixels": img[..., ::-1]}
 
 
+def decode_bmp_stream(payload: bytes) -> list:
+    """Walk a concatenation of BMP images (the simplest real "video"
+    container: each BITMAPFILEHEADER carries its file size at offset 2,
+    which IS the offset of the next frame) and decode every frame.
+    Returns the list of :func:`decode_bmp` dicts in stream order."""
+    import struct
+
+    frames, pos = [], 0
+    while pos + 14 <= len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        (sz,) = struct.unpack_from("<I", payload, pos + 2)
+        if sz < 14 or pos + sz > len(payload):
+            raise ValueError(f"frame size {sz} at {pos} overruns payload")
+        frames.append(decode_bmp(payload[pos : pos + sz]))
+        pos += sz
+    return frames
+
+
 def decode_real(payload: bytes) -> dict:
     """Real codec dispatch on magic bytes: RIFF/WAVE PCM and 24-bit BMP
     decode in pure numpy (no external media libraries needed); every
@@ -288,6 +307,79 @@ def decode_media_features(multimodal: DataFrame) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_vals", T.LongType()),
+    ]
+)
+
+
+def synth_video_payloads(docs: DataFrame, base_frames: int = 2, span: int = 4) -> DataFrame:
+    """Deterministic multi-frame BMP "videos" per doc_id: frame f of doc
+    d is an 8x6 RGB image with pixel (x, y, c) = (d + 7f + 3x + 5y +
+    11c) % 256; doc d carries base_frames + d % span frames, so the
+    1:N fan-out varies per row. Closed-form values let a SQL oracle
+    recompute every sampled frame's statistics."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(8).reshape(1, 8, 1)
+        y = np.arange(6).reshape(6, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                d = int(doc_id)
+                n = base_frames + d % span
+                payloads.append(
+                    b"".join(
+                        encode_bmp(((d + 7 * f + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8))
+                        for f in range(n)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        fn,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+
+
+def sample_video_frames(multimodal: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video-style frame sampling: walk the BMP stream container
+    (decode_bmp_stream — genuine header-driven demux), decode every
+    ``stride``-th frame, and emit per-frame pixel statistics. The same
+    Arrow-batched 1:N mapInPandas fan-out as :func:`sample_frames`, but
+    the decoder actually parses and the emitted stats are properties of
+    decoded pixels. Payloads never cross a shuffle."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "sum_vals")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                frames = decode_bmp_stream(bytes(payload))
+                for i in range(0, len(frames), stride):
+                    f = frames[i]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(f["width"])
+                    rows["height"].append(f["height"])
+                    rows["sum_vals"].append(int(f["pixels"].astype(np.int64).sum()))
+            out = pd.DataFrame(rows)
+            for k in ("frame_idx", "width", "height"):
+                out[k] = out[k].astype("int32")
+            yield out
+
+    return multimodal.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
 
 
 def payload_stats(multimodal: DataFrame) -> DataFrame:

@@ -84,6 +84,7 @@ _RISKY_TAIL = (
     "q78_supplier_part_counts",
     "q79_excess_suppliers",
     "q80_python_udtf",
+    "m05_video_frames",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -182,3 +182,39 @@ def q80_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _q80_docs d, LATERAL segment_doc(d.n_tokens) s
         """
     )
+
+
+# ------------------------------------------------- m05 real video demux
+
+from ..operators import multimodal  # noqa: E402
+
+
+@register(
+    "m05_video_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx FROM documents),
+    px AS (SELECT doc_id, frame_idx, unnest(range(0, 144)) AS p FROM f),
+    v AS (
+      SELECT doc_id, frame_idx,
+             (doc_id + 7 * frame_idx + 3 * ((p // 3) % 8) + 5 * ((p // 3) // 8)
+              + 11 * (p % 3)) % 256 AS val
+      FROM px)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(sum(val) AS BIGINT) AS sum_vals
+    FROM v GROUP BY doc_id, frame_idx
+    """,
+)
+def m05_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling (operators/multimodal.py:
+    sample_video_frames): per-doc multi-frame BMP containers are
+    synthesized executor-side from closed-form pixels, then DEMUXED by
+    walking the genuine BITMAPFILEHEADER sizes and decoding every 2nd
+    frame — the oracle recomputes each sampled frame's pixel sum from
+    the closed form, so a hash match proves the container walk, the
+    per-frame decode, and the 1:N fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(
+        multimodal.synth_video_payloads(docs), stride=2
+    )

@@ -1223,3 +1223,21 @@ def test_simhash_quoted_identifiers(spark):
     assert len(fps) == 2 and all(len(r.simhash) == 16 for r in fps)
     spans = dedup.duplicated_spans(docs, "my-id", "the text", k=2).collect()
     assert {r.doc for r in spans} == {1, 2}
+
+
+def test_bmp_stream_demux_roundtrip():
+    """decode_bmp_stream must split a concatenated container exactly at
+    the header-declared sizes (padding included) and reject corruption."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (4, 5, 3), dtype=np.uint8) for _ in range(3)]
+    stream = b"".join(multimodal.encode_bmp(f) for f in frames)
+    out = multimodal.decode_bmp_stream(stream)
+    assert len(out) == 3
+    for got, want in zip(out, frames):
+        assert np.array_equal(got["pixels"], want)
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_bmp_stream(stream[1:])
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_bmp_stream(stream[:-10])
