@@ -441,20 +441,47 @@ def pair_sqdist_udf(a: str | Column, b: str | Column) -> Column:
 
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame, vectorized: bool = False) -> DataFrame:
-    """Nearest-centroid assignment (ties -> lowest cell id). Centroids
-    are broadcast — ncells is small by construction. ``vectorized``
-    swaps the interpreted fold for pair_sqdist_udf (identical doubles):
-    worth it when corpus x ncells is large; at probe-sized inputs the
-    Arrow worker roundtrip costs more than it saves."""
-    dist = pair_sqdist_udf if vectorized else _sqdist_expr
-    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("d", dist("vec", "centroid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell")
-    )
+    """Nearest-centroid assignment (ties -> lowest cell id), MAP-ONLY.
+
+    The centroid model (ncells x dim doubles — a bounded model
+    parameter, not data) is collected into the kernel's closure and
+    every vector computes its argmin in one Arrow-batched pass using
+    ``_sqdist_expr``'s exact fold order (acc += (v_j - c_j)^2 with j
+    ascending — the pair_dot_udf equivalence argument). ``np.argmin``
+    returns the FIRST minimum and centroid rows are sorted by cell id,
+    so ties break to the lowest cell, exactly the (d, cell) ordering
+    this replaces.
+
+    Why map-only matters: the previous crossJoin(broadcast) +
+    row_number implementation materialized corpus x ncells rows through
+    a window shuffle+sort. SemDeDup's scaling contract grows ncells
+    WITH the corpus (constant cell population), which made assignment
+    the one super-linear stage left in the pipeline (r4 40x scale
+    smoke: 19x wall at 40x input); the mapped kernel does the same
+    FLOPs with zero extra rows and zero shuffles. ``vectorized`` is
+    kept for API compatibility — both former paths fold identically,
+    so there is nothing left to choose."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    rows = sorted((int(r["cell"]), list(r["centroid"])) for r in cents.collect())
+    cells = np.array([k for k, _ in rows], dtype=np.int64)
+    C = np.array([c for _, c in rows], dtype=np.float64)  # (k, dim)
+
+    @pandas_udf(IntegerType())
+    def _argmin(sv):
+        if not len(sv):
+            return pd.Series([], dtype="int32")
+        m = np.array(sv.tolist(), dtype=np.float64)
+        acc = np.zeros((m.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[1]):
+            d = m[:, j : j + 1] - C[None, :, j]
+            acc += d * d
+        return pd.Series(cells[np.argmin(acc, axis=1)]).astype("int32")
+
+    return vecs.withColumn("cell", _argmin("vec")).select("vec_id", "vec", "cell")
 
 
 def kmeans_cells(
