@@ -112,3 +112,59 @@ def test_sav_roundtrip_property(t, tmp_path_factory):
         if name == "i":  # sav stores numerics as doubles
             got = [None if g is None else int(g) for g in got]
         _check_col(got, want, name)
+
+
+# ---------------------------------------------------------------- codecs
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    bits=st.sampled_from([8, 16]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 4),
+)
+def test_wav_codec_property(data, bits, rate, channels):
+    """encode_wav -> decode_wav roundtrips arbitrary PCM exactly,
+    including odd-length 8-bit payloads (word-aligned chunk padding)."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import multimodal
+
+    n = data.draw(st.integers(0, 300)) * channels
+    if bits == 8:
+        samples = np.array(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+            dtype=np.uint8,
+        )
+    else:
+        samples = np.array(
+            data.draw(st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)),
+            dtype=np.int16,
+        )
+    payload = multimodal.encode_wav(samples, rate, channels)
+    d = multimodal.decode_real(payload)
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (rate, channels, bits)
+    assert np.array_equal(d["samples"], samples.astype(np.int64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    frames=st.integers(1, 4),
+)
+def test_bmp_stream_codec_property(w, h, seed, frames):
+    """encode_bmp stream -> decode_bmp_stream roundtrips any geometry
+    (every stride-padding case) and frame count exactly."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(frames)]
+    out = multimodal.decode_bmp_stream(b"".join(multimodal.encode_bmp(i) for i in imgs))
+    assert len(out) == frames
+    for got, want in zip(out, imgs):
+        assert (got["width"], got["height"]) == (w, h)
+        assert np.array_equal(got["pixels"], want)
