@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -206,6 +207,17 @@ class ReadstatDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _ReadstatReader(self.options, self._fmt(), self._columns(), self._read_opts())
 
+    def streamReader(self, schema):
+        """spark.readStream.format("readstat").load(dir): Structured
+        Streaming over a drop directory of stat files — each micro-batch
+        reads the newly arrived files with the batch reader's full
+        option surface. The reference's streaming story is a pull-based
+        single-file batch iterator (src/readstat_stream.rs); this is the
+        push-based continuous-ingest upgrade a Spark-native engine adds."""
+        return _ReadstatStreamReader(
+            dict(self.options), self._fmt(), self._columns(), self._read_opts()
+        )
+
     def writer(self, schema, overwrite: bool):
         """df.write.format("readstat").save(path): distributed encode
         (.dta and .sav).
@@ -248,6 +260,64 @@ class ReadstatDataSource(DataSource):
             )
         raise ValueError("distributed write supports .dta and .sav; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
+
+
+class _StreamFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _ReadstatStreamReader(DataSourceStreamReader):
+    """Directory-watching stream source for stat files.
+
+    Offsets are the sorted list of files already delivered (JSON inside
+    the offset dict, so replay between any two committed offsets is
+    exact); each micro-batch's partitions are the newly visible files —
+    one executor task per file, which is the right parallelism unit for
+    continuous ingest (intra-file splitting belongs to the batch
+    backfill path). Contract: files are immutable once visible (atomic
+    rename drops — the standard file-source assumption); a recovered
+    query re-reads exactly the files between its checkpointed offsets.
+    """
+
+    def __init__(self, options: dict, fmt: str, columns, opts):
+        self._options = dict(options)
+        self._path = self._options["path"]
+        self._fmt = fmt
+        self._columns = columns
+        self._opts = opts
+
+    def initialOffset(self) -> dict:
+        return {"seen": "[]"}
+
+    def latestOffset(self) -> dict:
+        import json
+
+        try:
+            files = expand_paths(self._path)
+        except ValueError:
+            files = []  # empty drop dir: no batch yet
+        return {"seen": json.dumps(sorted(files))}
+
+    def partitions(self, start: dict, end: dict):
+        import json
+
+        seen = set(json.loads(start.get("seen", "[]")))
+        return [
+            _StreamFilePartition(p)
+            for p in json.loads(end.get("seen", "[]"))
+            if p not in seen
+        ]
+
+    def read(self, partition: _StreamFilePartition):
+        sub = dict(self._options)
+        sub["path"] = partition.path
+        inner = _ReadstatReader(sub, self._fmt, self._columns, self._opts)
+        for part in inner.partitions():
+            yield from inner.read(part)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are recomputable from the directory listing
 
 
 class _ReadstatReader(DataSourceReader):

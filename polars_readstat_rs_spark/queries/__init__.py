@@ -85,6 +85,7 @@ _RISKY_TAIL = (
     "q79_excess_suppliers",
     "q80_python_udtf",
     "m05_video_frames",
+    "r10_stream_source",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -338,3 +338,69 @@ def r09_sav_option_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         "o_totalprice",
     )
+
+
+@register(
+    "r10_stream_source",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def r10_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming DataSource over a .dta drop directory
+    (datasource._ReadstatStreamReader): the orders table is staged as
+    two atomically-dropped .dta files, streamed to a memory sink, and
+    the drained rows aggregate — a hash match proves the streaming
+    offsets/partitions path delivers every file exactly once through
+    the same decode the batch reader uses."""
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/orders.parquet"
+    st = os.stat(src)
+    tag = sf_dir.strip("/").replace("/", "_") + f"_{st.st_size}_{st.st_mtime_ns}"
+    drop = os.path.join(tempfile.gettempdir(), f"readstat_stream_{tag}")
+    done = os.path.join(drop, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(drop, exist_ok=True)
+        orders = (
+            pq.read_table(src, columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        half = len(orders) // 2
+        for i, sl in enumerate((orders[:half], orders[half:])):
+            tmp = os.path.join(drop, f".part{i}.dta.tmp")
+            sl.to_stata(tmp, version=118, write_index=False)
+            os.replace(tmp, os.path.join(drop, f"part{i}.dta"))
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    name = "r10_drops"
+    q = (
+        spark.readStream.format("readstat")
+        .load(drop)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )

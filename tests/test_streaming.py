@@ -255,3 +255,53 @@ def test_incremental_agg_matches_batch(spark, sf_dir):
     )
     assert inc.count() == batch.count()
     assert inc.exceptAll(batch).count() == 0 and batch.exceptAll(inc).count() == 0
+
+
+def test_readstat_stream_source(spark, tmp_path, sf_dir):
+    """spark.readStream.format('readstat') over a drop directory: the
+    first micro-batch delivers the staged files, a file dropped
+    MID-STREAM arrives in a later batch, and the drained total equals
+    the batch read. One executor task per new file."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    third = len(orders) // 3
+    for i, sl in enumerate((orders[:third], orders[third : 2 * third])):
+        tmp = drop / f".part{i}.dta.tmp"
+        sl.to_stata(str(tmp), version=118, write_index=False)
+        tmp.rename(drop / f"part{i}.dta")  # atomic drop
+
+    stream = spark.readStream.format("readstat").load(str(drop))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("readstat_drops")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("readstat_drops").count() == 2 * third
+        # mid-stream arrival
+        tmp = drop / ".part2.dta.tmp"
+        orders[2 * third :].to_stata(str(tmp), version=118, write_index=False)
+        tmp.rename(drop / "part2.dta")
+        q.processAllAvailable()
+        got = spark.table("readstat_drops")
+        assert got.count() == len(orders)
+        a = got.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+        b = float(sum(pd.to_numeric(orders.o_totalprice)))
+        assert abs(float(a) - b) < 1e-6
+    finally:
+        q.stop()
