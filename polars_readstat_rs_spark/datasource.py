@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -260,6 +261,26 @@ class ReadstatDataSource(DataSource):
             )
         raise ValueError("distributed write supports .dta and .sav; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
+
+    def streamWriter(self, schema, overwrite: bool):
+        """df.writeStream.format("readstat").start(dir): continuous
+        .dta sink — one immutable part-{batchId}.dta per micro-batch in
+        the output directory (readable back by the batch reader and the
+        streaming source). The path is a directory, so the format comes
+        from option("format", ...), defaulting to stata."""
+        import json
+
+        fmt = self.options.get("format", "stata").lower()
+        if fmt != "stata":
+            raise ValueError("streaming readstat sink currently writes .dta only")
+        return _DtaStreamWriter(
+            self.options["path"],
+            schema,
+            json.loads(self.options.get("value_labels", "{}")),
+            json.loads(self.options.get("variable_labels", "{}")),
+            staging_dir=self.options.get("staging_dir"),
+            string_widths=json.loads(self.options.get("string_widths", "{}")),
+        )
 
 
 class _StreamFilePartition(InputPartition):
@@ -675,6 +696,51 @@ class _DtaWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _DtaStreamWriter(_DtaWriter, DataSourceStreamArrowWriter):
+    """writeStream.format("readstat").start(dir): each micro-batch
+    assembles into one immutable ``part-{batchId:05d}.dta`` inside the
+    output DIRECTORY — the drop-directory layout the streaming SOURCE
+    and the multi-file batch reader both consume, closing the
+    continuous-ingest loop (stat-file stream in -> stat-file stream
+    out). Executor-side encoding is the batch writer's section spill
+    unchanged; per-batch commit streams the sections into the batch's
+    file via a temp name + atomic rename, so a concurrent reader never
+    lists a half-written file, and batchId-named outputs make replayed
+    micro-batches idempotent (exactly-once sink semantics)."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .formats.stata.writer import assemble_dta
+
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{batchId:05d}.dta")
+        tmp = final + ".tmp_"
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_dta(
+            tmp,
+            to_arrow_schema(self.schema),
+            parts,
+            value_labels=self.value_labels,
+            variable_labels=self.variable_labels,
+            declared=self.string_widths,
+        )
+        os.replace(tmp, final)
+        for blob, _ in parts:  # only THIS batch's spills; later batches reuse the dir
+            try:
+                os.unlink(blob)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m and getattr(m, "blob_path", ""):
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
 
 
 class _SavCommit(WriterCommitMessage):

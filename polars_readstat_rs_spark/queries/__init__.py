@@ -86,6 +86,7 @@ _RISKY_TAIL = (
     "q80_python_udtf",
     "m05_video_frames",
     "r10_stream_source",
+    "r11_stream_sink",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

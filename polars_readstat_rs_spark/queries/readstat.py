@@ -404,3 +404,60 @@ def r10_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
     )
+
+
+@register(
+    "r11_stream_sink",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def r11_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming .dta SINK (datasource._DtaStreamWriter): the r10 drop
+    directory streams through writeStream.format("readstat") into a
+    part-per-micro-batch .dta directory, which the BATCH reader then
+    aggregates — the hash gate covers source offsets, per-batch
+    assembly, atomic publication, and decode, end to end."""
+    import shutil
+
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    # reuse r10's staged drop dir (same fingerprint discipline)
+    src = f"{sf_dir}/orders.parquet"
+    st = os.stat(src)
+    tag = sf_dir.strip("/").replace("/", "_") + f"_{st.st_size}_{st.st_mtime_ns}"
+    drop = os.path.join(tempfile.gettempdir(), f"readstat_stream_{tag}")
+    if not os.path.exists(os.path.join(drop, "_STAGED")):
+        r10_stream_source(spark, sf_dir)  # stages the drop dir (and self-checks)
+    out = os.path.join(tempfile.gettempdir(), f"readstat_sink_{tag}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        shutil.rmtree(out, ignore_errors=True)
+        ck = out + "_ck"
+        shutil.rmtree(ck, ignore_errors=True)
+        q = (
+            spark.readStream.format("readstat")
+            .load(drop)
+            .writeStream.format("readstat")
+            .option("checkpointLocation", ck)
+            .start(out)
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(os.path.join(out, "_DONE"), "w") as fh:
+            fh.write("ok")
+    return (
+        readstat_scan(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )

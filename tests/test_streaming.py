@@ -305,3 +305,57 @@ def test_readstat_stream_source(spark, tmp_path, sf_dir):
         assert abs(float(a) - b) < 1e-6
     finally:
         q.stop()
+
+
+def test_readstat_stream_sink_roundtrip(spark, tmp_path, sf_dir):
+    """Full continuous-ingest loop: .dta drop dir -> streaming source ->
+    streaming .dta SINK (one immutable part file per micro-batch) ->
+    batch reader. Totals must survive the double roundtrip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in"
+    drop.mkdir()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    half = len(orders) // 2
+    tmp = drop / ".a.dta.tmp"
+    orders[:half].to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.format("readstat")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start(str(out))
+    )
+    try:
+        q.processAllAvailable()
+        tmp = drop / ".b.dta.tmp"
+        orders[half:].to_stata(str(tmp), version=118, write_index=False)
+        tmp.rename(drop / "b.dta")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".dta"))
+    assert len(parts) >= 2  # one immutable file per non-empty micro-batch
+    back = spark.read.format("readstat").load(str(out))
+    assert back.count() == len(orders)
+    a = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+    b = float(sum(pd.to_numeric(orders.o_totalprice)))
+    assert abs(float(a) - b) < 1e-6
+    # independent reader agrees on every part file
+    assert sum(len(pd.read_stata(str(out / p))) for p in parts) == len(orders)
