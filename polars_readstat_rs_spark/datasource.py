@@ -271,16 +271,29 @@ class ReadstatDataSource(DataSource):
         import json
 
         fmt = self.options.get("format", "stata").lower()
-        if fmt != "stata":
-            raise ValueError("streaming readstat sink currently writes .dta only")
-        return _DtaStreamWriter(
-            self.options["path"],
-            schema,
-            json.loads(self.options.get("value_labels", "{}")),
-            json.loads(self.options.get("variable_labels", "{}")),
-            staging_dir=self.options.get("staging_dir"),
-            string_widths=json.loads(self.options.get("string_widths", "{}")),
-        )
+        if fmt == "stata":
+            return _DtaStreamWriter(
+                self.options["path"],
+                schema,
+                json.loads(self.options.get("value_labels", "{}")),
+                json.loads(self.options.get("variable_labels", "{}")),
+                staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+            )
+        if fmt == "spss":
+            return _SavStreamWriter(
+                self.options["path"],
+                schema,
+                json.loads(self.options.get("value_labels", "{}")),
+                json.loads(self.options.get("variable_labels", "{}")),
+                data_label=self.options.get("data_label", ""),
+                user_missing=json.loads(self.options.get("user_missing", "{}")),
+                staging_dir=self.options.get("staging_dir"),
+                compress=_true(self.options.get("compress"), default=False),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+            )
+        raise ValueError("streaming readstat sink writes .dta or .sav "
+                         '(option("format", "stata"|"spss"))')
 
 
 class _StreamFilePartition(InputPartition):
@@ -823,6 +836,47 @@ class _SavWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _SavStreamWriter(_SavWriter, DataSourceStreamArrowWriter):
+    """Streaming .sav sink: the _DtaStreamWriter contract (immutable
+    part-{batchId}.sav per micro-batch, temp-name + atomic rename,
+    idempotent on replay) over the SPSS assembler."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .formats.spss.writer import assemble_sav
+
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{batchId:05d}.sav")
+        tmp = final + ".tmp_"
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_sav(
+            tmp,
+            to_arrow_schema(self.schema),
+            parts,
+            value_labels=self.value_labels,
+            variable_labels=self.variable_labels,
+            data_label=self.data_label,
+            user_missing=self.user_missing,
+            compress=self.compress,
+            declared=self.string_widths,
+        )
+        os.replace(tmp, final)
+        for blob, _ in parts:
+            try:
+                os.unlink(blob)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m and getattr(m, "blob_path", ""):
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:

@@ -359,3 +359,82 @@ def test_readstat_stream_sink_roundtrip(spark, tmp_path, sf_dir):
     assert abs(float(a) - b) < 1e-6
     # independent reader agrees on every part file
     assert sum(len(pd.read_stata(str(out / p))) for p in parts) == len(orders)
+
+
+def test_readstat_stream_checkpoint_recovery(spark, tmp_path, sf_dir):
+    """Exactly-once across a query RESTART: stop after batch 1, drop a
+    new file, restart from the same checkpoint — the recovered query
+    must deliver only the new file (offsets replayed, no duplicates)."""
+    import pandas as pd
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in"
+    drop.mkdir()
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").toPandas()
+    tmp = drop / ".a.dta.tmp"
+    nation[:10].to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out"
+    ck = str(tmp_path / "ck")
+
+    def run_until_drained():
+        q = (
+            spark.readStream.format("readstat")
+            .load(str(drop))
+            .writeStream.format("readstat")
+            .option("checkpointLocation", ck)
+            .start(str(out))
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_drained()  # batch with a.dta, then STOP
+    tmp = drop / ".b.dta.tmp"
+    nation[10:].to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "b.dta")
+    run_until_drained()  # restarted query: must deliver ONLY b.dta
+
+    back = spark.read.format("readstat").load(str(out))
+    assert back.count() == len(nation)  # no duplicates, nothing lost
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(nation.n_nationkey)
+
+
+def test_readstat_stream_sink_sav(spark, tmp_path, sf_dir):
+    """option('format','spss'): the streaming sink writes compressed
+    .sav part files, readable back by the batch reader."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in"
+    drop.mkdir()
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").toPandas()
+    tmp = drop / ".a.dta.tmp"
+    nation.to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out_sav"
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.format("readstat")
+        .option("format", "spss")
+        .option("compress", "true")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start(str(out))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("readstat").load(str(out))
+    assert back.count() == len(nation)
+    assert sorted(r.n_name for r in back.collect()) == sorted(nation.n_name)
