@@ -451,3 +451,38 @@ def test_two_pass_schema_handles_parse_and_empty_batches(spark, tmp_path):
     b = pa.record_batch([pa.array(["1", "0", "", None])], names=["f"])
     casted = cast_batch(b, pa.schema([pa.field("f", pa.bool_())]))
     assert casted.column("f").to_pylist() == [True, False, None, None]
+
+
+def test_corrupt_inputs_fail_loudly(tmp_path):
+    """Malformed files must raise clear errors, never hang or return
+    partial silent data: wrong magic, truncation, cross-format reads."""
+    import pytest
+
+    from polars_readstat_rs_spark.formats.sas import parser as sas_parser
+    from polars_readstat_rs_spark.formats.spss import parser as spss_parser
+    from polars_readstat_rs_spark.formats.stata import parser as stata_parser
+
+    df = pd.DataFrame({"a": np.arange(100, dtype="int32")})
+    ok = str(tmp_path / "ok.dta")
+    df.to_stata(ok, version=118, write_index=False)
+    raw = open(ok, "rb").read()
+
+    bad = str(tmp_path / "bad.dta")
+    open(bad, "wb").write(b"XX" + raw[2:])
+    with pytest.raises(ValueError, match="Stata version"):
+        stata_parser.read_metadata(bad)
+
+    trunc = str(tmp_path / "trunc.dta")
+    open(trunc, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(EOFError, match="truncated"):
+        meta = stata_parser.read_metadata(trunc)  # may already detect it
+        list(
+            stata_parser.read_partition(
+                trunc, 0, meta.nobs, None, stata_parser.ReadOptions(), 65536
+            )
+        )
+
+    with pytest.raises(ValueError, match="SPSS header magic"):
+        spss_parser.read_metadata(ok)
+    with pytest.raises(Exception):  # SAS magic check
+        sas_parser.read_metadata(ok)
