@@ -304,14 +304,25 @@ class _StreamFilePartition(InputPartition):
 class _ReadstatStreamReader(DataSourceStreamReader):
     """Directory-watching stream source for stat files.
 
-    Offsets are the sorted list of files already delivered (JSON inside
-    the offset dict, so replay between any two committed offsets is
-    exact); each micro-batch's partitions are the newly visible files —
-    one executor task per file, which is the right parallelism unit for
-    continuous ingest (intra-file splitting belongs to the batch
-    backfill path). Contract: files are immutable once visible (atomic
-    rename drops — the standard file-source assumption); a recovered
-    query re-reads exactly the files between its checkpointed offsets.
+    Offsets are a MODIFICATION-TIME WATERMARK plus the (normally
+    one-element) set of files sitting exactly AT the watermark
+    nanosecond: a file is "delivered by" an offset iff its mtime is
+    below the watermark, or equal to it and listed in the boundary set.
+    That keeps the checkpointed offset O(1) instead of O(#files) — a
+    100 TB drop directory accumulates millions of files, and a
+    full-file-list offset would grow the offset log unboundedly — while
+    replay between two committed offsets stays exact (the boundary set
+    disambiguates same-nanosecond drops). Each micro-batch's partitions
+    are the newly delivered files — one executor task per file, the
+    right parallelism unit for continuous ingest (intra-file splitting
+    belongs to the batch backfill path).
+
+    Contract (the standard file-source assumptions): files are
+    immutable once visible and arrive by ATOMIC RENAME of a
+    freshly-written temp file, so their mtimes are current — a file
+    planted with an mtime below an already-committed watermark is
+    invisible, exactly like Spark's own file source with a bounded
+    maxFileAge.
     """
 
     def __init__(self, options: dict, fmt: str, columns, opts):
@@ -321,26 +332,40 @@ class _ReadstatStreamReader(DataSourceStreamReader):
         self._columns = columns
         self._opts = opts
 
+    def _listing(self) -> list[tuple[int, str]]:
+        try:
+            files = expand_paths(self._path)
+        except ValueError:
+            return []  # empty drop dir: no batch yet
+        return [(os.stat(p).st_mtime_ns, p) for p in files]
+
+    @staticmethod
+    def _delivered(offset: dict, mtime: int, path: str) -> bool:
+        import json
+
+        wm = int(offset.get("wm", 0))
+        return mtime < wm or (mtime == wm and path in set(json.loads(offset.get("at_wm", "[]"))))
+
     def initialOffset(self) -> dict:
-        return {"seen": "[]"}
+        return {"wm": 0, "at_wm": "[]"}  # delivers every pre-existing file
 
     def latestOffset(self) -> dict:
         import json
 
-        try:
-            files = expand_paths(self._path)
-        except ValueError:
-            files = []  # empty drop dir: no batch yet
-        return {"seen": json.dumps(sorted(files))}
+        stats = self._listing()
+        if not stats:
+            return {"wm": 0, "at_wm": "[]"}
+        wm = max(m for m, _ in stats)
+        return {
+            "wm": wm,
+            "at_wm": json.dumps(sorted(p for m, p in stats if m == wm)),
+        }
 
     def partitions(self, start: dict, end: dict):
-        import json
-
-        seen = set(json.loads(start.get("seen", "[]")))
         return [
             _StreamFilePartition(p)
-            for p in json.loads(end.get("seen", "[]"))
-            if p not in seen
+            for m, p in sorted(self._listing())
+            if self._delivered(end, m, p) and not self._delivered(start, m, p)
         ]
 
     def read(self, partition: _StreamFilePartition):

@@ -438,3 +438,43 @@ def test_readstat_stream_sink_sav(spark, tmp_path, sf_dir):
     back = spark.read.format("readstat").load(str(out))
     assert back.count() == len(nation)
     assert sorted(r.n_name for r in back.collect()) == sorted(nation.n_name)
+
+
+def test_readstat_stream_watermark_boundary(spark, tmp_path, sf_dir):
+    """Offsets are an mtime watermark + boundary set (O(1), not
+    O(#files)); a file FORCED onto the committed watermark nanosecond
+    (same-instant drop) must still be delivered exactly once."""
+    import os
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in"
+    drop.mkdir()
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").toPandas()
+    a = drop / "a.dta"
+    nation[:10].to_stata(str(a), version=118, write_index=False)
+
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_boundary")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("wm_boundary").count() == 10
+        # adversarial same-nanosecond drop: b lands exactly ON the
+        # committed watermark
+        b = drop / "b.dta"
+        nation[10:].to_stata(str(b), version=118, write_index=False)
+        st = os.stat(a)
+        os.utime(b, ns=(st.st_atime_ns, st.st_mtime_ns))
+        q.processAllAvailable()
+        got = spark.table("wm_boundary")
+        assert got.count() == len(nation)  # delivered once, no dupes
+    finally:
+        q.stop()
