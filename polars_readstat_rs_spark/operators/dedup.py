@@ -119,9 +119,12 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     this is the standard materialize-the-index step (DISK_ONLY spill
     keeps memory bounded).
     """
-    # repartition before the explode: document tables arrive as one small
+    # widen before the explode: document tables arrive as one small
     # parquet split, which would serialize the shingling on one task
-    sh = df.repartition(32).select(
+    # (spread never SHRINKS an already-wide corpus — the fixed 32 did)
+    from .spread import spread
+
+    sh = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
     )
     # df-cap via a count window: one shuffle on sh (vs aggregate + join

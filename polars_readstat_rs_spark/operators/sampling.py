@@ -185,11 +185,13 @@ def contamination_report(
     """
     from .text import shingles_expr
 
-    test_sh = test.repartition(32).select(
+    from .spread import spread
+
+    test_sh = spread(test).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
     )
     train_sh = (
-        train.repartition(32)
+        spread(train)
         .select(F.explode(shingles_expr(text_col, n)).alias("sh"))
         .distinct()
     )

@@ -95,7 +95,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     split, which would serialize the per-doc hashing on a single task.
     """
     words = words_expr("text")
-    return docs.repartition(32).select(
+    from .spread import spread
+
+    return spread(docs).select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp_full"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("fp_prefix8"),
