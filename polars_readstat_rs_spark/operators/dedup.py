@@ -699,20 +699,20 @@ def prefix_filter_pairs(
     bluntly for LSH. Exact Jaccard verification then makes the filter
     threshold authoritative.
 
-    Scale shape: the rarity ranking is one window over the VOCABULARY
-    table (Heaps-sublinear in corpus size); prefix assignment shuffles
+    Scale shape: the rarity ORDER is consumed directly as the per-doc
+    window's sort key (_df asc, sh asc) — no materialized global rank
+    over the vocabulary (a single-partition row_number that would
+    bottleneck on web-scale vocabularies); prefix assignment shuffles
     once on doc; the candidate join's key distribution is by
     construction biased toward rare shingles (small buckets).
     """
     sh = _shingle_table(df, id_col, text_col, n)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = dfreq.select(
-        "sh", F.row_number().over(Window.orderBy("_df", "sh")).alias("_rk")
-    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    pos = F.row_number().over(Window.partitionBy("doc").orderBy("_rk"))
+    # (_df, sh) is the same strict total order the global rank encoded
+    pos = F.row_number().over(Window.partitionBy("doc").orderBy("_df", "sh"))
     prefix = (
-        sh.join(ranked, "sh")
+        sh.join(dfreq, "sh")
         .join(sizes, "doc")
         .withColumn("_pos", pos)
         .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)

@@ -369,12 +369,13 @@ def zipf_stats(docs: DataFrame, text_col: str = "text", top_k: int = 1000) -> Da
     audit reads.
 
     Scale shape: the corpus-sized work is one exploded token count with
-    map-side combine (one shuffle on a uniform token key). Everything
-    after operates on the VOCABULARY table — sublinear in corpus size by
-    Heaps' law — so the unpartitioned rank window sorts a table that is
-    orders of magnitude smaller than the input; the shares are exact
-    integer counts divided once at the end (deterministic, no float
-    accumulation).
+    map-side combine (one shuffle on a uniform token key). The top-k cut
+    is orderBy().limit() — Spark's distributed TakeOrdered (per-partition
+    partial top-k, never a single-partition sort of the vocabulary, which
+    at web scale is still billions of rows) — and only the surviving
+    <= top_k rows pass through the rank/cumulative window; the shares are
+    exact integer counts divided once at the end (deterministic, no
+    float accumulation).
     """
     counts = (
         docs.select(F.explode(words_expr(text_col)).alias("token"))
@@ -382,11 +383,10 @@ def zipf_stats(docs: DataFrame, text_col: str = "text", top_k: int = 1000) -> Da
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_k)
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    ranked = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .withColumn("_cum", F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(F.col("rank") <= top_k)
+    ranked = top.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "_cum", F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "token",
