@@ -464,6 +464,42 @@ def infer_schema(
     )
 
 
+def read_profiled(path: str, **iter_kwargs):
+    """Eager driver-local read with a timing breakdown — the reference's
+    ``finish_profiled()`` (README.md:96-101): returns
+    ``(pyarrow.Table, profile)`` where the profile carries ``total_ms``
+    (the reference's headline field), ``first_batch_ms`` (metadata +
+    first decode — the latency term), ``decode_ms``, ``rows`` and
+    ``batches``. Accepts every :func:`readstat_batch_iter` option
+    (columns/offset/limit/compress/schema)."""
+    import time
+
+    import pyarrow as pa
+
+    t_all = time.perf_counter()
+    it = readstat_batch_iter(path, **iter_kwargs)
+    t0 = time.perf_counter()
+    first = next(it, None)
+    first_ms = (time.perf_counter() - t0) * 1000
+    batches = [] if first is None else [first]
+    t0 = time.perf_counter()
+    batches.extend(it)
+    rest_ms = (time.perf_counter() - t0) * 1000
+    tbl = (
+        pa.Table.from_batches(batches)
+        if batches
+        else pa.table({})
+    )
+    profile = {
+        "total_ms": round((time.perf_counter() - t_all) * 1000, 3),
+        "first_batch_ms": round(first_ms, 3),
+        "decode_ms": round(first_ms + rest_ms, 3),
+        "rows": tbl.num_rows,
+        "batches": len(batches),
+    }
+    return tbl, profile
+
+
 def read_narrowed(spark: SparkSession, path: str, **scan_kwargs) -> DataFrame:
     """Two-pass schema-narrowed read (reference SCHEMA_INFERENCE.md /
     P7 compress): pass 1 scans min/max/integrality, pass 2 re-reads with

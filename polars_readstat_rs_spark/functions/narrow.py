@@ -55,8 +55,27 @@ def _parsed(c: str):
     return F.when(F.length(t) == 0, F.lit(None).cast("double")).otherwise(t.try_cast("double"))
 
 
+def _rule_kinds(compress_numeric, datetime_to_date, string_to_numeric):
+    """Reference CompressOptionsLite rule toggles (README.md:118-124):
+    each flag enables one rule family; a column whose family is off is
+    left untouched."""
+    kinds = set()
+    if compress_numeric:
+        kinds.add("numeric")
+    if datetime_to_date:
+        kinds.add("timestamp")
+    if string_to_numeric:
+        kinds.add("string")
+    return kinds
+
+
 def narrowing_stats(
-    df: DataFrame, cols: list[str] | None = None, infer_boolean: bool = True
+    df: DataFrame,
+    cols: list[str] | None = None,
+    infer_boolean: bool = True,
+    compress_numeric: bool = True,
+    datetime_to_date: bool = True,
+    string_to_numeric: bool = True,
 ) -> DataFrame:
     """One-pass stats + the narrowed-type decision per column.
 
@@ -69,11 +88,21 @@ def narrowing_stats(
     flag (SCHEMA_INFERENCE.md): 0/1-integral columns stay in the
     smallest integer tier instead of Boolean (the reference uses UInt8
     there; this repo's integer tiers are the documented Stata-sentinel
-    deviation shared with :func:`narrow`).
+    deviation shared with :func:`narrow`). The three rule toggles map
+    the reference's CompressOptionsLite fields 1:1 (compress_numeric /
+    datetime_to_date / string_to_numeric — README.md:118-124); this
+    repo defaults them ON, matching its narrow() behavior since r1.
     """
+    kinds = _rule_kinds(compress_numeric, datetime_to_date, string_to_numeric)
     dtypes = dict(df.dtypes)
     if cols is None:
-        cols = [c for c in df.columns if _kind(dtypes[c]) is not None]
+        cols = [c for c in df.columns if _kind(dtypes[c]) in kinds]
+    else:
+        cols = [c for c in cols if _kind(dtypes[c]) in kinds]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [], "col_name string, vmin double, vmax double, all_int boolean, narrowed_type string"
+        )
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         k = _kind(dtypes[c])
@@ -298,17 +327,33 @@ def cast_batch(batch, schema):
     return pa.record_batch(arrays, schema=schema)
 
 
-def narrow(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def narrow(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    compress_numeric: bool = True,
+    datetime_to_date: bool = True,
+    string_to_numeric: bool = True,
+) -> DataFrame:
     """Apply the narrowing decision: downcast eligible columns.
 
     Mirrors the reference's compress option (src/lib.rs:142-161) as an
-    agg + select(cast) — two Spark jobs, no driver materialization."""
+    agg + select(cast) — two Spark jobs, no driver materialization.
+    The rule toggles map CompressOptionsLite (see narrowing_stats)."""
+    kinds = _rule_kinds(compress_numeric, datetime_to_date, string_to_numeric)
     dtypes = dict(df.dtypes)
     if cols is None:
-        cols = [c for c in df.columns if _kind(dtypes[c]) is not None]
+        cols = [c for c in df.columns if _kind(dtypes[c]) in kinds]
+    else:
+        cols = [c for c in cols if _kind(dtypes[c]) in kinds]
     if not cols:
         return df
-    decisions = {r["col_name"]: r for r in narrowing_stats(df, cols).collect()}
+    decisions = {
+        r["col_name"]: r
+        for r in narrowing_stats(
+            df, cols, compress_numeric=compress_numeric,
+            datetime_to_date=datetime_to_date, string_to_numeric=string_to_numeric,
+        ).collect()
+    }
     out = []
     for c in df.columns:
         r = decisions.get(c)

@@ -486,3 +486,40 @@ def test_corrupt_inputs_fail_loudly(tmp_path):
         spss_parser.read_metadata(ok)
     with pytest.raises(Exception):  # SAS magic check
         sas_parser.read_metadata(ok)
+
+
+def test_read_profiled(tmp_path):
+    """Reference finish_profiled() parity: (table, timing-breakdown)."""
+    n = 3000
+    pd.DataFrame({"a": np.arange(n, dtype="int32")}).to_stata(
+        str(tmp_path / "p.dta"), version=118, write_index=False
+    )
+    tbl, prof = api.read_profiled(str(tmp_path / "p.dta"), batch_size=1000)
+    assert tbl.num_rows == n and prof["rows"] == n and prof["batches"] == 3
+    assert prof["total_ms"] >= prof["first_batch_ms"] > 0
+    assert prof["total_ms"] >= prof["decode_ms"]
+
+
+def test_narrow_rule_toggles(spark):
+    """CompressOptionsLite parity: each rule family toggles off
+    independently (compress_numeric / datetime_to_date /
+    string_to_numeric)."""
+    import datetime
+
+    from polars_readstat_rs_spark.functions.narrow import narrow
+
+    df = spark.createDataFrame(
+        [("5", datetime.datetime(2020, 1, 1), 3.0)],
+        "s string, ts timestamp, x double",
+    )
+    all_on = dict(narrow(df).dtypes)
+    assert all_on == {"s": "tinyint", "ts": "date", "x": "tinyint"}
+    assert dict(narrow(df, string_to_numeric=False).dtypes)["s"] == "string"
+    assert dict(narrow(df, datetime_to_date=False).dtypes)["ts"] == "timestamp"
+    assert dict(narrow(df, compress_numeric=False).dtypes)["x"] == "double"
+    # all off: untouched frame
+    assert dict(
+        narrow(
+            df, compress_numeric=False, datetime_to_date=False, string_to_numeric=False
+        ).dtypes
+    ) == dict(df.dtypes)
