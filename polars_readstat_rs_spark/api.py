@@ -88,6 +88,8 @@ def readstat_scan(
     partitions: int | None = None,
     informative_nulls: bool | str = False,
     informative_null_columns: list[str] | None = None,
+    informative_null_suffix: str | None = None,
+    informative_null_use_value_labels: bool = True,
     split_compressed: bool = False,
 ) -> DataFrame:
     _ensure_registered(spark)
@@ -132,6 +134,10 @@ def readstat_scan(
         r = r.option("informative_nulls", str(informative_nulls).lower())
     if informative_null_columns:
         r = r.option("informative_null_columns", ",".join(informative_null_columns))
+    if informative_null_suffix is not None:
+        r = r.option("informative_null_suffix", informative_null_suffix)
+    if not informative_null_use_value_labels:
+        r = r.option("informative_null_use_value_labels", "false")
     r = r.option("value_labels_as_strings", str(value_labels_as_strings).lower())
     r = r.option("missing_string_as_null", str(missing_string_as_null).lower())
     r = r.option("row_index", str(row_index).lower())

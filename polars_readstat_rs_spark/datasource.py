@@ -153,6 +153,7 @@ class ReadstatDataSource(DataSource):
             # through; the parser normalizes (reference InformativeNullMode)
             informative_nulls=self.options.get("informative_nulls", False),
             informative_null_columns=[c.strip() for c in inc.split(",")] if inc else None,
+            informative_null_suffix=self.options.get("informative_null_suffix", "__missing"),
         )
         if self._fmt() == "sas":
             from .formats.sas import parser as sas_parser
@@ -163,7 +164,11 @@ class ReadstatDataSource(DataSource):
             from .formats.spss import parser as spss_parser
 
             return spss_parser.ReadOptions(
-                user_missing_as_null=_true(self.options.get("user_missing_as_null")), **kwargs
+                user_missing_as_null=_true(self.options.get("user_missing_as_null")),
+                informative_null_use_value_labels=_true(
+                    self.options.get("informative_null_use_value_labels")
+                ),
+                **kwargs,
             )
         return stata_parser.ReadOptions(**kwargs)
 
@@ -504,6 +509,7 @@ class _ReadstatReader(DataSourceReader):
             row_index=self.opts.row_index,
             informative_nulls=self.opts.informative_nulls,
             informative_null_columns=self.opts.informative_null_columns,
+            informative_null_suffix=self.opts.informative_null_suffix,
         )
 
     def _file_partitions(self, path: str, allow_expensive_split: bool = True):

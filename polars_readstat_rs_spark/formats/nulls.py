@@ -44,10 +44,15 @@ def normalize_mode(value) -> str | None:
     raise ValueError(f"informative_nulls must be one of {MODES} or a boolean, got {value!r}")
 
 
-def informative_fields(name: str, value_type: pa.DataType, mode: str) -> list[pa.Field]:
-    """Schema fields for one tracked column under the given mode."""
+def informative_fields(
+    name: str, value_type: pa.DataType, mode: str, suffix: str = "__missing"
+) -> list[pa.Field]:
+    """Schema fields for one tracked column under the given mode.
+    ``suffix`` mirrors the reference's SeparateColumn { suffix } (its
+    default is "_null"; this repo's long-standing default "__missing"
+    is a documented deviation, configurable per scan)."""
     if mode == "separate":
-        return [pa.field(name, value_type), pa.field(f"{name}__missing", pa.string())]
+        return [pa.field(name, value_type), pa.field(f"{name}{suffix}", pa.string())]
     if mode == "struct":
         return [
             pa.field(
@@ -76,7 +81,9 @@ def _value_as_string(value: pa.Array) -> pa.Array:
     return pc.cast(value, pa.string())
 
 
-def combine(name: str, value: pa.Array, indicator: pa.Array, mode: str) -> dict[str, pa.Array]:
+def combine(
+    name: str, value: pa.Array, indicator: pa.Array, mode: str, suffix: str = "__missing"
+) -> dict[str, pa.Array]:
     """Assemble the output columns for one tracked (value, indicator).
 
     Wherever an indicator exists the value becomes null — the reference's
@@ -86,7 +93,7 @@ def combine(name: str, value: pa.Array, indicator: pa.Array, mode: str) -> dict[
     if indicator.null_count < len(indicator):
         value = pc.if_else(pc.is_valid(indicator), pa.scalar(None, value.type), value)
     if mode == "separate":
-        return {name: value, f"{name}__missing": indicator}
+        return {name: value, f"{name}{suffix}": indicator}
     if mode == "struct":
         struct = pa.StructArray.from_arrays(
             [value, indicator], fields=[pa.field(name, value.type), pa.field("null_indicator", pa.string())]

@@ -187,6 +187,9 @@ class ReadOptions:
     # "merged" (see formats/nulls.py).
     informative_nulls: bool | str = False
     informative_null_columns: list[str] | None = None
+    # reference SeparateColumn { suffix } (its default "_null"; ours
+    # "__missing" — documented deviation, configurable per scan)
+    informative_null_suffix: str = "__missing"
 
     def null_mode(self):
         from ..nulls import normalize_mode
@@ -829,7 +832,7 @@ def decode_rows(
             from ..nulls import combine
 
             ind = _indicator_column(rec[f"f{i}"], c, meta)
-            out.update(combine(c.name, val, ind, mode))
+            out.update(combine(c.name, val, ind, mode, opts.informative_null_suffix))
         else:
             out[c.name] = val
     if opts.row_index:
@@ -935,11 +938,14 @@ def arrow_schema(
     row_index: bool = False,
     informative_nulls: bool | str = False,
     informative_null_columns: list[str] | None = None,
+    informative_null_suffix: str = "__missing",
 ) -> pa.Schema:
     from ..nulls import informative_fields
 
     opts = ReadOptions(
-        informative_nulls=informative_nulls, informative_null_columns=informative_null_columns
+        informative_nulls=informative_nulls,
+        informative_null_columns=informative_null_columns,
+        informative_null_suffix=informative_null_suffix,
     )
     mode = opts.null_mode()
     sel = _select(meta.columns, columns)
@@ -947,7 +953,7 @@ def arrow_schema(
     for c in sel:
         f = arrow_field(c)
         if opts.tracks_nulls(c.name, not c.is_char):
-            fields.extend(informative_fields(c.name, f.type, mode))
+            fields.extend(informative_fields(c.name, f.type, mode, opts.informative_null_suffix))
         else:
             fields.append(f)
     if row_index:

