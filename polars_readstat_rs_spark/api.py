@@ -470,6 +470,26 @@ def infer_schema(
     )
 
 
+def _arrow_schema_for(path: str, columns: list[str] | None = None):
+    """Arrow schema of a file, by extension (no Spark session)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "dta":
+        return stata_parser.arrow_schema(
+            stata_parser.read_metadata(path), stata_parser.ReadOptions(), columns
+        )
+    if ext in ("sav", "zsav"):
+        from .formats.spss import parser as spss_parser
+
+        return spss_parser.arrow_schema(
+            spss_parser.read_metadata(path), spss_parser.ReadOptions(), columns
+        )
+    if ext == "sas7bdat":
+        from .formats.sas import parser as sas_parser
+
+        return sas_parser.arrow_schema(sas_parser.read_metadata(path), columns)
+    raise ValueError(f"unsupported extension for {path}")
+
+
 def read_profiled(path: str, **iter_kwargs):
     """Eager driver-local read with a timing breakdown — the reference's
     ``finish_profiled()`` (README.md:96-101): returns
@@ -491,11 +511,19 @@ def read_profiled(path: str, **iter_kwargs):
     t0 = time.perf_counter()
     batches.extend(it)
     rest_ms = (time.perf_counter() - t0) * 1000
-    tbl = (
-        pa.Table.from_batches(batches)
-        if batches
-        else pa.table({})
-    )
+    if batches:
+        # compress=True narrows each batch INDEPENDENTLY (reference
+        # semantics), so schemas may differ — permissive concat promotes
+        # (int8 + int16 -> int16) instead of raising
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([b]) for b in batches],
+            promote_options="permissive",
+        )
+    else:
+        # 0-row read: preserve the file's declared schema
+        tbl = pa.Table.from_batches(
+            [], schema=iter_kwargs.get("schema") or _arrow_schema_for(path, iter_kwargs.get("columns"))
+        )
     profile = {
         "total_ms": round((time.perf_counter() - t_all) * 1000, 3),
         "first_batch_ms": round(first_ms, 3),

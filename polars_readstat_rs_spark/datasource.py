@@ -205,6 +205,7 @@ class ReadstatDataSource(DataSource):
                     row_index=opts.row_index,
                     informative_nulls=opts.informative_nulls,
                     informative_null_columns=opts.informative_null_columns,
+                    informative_null_suffix=opts.informative_null_suffix,
                 ),
                 prefer_timestamp_ntz=True,
             )
@@ -219,10 +220,10 @@ class ReadstatDataSource(DataSource):
         reads the newly arrived files with the batch reader's full
         option surface. The reference's streaming story is a pull-based
         single-file batch iterator (src/readstat_stream.rs); this is the
-        push-based continuous-ingest upgrade a Spark-native engine adds."""
-        return _ReadstatStreamReader(
-            dict(self.options), self._fmt(), self._columns(), self._read_opts()
-        )
+        push-based continuous-ingest upgrade a Spark-native engine adds.
+        Format dispatch is per delivered file, so the query can start on
+        an EMPTY drop directory when the user supplies .schema(...)."""
+        return _ReadstatStreamReader(dict(self.options))
 
     def writer(self, schema, overwrite: bool):
         """df.write.format("readstat").save(path): distributed encode
@@ -306,36 +307,47 @@ class _StreamFilePartition(InputPartition):
         self.path = path
 
 
+# how far below the watermark a file's mtime may lag and still be
+# delivered (the maxFileAge analogue): covers producers whose write
+# finished before their atomic rename landed. Overridable with
+# option("late_file_lag_sec", ...).
+_STREAM_LATE_LAG_NS = 60 * 1_000_000_000
+
+
 class _ReadstatStreamReader(DataSourceStreamReader):
     """Directory-watching stream source for stat files.
 
-    Offsets are a MODIFICATION-TIME WATERMARK plus the (normally
-    one-element) set of files sitting exactly AT the watermark
-    nanosecond: a file is "delivered by" an offset iff its mtime is
-    below the watermark, or equal to it and listed in the boundary set.
-    That keeps the checkpointed offset O(1) instead of O(#files) — a
-    100 TB drop directory accumulates millions of files, and a
-    full-file-list offset would grow the offset log unboundedly — while
-    replay between two committed offsets stays exact (the boundary set
-    disambiguates same-nanosecond drops). Each micro-batch's partitions
-    are the newly delivered files — one executor task per file, the
-    right parallelism unit for continuous ingest (intra-file splitting
-    belongs to the batch backfill path).
+    Offsets are a MODIFICATION-TIME WATERMARK plus the set of files
+    within the LATE-FILE LAG window below it: a file is "delivered by"
+    an offset iff its mtime is older than (watermark - lag), or it is
+    listed in the boundary set. That keeps the checkpointed offset
+    O(lag-window population) instead of O(#files) — a 100 TB drop
+    directory accumulates millions of files and a full-file-list offset
+    would grow the offset log unboundedly — while replay between two
+    committed offsets stays exact, same-nanosecond drops are
+    disambiguated, and a producer whose write FINISHED up to ``lag``
+    before its atomic rename landed is still delivered (Spark's own
+    file source gives the same tolerance via maxFileAge). Each
+    micro-batch's partitions are the newly delivered files — one
+    executor task per file, the right parallelism unit for continuous
+    ingest (intra-file splitting belongs to the batch backfill path).
 
-    Contract (the standard file-source assumptions): files are
-    immutable once visible and arrive by ATOMIC RENAME of a
-    freshly-written temp file, so their mtimes are current — a file
-    planted with an mtime below an already-committed watermark is
-    invisible, exactly like Spark's own file source with a bounded
-    maxFileAge.
+    Contract: files are immutable once visible and arrive by atomic
+    rename; a file planted with an mtime more than ``lag`` below the
+    committed watermark is invisible. The watermark is monotonic even
+    if the directory is emptied by retention (no regression to 0, so
+    restored old files cannot re-deliver). Per-file format dispatch
+    happens at read() time, so mixed-format drop directories and
+    empty-at-start directories (with an explicit .schema()) both work.
     """
 
-    def __init__(self, options: dict, fmt: str, columns, opts):
+    def __init__(self, options: dict):
         self._options = dict(options)
         self._path = self._options["path"]
-        self._fmt = fmt
-        self._columns = columns
-        self._opts = opts
+        self._lag_ns = int(
+            float(self._options.get("late_file_lag_sec", _STREAM_LATE_LAG_NS / 1e9)) * 1e9
+        )
+        self._max_wm = 0  # monotonic guard for emptied directories
 
     def _listing(self) -> list[tuple[int, str]]:
         try:
@@ -344,12 +356,13 @@ class _ReadstatStreamReader(DataSourceStreamReader):
             return []  # empty drop dir: no batch yet
         return [(os.stat(p).st_mtime_ns, p) for p in files]
 
-    @staticmethod
-    def _delivered(offset: dict, mtime: int, path: str) -> bool:
+    def _delivered(self, offset: dict, mtime: int, path: str) -> bool:
         import json
 
         wm = int(offset.get("wm", 0))
-        return mtime < wm or (mtime == wm and path in set(json.loads(offset.get("at_wm", "[]"))))
+        if wm == 0:
+            return False
+        return mtime <= wm - self._lag_ns or path in set(json.loads(offset.get("at_wm", "[]")))
 
     def initialOffset(self) -> dict:
         return {"wm": 0, "at_wm": "[]"}  # delivers every pre-existing file
@@ -358,12 +371,11 @@ class _ReadstatStreamReader(DataSourceStreamReader):
         import json
 
         stats = self._listing()
-        if not stats:
-            return {"wm": 0, "at_wm": "[]"}
-        wm = max(m for m, _ in stats)
+        wm = max([m for m, _ in stats], default=0)
+        self._max_wm = wm = max(wm, self._max_wm)
         return {
             "wm": wm,
-            "at_wm": json.dumps(sorted(p for m, p in stats if m == wm)),
+            "at_wm": json.dumps(sorted(p for m, p in stats if m > wm - self._lag_ns)),
         }
 
     def partitions(self, start: dict, end: dict):
@@ -374,9 +386,12 @@ class _ReadstatStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _StreamFilePartition):
+        # per-file dispatch: options are re-resolved against THIS file's
+        # extension, so the source never needs a listing at plan time
         sub = dict(self._options)
         sub["path"] = partition.path
-        inner = _ReadstatReader(sub, self._fmt, self._columns, self._opts)
+        ds = ReadstatDataSource(sub)
+        inner = ds.reader(None)
         for part in inner.partitions():
             yield from inner.read(part)
 

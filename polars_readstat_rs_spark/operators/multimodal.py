@@ -173,6 +173,8 @@ def decode_bmp_stream(payload: bytes) -> list:
             raise ValueError(f"frame size {sz} at {pos} overruns payload")
         frames.append(decode_bmp(payload[pos : pos + sz]))
         pos += sz
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} trailing bytes after last frame")
     return frames
 
 

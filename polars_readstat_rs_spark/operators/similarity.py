@@ -474,12 +474,21 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame, vectorized: bool = False) -
     def _argmin(sv):
         if not len(sv):
             return pd.Series([], dtype="int32")
-        m = np.array(sv.tolist(), dtype=np.float64)
-        acc = np.zeros((m.shape[0], C.shape[0]), dtype=np.float64)
-        for j in range(C.shape[1]):
-            d = m[:, j : j + 1] - C[None, :, j]
-            acc += d * d
-        return pd.Series(cells[np.argmin(acc, axis=1)]).astype("int32")
+        # NULL embeddings: the replaced window implementation ordered by
+        # asc(d) with Spark's nulls-first default, assigning them the
+        # lowest cell id — preserved here by masking them out of the
+        # fold and writing cells[0] directly.
+        vals = sv.tolist()
+        ok = np.array([v is not None for v in vals])
+        out = np.full(len(vals), int(cells[0]), dtype=np.int64)
+        if ok.any():
+            m = np.array([v for v, k in zip(vals, ok) if k], dtype=np.float64)
+            acc = np.zeros((m.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[1]):
+                d = m[:, j : j + 1] - C[None, :, j]
+                acc += d * d
+            out[ok] = cells[np.argmin(acc, axis=1)]
+        return pd.Series(out).astype("int32")
 
     return vecs.withColumn("cell", _argmin("vec")).select("vec_id", "vec", "cell")
 

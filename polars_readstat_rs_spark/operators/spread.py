@@ -16,8 +16,18 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     """Repartition up to ``minimum`` (default: defaultParallelism) only
-    if the plan currently has fewer partitions; never shrinks."""
-    target = minimum or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if the plan currently has fewer partitions; never shrinks.
+
+    The probe (df.rdd.getNumPartitions) costs one extra physical
+    planning pass at operator-construction time and is unavailable on
+    Spark Connect — there the input is left untouched (Connect sources
+    split via maxPartitionBytes; AQE handles the rest)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD access
+        return df
+    target = minimum or sc.defaultParallelism
+    if current < target:
         return df.repartition(target)
     return df

@@ -549,10 +549,9 @@ def test_informative_null_suffix_and_label_toggle(spark, tmp_path):
         value_labels_as_strings=False,
     )
     assert "x_null" in df.columns and "x__missing" not in df.columns
-    rows = {r.x: r.x_null for r in df.collect()}
-    assert rows[None if None in rows else list(rows)[0]] or True  # shape only
-    inds = [r.x_null for r in df.orderBy("x").collect()]
-    assert "REFUSED" in inds  # label used by default
+    rows = sorted(((r.x, r.x_null) for r in df.collect()), key=str)
+    # value 7 is user-missing -> nulled value + labeled indicator
+    assert rows == [(1.0, None), (2.0, None), (None, "REFUSED")]
 
     df2 = api.readstat_scan(
         spark, p, informative_nulls="separate",

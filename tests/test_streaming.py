@@ -478,3 +478,40 @@ def test_readstat_stream_watermark_boundary(spark, tmp_path, sf_dir):
         assert got.count() == len(nation)  # delivered once, no dupes
     finally:
         q.stop()
+
+
+def test_readstat_stream_empty_dir_start_with_schema(spark, tmp_path, sf_dir):
+    """A query must be able to start on an EMPTY drop directory when the
+    user supplies .schema() (the normal consumer-first startup order);
+    files arriving later are delivered (review finding)."""
+    from pyspark.sql import types as T
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "empty_start"
+    drop.mkdir()
+    schema = T.StructType(
+        [T.StructField("n_nationkey", T.IntegerType()), T.StructField("n_name", T.StringType())]
+    )
+    q = (
+        spark.readStream.format("readstat")
+        .schema(schema)
+        .load(str(drop))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("empty_start")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("empty_start").count() == 0
+        nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").toPandas()
+        tmp = drop / ".a.dta.tmp"
+        nation.to_stata(str(tmp), version=118, write_index=False)
+        tmp.rename(drop / "a.dta")
+        q.processAllAvailable()
+        assert spark.table("empty_start").count() == len(nation)
+    finally:
+        q.stop()
