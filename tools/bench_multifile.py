@@ -138,21 +138,58 @@ def run_multifile(
     run_spark("q01_pricing_summary")
     con.execute(ORACLES["q01_pricing_summary"]).fetchall()
 
+    # measure the per-query FLOORS directly, so the ratio's fixed-cost
+    # component is reported as data: one empty Spark job (scheduling +
+    # noop sink) vs one trivial DuckDB statement
+    spark_floor = time_min(
+        lambda: spark.range(1).write.format("noop").mode("overwrite").save(), runs
+    )
+    # a 2-stage shuffle pipeline over trivial data: the per-STAGE
+    # increment (scheduling + AQE materialization) is Spark's real
+    # fixed cost — a 6-stage query pays ~6x this regardless of volume
+    from pyspark.sql import functions as F
+
+    spark_shuffle_floor = time_min(
+        lambda: spark.range(10_000)
+        .groupBy(F.pmod("id", F.lit(97)).alias("k"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        runs,
+    )
+    duck_floor = time_min(lambda: con.execute("SELECT 1").fetchall(), runs)
+
     spark_times, duck_times = {}, {}
     for q in queries:
         spark_times[q] = time_min(lambda: run_spark(q), runs)
         duck_times[q] = time_min(lambda: con.execute(ORACLES[q]).fetchall(), runs)
     con.close()
 
+    n_q = len(queries)
+    sp_total, du_total = sum(spark_times.values()), sum(duck_times.values())
     return {
         "metric": "multifile_layout",
         "n_files": n_files,
         "sf_dir": sf_dir,
         "spark": spark_times,
-        "spark_total": round(sum(spark_times.values()), 3),
+        "spark_total": round(sp_total, 3),
         "duckdb": duck_times,
-        "duckdb_total": round(sum(duck_times.values()), 3),
-        "ratio": round(sum(spark_times.values()) / max(sum(duck_times.values()), 1e-9), 3),
+        "duckdb_total": round(du_total, 3),
+        "ratio": round(sp_total / max(du_total, 1e-9), 3),
+        # per-query fixed floors, measured: an empty Spark job vs a
+        # trivial DuckDB statement. At this sf most of the ratio is
+        # n_queries x (spark_floor - duck_floor) of scheduling constants
+        # that are flat in data volume; subtracting them (floor_adjusted
+        # ratio) shows the data-dependent comparison.
+        "spark_empty_job_sec": spark_floor,
+        "spark_shuffle_pipeline_sec": spark_shuffle_floor,
+        "duckdb_empty_stmt_sec": duck_floor,
+        "floor_adjusted_ratio": round(
+            max(sp_total - n_q * spark_floor, 1e-9)
+            / max(du_total - n_q * duck_floor, 1e-9),
+            3,
+        ),
     }
 
 
