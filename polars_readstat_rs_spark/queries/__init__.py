@@ -87,6 +87,7 @@ _RISKY_TAIL = (
     "m05_video_frames",
     "r10_stream_source",
     "r11_stream_sink",
+    "q81_map_functions",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -932,3 +932,50 @@ def q61_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     join decorrelation; fully tiebroken so the row set is exact."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q61_orders")
     return spark.sql(_Q61_SQL.format(src="_q61_orders"))
+
+
+# ------------------------------------------------- q81 map functions
+
+
+@register(
+    "q81_map_functions",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n FROM {EVENTS_US} e
+      GROUP BY user_id, event_type)
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 2 AS BIGINT) AS n_doubled,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types
+    FROM per
+    """,
+)
+def q81_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type surface: per-user event counts are packed into a
+    MAP (map_from_entries over a sorted entry list), transformed
+    (transform_values doubles each count), sized (map size = distinct
+    types per user), and exploded back to rows — a hash match proves
+    the map construction/transform/explode roundtrip loses nothing.
+    The oracle never needs map types: the roundtrip must equal the
+    plain relational counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    transformed = packed.select(
+        "user_id",
+        F.transform_values("m", lambda k, v: v * 2).alias("m2"),
+        F.col("m"),
+        F.size("m").cast("long").alias("n_types"),
+    )
+    return transformed.select(
+        "user_id", F.explode("m").alias("event_type", "n"), "m2", "n_types"
+    ).select(
+        "user_id",
+        "event_type",
+        "n",
+        F.element_at("m2", F.col("event_type")).cast("long").alias("n_doubled"),
+        "n_types",
+    )
