@@ -20,6 +20,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Round-5 rotation (verdict r4 item 1): the driver records only the
+# first 50 queries() entries, and rounds 1-4 recorded the same head, so
+# 86 of 151 gate-green queries never got a driver row. This round the
+# first 50 slots are 44 never-driver-recorded queries (streaming s01-s08
+# + r10/r11, TPC-H q62+ incl. recursive CTE q76 / UDTF q80 / maps q81,
+# codecs m03-m05, graph g01-g03, d08/d10/d11, v06-v09, p07-p09, t09-t14,
+# salted join / MERGE) plus 6 cheap canaries from already-recorded
+# families (q01, r01, d01, t01, v01, p01). Every promoted entry passed
+# the complete sf0.01+sf0.1 gate in two independent full runs (builder
+# r4 + judge r4), so promotion carries no hang risk.
+_R5_HEAD = [
+    # canaries — one per previously-recorded family
+    "q01_pricing_summary",
+    "r01_dta_roundtrip_agg",
+    "d01_dedup_exact",
+    "t01_langid",
+    "v01_cosine_topk",
+    "p01_hash_sample",
+    # never-driver-recorded: relational / TPC-H surface
+    "q42_salted_join",
+    "q43_upsert",
+    "q62_priority_exists",
+    "q64_market_share",
+    "q65_profit",
+    "q68_cust_order_dist",
+    "q73_or_predicates",
+    "q74_waiting_supplier",
+    "q76_recursive_cte",
+    "q77_min_cost_supplier",
+    "q80_python_udtf",
+    "q81_map_functions",
+    # never-driver-recorded: text analysis
+    "t09_gopher_quality",
+    "t10_bigram_lm",
+    "t11_bpe_pairs",
+    "t12_zipf_stats",
+    "t13_chunk_documents",
+    "t14_tfidf_terms",
+    # never-driver-recorded: dedup / similarity
+    "d08_semantic_dedup",
+    "d10_prefix_filter",
+    "d11_span_dedup",
+    "v06_ann_recall",
+    "v07_pq_topk",
+    "v08_ivf_append",
+    "v09_filtered_topk",
+    # never-driver-recorded: sampling / packing
+    "p07_importance_sample",
+    "p08_group_sample",
+    "p09_temperature_mix",
+    # never-driver-recorded: graph
+    "g01_triangle_stats",
+    "g02_bfs_hops",
+    "g03_pagerank",
+    # never-driver-recorded: multimodal codecs
+    "m03_wav_codec",
+    "m04_bmp_codec",
+    "m05_video_frames",
+    # never-driver-recorded: streaming (batch-drained, slowest last)
+    "s01_stream_windowed_counts",
+    "s02_stream_sessions",
+    "s03_stream_stream_join",
+    "s04_stream_dedup",
+    "s05_stream_static_join",
+    "s06_incremental_agg",
+    "s07_stream_hopping",
+    "s08_stream_outer_join",
+    "r10_stream_source",
+    "r11_stream_sink",
+]
+
 # Queries whose operator family is independently proven by an earlier
 # entry (filter/project by q01+r02, broadcast semi by q04, distinct by
 # q10, running frame by q11/q24, rollup/cube by q16 grouping sets,
@@ -66,11 +137,16 @@ from polars_readstat_rs_spark.queries import RISKY_TAIL as _RISKY_TAIL
 
 
 def _ordered(d: dict) -> dict:
-    tail = set(_COVERAGE_DUPES) | set(_RISKY_TAIL)
-    head = {k: v for k, v in d.items() if k not in tail}
-    head.update({k: d[k] for k in _COVERAGE_DUPES if k in d and k not in _RISKY_TAIL})
-    head.update({k: d[k] for k in _RISKY_TAIL if k in d})
-    return head
+    """R5 head (50 rotation slots) -> remaining verified entries ->
+    coverage dupes -> brand-new (never-gate-verified) risky tail."""
+    out = {k: d[k] for k in _R5_HEAD if k in d}
+    tail = set(_COVERAGE_DUPES) | set(_RISKY_TAIL) | set(out)
+    out.update({k: v for k, v in d.items() if k not in tail})
+    out.update(
+        {k: d[k] for k in _COVERAGE_DUPES if k in d and k not in _RISKY_TAIL and k not in out}
+    )
+    out.update({k: d[k] for k in _RISKY_TAIL if k in d})
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

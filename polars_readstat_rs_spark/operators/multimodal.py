@@ -157,6 +157,155 @@ def decode_bmp(payload: bytes) -> dict:
     return {"kind": "bmp", "width": int(w), "height": int(abs(h)), "pixels": img[..., ::-1]}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Pure numpy+zlib PNG writer: 8-bit RGB (color type 2) or RGBA (6),
+    non-interlaced. ``filters`` selects the per-row filter type (int, or
+    a per-row list; default cycles 0..4 so fixtures exercise every
+    defilter path: None/Sub/Up/Average/Paeth). Encode side of the real
+    codec pair — chunk layout, CRCs, and scanline filtering are genuine
+    PNG (RFC 2083), not a fake container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError("pixels must be (h, w, 3) RGB or (h, w, 4) RGBA")
+    if filters is None:
+        filt_types = [r % 5 for r in range(h)]
+    elif isinstance(filters, int):
+        filt_types = [filters] * h
+    else:
+        filt_types = list(filters)
+
+    raw = px.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for r in range(h):
+        row = raw[r]
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        f = filt_types[r]
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            enc = row - left
+        elif f == 2:  # Up
+            enc = row - prev
+        elif f == 3:  # Average
+            enc = row - (left + prev) // 2
+        elif f == 4:  # Paeth
+            ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = row - pred
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out.append(f)
+        out += (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure numpy+zlib PNG decoder: signature + chunk walk with CRC
+    verification, IHDR parse, multi-IDAT zlib inflate, and full per-row
+    defiltering (None/Sub/Up/Average/Paeth). Supports 8-bit RGB/RGBA,
+    non-interlaced. Sub defilters via a per-byte-lane cumsum; Average/
+    Paeth walk pixels with bpp-wide vector steps (their recurrence is
+    inherently sequential in x). Returns kind/width/height/channels +
+    the (h, w, ch) uint8 ``pixels`` array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        (sz,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + sz]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + sz)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + sz
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype_ not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_}, interlace={interlace})"
+        )
+    ch = 3 if ctype_ == 2 else 4
+    stride = w * ch
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if flat.size != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    rows = flat.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f, row = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):  # Average/Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                up = prev[x : x + ch]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                left = (row[x : x + ch] + pred) % 256
+                rec[x : x + ch] = left
+                ul = up
+        else:
+            raise ValueError(f"bad filter byte {f} in row {r}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return {
+        "kind": "png",
+        "width": int(w),
+        "height": int(h),
+        "channels": ch,
+        "pixels": out.reshape(h, w, ch),
+    }
+
+
 def decode_bmp_stream(payload: bytes) -> list:
     """Walk a concatenation of BMP images (the simplest real "video"
     container: each BITMAPFILEHEADER carries its file size at offset 2,
@@ -179,18 +328,21 @@ def decode_bmp_stream(payload: bytes) -> list:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real codec dispatch on magic bytes: RIFF/WAVE PCM and 24-bit BMP
-    decode in pure numpy (no external media libraries needed); every
-    other container (JPEG/PNG/MP4/...) still raises — those need codecs
-    this container does not ship, and the deterministic ``decode_stub``
-    exercises the identical Spark plumbing for them."""
+    """Real codec dispatch on magic bytes: RIFF/WAVE PCM, 24-bit BMP and
+    8-bit RGB/RGBA PNG decode in pure numpy (+stdlib zlib for PNG — no
+    external media libraries needed); lossy/container formats (JPEG/
+    MP4/...) still raise — those need codecs this container does not
+    ship, and the deterministic ``decode_stub`` exercises the identical
+    Spark plumbing for them."""
     b = bytes(payload)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return decode_wav(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(b)
     raise NotImplementedError(
-        "only WAV/BMP decode in-container; use decode_stub for other formats"
+        "only WAV/BMP/PNG decode in-container; use decode_stub for other formats"
     )
 
 
@@ -250,8 +402,9 @@ def synth_media_payloads(docs: DataFrame, kind: str = "wav") -> DataFrame:
     recompute the decoded statistics independently.
 
     wav: 64 + doc_id%32 samples of 8-bit PCM, sample[i] = (doc_id*31 +
-    i*7) % 256, mono @ 8 kHz. bmp: 8x6 RGB, pixel value at (x, y,
-    channel c) = (doc_id + 3x + 5y + 11c) % 256."""
+    i*7) % 256, mono @ 8 kHz. bmp/png: 8x6 RGB, pixel value at (x, y,
+    channel c) = (doc_id + 3x + 5y + 11c) % 256 (png rows filtered
+    y%5, so every defilter path is exercised)."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -266,8 +419,10 @@ def synth_media_payloads(docs: DataFrame, kind: str = "wav") -> DataFrame:
                     x = np.arange(8).reshape(1, 8, 1)
                     y = np.arange(6).reshape(6, 1, 1)
                     c = np.arange(3).reshape(1, 1, 3)
-                    px = (int(doc_id) + 3 * x + 5 * y + 11 * c) % 256
-                    payloads.append(encode_bmp(px.astype(np.uint8)))
+                    px = ((int(doc_id) + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+                    payloads.append(
+                        encode_png(px) if kind == "png" else encode_bmp(px)
+                    )
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

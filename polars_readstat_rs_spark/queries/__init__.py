@@ -14,80 +14,15 @@ until a full tools/check_oracle.py run has passed it.
 from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
+# Round-5 rotation: every pre-r5 entry has passed the complete
+# tools/check_oracle.py gate at sf0.01 AND sf0.1 in at least two
+# independent full runs (builder r4 + judge r4), so the old 76-entry
+# verified tail is promoted out of RISKY_TAIL. Only queries added THIS
+# round (never locally gate-verified) belong here.
 _RISKY_TAIL = (
-    "r09_sav_option_interaction",
-    "q44_fuzzy_match",
-    "q45_gapfill",
-    "q46_moving_window",
-    "p07_importance_sample",
-    "t12_zipf_stats",
-    "t13_chunk_documents",
-    "g01_triangle_stats",
-    "g02_bfs_hops",
-    "q47_iqr_outliers",
-    "q48_histogram",
-    "p08_group_sample",
-    "q49_ntile",
-    "q50_asof_nearest",
-    "v07_pq_topk",
-    "q51_event_patterns",
-    "q52_snapshot_diff",
-    "q53_zorder",
-    "q54_ohlc",
-    "q55_hopping_window",
-    "d10_prefix_filter",
-    "g03_pagerank",
-    "q56_trend",
-    "q57_group_center",
-    "q58_rank_family",
-    "q59_array_funcs",
-    "q60_unpivot",
-    "q61_lateral",
-    "t09_gopher_quality",
-    "t10_bigram_lm",
-    "q42_salted_join",
-    "t11_bpe_pairs",
-    "q43_upsert",
-    "d08_semantic_dedup",
-    "v06_ann_recall",
-    "s01_stream_windowed_counts",
-    "s02_stream_sessions",
-    "s03_stream_stream_join",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_incremental_agg",
-    "v08_ivf_append",
-    "s07_stream_hopping",
-    "m03_wav_codec",
-    "m04_bmp_codec",
-    "q62_priority_exists",
-    "q63_volume_shipping",
-    "q64_market_share",
-    "q65_profit",
-    "q66_returned_items",
-    "q67_important_parts",
-    "q68_cust_order_dist",
-    "q69_promo_share",
-    "q70_top_supplier",
-    "q71_small_qty",
-    "q72_large_orders",
-    "q73_or_predicates",
-    "q74_waiting_supplier",
-    "q75_no_order_customers",
-    "d11_span_dedup",
-    "t14_tfidf_terms",
-    "s08_stream_outer_join",
-    "v09_filtered_topk",
-    "p09_temperature_mix",
-    "q76_recursive_cte",
-    "q77_min_cost_supplier",
-    "q78_supplier_part_counts",
-    "q79_excess_suppliers",
-    "q80_python_udtf",
-    "m05_video_frames",
-    "r10_stream_source",
-    "r11_stream_sink",
-    "q81_map_functions",
+    "m06_png_codec",
+    "r12_pushdown_matrix",
+    "w01_writer_fuzz_roundtrip",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

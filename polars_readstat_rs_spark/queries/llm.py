@@ -680,3 +680,32 @@ def m04_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_features(
         multimodal.synth_media_payloads(docs, kind="bmp")
     )
+
+
+@register(
+    "m06_png_codec",
+    oracle="""
+    WITH s AS (SELECT doc_id, unnest(range(0, 144)) AS p FROM documents),
+    v AS (
+      SELECT doc_id,
+             (doc_id + 3 * ((p // 3) % 8) + 5 * ((p // 3) // 8) + 11 * (p % 3)) % 256 AS val
+      FROM s)
+    SELECT doc_id, 'png' AS kind, CAST(8 AS INT) AS dim_a, CAST(6 AS INT) AS dim_b,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(val) AS BIGINT) AS sum_vals,
+           CAST(sum(val * val) AS BIGINT) AS sumsq_vals
+    FROM v GROUP BY doc_id
+    """,
+)
+def m06_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec gate: 8x6 RGB PNGs (chunked, CRC'd, zlib-deflated,
+    per-row filters cycling None/Sub/Up/Average/Paeth) synthesized
+    executor-side, decoded by the pure numpy+zlib PNG parser
+    (operators/multimodal.py:decode_png — CRC verification + full
+    defilter); the oracle recomputes pixel statistics from the same
+    closed form as m04, so a hash match proves the filter/inflate
+    roundtrip, not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media_features(
+        multimodal.synth_media_payloads(docs, kind="png")
+    )

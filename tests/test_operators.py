@@ -26,7 +26,46 @@ def test_multimodal_decode_stub(spark, sf_dir):
 
 def test_multimodal_real_decoder_raises_for_unshipped_codecs():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"\x89PNG")
+        multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG")  # truncated PNG signature
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png cycles row filters None/Sub/Up/Average/Paeth; decode
+    must undo each (plus the zlib inflate and chunk CRCs) exactly, for
+    both RGB and RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for ch in (3, 4):
+        px = rng.integers(0, 256, (7, 5, ch), dtype=np.uint8)
+        payload = multimodal.encode_png(px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        d = multimodal.decode_real(payload)
+        assert (d["kind"], d["width"], d["height"], d["channels"]) == ("png", 5, 7, ch)
+        assert np.array_equal(d["pixels"], px)
+        # header fields are genuine big-endian PNG structures
+        assert payload[12:16] == b"IHDR"
+        w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 16)
+        assert (w, h, depth, ctype) == (5, 7, 8, 2 if ch == 3 else 6)
+        # scanlines really are filtered: the raw stream differs from the pixels
+        raw = zlib.decompress(payload[payload.index(b"IDAT") + 4 : payload.rindex(b"IEND") - 8])
+        filters = [raw[r * (5 * ch + 1)] for r in range(7)]
+        assert filters == [0, 1, 2, 3, 4, 0, 1]
+
+
+def test_png_codec_rejects_corruption():
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(multimodal.encode_png(px))
+    payload[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(payload))
 
 
 def test_wav_codec_against_stdlib_wave(tmp_path):

@@ -152,6 +152,29 @@ def test_wav_codec_property(data, bits, rate, channels):
     w=st.integers(1, 17),
     h=st.integers(1, 9),
     seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([3, 4]),
+    filt=st.one_of(st.none(), st.integers(0, 4)),
+)
+def test_png_codec_property(w, h, seed, ch, filt):
+    """encode_png -> decode_png roundtrips any geometry, channel count
+    (RGB/RGBA) and per-row filter choice exactly (filt=None cycles all
+    five filter types across rows)."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    d = multimodal.decode_real(multimodal.encode_png(px, filters=filt))
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("png", w, h, ch)
+    assert np.array_equal(d["pixels"], px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
     frames=st.integers(1, 4),
 )
 def test_bmp_stream_codec_property(w, h, seed, frames):
