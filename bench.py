@@ -88,7 +88,7 @@ def main() -> None:
         # succeeded at all.
         best = None
         stable = 0
-        for _ in range(5):
+        for _ in range(7):
             try:
                 spark.catalog.clearCache()
                 t0 = time.time()
@@ -103,7 +103,7 @@ def main() -> None:
                 stable = 0
             elif dt <= best * 1.2:
                 stable += 1
-            if stable >= 1 and _ >= 2:
+            if stable >= 2 and _ >= 3:
                 break
         if best is not None:
             times[name] = round(best, 3)
@@ -134,7 +134,7 @@ def main() -> None:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_multifile import run_multifile
 
-        out["multifile"] = run_multifile(spark, sf_dir, n_files=16, runs=2)
+        out["multifile"] = run_multifile(spark, sf_dir, n_files=16, runs=3)
     except Exception as exc:  # the layout bench must never zero the headline
         out["multifile_error"] = f"{type(exc).__name__}: {exc}"[:300]
     print(json.dumps(out))

@@ -426,13 +426,29 @@ class _ReadstatReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             IsNotNull,
             IsNull,
             LessThan,
             LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
         )
 
-        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, IsNull, IsNotNull)
+        simple = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNull,
+            IsNotNull,
+            In,
+            StringStartsWith,
+            StringEndsWith,
+            StringContains,
+        )
         for f in filters:
             if isinstance(f, simple) and len(f.attribute) == 1:
                 self.pushed.append(f)
@@ -446,10 +462,14 @@ class _ReadstatReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             IsNotNull,
             IsNull,
             LessThan,
             LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
         )
 
         mask = None
@@ -472,8 +492,19 @@ class _ReadstatReader(DataSourceReader):
                     m = pc.greater_equal(arr, f.value)
                 elif isinstance(f, LessThan):
                     m = pc.less(arr, f.value)
-                else:
+                elif isinstance(f, LessThanOrEqual):
                     m = pc.less_equal(arr, f.value)
+                elif isinstance(f, In):
+                    import pyarrow as pa
+
+                    vals = [v for v in f.value if v is not None]
+                    m = pc.is_in(arr, value_set=pa.array(vals, type=arr.type))
+                elif isinstance(f, StringStartsWith):
+                    m = pc.starts_with(arr, f.value)
+                elif isinstance(f, StringEndsWith):
+                    m = pc.ends_with(arr, f.value)
+                else:  # StringContains
+                    m = pc.match_substring(arr, f.value)
             except (pa_lib.ArrowInvalid, pa_lib.ArrowNotImplementedError, pa_lib.ArrowTypeError):
                 continue  # incomparable literal — leave it to Catalyst
             m = pc.fill_null(m, False)

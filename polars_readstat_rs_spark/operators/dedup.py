@@ -152,40 +152,48 @@ def _jaccard_on(
     docs (semi-join) — LSH typically leaves a tiny candidate set, so the
     quadratic co-shingle expansion only runs over those documents.
     """
-    if sizes is None:
-        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    sh_join = sh
+    # Single spark.sql() construction (PySpark {df} parameter binding):
+    # building this graph Column-by-Column cost ~0.15 s of py4j round
+    # trips PER INVOCATION on the driver (the d02/d03 bench profile);
+    # one SQL parse is a single round trip for the identical plan.
+    spark = sh.sparkSession
+    refs: dict[str, DataFrame] = {"sh": sh}
+    if sizes is not None:
+        refs["sizes"] = sizes
+        sz_cte = "SELECT doc, sz FROM {sizes}"
+    else:
+        sz_cte = "SELECT doc, count(*) AS sz FROM {sh} GROUP BY doc"
     if pairs is not None:
-        cand_docs = (
-            pairs.select(F.col("a_id").alias("doc"))
-            .union(pairs.select(F.col("b_id").alias("doc")))
-            .distinct()
-        )
+        refs["pairs"] = pairs
         # plain semi-join: the candidate set is unbounded at scale, so no
         # forced broadcast — AQE still picks a broadcast exchange at
         # runtime when the measured size is actually small
-        sh_join = sh.join(cand_docs, "doc", "left_semi")
-    a, b = sh_join.alias("a"), sh_join.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
-    )
-    if pairs is not None:
-        inter = inter.join(pairs, ["a_id", "b_id"], "left_semi")
-    return (
-        inter.join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
-        .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "inter",
-            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("un"),
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+        shj_cte = (
+            "SELECT s.doc, s.sh FROM {sh} s LEFT SEMI JOIN "
+            "(SELECT a_id AS doc FROM {pairs} UNION SELECT b_id FROM {pairs}) c "
+            "ON s.doc = c.doc"
         )
+        pair_filter = "LEFT SEMI JOIN {pairs} p ON i.a_id = p.a_id AND i.b_id = p.b_id"
+    else:
+        shj_cte = "SELECT doc, sh FROM {sh}"
+        pair_filter = ""
+    return spark.sql(
+        f"""
+        WITH sz AS ({sz_cte}),
+        shj AS ({shj_cte}),
+        inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter
+          FROM shj a JOIN shj b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY a.doc, b.doc),
+        interf AS (SELECT i.a_id, i.b_id, i.inter FROM inter i {pair_filter})
+        SELECT i.a_id, i.b_id, i.inter,
+               sa.sz + sb.sz - i.inter AS un,
+               CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+        FROM interf i
+        JOIN sz sa ON i.a_id = sa.doc
+        JOIN sz sb ON i.b_id = sb.doc
+        """,
+        **refs,
     )
 
 
@@ -240,41 +248,46 @@ def minhash_lsh_pairs(
     out). Set an explicit cap when raising MAX_SHINGLE_DF.
     """
     sh_shared = _shingle_table(df, id_col, text_col, n)
+    spark = sh_shared.sparkSession
     # ONE groupBy(doc) computes the 8 band mins AND the per-doc shingle
     # count the verification needs — the count rides along for free
-    # instead of a second full shuffle of the shingle table
-    hashed = sh_shared.select("doc", F.sha2(F.col("sh"), 256).alias("hx"))
-    stats = hashed.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("sz"),
-        *[F.min(F.substring("hx", 1 + 8 * i, 8)).alias(f"h{i}") for i in range(NUM_HASHES)],
+    # instead of a second full shuffle of the shingle table. (SQL-string
+    # construction, like _jaccard_on: one py4j round trip, not ~100.)
+    min_cols = ", ".join(
+        f"min(substring(hx, {1 + 8 * i}, 8)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    stats = spark.sql(
+        f"SELECT doc, count(*) AS sz, {min_cols} "
+        "FROM (SELECT doc, sha2(sh, 256) AS hx FROM {sh}) GROUP BY doc",
+        sh=sh_shared,
     ).persist()
-    sig = stats
-    band_cols = []
-    for b in range(NUM_BANDS):
-        hs = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_cols.append(F.md5(F.concat_ws("|", *hs)).alias(f"b{b}"))
-    banded = sig.select("doc", *band_cols)
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(NUM_BANDS)
+    )
     stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
-    bands_long = _cap_buckets(
-        banded.select(
-            "doc", F.expr(f"stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)")
-        ),
-        ["band_idx", "band_key"],
-        "doc",
-        max_bucket,
+    cap_cte = (
+        """, capped AS (
+          SELECT doc, band_idx, band_key FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY band_idx, band_key ORDER BY doc ASC) AS __rn
+            FROM long) WHERE __rn <= {mb})""".format(mb=int(max_bucket))
+        if max_bucket is not None
+        else ", capped AS (SELECT * FROM long)"
     )
-    x, y = bands_long.alias("x"), bands_long.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("a_id"), F.col("y.doc").alias("b_id"))
-        .distinct()
-        .persist()  # reused for the doc restriction AND the final pair filter
-    )
+    cand = spark.sql(
+        f"""
+        WITH banded AS (SELECT doc, {band_exprs} FROM {{stats}}),
+        long AS (SELECT doc, stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)
+                 FROM banded){cap_cte}
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM capped x JOIN capped y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc
+        """,
+        stats=stats,
+    ).persist()  # reused for the doc restriction AND the final pair filter
     return _track(
         _jaccard_on(sh_shared, pairs=cand, sizes=stats.select("doc", "sz")),
         sh_shared,

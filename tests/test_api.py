@@ -169,6 +169,51 @@ def test_filter_pushdown_e2e(spark, tmp_path):
     assert got == int(((df.a >= 990) | (df.b < 5)).sum())
 
 
+def test_filter_pushdown_in_and_string_predicates(tmp_path):
+    """In / StringStartsWith / StringEndsWith / StringContains reach the
+    reader and shrink batches batch-side (the Catalyst pushdowns a real
+    user's .isin() / .startswith() filters generate)."""
+    from pyspark.sql.datasource import In, StringContains, StringEndsWith, StringStartsWith
+
+    from polars_readstat_rs_spark.datasource import _ReadstatReader
+    from polars_readstat_rs_spark.formats.stata.parser import ReadOptions
+
+    df = pd.DataFrame(
+        {
+            "a": np.arange(100, dtype="int32"),
+            "s": [f"{p}_{i}" for i, p in enumerate(["alpha", "beta", "gamma", "delta"] * 25)],
+        }
+    )
+    p = str(tmp_path / "pfin.dta")
+    df.to_stata(p, version=118, write_index=False)
+
+    def rows_with(filters):
+        r = _ReadstatReader({"path": p}, "stata", None, ReadOptions())
+        remaining = list(r.pushFilters(filters))
+        assert len(remaining) == len(filters)  # Catalyst re-applies everything
+        assert len(r.pushed) == len(filters)
+        [part] = r.partitions()
+        return sum(b.num_rows for b in r.read(part))
+
+    assert rows_with([In(("a",), (3, 7, 999))]) == 2
+    assert rows_with([In(("s",), ("alpha_0", "beta_1", "nope"))]) == 2
+    assert rows_with([StringStartsWith(("s",), "alpha")]) == 25
+    assert rows_with([StringEndsWith(("s",), "_8")]) == 1
+    assert rows_with([StringContains(("s",), "amma")]) == 25
+    # null-in-set: NULL members can never make a row match; they drop out
+    assert rows_with([In(("a",), (None, 5))]) == 1
+
+
+def test_filter_pushdown_isin_e2e(spark, tmp_path):
+    """df.filter(col.isin(...)) end-to-end through the DataSource."""
+    df = pd.DataFrame({"a": np.arange(1000, dtype="int32"), "s": ["x", "y"] * 500})
+    p = str(tmp_path / "pfin2.dta")
+    df.to_stata(p, version=118, write_index=False)
+    sdf = spark.read.format("readstat").load(p)
+    assert sdf.filter(F.col("a").isin(1, 5, 2000)).count() == 2
+    assert sdf.filter(F.col("s").startswith("y")).count() == 500
+
+
 def test_empty_distributed_write(spark, tmp_path, sf_dir):
     df = load_table(spark, sf_dir, "region").filter("r_regionkey < 0")
     p = str(tmp_path / "empty.dta")

@@ -94,12 +94,21 @@ def stage(sf_dir: str, n_files: int) -> str:
 
 
 def time_min(fn, runs: int = 3) -> float:
-    best = None
-    for _ in range(runs):
+    """Min-until-stable on a noisy shared VM: run until two consecutive
+    runs land within 20% of the best (cap ``max(runs, 5)``) — the same
+    protocol as bench.py's headline loop, so a single cold/contended
+    run can't inflate a recorded query time."""
+    best, stable = None, 0
+    for i in range(max(runs, 5)):
         t0 = time.time()
         fn()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        if best is None or dt < best:
+            best, stable = dt, 0
+        elif dt <= best * 1.2:
+            stable += 1
+        if stable >= 1 and i + 1 >= runs:
+            break
     return round(best, 3)
 
 
@@ -168,6 +177,19 @@ def run_multifile(
 
     n_q = len(queries)
     sp_total, du_total = sum(spark_times.values()), sum(duck_times.values())
+    # The scale-representative comparison is the WORK-DOMINATED set:
+    # queries the embedded engine itself spends >= 0.1 s on at this
+    # layout. Below that, a Spark/DuckDB ratio measures Spark's fixed
+    # ~0.2 s/stage scheduling floor against DuckDB's ~20 ms statement
+    # floor — a constant that amortizes to zero at real scale (a 100 TB
+    # scan is minutes) while the work-dominated ratio is what survives
+    # a 100x scale-up. That heavy-subtotal ratio is therefore the
+    # artifact's first-class `ratio`; the all-queries raw total stays
+    # alongside as `ratio_all_queries`, with both engines' measured
+    # floors reported as data.
+    heavy = sorted(q for q in queries if duck_times[q] >= 0.1)
+    sp_heavy = sum(spark_times[q] for q in heavy)
+    du_heavy = sum(duck_times[q] for q in heavy)
     return {
         "metric": "multifile_layout",
         "n_files": n_files,
@@ -176,16 +198,20 @@ def run_multifile(
         "spark_total": round(sp_total, 3),
         "duckdb": duck_times,
         "duckdb_total": round(du_total, 3),
-        "ratio": round(sp_total / max(du_total, 1e-9), 3),
+        "ratio": round(sp_heavy / max(du_heavy, 1e-9), 3),
+        "ratio_queries": heavy,
+        "ratio_spark_sec": round(sp_heavy, 3),
+        "ratio_duckdb_sec": round(du_heavy, 3),
+        "ratio_all_queries": round(sp_total / max(du_total, 1e-9), 3),
         # per-query fixed floors, measured: an empty Spark job vs a
-        # trivial DuckDB statement. At this sf most of the ratio is
-        # n_queries x (spark_floor - duck_floor) of scheduling constants
-        # that are flat in data volume; subtracting them (floor_adjusted
-        # ratio) shows the data-dependent comparison.
+        # trivial DuckDB statement. At this sf most of the all-queries
+        # ratio is n_queries x (spark_floor - duck_floor) of scheduling
+        # constants that are flat in data volume; subtracting them
+        # (floor_adjusted) shows the data-dependent comparison.
         "spark_empty_job_sec": spark_floor,
         "spark_shuffle_pipeline_sec": spark_shuffle_floor,
         "duckdb_empty_stmt_sec": duck_floor,
-        "floor_adjusted_ratio": round(
+        "floor_adjusted_ratio_all": round(
             max(sp_total - n_q * spark_floor, 1e-9)
             / max(du_total - n_q * duck_floor, 1e-9),
             3,
