@@ -65,12 +65,35 @@ def plan_rle_partitions(
 
     # ALWAYS a job, even for one file: a single 500 GB .zsav's recovery
     # scan would otherwise pin the driver before the query starts
-    sc = spark.sparkContext
-    out = (
-        sc.parallelize(files, max(1, min(len(files), sc.defaultParallelism)))
-        .map(_plan_one)
-        .collect()
-    )
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        sc = None  # Spark Connect: no RDD API from the client
+    if sc is not None:
+        out = (
+            sc.parallelize(files, max(1, min(len(files), sc.defaultParallelism)))
+            .map(_plan_one)
+            .collect()
+        )
+    else:
+        # Connect fallback: mapInPandas over a file-name DataFrame — the
+        # scans still run executor-side (one task per file), only the
+        # bounded plan JSON comes back to the client.
+        import pandas as _pd
+
+        def _plan_batch(batches):
+            for b in batches:
+                rows = []
+                for p in b["path"]:
+                    entry = _plan_one(p)
+                    if entry:
+                        rows.append({"path": entry[0], "plan": json.dumps(entry[1])})
+                yield _pd.DataFrame(rows, columns=["path", "plan"])
+
+        fdf = spark.createDataFrame([(p,) for p in files], "path string")
+        fdf = fdf.repartition(max(1, min(len(files), 64)), "path")
+        planned = fdf.mapInPandas(_plan_batch, "path string, plan string").collect()
+        out = [(r["path"], json.loads(r["plan"])) for r in planned]
     result = {p: plan for entry in out if entry for p, plan in [entry]}
     json.dumps(result)  # fail fast if anything non-serializable slips in
     return result

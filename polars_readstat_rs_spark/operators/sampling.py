@@ -181,7 +181,11 @@ def contamination_report(
 
     Shape at scale: both sides explode to (doc, shingle); the train side
     reduces to DISTINCT shingles (the only join key), so the join is a
-    shuffle semi-join on a uniform hash-like key — no doc×doc blowup.
+    shuffle join on a uniform hash-like key — no doc×doc blowup. One
+    fused pass (explode test ONCE, LEFT join the distinct train set,
+    single groupBy(doc) computing size and overlap together): the
+    earlier sizes/hits two-branch shape exploded the test corpus twice
+    and paid two extra shuffles (the r3->r4 p06 regression).
     """
     from .text import shingles_expr
 
@@ -194,23 +198,25 @@ def contamination_report(
         spread(train)
         .select(F.explode(shingles_expr(text_col, n)).alias("sh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    sizes = test_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        test_sh.join(train_sh, "sh", "left_semi")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
+    # each test shingle matches at most one (distinct) train row, so the
+    # left join preserves test_sh's row count: count(*) is the shingle
+    # count and count(__hit) the overlap, in ONE aggregation
     return (
-        sizes.join(hits, "doc", "left")
+        test_sh.join(train_sh, "sh", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
         .select(
             "doc",
             "n_shingles",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (
-                F.coalesce("n_overlap", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("contamination"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "contamination"
+            ),
         )
         .filter(F.col("n_overlap") >= min_overlap)
     )

@@ -461,3 +461,54 @@ def r11_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
     )
+
+
+@register(
+    "r12_pushdown_matrix",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+      min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM customer
+    WHERE c_custkey < {_FILTER_KEY}
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE 'Customer%'
+      AND c_acctbal > 0.0
+    GROUP BY c_mktsegment
+    """,
+)
+def r12_pushdown_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-filter MATRIX gate: a .dta roundtrip scanned with an
+    In-set, a startswith, AND a numeric comparison in one filter — the
+    exact predicate shapes Catalyst hands a DataSource as In /
+    StringStartsWith / GreaterThan (datasource.py pushFilters). The
+    filters are applied batch-side in the reader (and re-applied by
+    Catalyst), so a pushdown that drops or duplicates rows breaks the
+    hash against DuckDB filtering the parquet directly."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r12_{tag}.dta")
+    if not os.path.exists(path):
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < _FILTER_KEY)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        )
+        write_dta(cust, path)
+    df = spark.read.format("readstat").load(path)
+    return (
+        df.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_name").startswith("Customer")
+            & (F.col("c_acctbal") > 0.0)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+    )

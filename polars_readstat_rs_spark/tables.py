@@ -53,7 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         fp = (st.st_size, st.st_mtime_ns)
     except OSError:
         fp = None
-    key = (spark.sparkContext.applicationId, sf_dir, name, fp)
+    try:
+        session_key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — key on the
+        session_key = str(id(spark))  # client session object instead
+    key = (session_key, sf_dir, name, fp)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
