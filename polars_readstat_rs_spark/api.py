@@ -231,6 +231,30 @@ def readstat_metadata(spark: SparkSession, path: str) -> DataFrame:
         from .formats.sas import parser as sas_parser
 
         return sas_parser.metadata_frame(spark, path)
+    if ext == "xpt":
+        from .formats.sas import xport
+
+        meta = xport.read_metadata(path)
+        rows = [
+            (
+                path,
+                meta.row_count,
+                len(meta.variables),
+                v.name,
+                "Char" if v.is_char else "Numeric",
+                v.length,
+                v.position,
+                v.format,
+                v.label,
+                meta.dataset_name,
+            )
+            for v in meta.variables
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, nobs long, nvar int, name string, kind string, "
+            "width int, offset int, format string, var_label string, table_name string",
+        )
     raise ValueError(f"unsupported extension for {path}")
 
 
@@ -337,6 +361,33 @@ def readstat_metadata_json(path: str) -> str:
                 "columns": columns,
             }
         )
+    if ext == "xpt":
+        from .formats.sas import xport
+
+        meta = xport.read_metadata(path)
+        variables = [
+            {
+                "name": v.name,
+                "label": v.label or None,
+                "format": v.format or None,
+                "type": "Char" if v.is_char else "Numeric",
+                "offset": v.position,
+                "length": v.length,
+            }
+            for v in meta.variables
+        ]
+        return json.dumps(
+            {
+                "row_count": meta.row_count,
+                "row_length": meta.row_length,
+                "column_count": len(meta.variables),
+                "table_name": meta.dataset_name or None,
+                "dataset_label": meta.dataset_label or None,
+                "created": meta.created or None,
+                "data_offset": meta.data_offset,
+                "variables": variables,
+            }
+        )
     raise ValueError(f"unsupported extension for {path}")
 
 
@@ -364,6 +415,15 @@ def write_sav(df: DataFrame, path: str, **kwargs) -> None:
     from .formats.spss import writer as spss_writer
 
     spss_writer.write_sav(df.toArrow(), path, **kwargs)
+
+
+def write_xpt(df: DataFrame, path: str, **kwargs) -> None:
+    """Write a Spark DataFrame as SAS Transport XPORT v5 (driver-side
+    assembly; the distributed path is df.write.format("readstat")
+    .save("x.xpt") — beyond the reference, which has no .xpt support)."""
+    from .formats.sas import xport
+
+    xport.write_xpt(df.toArrow(), path, **kwargs)
 
 
 def write_sas_package(df: DataFrame, csv_path: str, script_path: str, **kwargs) -> None:

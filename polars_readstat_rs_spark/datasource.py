@@ -90,7 +90,7 @@ def _true(opt: str | None, default: bool = True) -> bool:
     return str(opt).lower() in ("1", "true", "yes")
 
 
-_EXTS = ("dta", "sav", "zsav", "sas7bdat", "sas7bcat")
+_EXTS = ("dta", "sav", "zsav", "sas7bdat", "sas7bcat", "xpt")
 
 
 def expand_paths(path: str) -> list[str]:
@@ -141,6 +141,8 @@ class ReadstatDataSource(DataSource):
             # catalogs share the sas7bdat page format (reference
             # detect_format, src/lib.rs:389)
             return "sas"
+        if ext in ("xpt",):
+            return "xport"
         raise ValueError(f"cannot infer readstat format from path {path!r}")
 
     def _read_opts(self):
@@ -170,6 +172,11 @@ class ReadstatDataSource(DataSource):
                 ),
                 **kwargs,
             )
+        if self._fmt() == "xport":
+            from .formats.sas import xport
+
+            kwargs.pop("value_labels_as_strings")  # no labels in XPORT v5
+            return xport.ReadOptions(**kwargs)
         return stata_parser.ReadOptions(**kwargs)
 
     def _columns(self) -> list[str] | None:
@@ -207,6 +214,14 @@ class ReadstatDataSource(DataSource):
                     informative_null_columns=opts.informative_null_columns,
                     informative_null_suffix=opts.informative_null_suffix,
                 ),
+                prefer_timestamp_ntz=True,
+            )
+        if fmt == "xport":
+            from .formats.sas import xport
+
+            meta = xport.read_metadata(path)
+            return from_arrow_schema(
+                xport.arrow_schema(meta, self._read_opts(), self._columns()),
                 prefer_timestamp_ntz=True,
             )
         raise ValueError(f"unsupported format {fmt}")
@@ -265,7 +280,16 @@ class ReadstatDataSource(DataSource):
                 compress=_true(self.options.get("compress"), default=False),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
-        raise ValueError("distributed write supports .dta and .sav; "
+        if fmt == "xport":
+            return _XptWriter(
+                self.options["path"],
+                schema,
+                dsname=self.options.get("dsname", "DATA"),
+                dslabel=self.options.get("data_label", ""),
+                staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+            )
+        raise ValueError("distributed write supports .dta, .sav and .xpt; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
 
     def streamWriter(self, schema, overwrite: bool):
@@ -547,6 +571,10 @@ class _ReadstatReader(DataSourceReader):
             from .formats.spss import parser as spss_parser
 
             return spss_parser.arrow_schema(spss_parser.read_metadata(path), self.opts, self.columns)
+        if self.fmt == "xport":
+            from .formats.sas import xport
+
+            return xport.arrow_schema(xport.read_metadata(path), self.opts, self.columns)
         from .formats.sas import parser as sas_parser
 
         return sas_parser.arrow_schema(
@@ -622,6 +650,12 @@ class _ReadstatReader(DataSourceReader):
                 start, count = self._slice(meta.row_count)
                 return [_RowRange(path, start, count)]
             nobs, rec = meta.row_count, max(1, meta.row_length)
+        elif self.fmt == "xport":
+            from .formats.sas import xport
+
+            meta = xport.read_metadata(path)
+            # fixed-width records: O(1)-seek analytical byte-range splits
+            nobs, rec = meta.row_count, max(1, meta.row_length)
         else:
             raise ValueError(self.fmt)
 
@@ -667,6 +701,13 @@ class _ReadstatReader(DataSourceReader):
             return
         if self.fmt == "stata":
             batches = self._read_stata(partition)
+        elif self.fmt == "xport":
+            from .formats.sas import xport
+
+            batches = xport.read_partition(
+                partition.path, partition.start, partition.count, self.columns,
+                self.batch_size, self.opts,
+            )
         elif self.fmt == "spss":
             from .formats.spss import parser as spss_parser
 
@@ -779,6 +820,66 @@ class _DtaWriter(DataSourceArrowWriter):
             value_labels=self.value_labels,
             variable_labels=self.variable_labels,
             declared=self.string_widths,
+        )
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _XptWriter(DataSourceArrowWriter):
+    """Distributed .xpt write: executors encode Arrow batches to
+    fixed-width XPORT record sections (formats.sas.xport.spill_partition)
+    in a staging dir beside the output path; commit() streams the
+    sections into the final transport file, re-striding char columns to
+    the global width (one section of driver memory at a time)."""
+
+    def __init__(self, path: str, schema, dsname: str = "DATA", dslabel: str = "",
+                 staging_dir: str | None = None, string_widths=None):
+        import uuid
+
+        self.path = path
+        self.schema = schema
+        self.dsname = dsname
+        self.dslabel = dslabel
+        self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
+        parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
+        self.stage_dir = os.path.join(
+            parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
+        )
+
+    def write(self, batches):
+        import uuid
+
+        from .formats.sas.xport import spill_partition
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
+        sections = spill_partition(batches, blob, declared=self.string_widths)
+        if not sections:
+            os.unlink(blob)
+            return _DtaCommit("", [])
+        return _DtaCommit(blob, sections)
+
+    def commit(self, messages):
+        import shutil
+
+        from .formats.sas.xport import assemble_xpt
+
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        from pyspark.sql import types as _T
+
+        assemble_xpt(
+            self.path,
+            parts,
+            dsname=self.dsname,
+            dslabel=self.dslabel,
+            column_order=[
+                (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
+            ],
+            string_widths=self.string_widths,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -22,7 +22,7 @@ from .registry import ORACLES, QUERIES
 _RISKY_TAIL = (
     "m06_png_codec",
     "r12_pushdown_matrix",
-    "w01_writer_fuzz_roundtrip",
+    "r13_xpt_roundtrip_agg",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -512,3 +512,41 @@ def r12_pushdown_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").cast("long").alias("max_key"),
         )
     )
+
+
+@register(
+    "r13_xpt_roundtrip_agg",
+    oracle=f"""
+    SELECT s_nationkey AS NATION, count(*) AS n,
+      CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+      min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def r13_xpt_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS Transport (XPORT v5) gate — BEYOND the reference (it has no
+    .xpt support): parquet -> distributed .xpt writer (IBM-360 double
+    encode, fixed-width records, 8-char name truncation) -> our Spark
+    DataSource reader -> aggregate, hash-compared against DuckDB on the
+    parquet. The IBM float conversion is exact for IEEE doubles in
+    range, so sums match bit-for-bit."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r13_{tag}.xpt")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("SUPPKEY"),
+        F.col("s_nationkey").alias("NATION"),
+        F.col("s_acctbal").alias("ACCTBAL"),
+        F.col("s_name").alias("SNAME"),
+    )
+    sup.write.format("readstat").mode("overwrite").save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(F.col("NATION").cast("long").alias("NATION")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ACCTBAL").cast("decimal(12,2)")).cast("double").alias("bal"),
+        F.min("SUPPKEY").cast("long").alias("min_key"),
+        F.max("SUPPKEY").cast("long").alias("max_key"),
+    )
