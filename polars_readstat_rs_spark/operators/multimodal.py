@@ -539,6 +539,60 @@ def sample_video_frames(multimodal: DataFrame, stride: int = 2) -> DataFrame:
     return multimodal.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
 
 
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(
+    multimodal: DataFrame, frame: int = 16, hop: int = 8
+) -> DataFrame:
+    """Windowed audio feature extraction — the framing pass every
+    speech/audio pipeline runs before a model: decode the WAV container
+    (real RIFF parse), slide a ``frame``-sample window at ``hop`` step
+    (numpy sliding_window_view — the same strided layout librosa.frame
+    produces), and emit exact integer per-frame features: energy
+    (sum of squared samples) and midpoint zero-crossing count. Only
+    complete frames are emitted. Arrow-batched 1:N mapInPandas fan-out;
+    payloads never cross a shuffle; spectral features (FFT) would slot
+    into the same kernel but have no closed-form SQL oracle, so the
+    gate pins the framing + integer features."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_samples", "energy", "zero_crossings")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                d = decode_wav(bytes(payload))
+                s = d["samples"]
+                if s.size < frame:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(s, frame)[::hop]
+                mid = 128 if d["bits"] == 8 else 0
+                sgn = win >= mid
+                nf = win.shape[0]
+                rows["doc_id"].extend([doc_id] * nf)
+                rows["frame_idx"].extend(range(nf))
+                rows["n_samples"].extend([frame] * nf)
+                rows["energy"].extend((win.astype(np.int64) ** 2).sum(axis=1).tolist())
+                rows["zero_crossings"].extend(
+                    (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1).astype(int).tolist()
+                )
+            out = pd.DataFrame(rows)
+            for k in ("frame_idx", "n_samples", "zero_crossings"):
+                out[k] = out[k].astype("int32")
+            out["energy"] = out["energy"].astype("int64")
+            yield out
+
+    return multimodal.mapInPandas(fn, AUDIO_FRAME_SCHEMA)
+
+
 def payload_stats(multimodal: DataFrame) -> DataFrame:
     """Pure-SQL byte-level stats over binary payloads (no Python): length,
     checksum, head bytes in hex — the metadata-extraction fast path."""

@@ -23,6 +23,8 @@ _RISKY_TAIL = (
     "m06_png_codec",
     "r12_pushdown_matrix",
     "r13_xpt_roundtrip_agg",
+    "m07_audio_frames",
+    "q82_scd2_intervals",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -709,3 +709,35 @@ def m06_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_features(
         multimodal.synth_media_payloads(docs, kind="png")
     )
+
+
+@register(
+    "m07_audio_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, (64 + doc_id % 32 - 16) // 8 + 1)) AS frame_idx
+      FROM documents),
+    j AS (SELECT doc_id, frame_idx, unnest(range(0, 16)) AS j FROM f),
+    v AS (SELECT doc_id, frame_idx, j,
+            (doc_id * 31 + (frame_idx * 8 + j) * 7) % 256 AS s,
+            CASE WHEN j > 0
+                 THEN (doc_id * 31 + (frame_idx * 8 + j - 1) * 7) % 256 END AS prev
+          FROM j)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, CAST(16 AS INT) AS n_samples,
+      CAST(sum(s * s) AS BIGINT) AS energy,
+      CAST(sum(CASE WHEN prev IS NOT NULL AND ((s >= 128) != (prev >= 128))
+               THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM v GROUP BY doc_id, frame_idx
+    """,
+)
+def m07_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAMING gate: WAV payloads decoded by the real RIFF parser,
+    then strided 16-sample windows at hop 8 (numpy sliding_window_view)
+    emit exact integer energy + midpoint zero-crossing counts per frame
+    — the pre-model featurization pass of an audio pipeline. The oracle
+    recomputes every frame's features from the closed-form sample
+    values, so a hash match proves the decode AND the window framing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_frame_features(
+        multimodal.synth_media_payloads(docs, kind="wav"), frame=16, hop=8
+    )

@@ -979,3 +979,46 @@ def q81_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m2", F.col("event_type")).cast("long").alias("n_doubled"),
         "n_types",
     )
+
+
+@register(
+    "q82_scd2_intervals",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM {EVENTS_US} e),
+    changed AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    versions AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      FROM changed)
+    SELECT user_id, event_type,
+           epoch_ms(valid_from) AS valid_from_ms,
+           epoch_ms(valid_to) AS valid_to_ms,
+           version,
+           valid_to IS NULL AS is_current
+    FROM versions
+    """,
+)
+def q82_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension versioning (Kimball): the events log becomes
+    per-user state-history intervals — change detection (a repeated
+    state does not open a version), [valid_from, valid_to) stitching
+    via lead(), version numbers, is_current flag. One shuffle on the
+    key; both window passes share the partitioning."""
+    from ..operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "version",
+        "is_current",
+    )

@@ -1280,3 +1280,46 @@ def test_bmp_stream_demux_roundtrip():
         multimodal.decode_bmp_stream(stream[1:])
     with pytest.raises(ValueError, match="overruns"):
         multimodal.decode_bmp_stream(stream[:-10])
+
+
+def test_scd2_intervals_change_detection(spark):
+    """A repeated state must NOT open a new version (the defining SCD2
+    rule); intervals chain valid_to -> next valid_from; the last version
+    per key is current."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators.scd import scd2_intervals
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 100, "A"),
+        (2, t0 + datetime.timedelta(days=1), 100, "A"),  # repeat: no new version
+        (3, t0 + datetime.timedelta(days=2), 100, "B"),
+        (4, t0 + datetime.timedelta(days=3), 100, "A"),
+        (5, t0, 200, "X"),
+    ]
+    log = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, state string")
+    out = scd2_intervals(log, "user_id", "ts", "state", "event_id")
+    got = {(r.user_id, r.version): r for r in out.collect()}
+    assert len(got) == 4  # 3 versions for user 100, 1 for user 200
+    assert got[(100, 1)].state == "A" and got[(100, 1)].valid_to == got[(100, 2)].valid_from
+    assert got[(100, 2)].state == "B" and not got[(100, 2)].is_current
+    assert got[(100, 3)].state == "A" and got[(100, 3)].is_current
+    assert got[(100, 3)].valid_to is None
+    assert got[(200, 1)].is_current
+
+
+def test_audio_frame_features_16bit(spark):
+    """Framing works for 16-bit PCM too (midpoint 0, int64 energy)."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import multimodal
+
+    s = np.array([-30000, 30000] * 20, dtype=np.int16)
+    payload = multimodal.encode_wav(s, 16000, 1)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = multimodal.audio_frame_features(df, frame=16, hop=8).collect()
+    assert len(out) == (40 - 16) // 8 + 1
+    for r in out:
+        assert r.energy == 16 * 30000 * 30000
+        assert r.zero_crossings == 15  # alternating signs
