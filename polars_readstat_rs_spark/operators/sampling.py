@@ -274,3 +274,54 @@ def temperature_mix(
     return joined.filter(
         _bucket(id_col, seed) < F.floor(F.col("_rate") * F.lit(float(BUCKETS))).cast("bigint")
     ).drop("_rate")
+
+
+def curriculum_schedule(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[float, ...] = (4.5, 5.5),
+    phase_token_budget: int | None = None,
+    seed: str = "s0",
+) -> DataFrame:
+    """Curriculum training schedule: documents are staged easy -> hard
+    by a difficulty proxy (mean word length — longer words ~ harder
+    text) banded at the given ``thresholds`` (len+1 phases),
+    deterministically shuffled WITHIN each phase (hash order,
+    reproducible under reruns and repartitioning), and cut to an
+    optional per-phase token budget via a running token sum.
+
+    Output: (id, phase, seq, n_tokens, cum_tokens) per scheduled doc.
+    Scale shape: difficulty and phase are pure per-row expressions
+    (thresholds are parameters, the same shape as stratified_sample's
+    rates — calibrate them once on a sample rather than paying an
+    exact-NTILE global sort, which would be the single-partition-window
+    trap at 100 TB); the per-phase (seq, running-sum) windows are the
+    only shuffle, no joins, no driver state.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    # exact integer proxy: total non-space chars / word count, as a
+    # DOUBLE division of two exact ints (cross-engine deterministic)
+    n_words = F.size(words)
+    n_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), " ", ""))
+    difficulty = n_chars.cast("double") / n_words.cast("double")
+    phase = F.lit(1)
+    for t in sorted(thresholds):
+        phase = phase + F.when(difficulty >= float(t), F.lit(1)).otherwise(F.lit(0))
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("int").alias("n_tokens"),
+        phase.cast("int").alias("phase"),
+        _bucket(id_col, seed).alias("_h"),
+    )
+    w = Window.partitionBy("phase").orderBy(F.asc("_h"), F.asc("id"))
+    out = (
+        staged.withColumn("seq", F.row_number().over(w).cast("int"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .select("id", "phase", "seq", "n_tokens", "cum_tokens")
+    )
+    if phase_token_budget is not None:
+        out = out.filter(F.col("cum_tokens") <= int(phase_token_budget))
+    return out

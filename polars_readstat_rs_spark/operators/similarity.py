@@ -403,6 +403,82 @@ def srp_neardup_pairs(
     return _track(out, sigs)
 
 
+def srp_ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = 64,
+    nbits: int = 32,
+    nbands: int = 4,
+    seed: str = "srp",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Two-table approximate-nearest-neighbor JOIN (cross-corpus
+    retrieval): for each query vector, the top-``k`` corpus vectors
+    among SRP band-bucket collisions, exact-cosine re-ranked.
+
+    The retrieval shape of RAG / embedding-dedup-against-an-index at
+    scale: both sides band on the SAME hyperplanes, the join shuffles
+    on (band_idx, band_val) — key space subdivides with corpus growth,
+    no fixed cell list — then a candidate-restricted exact re-rank and
+    a per-query top-k window. Approximate by construction: a corpus
+    vector colliding with the query in NO band is unreachable
+    (recall/k tradeoff set by nbits/nbands, same geometry analysis as
+    :func:`srp_neardup_pairs`). ``max_bucket`` caps corpus-side bucket
+    population against boilerplate floods (lowest-id truncation, the
+    :func:`~polars_readstat_rs_spark.operators.dedup._cap_buckets`
+    discipline). Ties re-rank deterministically on (sim DESC, id ASC)
+    after round(·, 6)."""
+    from .dedup import _cap_buckets
+
+    qs = srp_signatures(queries, id_col, vec_col, dim, nbits, nbands, seed).persist()
+    cs = srp_signatures(corpus, id_col, vec_col, dim, nbits, nbands, seed).persist()
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(nbands))
+    q_bands = qs.select(
+        F.col("vid").alias("q_id"),
+        F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)"),
+    )
+    c_bands = _cap_buckets(
+        cs.select(
+            F.col("vid").alias("c_id"),
+            F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)"),
+        ),
+        ["band_idx", "band_val"],
+        "c_id",
+        max_bucket,
+    )
+    cand = (
+        q_bands.join(c_bands, ["band_idx", "band_val"])
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qn = qs.select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.sqrt(dot_expr("vec", "vec")).alias("q_norm"),
+    )
+    cn = cs.select(
+        F.col("vid").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.sqrt(dot_expr("vec", "vec")).alias("c_norm"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    out = (
+        cand.join(qn, "q_id")
+        .join(cn, "c_id")
+        .withColumn(
+            "sim",
+            F.round(pair_dot_udf("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6),
+        )
+        .select("q_id", "c_id", "sim")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return _track(out, qs, cs)
+
+
 # ------------------------------------------------------------- k-means IVF
 
 def _sqdist_expr(a: str | Column, b: str | Column) -> Column:

@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-5 rotation: every pre-r5 entry has passed the complete
@@ -25,6 +25,8 @@ _RISKY_TAIL = (
     "r13_xpt_roundtrip_agg",
     "m07_audio_frames",
     "q82_scd2_intervals",
+    "v10_ann_join",
+    "p10_curriculum",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

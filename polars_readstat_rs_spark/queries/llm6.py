@@ -1,0 +1,123 @@
+"""Round-5 LLM-pipeline additions: cross-corpus ANN join (v10),
+curriculum packing (p10), fixed-vocabulary tokenizer apply (t15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..tables import load_table
+from .llm import _cosine_sql
+from .registry import register
+
+# ------------------------------------------------- v10 cross-corpus ANN join
+
+_V10_DIM, _V10_NBITS, _V10_NBANDS, _V10_SEED, _V10_K = 64, 32, 4, "srp", 3
+
+
+def _v10_band_sql(k: int) -> str:
+    """Mirror of queries.llm._srp_band_sql for the shared 'srp' planes."""
+    bits = _V10_NBITS // _V10_NBANDS
+    terms = []
+    for r in range(bits):
+        b = k * bits + r
+        h = (
+            f"(('0x' || substr(md5('{_V10_SEED}:{b}:' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+        dot = (
+            f"list_reduce(list_transform(range(1, {_V10_DIM} + 1), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * {h}), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "v10_ann_join",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"CAST({_v10_band_sql(k)} AS INT) AS b{k}" for k in range(_V10_NBANDS))}
+      FROM embeddings),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT vec_id, {k} AS band_idx, b{k} AS band_val FROM sig" for k in range(_V10_NBANDS))}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM bands q JOIN bands c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+      WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+    scored AS (
+      SELECT cand.q_id, cand.c_id, {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM cand JOIN embeddings a ON cand.q_id = a.vec_id
+                JOIN embeddings b ON cand.c_id = b.vec_id)
+    SELECT q_id, c_id, sim, rank FROM (
+      SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+      FROM scored) WHERE rank <= {_V10_K}
+    """,
+)
+def v10_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus ANN JOIN (operators/similarity.py: srp_ann_join):
+    query vectors (vec_id % 10 == 0) retrieve their top-3 corpus
+    vectors among SRP band collisions with exact-cosine re-rank — the
+    RAG / dedup-against-an-index retrieval shape. The oracle replays
+    the identical banding on both sides, so the hash pins candidate
+    generation AND ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_ann_join(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        k=_V10_K, dim=_V10_DIM, nbits=_V10_NBITS,
+        nbands=_V10_NBANDS, seed=_V10_SEED,
+    )
+
+
+# ------------------------------------------------- p10 curriculum schedule
+
+_P10_T1, _P10_T2 = 4.5, 5.5
+_P10_BUDGET = 20_000
+_P10_SEED = "s0"
+
+
+@register(
+    "p10_curriculum",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+        CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+        CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS diff,
+        ('0x' || substr(md5('{_P10_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents),
+    staged AS (
+      SELECT id, n_tokens, h,
+        CAST(1 + (CASE WHEN diff >= {_P10_T1} THEN 1 ELSE 0 END)
+               + (CASE WHEN diff >= {_P10_T2} THEN 1 ELSE 0 END) AS INT) AS phase
+      FROM d),
+    sched AS (
+      SELECT id, phase, n_tokens,
+        CAST(row_number() OVER (PARTITION BY phase ORDER BY h, id) AS INT) AS seq,
+        CAST(sum(n_tokens) OVER (PARTITION BY phase ORDER BY h, id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM staged)
+    SELECT id, phase, seq, n_tokens, cum_tokens
+    FROM sched WHERE cum_tokens <= {_P10_BUDGET}
+    """,
+)
+def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (operators/sampling.py: curriculum_schedule):
+    difficulty-banded phases (mean-word-length thresholds), hash-order
+    within-phase shuffle, per-phase running token budget — the staged
+    data-ordering pass of a curriculum training run. Pure expressions +
+    per-phase windows; no global sort."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.curriculum_schedule(
+        docs, "doc_id", "text",
+        thresholds=(_P10_T1, _P10_T2),
+        phase_token_budget=_P10_BUDGET,
+        seed=_P10_SEED,
+    )

@@ -1323,3 +1323,48 @@ def test_audio_frame_features_16bit(spark):
     for r in out:
         assert r.energy == 16 * 30000 * 30000
         assert r.zero_crossings == 15  # alternating signs
+
+
+def test_srp_ann_join_finds_exact_duplicate(spark):
+    """An exact duplicate vector collides in every SRP band, so it must
+    come back as its query's rank-1 neighbor with sim == 1.0."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators.similarity import srp_ann_join
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    corpus_vecs = rng.normal(size=(20, dim)).astype("float32")
+    rows = [(int(100 + i), [float(x) for x in v]) for i, v in enumerate(corpus_vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query 0 duplicates corpus vector 107
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in corpus_vecs[7]])], "vec_id long, embedding array<float>"
+    )
+    out = srp_ann_join(queries, corpus, k=3, dim=dim, nbits=16, nbands=4).collect()
+    top = [r for r in out if r.rank == 1]
+    assert len(top) == 1 and top[0].c_id == 107 and top[0].sim == 1.0
+
+
+def test_curriculum_schedule_bands_and_budget(spark):
+    from polars_readstat_rs_spark.operators.sampling import curriculum_schedule
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"),          # mean word len 2 -> phase 1
+            (2, "aaaaa bbbbb"),       # 5 -> phase 2
+            (3, "aaaaaaaa bbbbbbbb"), # 8 -> phase 3
+            (4, "xx yy"),             # 2 -> phase 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in curriculum_schedule(docs, "doc_id", "text").collect()}
+    assert out[1].phase == 1 and out[4].phase == 1
+    assert out[2].phase == 2 and out[3].phase == 3
+    # running budget within phase: seqs are 1..n and cum_tokens increases
+    p1 = sorted((r for r in out.values() if r.phase == 1), key=lambda r: r.seq)
+    assert [r.seq for r in p1] == [1, 2]
+    assert p1[0].cum_tokens < p1[1].cum_tokens
+    # budget filter drops late rows
+    cut = curriculum_schedule(docs, "doc_id", "text", phase_token_budget=3).collect()
+    assert all(r.cum_tokens <= 3 for r in cut)
