@@ -45,3 +45,63 @@ def scd2_intervals(
         F.row_number().over(w2).alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    valid_from_col: str,
+    dim_cols: list[str],
+    fact_cols: list[str],
+    dim_order_col: str | None = None,
+) -> DataFrame:
+    """As-of (point-in-time) join of a fact stream onto SCD2 dimension
+    versions: each fact row picks up the dimension attributes whose
+    validity interval contains its timestamp.
+
+    NOT a range join: dimension versions and facts are unioned and a
+    single per-key window carries the latest dimension attributes
+    forward (last(ignorenulls) over rows preceding) — one shuffle on
+    the key, no non-equi join, no interval explosion; the scalable PIT
+    shape feature stores use. A fact stamped exactly at a version's
+    valid_from belongs to that (new) version: dimension rows sort
+    before fact rows on timestamp ties. Facts before the first version
+    keep null attributes. Pass ``dim_order_col`` (e.g. the SCD2 version
+    number) when two dimension versions can share a valid_from — the
+    later version must sort last so the carry-forward picks it, exactly
+    as a half-open range join drops the zero-width interval.
+    """
+    d = dims.select(
+        F.col(key_col),
+        F.col(valid_from_col).alias("__ts"),
+        F.lit(1).alias("__is_dim"),
+        *[F.col(c) for c in dim_cols],
+        *[F.lit(None).alias(c) for c in fact_cols],
+    )
+    f = facts.select(
+        F.col(key_col),
+        F.col(fact_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_dim"),
+        *[F.lit(None).alias(c) for c in dim_cols],
+        *[F.col(c) for c in fact_cols],
+    )
+    order = [F.col("__ts").asc(), F.col("__is_dim").desc()]
+    if dim_order_col is not None:
+        order.append(F.col(dim_order_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = d.unionByName(f).select(
+        key_col,
+        "__ts",
+        "__is_dim",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in dim_cols],
+        *fact_cols,
+    )
+    return carried.filter(F.col("__is_dim") == 0).select(
+        key_col, F.col("__ts").alias(fact_ts_col), *dim_cols, *fact_cols
+    )

@@ -27,6 +27,7 @@ _RISKY_TAIL = (
     "q82_scd2_intervals",
     "v10_ann_join",
     "p10_curriculum",
+    "q83_point_in_time_join",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -1022,3 +1022,48 @@ def q82_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@register(
+    "q83_point_in_time_join",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM {EVENTS_US} e),
+    changed AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    versions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      FROM changed)
+    SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, v.version, v.state
+    FROM {EVENTS_US} e JOIN versions v
+      ON e.user_id = v.user_id
+     AND e.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+)
+def q83_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.py: point_in_time_join): every
+    event picks up the SCD2 state version valid at its timestamp — the
+    feature-store as-of shape. Spark runs the scalable union + carry-
+    forward window (one key shuffle, no non-equi join); the oracle is
+    the straightforward interval range join, so the hash proves the two
+    formulations agree row-for-row, including valid_from boundary ties."""
+    from ..operators.scd import point_in_time_join, scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    dims = scd2_intervals(ev, "user_id", "ts", "event_type", "event_id").select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "version"
+    )
+    out = point_in_time_join(
+        ev, dims, "user_id", "ts", "valid_from",
+        dim_cols=["version", "state"], fact_cols=["event_id"],
+        dim_order_col="version",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "version", "state"
+    )

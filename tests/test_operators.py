@@ -1368,3 +1368,41 @@ def test_curriculum_schedule_bands_and_budget(spark):
     # budget filter drops late rows
     cut = curriculum_schedule(docs, "doc_id", "text", phase_token_budget=3).collect()
     assert all(r.cum_tokens <= 3 for r in cut)
+
+
+def test_point_in_time_join_boundary_and_zero_width(spark):
+    """A fact at a version's valid_from gets the NEW version; when two
+    versions share a valid_from (zero-width first interval), facts pick
+    the later one — matching a half-open range join."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators.scd import point_in_time_join, scd2_intervals
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = t0 + datetime.timedelta(hours=1)
+    log = spark.createDataFrame(
+        [
+            (1, t0, 7, "A"),
+            (2, t1, 7, "B"),  # two changes at the SAME ts: zero-width B
+            (3, t1, 7, "C"),
+        ],
+        "event_id long, ts timestamp, user_id long, state string",
+    )
+    dims = scd2_intervals(log, "user_id", "ts", "state", "event_id").select(
+        "user_id", "state", "valid_from", "version"
+    )
+    facts = spark.createDataFrame(
+        [(10, t0, 7), (11, t1, 7), (12, t1 + datetime.timedelta(hours=1), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {
+        r.event_id: r
+        for r in point_in_time_join(
+            facts, dims, "user_id", "ts", "valid_from",
+            dim_cols=["version", "state"], fact_cols=["event_id"],
+            dim_order_col="version",
+        ).collect()
+    }
+    assert out[10].state == "A" and out[10].version == 1
+    assert out[11].state == "C" and out[11].version == 3  # boundary + zero-width
+    assert out[12].state == "C"
