@@ -118,6 +118,21 @@ def main() -> None:
     base = os.path.join(tempfile.gettempdir(), "readstat_scale_smoke")
     os.makedirs(base, exist_ok=True)
 
+    def _scd2_pit(events):
+        from polars_readstat_rs_spark.operators import scd
+
+        ev = events.withColumn("event_id", F.monotonically_increasing_id()).withColumn(
+            "state", (F.col("value") > 12).cast("string")
+        )
+        dims = scd.scd2_intervals(ev, "user_id", "ts", "state", "event_id").select(
+            "user_id", "state", "valid_from", "version"
+        )
+        return scd.point_in_time_join(
+            ev, dims, "user_id", "ts", "valid_from",
+            dim_cols=["version", "state"], fact_cols=["event_id"],
+            dim_order_col="version",
+        )
+
     def run(name, mk):
         # time CONSTRUCTION + materialization: iterative operators
         # (semantic_dedup's component loop) localCheckpoint eagerly, so
@@ -277,6 +292,25 @@ def main() -> None:
                 "text",
                 max_bucket=20,
             ),
+            # r5 additions: query set grows with the corpus (n/50) so the
+            # candidate volume scales with rows, not quadratically; the
+            # corpus-side bucket cap bounds boilerplate floods
+            "ann_join": lambda: similarity.srp_ann_join(
+                emb.filter(F.col("vec_id") % 50 == 0),
+                emb.filter(F.col("vec_id") % 50 != 0),
+                k=3,
+                max_bucket=2000,
+            ),
+            "contamination": lambda: sampling.contamination_report(
+                docs.filter(F.col("doc_id") % 10 != 0),
+                docs.filter(F.col("doc_id") % 10 == 0),
+                "doc_id",
+                "text",
+            ),
+            "curriculum": lambda: sampling.curriculum_schedule(
+                docs, "doc_id", "text"
+            ),
+            "scd2_pit": lambda: _scd2_pit(events),
         }
         for name, mk in ops.items():
             if only and name not in only:
