@@ -479,6 +479,97 @@ def srp_ann_join(
     return _track(out, qs, cs)
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 8,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: per query, greedily select
+    ``k`` of the top-``n_candidates`` cosine neighbors, each step
+    maximizing ``lam * sim(q, c) - (1 - lam) * max_{s in selected}
+    sim(c, s)`` — the standard retrieval-diversity pass (RAG context
+    selection, dedup-aware search).
+
+    Greedy selection is inherently sequential in k, so the loop unrolls
+    into k plan stages (k is small and fixed); every stage stays fully
+    distributed and per-query: a window argmax + a hash join against
+    the candidate-pair similarity table (≤ n_candidates² rows per
+    query — bounded, never corpus-scale). Determinism: sims and scores
+    round to 6 decimals before every argmax; ties break on c_id.
+    Returns (q_id, c_id, mmr_rank, score) — score is null for rank 1
+    (pure relevance seed).
+    """
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    cand = (
+        brute_force_topk(corpus, queries, id_col, vec_col, k=n_candidates)
+        .select("q_id", F.col("vec_id").alias("c_id"), "sim")
+        .persist()
+    )
+    vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    ca = cand.join(vecs, cand.c_id == vecs.__vid).select(
+        "q_id", F.col("c_id").alias("a_id"), F.col("__vec").alias("a_vec")
+    )
+    cb = cand.join(vecs, cand.c_id == vecs.__vid).select(
+        F.col("q_id").alias("q2"), F.col("c_id").alias("b_id"), F.col("__vec").alias("b_vec")
+    )
+    pair_sims = (
+        ca.join(cb, (ca.q_id == cb.q2) & (ca.a_id != cb.b_id))
+        .select(
+            "q_id", "a_id", "b_id",
+            F.round(pair_cosine_udf("a_vec", "b_vec"), 6).alias("ps"),
+        )
+        .persist()
+    )
+
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", F.lit(1).alias("mmr_rank"),
+                F.lit(None).cast("double").alias("score"))
+        .persist()
+    )
+    remaining = cand.join(selected.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+    # running max similarity to the selected set, updated each round
+    remaining = remaining.withColumn("maxsim", F.lit(None).cast("double"))
+    for step in range(2, k + 1):
+        last = selected.filter(F.col("mmr_rank") == step - 1).select(
+            "q_id", F.col("c_id").alias("__last")
+        )
+        upd = (
+            remaining.join(last, "q_id")
+            .join(
+                pair_sims.select(
+                    "q_id", F.col("a_id").alias("c_id"), F.col("b_id").alias("__last"), "ps"
+                ),
+                ["q_id", "c_id", "__last"],
+                "left",
+            )
+            .select(
+                "q_id", "c_id", "sim",
+                F.greatest(F.coalesce("maxsim", F.lit(-1.0)), F.coalesce("ps", F.lit(-1.0))).alias("maxsim"),
+            )
+        )
+        # round the complement so the literal equals what an oracle
+        # writes as e.g. 0.3 (1.0 - 0.7 is 0.30000000000000004 in IEEE)
+        mu = round(1.0 - lam, 12)
+        scored = upd.withColumn(
+            "score", F.round(F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("maxsim"), 6)
+        )
+        ws = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", F.lit(step).alias("mmr_rank"), "score")
+        )
+        selected = selected.unionByName(pick).persist()
+        remaining = upd.join(pick.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+    return _track(selected, cand, pair_sims, selected)
+
+
 # ------------------------------------------------------------- k-means IVF
 
 def _sqdist_expr(a: str | Column, b: str | Column) -> Column:

@@ -28,6 +28,7 @@ _RISKY_TAIL = (
     "v10_ann_join",
     "p10_curriculum",
     "q83_point_in_time_join",
+    "v11_mmr_rerank",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -121,3 +121,70 @@ def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         phase_token_budget=_P10_BUDGET,
         seed=_P10_SEED,
     )
+
+
+# ------------------------------------------------- v11 MMR diversity re-rank
+
+_V11_NQ, _V11_C, _V11_K, _V11_LAM, _V11_MU = 6, 8, 3, 0.7, 0.3
+
+
+@register(
+    "v11_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < {_V11_NQ}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS c_id, {_cosine_sql('q.q_vec', 'e.embedding')} AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+    cand AS (
+      SELECT q_id, c_id, sim FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) <= {_V11_C}),
+    pc AS (
+      SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id,
+             {_cosine_sql('ea.embedding', 'eb.embedding')} AS ps
+      FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.c_id <> y.c_id
+      JOIN embeddings ea ON x.c_id = ea.vec_id
+      JOIN embeddings eb ON y.c_id = eb.vec_id),
+    s1 AS (
+      SELECT q_id, c_id FROM cand
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) = 1),
+    m2 AS (
+      SELECT c.q_id, c.c_id, c.sim, p.ps AS maxsim,
+             round({_V11_LAM} * c.sim - {_V11_MU} * p.ps, 6) AS score
+      FROM cand c
+      JOIN s1 ON c.q_id = s1.q_id AND c.c_id <> s1.c_id
+      JOIN pc p ON p.q_id = c.q_id AND p.a_id = c.c_id AND p.b_id = s1.c_id),
+    s2 AS (
+      SELECT q_id, c_id, score FROM m2
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) = 1),
+    m3 AS (
+      SELECT m.q_id, m.c_id, m.sim,
+             greatest(m.maxsim, p.ps) AS maxsim,
+             round({_V11_LAM} * m.sim - {_V11_MU} * greatest(m.maxsim, p.ps), 6) AS score
+      FROM m2 m
+      JOIN s2 ON m.q_id = s2.q_id AND m.c_id <> s2.c_id
+      JOIN pc p ON p.q_id = m.q_id AND p.a_id = m.c_id AND p.b_id = s2.c_id),
+    s3 AS (
+      SELECT q_id, c_id, score FROM m3
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) = 1)
+    SELECT q_id, c_id, 1 AS mmr_rank, CAST(NULL AS DOUBLE) AS score FROM s1
+    UNION ALL SELECT q_id, c_id, 2, score FROM s2
+    UNION ALL SELECT q_id, c_id, 3, score FROM s3
+    """,
+)
+def v11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (operators/similarity.py:
+    mmr_rerank): per query, greedily pick 3 of the top-8 cosine
+    candidates maximizing lam*relevance - (1-lam)*max-similarity-to-
+    selected — the retrieval-diversity pass of a RAG pipeline. The
+    oracle unrolls the same greedy recursion step by step (QUALIFY
+    argmax per stage), so the hash pins the full selection order and
+    scores; rounding to 6 decimals before every argmax makes the greedy
+    path cross-engine deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < _V11_NQ),
+        n_candidates=_V11_C, k=_V11_K, lam=_V11_LAM,
+    )
+    return out.select("q_id", "c_id", F.col("mmr_rank").cast("int").alias("mmr_rank"), "score")

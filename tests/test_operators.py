@@ -1406,3 +1406,27 @@ def test_point_in_time_join_boundary_and_zero_width(spark):
     assert out[10].state == "A" and out[10].version == 1
     assert out[11].state == "C" and out[11].version == 3  # boundary + zero-width
     assert out[12].state == "C"
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Construct a query with two near-identical top candidates and one
+    slightly-less-relevant but orthogonal one: plain top-k would return
+    the duplicate pair; MMR must pick the orthogonal vector second."""
+    from polars_readstat_rs_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.02]),   # best match
+        (101, [1.0, 0.001, 0.0, 0.02]), # near-duplicate of 100
+        (102, [0.5, 0.86, 0.0, 0.0]),   # less relevant, diverse
+        (103, [-1.0, 0.0, 0.0, 0.0]),   # irrelevant
+    ]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.mmr_rank: r for r in mmr_rerank(corpus, queries, n_candidates=4, k=3, lam=0.5).collect()}
+    assert out[1].c_id == 100 and out[1].score is None
+    assert out[2].c_id == 102  # diversity beats the near-duplicate
+    assert out[3].c_id == 101
