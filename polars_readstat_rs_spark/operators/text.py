@@ -62,3 +62,85 @@ def chunk_documents(
             F.col("_c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def wordpiece_tokenize(
+    docs,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    max_words: int | None = None,
+):
+    """Greedy longest-match subword tokenization (WordPiece-style
+    inference): each whitespace word is segmented left-to-right, at
+    every position taking the LONGEST vocabulary entry that prefixes
+    the remainder; a character not starting any entry is emitted as a
+    single-character token (char fallback — total, no <unk> state).
+
+    The vocabulary rides to the executors as a broadcast-sized python
+    trie inside an Arrow-batched mapInPandas (tokenization is genuinely
+    per-character string work — the one place the UDF path earns its
+    keep); the 1:N fan-out happens inside each batch, no shuffle, and
+    ordering columns (word_idx, tok_idx) make the output deterministic
+    under any partitioning. ``max_words`` caps per-doc fan-out.
+
+    Returns (id, word_idx, tok_idx, token).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # prefix trie: maps each vocab entry; walk returns longest match
+    trie: dict = {}
+    for v in vocab:
+        node = trie
+        for ch in v:
+            node = node.setdefault(ch, {})
+        node["$"] = v
+
+    def longest(word: str, pos: int) -> str:
+        node, best = trie, None
+        for i in range(pos, len(word)):
+            node = node.get(word[i])
+            if node is None:
+                break
+            if "$" in node:
+                best = node["$"]
+        return best if best is not None else word[pos]
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("word_idx", T.IntegerType()),
+            T.StructField("tok_idx", T.IntegerType()),
+            T.StructField("token", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"id": [], "word_idx": [], "tok_idx": [], "token": []}
+            for doc_id, text in zip(b["id"], b["text"]):
+                words = str(text).lower().split(" ")
+                if max_words is not None:
+                    words = words[:max_words]
+                for wi, w in enumerate(words):
+                    pos, ti = 0, 0
+                    while pos < len(w):
+                        tok = longest(w, pos)
+                        rows["id"].append(doc_id)
+                        rows["word_idx"].append(wi)
+                        rows["tok_idx"].append(ti)
+                        rows["token"].append(tok)
+                        pos += len(tok)
+                        ti += 1
+            out = pd.DataFrame(rows)
+            for k in ("word_idx", "tok_idx"):
+                out[k] = out[k].astype("int32")
+            yield out
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(fn, schema)

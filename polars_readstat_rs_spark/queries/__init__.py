@@ -29,6 +29,7 @@ _RISKY_TAIL = (
     "p10_curriculum",
     "q83_point_in_time_join",
     "v11_mmr_rerank",
+    "t15_wordpiece",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -188,3 +188,58 @@ def v11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_V11_C, k=_V11_K, lam=_V11_LAM,
     )
     return out.select("q_id", "c_id", F.col("mmr_rank").cast("int").alias("mmr_rank"), "score")
+
+
+# ------------------------------------------------- t15 wordpiece tokenize
+
+_T15_TRI = ("the", "ing", "ion", "ent", "and", "her", "for", "ter", "ati", "ver")
+_T15_BI = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "es", "or", "ar", "te", "ed", "st")
+_T15_VOCAB = list(_T15_TRI) + list(_T15_BI)
+
+
+def _t15_in(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+@register(
+    "t15_wordpiece",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    words AS (
+      SELECT doc_id AS id, CAST(i - 1 AS INT) AS word_idx, words[i] AS word
+      FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM toks)),
+    seg AS (
+      WITH RECURSIVE r(id, word_idx, word, pos, tok_idx, token) AS (
+        SELECT id, word_idx, word, 1, -1, CAST(NULL AS VARCHAR) FROM words
+        UNION ALL
+        SELECT id, word_idx, word,
+          pos + length(CASE WHEN substr(word, pos, 3) IN ({_t15_in(_T15_TRI)})
+                            THEN substr(word, pos, 3)
+                            WHEN substr(word, pos, 2) IN ({_t15_in(_T15_BI)})
+                            THEN substr(word, pos, 2)
+                            ELSE substr(word, pos, 1) END),
+          tok_idx + 1,
+          CASE WHEN substr(word, pos, 3) IN ({_t15_in(_T15_TRI)})
+               THEN substr(word, pos, 3)
+               WHEN substr(word, pos, 2) IN ({_t15_in(_T15_BI)})
+               THEN substr(word, pos, 2)
+               ELSE substr(word, pos, 1) END
+        FROM r WHERE pos <= length(word)
+      ) SELECT id, word_idx, CAST(tok_idx AS INT) AS tok_idx, token FROM r
+        WHERE token IS NOT NULL)
+    SELECT id, word_idx, tok_idx, token FROM seg
+    """,
+)
+def t15_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization (operators/text.py:
+    wordpiece_tokenize) against a fixed 25-entry subword vocabulary with
+    character fallback — WordPiece-style inference over the corpus. The
+    Spark side walks a broadcast trie in Arrow batches; the oracle
+    unrolls the same greedy rule as a recursive CTE (vocab max length 3
+    makes longest-match a closed-form CASE), so the hash pins every
+    token boundary in every word of every document."""
+    from ..operators.text import wordpiece_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_tokenize(docs, "doc_id", "text", _T15_VOCAB)

@@ -1430,3 +1430,20 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     assert out[1].c_id == 100 and out[1].score is None
     assert out[2].c_id == 102  # diversity beats the near-duplicate
     assert out[3].c_id == 101
+
+
+def test_wordpiece_tokenize_longest_match(spark):
+    """Greedy longest-match: 'the' beats 'th'; char fallback is total;
+    empty words (double spaces) emit nothing."""
+    from polars_readstat_rs_spark.operators.text import wordpiece_tokenize
+
+    docs = spark.createDataFrame([(1, "thexq  in")], "doc_id long, text string")
+    out = sorted(
+        wordpiece_tokenize(docs, "doc_id", "text", ["th", "the", "in", "xq"]).collect(),
+        key=lambda r: (r.word_idx, r.tok_idx),
+    )
+    assert [(r.word_idx, r.tok_idx, r.token) for r in out] == [
+        (0, 0, "the"),  # longest match wins over 'th'
+        (0, 1, "xq"),
+        (2, 0, "in"),   # word_idx 1 is the empty word between spaces
+    ]
