@@ -244,3 +244,24 @@ def test_xpt_empty_write(spark, tmp_path):
     back = spark.read.format("readstat").load(p)
     assert back.count() == 0
     assert back.columns == ["A", "S"]
+
+
+def test_xpt_multifile_directory_scan(spark, tmp_path):
+    """A directory of .xpt files reads as ONE DataFrame via the generic
+    multi-file machinery (per-file partitions, schema agreement)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(3):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").cast("double").alias("K"), F.lit(f"f{i}").alias("SRC")
+        )
+        df.coalesce(1).write.format("readstat").mode("overwrite").save(str(d / f"part{i}.xpt"))
+    allf = spark.read.format("readstat").load(str(d))
+    assert allf.count() == 30
+    assert allf.agg(F.countDistinct("SRC")).collect()[0][0] == 3
+    assert allf.agg(F.sum("K")).collect()[0][0] == sum(range(30))
