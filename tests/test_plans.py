@@ -211,3 +211,36 @@ def test_q73_or_predicates_push_part_filters(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
     assert any("p_brand" in p for p in pushed), pushed  # part scan: brand OR-branches
     assert any("l_quantity" in p for p in pushed), pushed  # lineitem: qty disjunction
+
+
+def test_q82_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both SCD2 window passes (change detection, interval stitching)
+    partition on the same key, so the physical plan carries exactly ONE
+    Exchange — a second one would double the shuffle at scale."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q82_scd2_intervals"](spark, sf_dir))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan[:1500]
+
+
+def test_q83_pit_join_is_join_free(spark, sf_dir):
+    """The point-in-time join must compile to union + window carry-
+    forward: NO join operator anywhere (a range join would explode
+    intervals at scale)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q83_point_in_time_join"](spark, sf_dir))
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)", plan), (
+        plan[:1500]
+    )
+
+
+def test_v10_ann_join_no_cartesian_and_partial_topk(spark, sf_dir):
+    """The two-sided ANN join must never plan a cartesian product, and
+    the per-query top-k must install a WindowGroupLimit (map-side
+    partial top-k) before the final rank filter."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["v10_ann_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
