@@ -208,3 +208,76 @@ def pagerank_int(edges: DataFrame, iters: int = 5, damping_num: int = 17, dampin
     adj.unpersist()
     deg.unpersist()
     return rank.select("v", "r")
+
+
+def components_star(edges: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm: min-label propagation
+    (dedup.neardup_components) needs O(diameter) rounds, which on a
+    path-shaped graph is O(n); star contraction halves every path each
+    round, so chains of any length converge in ~log2(n) iterations.
+
+    large-star: every node u links its LARGER neighbors to
+    m = min(N(u) ∪ {u}); small-star: every node links its smaller-or-
+    equal neighborhood (plus itself) to its minimum. Both phases are a
+    groupBy-min + join — two shuffles per round, localCheckpoint'ed
+    per generation (see neardup_components' lineage-hygiene note).
+    Returns (node, comp) for every node in the input edge set, comp =
+    smallest reachable node id — identical output contract to
+    neardup_components, so the two algorithms are interchangeable (and
+    gate g04 pins them against the same recursive-SQL oracle)."""
+    e = (
+        edges.select(F.col("s").cast("long").alias("u"), F.col("d").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # ---- large-star on the bidirected neighbor list
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the <=-oriented neighborhood (+ self)
+        le = large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+            F.col("v") < F.col("u")
+        )
+        m2 = le.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            le.select("u", "v")
+            .union(le.select("u", F.col("u").alias("v")).distinct())
+            .join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(small).limit(1).count() == 0
+        )
+        e = small
+        if converged:
+            break
+    # at the star fixed point every edge is (node, root); roots map to
+    # themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )

@@ -30,6 +30,7 @@ _RISKY_TAIL = (
     "q83_point_in_time_join",
     "v11_mmr_rerank",
     "t15_wordpiece",
+    "g04_components_star",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

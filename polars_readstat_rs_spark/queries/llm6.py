@@ -243,3 +243,42 @@ def t15_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wordpiece_tokenize(docs, "doc_id", "text", _T15_VOCAB)
+
+
+# ------------------------------------------------- g04 star components
+
+from .llm import _JACCARD_SELECT, _sh_ctes  # noqa: E402
+
+
+@register(
+    "g04_components_star",
+    oracle=f"""
+    WITH {_sh_ctes()},
+    pairs AS (
+      SELECT a_id, b_id FROM ({_JACCARD_SELECT}) WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r)
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    """,
+)
+def g04_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (operators/graph.py: components_star) over the SAME near-dup pair
+    graph and against the SAME recursive-SQL oracle as d06 — an
+    algorithm A/B gate: min-label propagation (d06, O(diameter) rounds)
+    and star contraction (O(log n) rounds — the shape that survives
+    path-like 100 TB graphs) must produce identical labels."""
+    from ..operators import dedup, graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+    return graph.components_star(edges)

@@ -1447,3 +1447,28 @@ def test_wordpiece_tokenize_longest_match(spark):
         (0, 1, "xq"),
         (2, 0, "in"),   # word_idx 1 is the empty word between spaces
     ]
+
+
+def test_components_star_beats_diameter(spark):
+    """A 64-node path has diameter 63: min-label propagation would need
+    ~63 rounds, star contraction must finish within 16 — and both
+    algorithms must agree on an arbitrary multi-component graph."""
+    from polars_readstat_rs_spark.operators.dedup import neardup_components
+    from polars_readstat_rs_spark.operators.graph import components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "s long, d long")
+    out = {r.node: r.comp for r in components_star(chain, max_iters=16).collect()}
+    assert len(out) == 64 and set(out.values()) == {0}
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (21, 22), (40, 41)],
+        "a_id long, b_id long",
+    )
+    star = {
+        r.node: r.comp
+        for r in components_star(
+            pairs.selectExpr("a_id as s", "b_id as d")
+        ).collect()
+    }
+    prop = {r.node: r.comp for r in neardup_components(pairs).collect()}
+    assert star == prop
