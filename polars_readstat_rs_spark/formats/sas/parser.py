@@ -153,6 +153,7 @@ class Column:
 @dataclass
 class SasMetadata:
     endian: str = "<"
+    is_catalog: bool = False  # .sas7bcat container (magic byte 15 = 0x63)
     bit64: bool = True
     page_length: int = 0
     page_count: int = 0
@@ -267,8 +268,13 @@ def _read_metadata_uncached(path: str) -> SasMetadata:
     meta = SasMetadata()
     with open(path, "rb") as f:
         hdr = f.read(288)
-        if hdr[:32] != MAGIC:
+        # byte 15 distinguishes the container: 0x60 = data (.sas7bdat),
+        # 0x63 = catalog (.sas7bcat) — both share the page format, and
+        # the reference routes both through this reader (detect_format,
+        # src/lib.rs:389)
+        if not (hdr[:15] == MAGIC[:15] and hdr[15] in (0x60, 0x63) and hdr[16:32] == MAGIC[16:32]):
             raise ValueError("invalid sas7bdat magic number")
+        meta.is_catalog = hdr[15] == 0x63
         meta.bit64 = hdr[32] == ord("3")
         align2 = 4 if meta.bit64 else 0
         align1 = 4 if hdr[35] == ord("3") else 0
@@ -400,6 +406,14 @@ def _scan_metadata_pages(f, meta: SasMetadata) -> None:
                 fmt_entries.append((fi, fo, fl, li, lo, ll))
 
     if row_count is None or row_length is None:
+        if meta.is_catalog:
+            # catalogs (.sas7bcat) share the page container but hold
+            # format/label entries, not observation rows: the metadata
+            # probe degrades to header facts + zero rows (the reference
+            # dispatches catalogs to its SAS reader and would fail here;
+            # a graceful empty read is the beyond-parity behavior)
+            meta.row_count, meta.row_length = 0, 0
+            return
         raise ValueError("missing ROW_SIZE metadata subheader")
     meta.row_count = row_count if row_length > 0 else 0
     meta.row_length = row_length

@@ -209,14 +209,31 @@ def test_encoding_new_codec_families_decode():
 
 def test_sas7bcat_dispatches_to_sas(spark):
     """.sas7bcat routes to the SAS reader (reference detect_format,
-    src/lib.rs:389). Catalog files fail the data-file magic check in both
-    implementations; the extension must not be rejected at dispatch."""
-    import pytest
-
+    src/lib.rs:389). Since r5 the catalog magic variant (byte 15 =
+    0x63) is ACCEPTED — beyond the reference, whose data-file magic
+    check rejects it — so dispatch leads to a graceful header parse
+    (test_sas7bcat_catalog_reads_gracefully), not an error."""
     from polars_readstat_rs_spark.datasource import ReadstatDataSource
 
     ds = ReadstatDataSource(options={"path": "/x/formats.sas7bcat"})
     assert ds._fmt() == "sas"
-    cat = CORPUS + "/data_gov/formats.sas7bcat"
-    with pytest.raises(ValueError, match="magic"):
-        parser.read_metadata(cat)
+    assert parser.read_metadata(CORPUS + "/data_gov/formats.sas7bcat").is_catalog
+
+
+def test_sas7bcat_catalog_reads_gracefully(spark):
+    """A real .sas7bcat (reference corpus) parses through the shared
+    page reader: magic variant accepted (byte 15 = 0x63), metadata
+    probe returns header facts + zero rows, the table read is empty
+    rather than an exception, and the Spark scan agrees."""
+    import json
+
+    from polars_readstat_rs_spark import api
+    from polars_readstat_rs_spark.formats.sas import parser as sp
+
+    p = "/root/reference/tests/sas/data/data_gov/formats.sas7bcat"
+    m = sp.read_metadata(p)
+    assert m.is_catalog and m.row_count == 0 and m.page_count > 0
+    assert m.dataset_name == "FORMATS"
+    assert sp.read_table(p).num_rows == 0
+    j = json.loads(api.readstat_metadata_json(p))
+    assert j["row_count"] == 0 and j["page_count"] == m.page_count
