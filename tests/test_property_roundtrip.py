@@ -171,7 +171,7 @@ def test_dta_wide_string_and_labels_property(texts, use_labels, tmp_path_factory
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     t=_tables(),
-    compress=st.sampled_from([False, "bytecode"]),
+    compress=st.sampled_from([False, "bytecode", "zsav"]),
     endian=st.sampled_from(["<", ">"]),
     miss=st.booleans(),
 )
