@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-5 rotation (verdict r4 item 1): the driver records only the
 # first 50 queries() entries, and rounds 1-4 recorded the same head, so
-# 86 of 151 gate-green queries never got a driver row. This round the
+# 86 of the 151 r4 gate-green queries never got a driver row. This round
 # first 50 slots are 44 never-driver-recorded queries (streaming s01-s08
 # + r10/r11, TPC-H q62+ incl. recursive CTE q76 / UDTF q80 / maps q81,
 # codecs m03-m05, graph g01-g03, d08/d10/d11, v06-v09, p07-p09, t09-t14,
