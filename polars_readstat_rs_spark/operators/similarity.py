@@ -236,32 +236,95 @@ def blocked_neardup_pairs(
     caps that: cells larger than the cap keep only the ``max_block``
     lowest-id members (deterministic, documented truncation — near-dup
     detection within a huge homogeneous cell saturates well below the
-    full pair set). Default None compares everything."""
-    normed = (
-        df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .withColumn("nrm", F.sqrt(dot_expr("vec", "vec")))
+    full pair set). Default None compares everything.
+
+    Kernel shape (r5 rewrite): one applyInPandas per cell computing the
+    chunked Gram matrix in numpy — the previous self-join materialized
+    every vector PAIR through Arrow (two 64-float arrays per row; the
+    10x scale smoke spent 9 minutes just shipping ~40M pair rows),
+    where the Gram accumulation moves each cell's vectors ONCE and does
+    the m^2 x d multiply in C (same smoke point: seconds). Fold-order
+    parity with the SQL oracles is preserved exactly: the accumulation
+    loops dimensions in ascending order, so every pair performs
+    ((0 + a0*b0) + a1*b1) + ... — pair_dot_udf's (and list_reduce's)
+    IEEE addition sequence — and the 6-decimal rounding happens JVM-side
+    (Spark HALF_UP; numpy rounds half-to-even). Chunking bounds memory
+    at ~chunk x m doubles regardless of cell size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("blk", in_fields[block_col]),
+            T.StructField("a_id", in_fields[id_col]),
+            T.StructField("b_id", in_fields[id_col]),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    if max_block is not None:
-        w = W.partitionBy("blk").orderBy(F.asc("vid"))
-        normed = (
-            normed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_block)
-            .drop("__rn")
+    # the JVM filter re-checks the ROUNDED sim; the kernel pre-filters
+    # with a margin so boundary values (raw just under threshold but
+    # rounding up to it) are never lost
+    margin = float(threshold) - 1e-6
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"blk": [], "a_id": [], "b_id": [], "sim": []})
+        pdf = pdf.sort_values("vid")
+        if max_block is not None:
+            pdf = pdf.head(max_block)
+        m = len(pdf)
+        if m < 2:
+            return empty
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        d = X.shape[1]
+        # norms: left-fold sum of squares, dimensions ascending (matches
+        # dot_expr / the oracle's list_reduce), then correctly-rounded sqrt
+        sq = np.zeros(m, dtype=np.float64)
+        for j in range(d):
+            sq += X[:, j] * X[:, j]
+        nrm = np.sqrt(sq)
+        ids = pdf["vid"].to_numpy()
+        blk = pdf["blk"].iloc[0]
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, (1 << 22) // m)
+        col_idx = np.arange(m)
+        for s in range(0, m, chunk):
+            A = X[s : s + chunk]
+            acc = np.zeros((A.shape[0], m), dtype=np.float64)
+            for j in range(d):
+                acc += A[:, j : j + 1] * X[:, j][None, :]
+            sim_raw = acc / (nrm[s : s + chunk, None] * nrm[None, :])
+            mask = (col_idx[None, :] > (s + np.arange(A.shape[0]))[:, None]) & (
+                sim_raw >= margin
+            )
+            pi, qi = np.nonzero(mask)
+            out_a.append(ids[s + pi])
+            out_b.append(ids[qi])
+            out_s.append(sim_raw[pi, qi])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "blk": np.repeat(blk, sum(len(a) for a in out_a)),
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
         )
-    normed = normed.persist()  # see brute_force_topk: stop projection collapse re-inlining
-    a = normed.select("blk", F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm"))
-    b = normed.select("blk", F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm"))
+
+    sel = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).filter(
+        F.col(block_col).isNotNull() & F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     out = (
-        a.join(b, ["blk"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "sim",
-            F.round(pair_dot_udf("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm")), 6),
-        )
+        sel.groupBy("blk")
+        .applyInPandas(fn, out_schema)
+        .withColumn("sim", F.round("sim", 6))
         .filter(F.col("sim") >= threshold)
-        .select("blk", "a_id", "b_id", "sim")
     )
-    return _track(out, normed)
+    return _track(out)
 
 
 # ---------------------------------------------------- SRP-LSH near-dup
