@@ -105,18 +105,76 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector (brute force baseline).
 
-    ``queries`` must be small enough to broadcast; the corpus is scanned
-    once, zero shuffles before the tiny per-query top-k. The whole
-    cosine runs in one Arrow-vectorized projection over the pair rows
-    (pair_cosine_udf) — no separate norm stage, no persist barriers,
-    one job. Deterministic tie-break on id.
+    ``queries`` must be a bounded set (collected once, like the k-means
+    centroid model in semantic_dedup — capped at 10k, use srp_ann_join
+    beyond that); the corpus is scanned once by a mapInPandas kernel
+    that scores each Arrow batch against the whole query matrix in
+    numpy and emits only (q_id, vec_id, sim) scalars. The previous
+    broadcast-join shape materialized corpus x nq PAIR rows each
+    carrying BOTH vectors through Arrow — a ~2d-floats-per-pair row
+    blowup that dominates wall time long before the top-k. Fold-order
+    parity with the SQL oracles holds exactly: dot and both norms
+    accumulate dimensions in ascending order (the list_reduce IEEE
+    sequence) and the 6-decimal rounding stays JVM-side. Zero shuffles
+    before the tiny per-query top-k; deterministic tie-break on id.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).collect()
+    if len(q_rows) > 10_000:
+        raise ValueError(
+            "brute_force_topk queries side is a bounded broadcast model "
+            f"(got {len(q_rows)} rows, cap 10000); use srp_ann_join for "
+            "corpus-scale query sets"
+        )
+    Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    d = Q.shape[1] if len(q_rows) else 0
+    qsq = np.zeros(len(q_rows), dtype=np.float64)
+    for j in range(d):
+        qsq += Q[:, j] * Q[:, j]
+    q_nrm = np.sqrt(qsq)
+
+    id_field = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_field),
+            T.StructField("vec_id", id_field),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b) or not len(q_rows):
+                continue
+            X = np.array(b["c_vec"].tolist(), dtype=np.float64)
+            m = len(b)
+            dot = np.zeros((m, len(q_rows)), dtype=np.float64)
+            csq = np.zeros(m, dtype=np.float64)
+            for j in range(d):
+                dot += X[:, j : j + 1] * Q[:, j][None, :]
+                csq += X[:, j] * X[:, j]
+            sim = dot / (q_nrm[None, :] * np.sqrt(csq)[:, None])
+            ids = b["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, m),
+                    "vec_id": np.repeat(ids, len(q_rows)),
+                    "sim": sim.ravel(),
+                }
+            )
+
     scored = (
-        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("sim", F.round(pair_cosine_udf("q_vec", "c_vec"), 6))
-        .select("q_id", "vec_id", "sim")
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(fn, out_schema)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", F.round("sim", 6))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
