@@ -31,6 +31,7 @@ _RISKY_TAIL = (
     "v11_mmr_rerank",
     "t15_wordpiece",
     "g04_components_star",
+    "s09_stream_session_window",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

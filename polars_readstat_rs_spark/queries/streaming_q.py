@@ -291,3 +291,49 @@ def s08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark — the exact failure this gate exists to catch.
     run_to_completion(joined, name, output_mode="append")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+
+
+@register(
+    "s09_stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_US} e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def s09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming session windows: the built-in
+    F.session_window(gap) aggregation running under Structured
+    Streaming — the third sessionization code path the engine gates
+    (q34 = batch session_window, s02 = custom stateful
+    applyInPandasWithState). Complete output mode re-emits the final
+    merged sessions once the bounded source drains, so the drained
+    table equals the batch lag/cumsum oracle exactly (decimal-cent
+    sums keep it arrival-order independent)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "s09_session_window"
+    run_to_completion(agg, name)
+    return spark.table(name)
