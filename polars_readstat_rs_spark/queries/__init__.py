@@ -32,6 +32,7 @@ _RISKY_TAIL = (
     "t15_wordpiece",
     "g04_components_star",
     "s09_stream_session_window",
+    "d12_cluster_representatives",
 )
 
 _ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [

@@ -282,3 +282,71 @@ def g04_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
     return graph.components_star(edges)
+
+
+# --------------------------------------- d12 quality-based representatives
+
+from ..operators import textstats as _ts  # noqa: E402
+
+_D12_STOP = ", ".join(f"'{t}'" for t in _ts.STOPWORDS)
+_D12_QUALITY = f"""
+      0.5 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+      + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN ({_D12_STOP}))) AS DOUBLE)
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+      + 0.2 * least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 200.0)
+"""
+
+
+@register(
+    "d12_cluster_representatives",
+    oracle=f"""
+    WITH {_sh_ctes()},
+    pairs AS (
+      SELECT a_id, b_id FROM ({_JACCARD_SELECT}) WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r),
+    labeled AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    scored AS (
+      SELECT l.comp, l.node, ({_D12_QUALITY}) AS q
+      FROM labeled l JOIN documents d ON l.node = d.doc_id)
+    SELECT comp, node AS keep_id, q AS best_quality, n_docs FROM (
+      SELECT comp, node, q,
+             row_number() OVER (PARTITION BY comp ORDER BY q DESC, node) AS rn,
+             CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_docs
+      FROM scored) WHERE rn = 1
+    """,
+)
+def d12_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based dedup representative selection: near-dup clusters
+    (d06 components) keep their HIGHEST-QUALITY member (t02's scoring
+    formula — bitwise cross-engine, proven by the t02 gate) instead of
+    the lowest id — the curation policy a real training pipeline wants.
+    Pure composition of gated operators: pairs -> components -> quality
+    argmax per cluster (window, tie on id)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = dedup.neardup_components(pairs)
+    q = _ts.quality_score(docs).select(F.col("doc_id").alias("node"), F.col("quality").alias("q"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp").orderBy(F.desc("q"), F.asc("node"))
+    wn = Window.partitionBy("comp")
+    return (
+        comp.join(q, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("node").alias("keep_id"), F.col("q").alias("best_quality"), "n_docs")
+    )
