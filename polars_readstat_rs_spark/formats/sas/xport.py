@@ -120,7 +120,9 @@ def read_metadata(path: str) -> XportMetadata:
         label = b[16:56].decode("ascii", "replace").strip()
         nform = b[56:64].decode("ascii", "replace").strip()
         niform = b[72:80].decode("ascii", "replace").strip()
-        (npos,) = struct.unpack_from(">i", b, 88)
+        # TS-140 NAMESTR: nifl(h)@80, nifd(h)@82, npos(l)@84 — the same
+        # '>hhhh8s40s8shhh2s8shhl52s' layout pandas.read_sas unpacks.
+        (npos,) = struct.unpack_from(">i", b, 84)
         variables.append(
             XportVariable(
                 name=name,
@@ -132,6 +134,21 @@ def read_metadata(path: str) -> XportMetadata:
                 informat=niform,
             )
         )
+    # Fallback: files whose npos fields are zero-filled (seen in the
+    # wild, and in files from this writer's pre-fix versions that packed
+    # npos at offset 88) get positions derived cumulatively from the
+    # variable lengths — observation records are densely packed, so the
+    # cumulative layout is the spec layout.
+    cum = 0
+    derived = []
+    for v in variables:
+        derived.append(cum)
+        cum += v.length
+    if [v.position for v in variables] != derived and all(
+        v.position == 0 for v in variables[1:]
+    ):
+        for v, p in zip(variables, derived):
+            v.position = p
     ns_bytes = nvars * _NAMESTR
     ns_padded = ((ns_bytes + _REC - 1) // _REC) * _REC
     obs = _find(_OBS_HDR, ns0 + ns_padded)
@@ -455,8 +472,9 @@ def write_header(variables: list[XportVariable], dsname: str = "DATA", dslabel: 
         b[56:64] = _str_field(v.format, 8)
         struct.pack_into(">hhh", b, 64, 0, 0, 0)
         b[72:80] = _str_field(v.informat, 8)
-        struct.pack_into(">hh", b, 80, 0, 0)
-        struct.pack_into(">i", b, 88, v.position)
+        # nifl@80, nifd@82, npos@84 per TS-140 (npos at 88 was a bug:
+        # npos-honoring readers saw zero for every variable)
+        struct.pack_into(">hhi", b, 80, 0, 0, v.position)
         ns += b
     out += _pad80(bytes(ns))
     out += _hdr(_OBS_HDR)
@@ -544,8 +562,15 @@ def assemble_xpt(
             raise ValueError("xpt sections disagree on column order")
         for n, c, ln in vars_:
             widths[n] = max(widths[n], ln)
+    # Map declared (original-name) widths to section short names via ONE
+    # sanitization of the full ordered name list — the same call the
+    # executors make in encode_sections — so colliding long names get
+    # the identical uniquifying suffixes. Sanitizing each name in
+    # isolation would drop the suffix and could hit the wrong column.
+    order_names = [c[0] if isinstance(c, tuple) else c for c in (column_order or [])]
+    short_of = dict(zip(order_names, _sanitize_names(order_names))) if order_names else {}
     for n, w in (string_widths or {}).items():
-        short = _sanitize_names([n])[0]
+        short = short_of.get(n, _sanitize_names([n])[0])
         if short in widths:
             widths[short] = max(widths[short], int(w))
     variables, pos = [], 0

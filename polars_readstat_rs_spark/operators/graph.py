@@ -210,7 +210,7 @@ def pagerank_int(edges: DataFrame, iters: int = 5, damping_num: int = 17, dampin
     return rank.select("v", "r")
 
 
-def components_star(edges: DataFrame, max_iters: int = 16) -> DataFrame:
+def components_star(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the O(log n)-round algorithm: min-label propagation
@@ -275,6 +275,18 @@ def components_star(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         e = small
         if converged:
             break
+    else:
+        # Star contraction needs ~log2(max component size) rounds; a
+        # silent exit here would return WRONG labels (partially
+        # contracted forests), so the result contract demands a raise —
+        # at 100 TB a path-like component of >2^max_iters nodes is
+        # plausible, and the caller should retry with a larger budget.
+        raise RuntimeError(
+            f"components_star did not converge in max_iters={max_iters} "
+            "rounds; the graph has a component larger than "
+            f"~2^{max_iters} nodes — raise max_iters (rounds needed grow "
+            "as log2 of the largest component size)"
+        )
     # at the star fixed point every edge is (node, root); roots map to
     # themselves
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))

@@ -95,13 +95,23 @@ def point_in_time_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry ONE struct of all dim attributes, built only on dim rows —
+    # carrying each column independently would let a version whose
+    # attribute is legitimately NULL inherit the previous version's
+    # value, diverging from the range-join formulation this mirrors.
+    dim_struct = F.when(
+        F.col("__is_dim") == 1, F.struct(*[F.col(c) for c in dim_cols])
+    )
     carried = d.unionByName(f).select(
         key_col,
         "__ts",
         "__is_dim",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in dim_cols],
+        F.last(dim_struct, ignorenulls=True).over(w).alias("__dim"),
         *fact_cols,
     )
     return carried.filter(F.col("__is_dim") == 0).select(
-        key_col, F.col("__ts").alias(fact_ts_col), *dim_cols, *fact_cols
+        key_col,
+        F.col("__ts").alias(fact_ts_col),
+        *[F.col("__dim").getField(c).alias(c) for c in dim_cols],
+        *fact_cols,
     )

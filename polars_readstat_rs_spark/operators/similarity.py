@@ -132,7 +132,10 @@ def brute_force_topk(
             "corpus-scale query sets"
         )
     Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    # ids keep their native dtype (inferred) — forcing int64 here would
+    # break string / non-integer id columns; out_schema already carries
+    # the corpus id type, so Arrow round-trips whatever numpy infers.
+    q_ids = np.asarray([r.q_id for r in q_rows])
     d = Q.shape[1] if len(q_rows) else 0
     qsq = np.zeros(len(q_rows), dtype=np.float64)
     for j in range(d):
@@ -159,7 +162,13 @@ def brute_force_topk(
             for j in range(d):
                 dot += X[:, j : j + 1] * Q[:, j][None, :]
                 csq += X[:, j] * X[:, j]
-            sim = dot / (q_nrm[None, :] * np.sqrt(csq)[:, None])
+            # zero-norm vectors (corpus or query) make the denominator 0
+            # -> sim NaN; NaN sorts ABOVE every real value under Spark's
+            # descending ordering, so those rows are dropped after the
+            # kernel (cosine is undefined for the zero vector).
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dot / (q_nrm[None, :] * np.sqrt(csq)[:, None])
+            sim[~np.isfinite(sim)] = np.nan
             ids = b["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
@@ -174,6 +183,9 @@ def brute_force_topk(
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(fn, out_schema)
         .filter(F.col("vec_id") != F.col("q_id"))
+        # pandas->Arrow turns the kernel's NaN into NULL; guard both
+        # (isnan(NULL) is false in Spark, so isnan alone keeps the row)
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
         .withColumn("sim", F.round("sim", 6))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))

@@ -1472,3 +1472,67 @@ def test_components_star_beats_diameter(spark):
     }
     prop = {r.node: r.comp for r in neardup_components(pairs).collect()}
     assert star == prop
+
+
+def test_components_star_raises_on_exhausted_iters(spark):
+    """Exhausting max_iters without the convergence check passing must
+    RAISE, not return partially-contracted (wrong) labels — a path
+    component needs ~log2(n) rounds, so a tiny budget must fail loudly."""
+    import pytest
+
+    from polars_readstat_rs_spark.operators.graph import components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "s long, d long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_star(chain, max_iters=2).collect()
+
+
+def test_point_in_time_join_preserves_null_attribute(spark):
+    """A dimension version whose attribute is legitimately NULL must NOT
+    inherit the previous version's value — the carry-forward moves one
+    struct of all dim columns, not each column independently."""
+    import datetime
+
+    from polars_readstat_rs_spark.operators.scd import point_in_time_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = t0 + datetime.timedelta(hours=1)
+    dims = spark.createDataFrame(
+        [(7, t0, "gold", 1), (7, t1, None, 2)],
+        "user_id long, valid_from timestamp, tier string, version long",
+    )
+    facts = spark.createDataFrame(
+        [(10, t0 + datetime.timedelta(minutes=30), 7),
+         (11, t1 + datetime.timedelta(minutes=30), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {
+        r.event_id: r
+        for r in point_in_time_join(
+            facts, dims, "user_id", "ts", "valid_from",
+            dim_cols=["tier", "version"], fact_cols=["event_id"],
+        ).collect()
+    }
+    assert out[10].tier == "gold" and out[10].version == 1
+    assert out[11].tier is None and out[11].version == 2  # NULL preserved
+
+
+def test_brute_force_topk_string_ids_and_zero_norm(spark):
+    """String id columns must survive (no int64 coercion), and zero-norm
+    vectors must be excluded rather than ranked first via NaN."""
+    from polars_readstat_rs_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [
+            ("q", [1.0, 0.0]),
+            ("close", [0.9, 0.1]),
+            ("far", [0.0, 1.0]),
+            ("zero", [0.0, 0.0]),  # cosine undefined: must not appear
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id = 'q'")
+    out = brute_force_topk(corpus, queries, k=3).collect()
+    ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == ["close", "far"]  # zero-norm row dropped, ids are strings
+    assert all(r.q_id == "q" for r in out)

@@ -265,3 +265,71 @@ def test_xpt_multifile_directory_scan(spark, tmp_path):
     assert allf.count() == 30
     assert allf.agg(F.countDistinct("SRC")).collect()[0][0] == 3
     assert allf.agg(F.sum("K")).collect()[0][0] == sum(range(30))
+
+
+def test_xpt_npos_at_spec_offset_84(tmp_path):
+    """TS-140 places npos at NAMESTR byte 84 (nifl@80, nifd@82, npos l@84
+    — pandas unpacks '>hhhh8s40s8shhh2s8shhl52s'). The writer must fill
+    it there (npos-honoring readers saw zeros when we packed it at 88),
+    and the reader must decode from there."""
+    t = pa.table({"a": [1.0, 2.0], "txt": ["ab", "cd"], "b": [3.0, 4.0]})
+    p = str(tmp_path / "npos.xpt")
+    X.write_xpt(t, p)
+    raw = open(p, "rb").read()
+    nam = raw.index(b"HEADER RECORD*******NAMESTR")
+    ns0 = nam + 80
+    positions, positions88 = [], []
+    for i in range(3):
+        b = raw[ns0 + i * 140 : ns0 + (i + 1) * 140]
+        positions.append(struct.unpack_from(">i", b, 84)[0])
+        positions88.append(struct.unpack_from(">i", b, 88)[0])
+    assert positions == [0, 8, 10]  # 8-byte num, 2-char str, 8-byte num
+    assert positions88 == [0, 0, 0]  # spec filler stays zero
+    rt = X.read_table(p)
+    assert rt.column("A").to_pylist() == [1.0, 2.0]
+    assert rt.column("TXT").to_pylist() == ["ab", "cd"]
+    assert rt.column("B").to_pylist() == [3.0, 4.0]
+
+
+def test_xpt_zero_npos_fallback(tmp_path):
+    """Files with zero-filled npos fields (real SAS zero-fills unused
+    spec bytes; our pre-fix writer put npos at 88 leaving 84 zero) must
+    fall back to cumulative positions derived from lengths."""
+    t = pa.table({"x": [1.5, -2.5], "s": ["hi", "yo"]})
+    p = str(tmp_path / "legacy.xpt")
+    X.write_xpt(t, p)
+    raw = bytearray(open(p, "rb").read())
+    nam = raw.index(b"HEADER RECORD*******NAMESTR")
+    ns0 = nam + 80
+    for i in range(2):
+        struct.pack_into(">i", raw, ns0 + i * 140 + 84, 0)  # zero npos
+    p2 = str(tmp_path / "legacy0.xpt")
+    open(p2, "wb").write(bytes(raw))
+    rt = X.read_table(p2)
+    assert rt.column("X").to_pylist() == [1.5, -2.5]
+    assert rt.column("S").to_pylist() == ["hi", "yo"]
+
+
+def test_xpt_assemble_colliding_declared_widths(tmp_path):
+    """Two long names truncating to the same 8-char base must map their
+    declared string_widths to the RIGHT short (suffixed) columns —
+    isolated per-name sanitization lost the uniquifying suffix."""
+    t = pa.table(
+        {"verylongname_one": ["a"], "verylongname_two": ["bb"], "n": [1.0]}
+    )
+    blob = str(tmp_path / "part0.bin")
+    secs = X.spill_partition(t.to_batches(), blob)
+    out = str(tmp_path / "collide.xpt")
+    X.assemble_xpt(
+        out,
+        [(blob, secs)],
+        column_order=[("verylongname_one", True), ("verylongname_two", True), ("n", False)],
+        string_widths={"verylongname_two": 5},
+    )
+    meta = X.read_metadata(out)
+    widths = {v.name: v.length for v in meta.variables}
+    # encode_sections order: verylong -> verylon1 (uniquified second)
+    assert widths["VERYLONG"] == 1          # _one keeps its natural width
+    assert widths["VERYLON1"] == 5          # _two got the declared width
+    rt = X.read_table(out)
+    assert rt.column("VERYLON1").to_pylist() == ["bb"]
