@@ -20,76 +20,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 rotation (verdict r4 item 1): the driver records only the
-# first 50 queries() entries, and rounds 1-4 recorded the same head, so
-# 86 of the 151 r4 gate-green queries never got a driver row. This round
-# first 50 slots are 44 never-driver-recorded queries (streaming s01-s08
-# + r10/r11, TPC-H q62+ incl. recursive CTE q76 / UDTF q80 / maps q81,
-# codecs m03-m05, graph g01-g03, d08/d10/d11, v06-v09, p07-p09, t09-t14,
-# salted join / MERGE) plus 6 cheap canaries from already-recorded
-# families (q01, r01, d01, t01, v01, p01). Every promoted entry passed
-# the complete sf0.01+sf0.1 gate in two independent full runs (builder
-# r4 + judge r4), so promotion carries no hang risk.
-_R5_HEAD = [
-    # canaries — one per previously-recorded family
-    "q01_pricing_summary",
-    "r01_dta_roundtrip_agg",
-    "d01_dedup_exact",
-    "t01_langid",
-    "v01_cosine_topk",
-    "p01_hash_sample",
-    # never-driver-recorded: relational / TPC-H surface
-    "q42_salted_join",
-    "q43_upsert",
-    "q62_priority_exists",
-    "q64_market_share",
-    "q65_profit",
-    "q68_cust_order_dist",
-    "q73_or_predicates",
-    "q74_waiting_supplier",
-    "q76_recursive_cte",
-    "q77_min_cost_supplier",
-    "q80_python_udtf",
-    "q81_map_functions",
-    # never-driver-recorded: text analysis
-    "t09_gopher_quality",
-    "t10_bigram_lm",
-    "t11_bpe_pairs",
-    "t12_zipf_stats",
-    "t13_chunk_documents",
-    "t14_tfidf_terms",
-    # never-driver-recorded: dedup / similarity
-    "d08_semantic_dedup",
-    "d10_prefix_filter",
-    "d11_span_dedup",
-    "v06_ann_recall",
-    "v07_pq_topk",
-    "v08_ivf_append",
-    "v09_filtered_topk",
-    # never-driver-recorded: sampling / packing
-    "p07_importance_sample",
-    "p08_group_sample",
-    "p09_temperature_mix",
-    # never-driver-recorded: graph
-    "g01_triangle_stats",
-    "g02_bfs_hops",
-    "g03_pagerank",
-    # never-driver-recorded: multimodal codecs
-    "m03_wav_codec",
-    "m04_bmp_codec",
-    "m05_video_frames",
-    # never-driver-recorded: streaming (batch-drained, slowest last)
-    "s01_stream_windowed_counts",
-    "s02_stream_sessions",
-    "s03_stream_stream_join",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_incremental_agg",
-    "s07_stream_hopping",
-    "s08_stream_outer_join",
-    "r10_stream_source",
-    "r11_stream_sink",
-]
+# Round-7 rotation (verdict r6 item 1): the driver records only the
+# first 50 queries() entries. The head ordering is owned by
+# polars_readstat_rs_spark.queries.HEAD (single source of truth — in r6
+# the rotation was edited only in the queries package while a stale
+# _R5_HEAD copy here won, so the driver recorded the identical 50 as
+# r5). HEAD's first 50 slots are the 50 cheapest of the 55 queries that
+# had never appeared in any CORRECTNESS_r*.json; slots 51-55 carry the
+# five most expensive never-recorded entries for the r8 head. Every
+# promoted entry passed a full tools/check_oracle.py run this round
+# (55/55 PASS at sf0.01), so promotion carries no hang risk.
+from polars_readstat_rs_spark.queries import HEAD as _HEAD
 
 # Queries whose operator family is independently proven by an earlier
 # entry (filter/project by q01+r02, broadcast semi by q04, distinct by
@@ -137,9 +78,9 @@ from polars_readstat_rs_spark.queries import RISKY_TAIL as _RISKY_TAIL
 
 
 def _ordered(d: dict) -> dict:
-    """R5 head (50 rotation slots) -> remaining verified entries ->
+    """R7 head (50 driver-recorded slots + 5 r8-deferred) -> remaining verified entries ->
     coverage dupes -> brand-new (never-gate-verified) risky tail."""
-    out = {k: d[k] for k in _R5_HEAD if k in d}
+    out = {k: d[k] for k in _HEAD if k in d}
     tail = set(_COVERAGE_DUPES) | set(_RISKY_TAIL) | set(out)
     out.update({k: v for k, v in d.items() if k not in tail})
     out.update(

@@ -130,14 +130,43 @@ def main() -> None:
     # relational queries above mostly measure fixed per-job constants.
     # The staged N-file layout is the 100 TB-representative shape; both
     # engines are timed on the identical staged files.
+    multifile = None
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_multifile import run_multifile
 
-        out["multifile"] = run_multifile(spark, sf_dir, n_files=16, runs=3)
+        multifile = run_multifile(spark, sf_dir, n_files=16, runs=3)
     except Exception as exc:  # the layout bench must never zero the headline
         out["multifile_error"] = f"{type(exc).__name__}: {exc}"[:300]
-    print(json.dumps(out))
+
+    # Two-line output contract (r6 verdict task 2): the driver captures
+    # only the TAIL of stdout and parses the FINAL line as JSON. r5/r6
+    # put the full multifile per-query detail on the final line (~3.8 kB)
+    # and the capture window clipped its head -> "parsed": null two
+    # rounds running. So: full detail goes on an EARLIER line; the final
+    # line is a compact summary (scalars only from multifile) that must
+    # stay well inside the window.
+    if multifile is not None:
+        print(json.dumps({"metric": "multifile_detail", "multifile": multifile}))
+        out["multifile"] = {
+            k: multifile[k]
+            for k in (
+                "n_files",
+                "spark_total",
+                "duckdb_total",
+                "ratio",
+                "ratio_all_queries",
+                "floor_adjusted_ratio_all",
+                "spark_shuffle_pipeline_sec",
+            )
+            if k in multifile
+        }
+    line = json.dumps(out)
+    if len(line) > 1800:  # belt-and-braces: never exceed the tail window
+        out.pop("multifile", None)
+        out["truncated"] = True
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

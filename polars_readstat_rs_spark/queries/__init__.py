@@ -14,34 +14,92 @@ until a full tools/check_oracle.py run has passed it.
 from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
-# Round-5 rotation: every pre-r5 entry has passed the complete
-# tools/check_oracle.py gate at sf0.01 AND sf0.1 in at least two
-# independent full runs (builder r4 + judge r4), so the old 76-entry
-# verified tail is promoted out of RISKY_TAIL. Only queries added THIS
-# round (never locally gate-verified) belong here.
-_RISKY_TAIL = (
-    "m06_png_codec",
-    "r12_pushdown_matrix",
-    "r13_xpt_roundtrip_agg",
-    "m07_audio_frames",
-    "q82_scd2_intervals",
-    "v10_ann_join",
+# Round-7 rotation (r6 verdict task 1): the driver records only the
+# FIRST 50 queries() entries per round, and 55 registry entries had
+# never appeared in any CORRECTNESS_r*.json (r1-r6 union = 109/164).
+# _R7_HEAD = 50 of those 55, ordered cheapest-first (sf0.01 timings from
+# a fresh tools/check_oracle.py run this round, 55/55 PASS); the 5 most
+# expensive never-recorded entries (_R7_DEFER: r09 ~7s, v11 4.8s,
+# g04 4.4s, r13 3.1s, d12 2.7s) sit at positions 51-55 for the r8 head.
+# Previously driver-verified entries follow in their prior order.
+_R7_HEAD = (
+    "p02_stratified_sample",
+    "q56_trend",
+    "q30_list_agg",
+    "q31_count_if",
+    "q59_array_funcs",
+    "q60_unpivot",
+    "p05_det_shuffle",
+    "q55_hopping_window",
     "p10_curriculum",
+    "m07_audio_frames",
+    "p03_domain_mix",
+    "q48_histogram",
+    "q51_event_patterns",
+    "q54_ohlc",
+    "q58_rank_family",
+    "q61_lateral",
+    "q52_snapshot_diff",
+    "q53_zorder",
+    "q72_large_orders",
+    "q75_no_order_customers",
+    "q78_supplier_part_counts",
+    "r07_informative_nulls_merged",
+    "q28_except_all",
+    "q29_range_join",
+    "q79_excess_suppliers",
+    "m06_png_codec",
+    "q70_top_supplier",
+    "q71_small_qty",
+    "q66_returned_items",
+    "q46_moving_window",
+    "q82_scd2_intervals",
     "q83_point_in_time_join",
-    "v11_mmr_rerank",
+    "q47_iqr_outliers",
+    "q49_ntile",
+    "q50_asof_nearest",
+    "q39_retention",
+    "q41_expectations",
+    "q69_promo_share",
+    "q67_important_parts",
+    "q44_fuzzy_match",
+    "q45_gapfill",
     "t15_wordpiece",
-    "g04_components_star",
+    "r12_pushdown_matrix",
+    "q57_group_center",
+    "q63_volume_shipping",
+    "m02_frame_sample",
     "s09_stream_session_window",
+    "v10_ann_join",
+    "p06_contamination",
+    "q40_profile",
+)
+_R7_DEFER = (
     "d12_cluster_representatives",
+    "r13_xpt_roundtrip_agg",
+    "g04_components_star",
+    "v11_mmr_rerank",
+    "r09_sav_option_interaction",
 )
 
-_ordered = [n for n in QUERIES if n not in _RISKY_TAIL] + [
-    n for n in _RISKY_TAIL if n in QUERIES
-]
+# Brand-new, never-locally-verified queries go here until a full
+# tools/check_oracle.py run has passed them (see module docstring).
+_RISKY_TAIL = ()
+
+# Single source of truth for the driver-recorded head — __spark_entry__
+# imports HEAD (r6 lesson: the rotation lived in TWO places and the
+# __spark_entry__ copy won, so r6 recorded the identical 50 as r5).
+HEAD = _R7_HEAD + _R7_DEFER
+
+_ordered = (
+    [n for n in HEAD if n in QUERIES]
+    + [n for n in QUERIES if n not in HEAD and n not in _RISKY_TAIL]
+    + [n for n in _RISKY_TAIL if n in QUERIES]
+)
 _q = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_q)
 
 RISKY_TAIL = _RISKY_TAIL  # single source of truth — __spark_entry__ imports this
 
-__all__ = ["QUERIES", "ORACLES", "RISKY_TAIL"]
+__all__ = ["QUERIES", "ORACLES", "RISKY_TAIL", "HEAD"]
