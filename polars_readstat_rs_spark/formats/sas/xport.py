@@ -569,10 +569,25 @@ def assemble_xpt(
     # isolation would drop the suffix and could hit the wrong column.
     order_names = [c[0] if isinstance(c, tuple) else c for c in (column_order or [])]
     short_of = dict(zip(order_names, _sanitize_names(order_names))) if order_names else {}
+    # A column_order that is a subset or reordering of the sections'
+    # columns would sanitize to DIFFERENT uniquifying suffixes than the
+    # executors used, silently mapping declared widths to the wrong (or
+    # no) short name — validate instead of guessing.
+    if short_of and not set(short_of.values()) <= set(names):
+        stray = sorted(set(short_of.values()) - set(names))[:5]
+        raise ValueError(
+            "xpt writer: column_order does not match the columns the "
+            f"executors encoded (unknown short names {stray}); pass the "
+            "full ordered column list used for the write"
+        )
     for n, w in (string_widths or {}).items():
         short = short_of.get(n, _sanitize_names([n])[0])
-        if short in widths:
-            widths[short] = max(widths[short], int(w))
+        if short not in widths:
+            raise ValueError(
+                f"xpt writer: string_widths declares column {n!r} "
+                f"(short {short!r}) which is not in the written schema"
+            )
+        widths[short] = max(widths[short], int(w))
     variables, pos = [], 0
     for n, c, _ in first:
         variables.append(XportVariable(n, "", c, widths[n] if c else 8, pos))

@@ -227,6 +227,10 @@ def components_star(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     smallest reachable node id — identical output contract to
     neardup_components, so the two algorithms are interchangeable (and
     gate g04 pins them against the same recursive-SQL oracle)."""
+    if max_iters < 1:
+        # the convergence check lives inside the loop, so max_iters<=0
+        # would raise "did not converge" even for an empty/trivial graph
+        raise ValueError(f"components_star: max_iters must be >= 1, got {max_iters}")
     e = (
         edges.select(F.col("s").cast("long").alias("u"), F.col("d").cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -141,6 +141,18 @@ def brute_force_topk(
     for j in range(d):
         qsq += Q[:, j] * Q[:, j]
     q_nrm = np.sqrt(qsq)
+    # A zero-norm QUERY makes every one of its sims NaN, so that query
+    # would vanish from the output with no signal at all (while a
+    # zero-norm CORPUS row merely drops itself). Fail loudly up front:
+    # cosine is undefined for the zero vector and silence here reads as
+    # "empty corpus" to the caller.
+    if len(q_rows) and (q_nrm == 0.0).any():
+        bad = [q_ids[i] for i in np.flatnonzero(q_nrm == 0.0)[:5].tolist()]
+        raise ValueError(
+            "brute_force_topk: zero-norm query vector(s) "
+            f"(ids {bad}...) — cosine similarity is undefined for the "
+            "zero vector; filter them out before calling"
+        )
 
     id_field = corpus.schema[id_col].dataType
     out_schema = T.StructType(
