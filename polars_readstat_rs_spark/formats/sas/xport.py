@@ -542,6 +542,16 @@ def assemble_xpt(
             c if isinstance(c, tuple) else (c, c in (string_widths or {}))
             for c in (column_order or [])
         ]
+        # same validation as the non-empty path below: a string_widths
+        # key absent from the schema is a typo and must fail loudly here
+        # too, not silently no-op just because the result was empty.
+        declared = {n for n, _ in cols}
+        stray_sw = sorted(set(string_widths or {}) - declared)
+        if stray_sw and declared:
+            raise ValueError(
+                f"xpt writer: string_widths declares column(s) {stray_sw[:5]} "
+                "not present in the written schema"
+            )
         variables, pos = [], 0
         shorts = _sanitize_names([n for n, _ in cols])
         for (name, is_char), short in zip(cols, shorts):

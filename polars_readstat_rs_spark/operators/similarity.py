@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
+from .dedup import MAX_BAND_BUCKET, _cap_buckets, _track, release_cached  # noqa: F401  (re-exported lifecycle)
 
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:
@@ -174,10 +174,10 @@ def brute_force_topk(
             for j in range(d):
                 dot += X[:, j : j + 1] * Q[:, j][None, :]
                 csq += X[:, j] * X[:, j]
-            # zero-norm vectors (corpus or query) make the denominator 0
-            # -> sim NaN; NaN sorts ABOVE every real value under Spark's
-            # descending ordering, so those rows are dropped after the
-            # kernel (cosine is undefined for the zero vector).
+            # zero-norm CORPUS vectors make the denominator 0 -> sim NaN
+            # and the row drops itself after the kernel (zero-norm QUERY
+            # vectors were already rejected loudly above — queries never
+            # reach this division with q_nrm == 0).
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = dot / (q_nrm[None, :] * np.sqrt(csq)[:, None])
             sim[~np.isfinite(sim)] = np.nan
@@ -498,6 +498,7 @@ def srp_neardup_pairs(
     nbits: int = 64,
     nbands: int = 4,
     seed: str = "srp",
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-duplicate vector pairs via SRP-LSH: candidates where any
     sign-bit band collides, verified by exact cosine >= threshold.
@@ -513,11 +514,23 @@ def srp_neardup_pairs(
     4 bands x 16 bits (65,536 buckets per band, the same geometry as the
     64-bit SimHash) targets high-similarity near-dups — recall ~0.5 at
     cosine 0.99 and ~1 for exact dups; use 8-bit bands (nbits=32) for
-    higher recall at moderate similarity on smaller corpora."""
+    higher recall at moderate similarity on smaller corpora.
+
+    ``max_bucket`` (default ``MAX_BAND_BUCKET``) bounds each band
+    bucket's population BEFORE the self-join (:func:`~polars_readstat_rs_spark.operators.dedup._cap_buckets`
+    lowest-id truncation): on anisotropic / boilerplate-flooded corpora
+    one bucket would otherwise hold the whole corpus and the self-join
+    runs O(n^2) in a single task — the one remaining scale-killer in
+    this family before round 8. Pass ``None`` to disable."""
     sigs = srp_signatures(df, id_col, vec_col, dim, nbits, nbands, seed).persist()
     stack_args = ", ".join(f"{k}, b{k}" for k in range(nbands))
-    bands_long = sigs.select(
-        "vid", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
+    bands_long = _cap_buckets(
+        sigs.select(
+            "vid", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
+        ),
+        ["band_idx", "band_val"],
+        "vid",
+        max_bucket,
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
     cand = (
@@ -558,7 +571,7 @@ def srp_ann_join(
     nbits: int = 32,
     nbands: int = 4,
     seed: str = "srp",
-    max_bucket: int | None = None,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Two-table approximate-nearest-neighbor JOIN (cross-corpus
     retrieval): for each query vector, the top-``k`` corpus vectors
@@ -576,8 +589,6 @@ def srp_ann_join(
     :func:`~polars_readstat_rs_spark.operators.dedup._cap_buckets`
     discipline). Ties re-rank deterministically on (sim DESC, id ASC)
     after round(·, 6)."""
-    from .dedup import _cap_buckets
-
     qs = srp_signatures(queries, id_col, vec_col, dim, nbits, nbands, seed).persist()
     cs = srp_signatures(corpus, id_col, vec_col, dim, nbits, nbands, seed).persist()
     stack_args = ", ".join(f"{b}, b{b}" for b in range(nbands))

@@ -89,7 +89,11 @@ _RISKY_TAIL = ()
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
 # __spark_entry__ copy won, so r6 recorded the identical 50 as r5).
-HEAD = _R7_HEAD + _R7_DEFER
+# Round-8 rotation (r7 verdict task 1): the 5 _R7_DEFER entries were the
+# only registry queries never recorded by the driver (r1-r7 union =
+# 159/164; judge oracle-verified all 5 at sf0.01 in r7). Put them at
+# positions 1-5 so CORRECTNESS_r08 completes the union at 164/164.
+HEAD = _R7_DEFER + _R7_HEAD
 
 _ordered = (
     [n for n in HEAD if n in QUERIES]

@@ -269,6 +269,21 @@ def main() -> None:
                 "text",
                 max_bucket=500,
             ),
+            # SRP variant (r8): identical embedding vectors — the
+            # anisotropy worst case where EVERY band bucket holds the
+            # whole corpus. With the (now default-on) max_bucket cap the
+            # band self-join is O(cap^2) per band regardless of n; wall
+            # time must stay ~flat as rows grow (uncapped it is O(n^2)).
+            "srp_hotbucket": lambda: similarity.srp_neardup_pairs(
+                spark.range(n).select(
+                    F.col("id").alias("vec_id"),
+                    F.array(
+                        *[F.lit(float((i * 7 % 13) - 6)) for i in range(64)]
+                    ).alias("embedding"),
+                ),
+                threshold=0.9,
+                max_bucket=500,
+            ),
             # minhash variant: identical-doc GROUPS of 90 (under the
             # shingle df-cap, which structurally bounds minhash buckets
             # at ~MAX_SHINGLE_DF docs); cap=20 truncates each bucket
