@@ -109,15 +109,20 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, persist: bool = True
+) -> DataFrame:
     """Exploded (id, shingle) pairs, df-capped. One row per distinct
     shingle per doc.
 
-    Persisted: the inverted index feeds the self-join (twice), the
-    per-doc sizes and the signature aggregation — without persistence
-    Spark re-explodes the corpus once per consumer. At cluster scale
-    this is the standard materialize-the-index step (DISK_ONLY spill
-    keeps memory bounded).
+    Persisted by default: the inverted index feeds the self-join
+    (twice), the per-doc sizes and the signature aggregation — without
+    persistence Spark re-explodes the corpus once per consumer. At
+    cluster scale this is the standard materialize-the-index step
+    (DISK_ONLY spill keeps memory bounded). Pass ``persist=False`` when
+    the caller consumes the table exactly once (minhash_lsh_pairs folds
+    everything it needs into one groupBy) — caching a single-consumer
+    frame only adds a materialization job.
     """
     # widen before the explode: document tables arrive as one small
     # parquet split, which would serialize the shingling on one task
@@ -131,12 +136,12 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     # back = two), and the output stays hash-partitioned by sh for the
     # downstream self-join
     w = Window.partitionBy("sh")
-    return (
+    out = (
         sh.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .drop("df")
-        .persist()
     )
+    return out.persist() if persist else out
 
 
 def _jaccard_on(
@@ -246,19 +251,32 @@ def minhash_lsh_pairs(
     rather than at corpus scale; boilerplate floods are absorbed by the
     df-cap itself (their shared shingles exceed the df-cap and drop
     out). Set an explicit cap when raising MAX_SHINGLE_DF.
+
+    Verification (r8 restructure): instead of re-joining the inverted
+    index against itself restricted to candidate docs (semi-join +
+    co-shingle self-join + pair groupBy + pair semi-join + 2 size
+    joins ~ 6 extra exchanges), the ONE groupBy(doc) that computes the
+    8 band mins also carries ``collect_set(sh)`` — the doc's df-capped
+    shingle set — and candidates verify by ``array_intersect`` on the
+    two sets directly (2 joins, zero extra shuffles). The set rides in
+    the same per-doc row the signature already occupies (O(doc size),
+    the same order as the shingle table itself), and the shingle table
+    now has exactly one consumer, so it is no longer persisted at all.
+    Zero-intersection band collisions (md5/chunk accidents) are dropped
+    to match exact-Jaccard semantics.
     """
-    sh_shared = _shingle_table(df, id_col, text_col, n)
+    sh_shared = _shingle_table(df, id_col, text_col, n, persist=False)
     spark = sh_shared.sparkSession
-    # ONE groupBy(doc) computes the 8 band mins AND the per-doc shingle
-    # count the verification needs — the count rides along for free
-    # instead of a second full shuffle of the shingle table. (SQL-string
-    # construction, like _jaccard_on: one py4j round trip, not ~100.)
+    # ONE groupBy(doc) computes the 8 band mins AND everything the
+    # verification needs (size + shingle set) — no second shuffle of
+    # the shingle table. (SQL-string construction: one py4j round
+    # trip, not ~100.)
     min_cols = ", ".join(
         f"min(substring(hx, {1 + 8 * i}, 8)) AS h{i}" for i in range(NUM_HASHES)
     )
     stats = spark.sql(
-        f"SELECT doc, count(*) AS sz, {min_cols} "
-        "FROM (SELECT doc, sha2(sh, 256) AS hx FROM {sh}) GROUP BY doc",
+        f"SELECT doc, count(*) AS sz, collect_set(sh) AS shset, {min_cols} "
+        "FROM (SELECT doc, sh, sha2(sh, 256) AS hx FROM {sh}) GROUP BY doc",
         sh=sh_shared,
     ).persist()
     band_exprs = ", ".join(
@@ -287,13 +305,23 @@ def minhash_lsh_pairs(
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc
         """,
         stats=stats,
-    ).persist()  # reused for the doc restriction AND the final pair filter
-    return _track(
-        _jaccard_on(sh_shared, pairs=cand, sizes=stats.select("doc", "sz")),
-        sh_shared,
-        cand,
-        stats,
     )
+    out = spark.sql(
+        """
+        WITH j AS (
+          SELECT c.a_id, c.b_id, sa.sz AS sza, sb.sz AS szb,
+                 CAST(size(array_intersect(sa.shset, sb.shset)) AS BIGINT) AS inter
+          FROM {cand} c
+          JOIN {stats} sa ON c.a_id = sa.doc
+          JOIN {stats} sb ON c.b_id = sb.doc)
+        SELECT a_id, b_id, inter, sza + szb - inter AS un,
+               CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
+        FROM j WHERE inter >= 1
+        """,
+        cand=cand,
+        stats=stats,
+    )
+    return _track(out, stats)
 
 
 def incremental_minhash_pairs(

@@ -28,6 +28,14 @@ def spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     except Exception:  # Spark Connect: no RDD access
         return df
     target = minimum or sc.defaultParallelism
-    if current < target:
+    # Widen only when the input is GENUINELY narrow (< half the
+    # session's parallelism): the repartition is a full shuffle of the
+    # raw text, so trading it for a <2x parallelism gain on the explode
+    # stage is a loss — on a 16-file layout under local[32] the
+    # shuffle cost exceeded what the extra 16 tasks bought (the r8
+    # multifile profile). A 1-file input still widens to full
+    # parallelism; a 1000-executor corpus arrives in thousands of
+    # partitions and stays a no-op either way.
+    if current * 2 < target:
         return df.repartition(target)
     return df

@@ -1,8 +1,13 @@
 """SparkSession factory tuned for the local[32] test harness.
 
 At cluster scale the same builder applies minus the local master /
-driver-memory knobs; AQE + adaptive coalescing are the load-bearing
-settings (runtime re-planning, skew-join splitting).
+driver-memory knobs, plus SPARK_GRAFT_AQE=1: on a real cluster AQE +
+adaptive coalescing are load-bearing (runtime re-planning, skew-join
+splitting, stage-size coalescing) because stages run minutes and
+executor skew is real. In the single-JVM local profile the same
+per-stage materialization barriers dominate sub-second stages, so the
+local factory defaults AQE off (measured r8: 30-50% of small-query
+wall clock was barrier tax).
 """
 
 from __future__ import annotations
@@ -47,7 +52,22 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE is deployment-size tuning, and THIS factory builds the
+        # local[N] single-JVM profile: there are no stragglers or
+        # executor-level skew to re-plan around, every query stage AQE
+        # materializes adds a driver barrier (~0.1-0.2 s), and at the
+        # bench scale that barrier tax measured 30-50% of wall clock
+        # (q01 0.46->0.19 s, d03 1.39->0.81 s with AQE off, r8 profile).
+        # A cluster deployment flips SPARK_GRAFT_AQE=1 (or sets the conf
+        # in its own builder): on 1000 executors the same barriers are
+        # amortized over minutes-long stages and AQE's runtime re-plan /
+        # skew-join splitting is load-bearing — see the module
+        # docstring. Structural skew guards (_cap_buckets, salted
+        # joins, df-caps) do not depend on AQE either way.
+        .config(
+            "spark.sql.adaptive.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_AQE", "0") == "1" else "false",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

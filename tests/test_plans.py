@@ -62,7 +62,10 @@ def test_q01_whole_stage_codegen_covers_agg(spark, sf_dir):
     # (a .write would plan a fresh execution and leave this one unfinal)
     df.collect()
     plan = _plan(df)
-    assert "isFinalPlan=true" in plan
+    # AQE defaults off in the local factory (r8); when a deployment
+    # enables it (SPARK_GRAFT_AQE=1) the executed root must be final
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark operators fused into WholeStageCodegen stages;
     # both the partial and final HashAggregate must carry one
     assert len(re.findall(r"\*\(\d+\) HashAggregate", plan)) >= 2, plan[:900]
