@@ -288,6 +288,9 @@ class ReadstatDataSource(DataSource):
                 dslabel=self.options.get("data_label", ""),
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
+                # option("xport_version", "8"): TS140-2 V8 headers with
+                # 32-char long names in LABELV8 (default v5)
+                version=int(self.options.get("xport_version", "5")),
             )
         raise ValueError("distributed write supports .dta, .sav and .xpt; "
                          "use api.write_sas_package for SAS (CSV + script, reference W3)")
@@ -837,13 +840,14 @@ class _XptWriter(DataSourceArrowWriter):
     the global width (one section of driver memory at a time)."""
 
     def __init__(self, path: str, schema, dsname: str = "DATA", dslabel: str = "",
-                 staging_dir: str | None = None, string_widths=None):
+                 staging_dir: str | None = None, string_widths=None, version: int = 5):
         import uuid
 
         self.path = path
         self.schema = schema
         self.dsname = dsname
         self.dslabel = dslabel
+        self.version = version
         self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
         self.stage_dir = os.path.join(
@@ -880,6 +884,7 @@ class _XptWriter(DataSourceArrowWriter):
                 (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
             ],
             string_widths=self.string_widths,
+            version=self.version,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -1,8 +1,14 @@
-"""SAS Transport (XPORT v5) reader/writer — beyond the reference
+"""SAS Transport (XPORT v5 + v8) reader/writer — beyond the reference
 (polars_readstat_rs reads .sas7bdat/.sav/.dta only; .xpt is the
 FDA-submission interchange format SAS ships alongside them).
 
-Format per the public SAS TS-140 spec: a stream of 80-byte records —
+v5 per the public SAS TS-140 spec; v8/v9 per TS140-2 (V8-suffixed
+header markers, 32-char member + variable names, LABELV8/LABELV9 long
+name/label sections — the NAMESTR array and the data encoding are
+byte-identical between versions). The reader auto-detects the version
+from the library header; the writer takes ``version=5|8``.
+
+Format: a stream of 80-byte records —
 library header, member header, a NAMESTR array (140-byte big-endian
 variable descriptors), an OBS header, then fixed-width data records
 (numerics are 2-8 byte IBM System/360 doubles, chars are space-padded
@@ -33,6 +39,19 @@ _DSC_HDR = b"HEADER RECORD*******DSCRPTR HEADER RECORD!!!!!!!"
 _NAM_HDR = b"HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!"
 _OBS_HDR = b"HEADER RECORD*******OBS     HEADER RECORD!!!!!!!"
 
+# XPORT v8/v9 (TS140-2): same 80-byte record stream, V8-suffixed header
+# markers, 32-char member names, and a LABELV8/LABELV9 section between
+# the NAMESTR array and the OBS header carrying long variable names
+# (<=32 chars) and long labels (<=256); the NAMESTR name field stays 8
+# bytes (truncated name).
+_LIB_HDR_V8 = b"HEADER RECORD*******LIBV8   HEADER RECORD!!!!!!!"
+_MEM_HDR_V8 = b"HEADER RECORD*******MEMBV8  HEADER RECORD!!!!!!!"
+_DSC_HDR_V8 = b"HEADER RECORD*******DSCPTV8 HEADER RECORD!!!!!!!"
+_NAM_HDR_V8 = b"HEADER RECORD*******NAMSTV8 HEADER RECORD!!!!!!!"
+_OBS_HDR_V8 = b"HEADER RECORD*******OBSV8   HEADER RECORD!!!!!!!"
+_LBL_HDR_V8 = b"HEADER RECORD*******LABELV8 HEADER RECORD!!!!!!!"
+_LBL_HDR_V9 = b"HEADER RECORD*******LABELV9 HEADER RECORD!!!!!!!"
+
 
 @dataclass
 class XportVariable:
@@ -55,6 +74,7 @@ class XportMetadata:
     dataset_label: str = ""
     created: str = ""
     file_size: int = 0
+    version: int = 5  # 5 (TS-140) or 8 (TS140-2 V8/V9 transport)
 
 
 @dataclass
@@ -85,8 +105,12 @@ def read_metadata(path: str) -> XportMetadata:
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(min(size, 4 * 1024 * 1024))
-    if not head.startswith(_LIB_HDR):
-        raise ValueError(f"{path!r} is not an XPORT v5 file (bad library header)")
+    if head.startswith(_LIB_HDR):
+        version = 5
+    elif head.startswith(_LIB_HDR_V8):
+        version = 8
+    else:
+        raise ValueError(f"{path!r} is not an XPORT v5/v8 file (bad library header)")
 
     def _find(marker: bytes, start: int) -> int:
         # headers are record-aligned; scan on 80-byte boundaries
@@ -97,14 +121,20 @@ def read_metadata(path: str) -> XportMetadata:
             pos += _REC
         raise ValueError(f"{path!r}: missing {marker[20:27].decode()} header record")
 
-    mem = _find(_MEM_HDR, 0)
-    nam = _find(_NAM_HDR, mem)
+    mem_hdr, dsc_hdr, nam_hdr, obs_hdr = (
+        (_MEM_HDR, _DSC_HDR, _NAM_HDR, _OBS_HDR)
+        if version == 5
+        else (_MEM_HDR_V8, _DSC_HDR_V8, _NAM_HDR_V8, _OBS_HDR_V8)
+    )
+    mem = _find(mem_hdr, 0)
+    nam = _find(nam_hdr, mem)
     nvars = int(head[nam + 54 : nam + 58])
-    # member header data: record after DSCRPTR holds the dataset name;
-    # the next holds the 40-char dataset label
-    dsc = _find(_DSC_HDR, mem)
+    # member header data: record after DSCRPTR holds the dataset name
+    # (8 chars in v5, 32 in v8); the next holds the 40-char dataset label
+    dsc = _find(dsc_hdr, mem)
     mrec = head[dsc + _REC : dsc + 2 * _REC]
-    dsname = mrec[8:16].decode("ascii", "replace").strip()
+    name_end = 16 if version == 5 else 40
+    dsname = mrec[8:name_end].decode("ascii", "replace").strip()
     created = mrec[64:80].decode("ascii", "replace").strip()
     lrec = head[dsc + 2 * _REC : dsc + 3 * _REC]
     dslabel = lrec[32:72].decode("ascii", "replace").strip()
@@ -151,7 +181,32 @@ def read_metadata(path: str) -> XportMetadata:
             v.position = p
     ns_bytes = nvars * _NAMESTR
     ns_padded = ((ns_bytes + _REC - 1) // _REC) * _REC
-    obs = _find(_OBS_HDR, ns0 + ns_padded)
+    # v8: an optional LABELV8/LABELV9 section sits between the NAMESTR
+    # array and the OBS header, carrying (varnum, long name, long label)
+    # — and for LABELV9 also long format/informat names (TS140-2).
+    lbl = ns0 + ns_padded
+    if version == 8 and head[lbl : lbl + len(_LBL_HDR_V8)] in (_LBL_HDR_V8, _LBL_HDR_V9):
+        is_v9 = head[lbl : lbl + len(_LBL_HDR_V9)] == _LBL_HDR_V9
+        n_entries = int(head[lbl + 48 : lbl + 54].split()[0] or 0)
+        p = lbl + _REC
+        for _ in range(n_entries):
+            if is_v9:
+                vn, ln, ll, lf, li = struct.unpack_from(">hhhhh", head, p)
+                p += 10
+            else:
+                vn, ln, ll = struct.unpack_from(">hhh", head, p)
+                lf = li = 0
+                p += 6
+            nm = head[p : p + ln].decode("ascii", "replace")
+            p += ln
+            lb = head[p : p + ll].decode("ascii", "replace")
+            p += ll + lf + li  # long format/informat names: parsed past, not kept
+            if 1 <= vn <= nvars:
+                if nm:
+                    variables[vn - 1].name = nm
+                if lb:
+                    variables[vn - 1].label = lb
+    obs = _find(obs_hdr, ns0 + ns_padded)
     data_offset = obs + _REC
 
     row_length = sum(v.length for v in variables)
@@ -188,6 +243,7 @@ def read_metadata(path: str) -> XportMetadata:
         dataset_label=dslabel,
         created=created,
         file_size=size,
+        version=version,
     )
 
 
@@ -375,16 +431,17 @@ def _str_field(s: str, n: int) -> bytes:
     return s.encode("ascii", "replace")[:n].ljust(n, b" ")
 
 
-def _sanitize_names(names: list[str]) -> list[str]:
-    """XPORT v5 variable names are max 8 ASCII chars: truncate and
-    uniquify deterministically (W1's 32->8 analogue)."""
+def _sanitize_names(names: list[str], maxlen: int = 8) -> list[str]:
+    """XPORT variable names are max 8 ASCII chars in v5 NAMESTRs (and
+    max 32 in v8 LABELV8 entries): truncate and uniquify
+    deterministically (W1's 32->8 analogue)."""
     out, seen = [], set()
     for nm in names:
-        base = "".join(ch for ch in nm if ord(ch) < 128)[:8] or "V"
+        base = "".join(ch for ch in nm if ord(ch) < 128)[:maxlen] or "V"
         cand, i = base, 1
         while cand.upper() in seen:
             suffix = str(i)
-            cand = base[: 8 - len(suffix)] + suffix
+            cand = base[: maxlen - len(suffix)] + suffix
             i += 1
         seen.add(cand.upper())
         out.append(cand)
@@ -437,32 +494,48 @@ def encode_sections(
     return variables, rec.tobytes()
 
 
-def write_header(variables: list[XportVariable], dsname: str = "DATA", dslabel: str = "") -> bytes:
+def write_header(
+    variables: list[XportVariable],
+    dsname: str = "DATA",
+    dslabel: str = "",
+    version: int = 5,
+    long_names: list[str] | None = None,
+) -> bytes:
+    """XPORT header byte stream. ``version=8`` emits the TS140-2 V8
+    markers, a 32-char member name, and — when any entry in
+    ``long_names`` (parallel to ``variables``) differs from its
+    NAMESTR 8-char name — a LABELV8 section mapping variable number ->
+    long name (+ the 40-char label, so v8 long labels round-trip too).
+    The NAMESTR layout itself is identical in both versions."""
+    if version not in (5, 8):
+        raise ValueError(f"xport version must be 5 or 8, got {version}")
+    v8 = version == 8
+    sas_ver = "6.06" if not v8 else "9.4"
     out = bytearray()
-    out += _hdr(_LIB_HDR)
+    out += _hdr(_LIB_HDR if not v8 else _LIB_HDR_V8)
     out += _pad80(
         _str_field("SAS", 8)
         + _str_field("SAS", 8)
         + _str_field("SASLIB", 8)
-        + _str_field("6.06", 8)
+        + _str_field(sas_ver, 8)
         + _str_field("bsd4.2", 8)
         + b" " * 24
         + _str_field(_FIXED_STAMP, 16)
     )
     out += _pad80(_str_field(_FIXED_STAMP, 16))
-    out += _hdr(_MEM_HDR, "0" * 16 + "01600000000140")
-    out += _hdr(_DSC_HDR)
+    out += _hdr(_MEM_HDR if not v8 else _MEM_HDR_V8, "0" * 16 + "01600000000140")
+    out += _hdr(_DSC_HDR if not v8 else _DSC_HDR_V8)
     out += _pad80(
         _str_field("SAS", 8)
-        + _str_field(dsname.upper(), 8)
+        + _str_field(dsname.upper(), 8 if not v8 else 32)
         + _str_field("SASDATA", 8)
-        + _str_field("6.06", 8)
+        + _str_field(sas_ver, 8)
         + _str_field("bsd4.2", 8)
-        + b" " * 24
+        + (b" " * 24 if not v8 else b"")
         + _str_field(_FIXED_STAMP, 16)
     )
     out += _pad80(_str_field(_FIXED_STAMP, 16) + b" " * 16 + _str_field(dslabel, 40) + _str_field("", 8))
-    out += _hdr(_NAM_HDR, "000000" + f"{len(variables):04d}" + "0" * 20)
+    out += _hdr(_NAM_HDR if not v8 else _NAM_HDR_V8, "000000" + f"{len(variables):04d}" + "0" * 20)
     ns = bytearray()
     for i, v in enumerate(variables):
         b = bytearray(_NAMESTR)
@@ -477,7 +550,20 @@ def write_header(variables: list[XportVariable], dsname: str = "DATA", dslabel: 
         struct.pack_into(">hhi", b, 80, 0, 0, v.position)
         ns += b
     out += _pad80(bytes(ns))
-    out += _hdr(_OBS_HDR)
+    if v8 and long_names is not None:
+        entries = bytearray()
+        n_entries = 0
+        for i, (v, ln) in enumerate(zip(variables, long_names)):
+            ln = "".join(ch for ch in ln if ord(ch) < 128)[:32]
+            if ln and ln.upper() != v.name.upper():
+                nm = ln.encode("ascii")
+                lb = v.label.encode("ascii", "replace")[:256]
+                entries += struct.pack(">hhh", i + 1, len(nm), len(lb)) + nm + lb
+                n_entries += 1
+        if n_entries:
+            out += _hdr(_LBL_HDR_V8, f"{n_entries:05d}" + " " * 25)
+            out += _pad80(bytes(entries))
+    out += _hdr(_OBS_HDR if not v8 else _OBS_HDR_V8)
     return bytes(out)
 
 
@@ -487,15 +573,18 @@ def write_xpt(
     dsname: str = "DATA",
     dslabel: str = "",
     string_widths: dict[str, int] | None = None,
+    version: int = 5,
 ) -> None:
-    """Write an Arrow table (or Spark/pandas DataFrame) as XPORT v5."""
+    """Write an Arrow table (or Spark/pandas DataFrame) as XPORT v5 or
+    (``version=8``) TS140-2 V8 with 32-char long names in LABELV8."""
     if hasattr(table, "to_arrow"):
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
         table = pa.Table.from_pandas(table, preserve_index=False)
     variables, data = encode_sections(table, string_widths)
+    longs = _sanitize_names(list(table.column_names), 32) if version == 8 else None
     with open(path, "wb") as f:
-        f.write(write_header(variables, dsname, dslabel))
+        f.write(write_header(variables, dsname, dslabel, version, longs))
         f.write(data)
         f.write(b" " * (-len(data) % _REC))
 
@@ -529,10 +618,15 @@ def assemble_xpt(
     dslabel: str = "",
     column_order: list[str] | None = None,
     string_widths: dict[str, int] | None = None,
+    version: int = 5,
 ) -> None:
     """Driver commit: stream every partition's sections into one .xpt,
     re-striding char columns to the global max width. One section of
-    memory at a time — no row materialization."""
+    memory at a time — no row materialization. ``version=8`` writes the
+    TS140-2 V8 headers with the original (long, <=32-char) column names
+    from ``column_order`` in a LABELV8 section; the executors' encoded
+    sections are identical in both versions (data bytes carry no
+    names), so version is purely a commit-time choice."""
     all_sections = [(blob, s) for blob, secs in parts for s in secs]
     if not all_sections:
         # empty result: header with the declared columns, zero rows.
@@ -560,8 +654,9 @@ def assemble_xpt(
             pos += ln
         if not variables:
             raise ValueError("cannot write an empty XPORT file with no schema")
+        longs = _sanitize_names([n for n, _ in cols], 32) if version == 8 else None
         with open(path, "wb") as f:
-            f.write(write_header(variables, dsname, dslabel))
+            f.write(write_header(variables, dsname, dslabel, version, longs))
         return
 
     first = all_sections[0][1][3]
@@ -604,9 +699,17 @@ def assemble_xpt(
         pos += variables[-1].length
     out_len = pos
 
+    longs = None
+    if version == 8:
+        if not order_names:
+            raise ValueError("xport v8 write needs column_order (the long names)")
+        # section order == dataframe column order == column_order order
+        long_of = dict(zip(_sanitize_names(order_names), _sanitize_names(order_names, 32)))
+        longs = [long_of.get(v.name, v.name) for v in variables]
+
     total = 0
     with open(path, "wb") as out:
-        out.write(write_header(variables, dsname, dslabel))
+        out.write(write_header(variables, dsname, dslabel, version, longs))
         for blob, (off, nbytes, nrows, vars_) in all_sections:
             with open(blob, "rb") as f:
                 f.seek(off)

@@ -84,7 +84,7 @@ _R7_DEFER = (
 
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL = ()
+_RISKY_TAIL = ("r14_xpt_v8_roundtrip",)  # r8: new XPORT v8 gate
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the

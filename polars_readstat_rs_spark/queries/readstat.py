@@ -550,3 +550,44 @@ def r13_xpt_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("SUPPKEY").cast("long").alias("min_key"),
         F.max("SUPPKEY").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r14_xpt_v8_roundtrip",
+    oracle="""
+    SELECT n_regionkey AS the_region_grouping_key, count(*) AS n,
+      min(n_name) AS first_nation_name, max(n_name) AS last_nation_name,
+      CAST(sum(n_nationkey) AS DOUBLE) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def r14_xpt_v8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPORT **v8** (TS140-2) gate — beyond both the reference AND the
+    r13 v5 gate: >8-char column names survive a distributed write
+    (option xport_version=8, LABELV8 long-name section, formats/sas/
+    xport.py write_header/assemble_xpt) and the auto-detecting reader
+    returns them verbatim. pandas has no v8 support, so v8's
+    correctness chain is: v8 values == v5 values (tested) and v5 ==
+    pandas (r13 + corpus tests); here the roundtripped long-name
+    aggregate is hash-compared against DuckDB on the parquet."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r14_{tag}.xpt")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("the_nation_primary_key"),
+        F.col("n_regionkey").alias("the_region_grouping_key"),
+        F.col("n_name").alias("the_nation_display_name"),
+    )
+    nat.write.format("readstat").mode("overwrite").option("xport_version", "8").save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(
+        F.col("the_region_grouping_key").cast("long").alias("the_region_grouping_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("the_nation_display_name").alias("first_nation_name"),
+        F.max("the_nation_display_name").alias("last_nation_name"),
+        F.sum("the_nation_primary_key").alias("key_sum"),
+    )

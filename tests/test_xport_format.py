@@ -333,3 +333,107 @@ def test_xpt_assemble_colliding_declared_widths(tmp_path):
     assert widths["VERYLON1"] == 5          # _two got the declared width
     rt = X.read_table(out)
     assert rt.column("VERYLON1").to_pylist() == ["bb"]
+
+
+# ------------------------------------------------------------- v8 (TS140-2)
+
+
+def test_xpt_v8_roundtrip_long_names(tmp_path):
+    """v8 long names (>8 chars, LABELV8 section) round-trip through our
+    writer/reader; the same data written v5 decodes to identical values
+    under the truncated names (v5 is the pandas-cross-validated path,
+    so value equivalence transfers the validation to v8)."""
+    t = pa.table(
+        {
+            "a_very_long_variable_name_x": pa.array([1.0, 2.5, None, -3.25]),
+            "a_very_long_variable_name_y": pa.array(["ab", None, "xyz", ""]),
+            "SHORT": pa.array([10.0, 20.0, 30.0, 40.0]),
+        }
+    )
+    p8, p5 = str(tmp_path / "t8.xpt"), str(tmp_path / "t5.xpt")
+    X.write_xpt(t, p8, dsname="LONG_DATASET_NAME_32CHARS", version=8)
+    X.write_xpt(t, p5, version=5)
+    m8 = X.read_metadata(p8)
+    assert m8.version == 8
+    assert m8.dataset_name == "LONG_DATASET_NAME_32CHARS"
+    o8, o5 = X.read_table(p8), X.read_table(p5)
+    assert o8.column_names == [
+        "a_very_long_variable_name_x",
+        "a_very_long_variable_name_y",
+        "SHORT",
+    ]
+    for i in range(3):
+        assert o8.column(i).to_pylist() == o5.column(i).to_pylist()
+    # v5 file is pandas-readable; v8 values already proven equal to v5's
+    ref = pd.read_sas(p5, format="xport")
+    assert list(ref["SHORT"]) == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_xpt_v8_colliding_long_names(tmp_path):
+    """Names identical in the first 8 chars stay distinct in v8 (the
+    whole point of LABELV8); their NAMESTR shorts carry the v5
+    uniquifying suffixes."""
+    t = pa.table(
+        {
+            "measurement_alpha": pa.array([1.0]),
+            "measurement_beta": pa.array([2.0]),
+        }
+    )
+    p = str(tmp_path / "coll.xpt")
+    X.write_xpt(t, p, version=8)
+    out = X.read_table(p)
+    assert out.column_names == ["measurement_alpha", "measurement_beta"]
+    assert out.column(0).to_pylist() == [1.0]
+    assert out.column(1).to_pylist() == [2.0]
+
+
+def test_xpt_v8_datasource_distributed(spark, tmp_path):
+    """Distributed v8 write via option("xport_version", "8") -> read
+    back by the auto-detecting reader with long names intact."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").cast("double").alias("the_primary_key_column"),
+        (F.col("id") * 2.0).cast("double").alias("the_doubled_value_column"),
+        F.concat(F.lit("nm_"), F.col("id")).alias("the_string_name_column"),
+    )
+    p = str(tmp_path / "dist8.xpt")
+    df.repartition(4).write.format("readstat").mode("overwrite").option(
+        "xport_version", "8"
+    ).save(p)
+    assert X.read_metadata(p).version == 8
+    back = spark.read.format("readstat").load(p)
+    assert back.columns == [
+        "the_primary_key_column",
+        "the_doubled_value_column",
+        "the_string_name_column",
+    ]
+    agg = back.agg(
+        F.count("*").alias("n"),
+        F.sum("the_primary_key_column").alias("sk"),
+        F.countDistinct("the_string_name_column").alias("d"),
+    ).collect()[0]
+    assert (agg.n, agg.d) == (n, n)
+    assert agg.sk == float(n * (n - 1) / 2)
+
+
+def test_xpt_v8_empty_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    df = (
+        spark.range(5)
+        .select(F.col("id").cast("double").alias("a_long_numeric_name"), F.lit("x").alias("S"))
+        .filter("a_long_numeric_name < 0")
+    )
+    p = str(tmp_path / "empty8.xpt")
+    df.write.format("readstat").mode("overwrite").option("xport_version", "8").save(p)
+    back = spark.read.format("readstat").load(p)
+    assert back.count() == 0
+    assert back.columns == ["a_long_numeric_name", "S"]
