@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PERCENTILES = (0.25, 0.5, 0.75)
@@ -116,3 +116,47 @@ def histogram(df: DataFrame, group_col: str, value_col: str, bin_width: float) -
         "n",
         (F.col("n").cast("double") / F.col("_t").cast("double")).alias("share"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-group linear-interpolated percentiles WITHOUT the
+    per-group value buffering of Spark's built-in ``percentile``
+    aggregate (which materializes every group's values in one
+    aggregation buffer — fine at test scale, an executor-OOM at 100 TB
+    group sizes).
+
+    Shape: one shuffle (partition by group, sort by value — a
+    distributed sort, never a whole-group array), a rank/count window,
+    then one ordinary groupBy that keeps only the <=2 boundary rows
+    each percentile needs. For q over a group of n sorted values
+    v[0..n-1]: pos = (n-1)*q, result = v[floor(pos)] +
+    (pos - floor(pos)) * (v[ceil(pos)] - v[floor(pos)]) — the same
+    interpolation rule as DuckDB's quantile_cont and Spark's
+    percentile, so all three agree bitwise on clean doubles.
+
+    Output: group_col, p<q*100> columns (doubles, rounded to 6)."""
+    w_sort = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col).withColumn(
+        "_rn", F.row_number().over(w_sort) - F.lit(1)
+    ).withColumn("_n", F.count(F.lit(1)).over(w_all))
+    aggs = []
+    for q in qs:
+        pos = (F.col("_n") - 1).cast("double") * F.lit(float(q))
+        lo, hi = F.floor(pos).cast("long"), F.ceil(pos).cast("long")
+        tag = f"{int(round(q * 100)):02d}"
+        aggs.append(F.max(F.when(F.col("_rn") == lo, F.col(value_col))).alias(f"_lo{tag}"))
+        aggs.append(F.max(F.when(F.col("_rn") == hi, F.col(value_col))).alias(f"_hi{tag}"))
+        aggs.append(F.max(F.when(F.col("_rn") == lo, pos - lo.cast("double"))).alias(f"_fr{tag}"))
+    out = ranked.groupBy(group_col).agg(*aggs)
+    cols = [F.col(group_col)]
+    for q in qs:
+        tag = f"{int(round(q * 100)):02d}"
+        v = F.col(f"_lo{tag}") + F.col(f"_fr{tag}") * (F.col(f"_hi{tag}") - F.col(f"_lo{tag}"))
+        cols.append(F.round(v, 6).alias(f"p{tag}"))
+    return out.select(*cols)

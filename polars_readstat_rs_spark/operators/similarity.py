@@ -1204,3 +1204,42 @@ def filtered_topk(
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return _track(out)
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote labeling: each query vector gets the label
+    held by the most of its ``k`` exact cosine neighbors — the weak-
+    supervision / label-propagation primitive of a training-data
+    pipeline (label the unlabeled split from a small labeled seed set).
+
+    Built on :func:`brute_force_topk` (zero-shuffle corpus scan, tiny
+    per-query top-k), then one label join on the k x |queries| neighbor
+    rows (broadcast-sized by construction) and one vote aggregation.
+    Deterministic: neighbors tie-break on (sim DESC, id ASC) inside
+    brute_force_topk; votes tie-break on (votes DESC, best_sim DESC,
+    label ASC). ``best_sim`` is each label's strongest supporting
+    neighbor — returned for thresholding downstream.
+
+    Output: q_id, label, votes, best_sim (rounded 6)."""
+    nn = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    labels = corpus.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"))
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"), F.max("sim").alias("best_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.desc("best_sim"), F.asc("label")
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("q_id", "label", "votes", F.round("best_sim", 6).alias("best_sim"))
+    )

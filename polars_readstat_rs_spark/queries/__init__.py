@@ -84,7 +84,11 @@ _R7_DEFER = (
 
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL = ("r14_xpt_v8_roundtrip",)  # r8: new XPORT v8 gate
+_RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
+    "r14_xpt_v8_roundtrip",
+    "q84_group_percentiles",
+    "v12_knn_label_vote",
+)
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the

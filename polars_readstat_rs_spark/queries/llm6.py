@@ -350,3 +350,34 @@ def d12_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("comp", F.col("node").alias("keep_id"), F.col("q").alias("best_quality"), "n_docs")
     )
+
+
+@register(
+    "v12_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label, {_cosine_sql('q.q_vec', 'e.embedding')} AS sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+    nn AS (
+      SELECT q_id, vec_id, label, sim FROM (
+        SELECT q_id, vec_id, label, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5),
+    votes AS (
+      SELECT q_id, label, count(*) AS votes, max(sim) AS best_sim
+      FROM nn GROUP BY q_id, label)
+    SELECT q_id, label, votes, round(best_sim, 6) AS best_sim FROM (
+      SELECT q_id, label, votes, best_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, best_sim DESC, label) AS rk
+      FROM votes) WHERE rk = 1
+    """,
+)
+def v12_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling (operators/similarity.py:
+    knn_label_vote): the weak-supervision primitive — label each query
+    vector from its 5 exact cosine neighbors' labels, deterministic
+    tie-breaks, hash-compared against the full SQL formulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return similarity.knn_label_vote(emb, queries, k=5)

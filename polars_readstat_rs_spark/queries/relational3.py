@@ -1067,3 +1067,28 @@ def q83_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "version", "state"
     )
+
+
+@register(
+    "q84_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q84_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable EXACT grouped percentiles (operators/profile.py:
+    exact_percentiles): distributed sort + rank window + boundary-row
+    aggregation — never buffers a whole group's values in one
+    aggregation buffer the way Spark's built-in `percentile` (and any
+    collect-to-array approach) does, so group size is unbounded at
+    100 TB. Same (n-1)*q linear interpolation as DuckDB quantile_cont;
+    hash-gated bitwise after round(6)."""
+    from ..operators.profile import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_percentiles(li, "l_returnflag", "l_extendedprice", (0.25, 0.5, 0.75, 0.9))

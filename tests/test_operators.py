@@ -1536,3 +1536,61 @@ def test_brute_force_topk_string_ids_and_zero_norm(spark):
     ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     assert ranked == ["close", "far"]  # zero-norm row dropped, ids are strings
     assert all(r.q_id == "q" for r in out)
+
+
+def test_exact_percentiles_matches_builtin(spark):
+    """The scalable formulation must agree with Spark's buffering
+    `percentile` builtin (and hence DuckDB quantile_cont) bitwise."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators.profile import exact_percentiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("v"),
+    )
+    mine = {
+        r["g"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in exact_percentiles(df, "g", "v").collect()
+    }
+    ref = {
+        r["g"]: tuple(round(x, 6) for x in r["ps"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("ps"))
+        .collect()
+    }
+    assert mine == ref
+    # single-element group: every percentile is the value itself
+    one = spark.createDataFrame([("z", 42.5)], "g string, v double")
+    row = exact_percentiles(one, "g", "v").collect()[0]
+    assert (row["p25"], row["p50"], row["p75"], row["p90"]) == (42.5,) * 4
+
+
+def test_knn_label_vote_deterministic(spark):
+    """Planted geometry: queries sit on coordinate axes; each axis has
+    3 same-label corpus neighbors -> the vote must pick that label."""
+    import math
+
+    from polars_readstat_rs_spark.operators.similarity import knn_label_vote
+
+    dim = 8
+
+    def vec(axis, mag=1.0, off=0.0):
+        v = [off] * dim
+        v[axis] = mag
+        return [float(x) for x in v]
+
+    corpus = []
+    vid = 100
+    for axis, label in ((0, 7), (1, 9)):
+        for m in (1.0, 2.0, 3.0):  # same direction, same label
+            corpus.append((vid, vec(axis, m), label))
+            vid += 1
+    # two off-axis distractors with a third label
+    corpus.append((200, [1.0] * dim, 1))
+    corpus.append((201, [-1.0] * dim, 1))
+    queries = [(0, vec(0)), (1, vec(1))]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>, label int")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    out = {r["q_id"]: (r["label"], r["votes"]) for r in knn_label_vote(cdf, qdf, k=3).collect()}
+    assert out == {0: (7, 3), 1: (9, 3)}
