@@ -650,3 +650,50 @@ def sample_frames(
             )
 
     return multimodal.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_images(multimodal: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over binary image payloads:
+    decode (magic-byte dispatch: BMP or PNG) -> integer-exact index-map
+    resample -> RE-ENCODE as BMP -> decode the re-encoded payload for
+    the emitted statistics. Nearest-neighbor with the floor mapping
+    ``src = (dst * src_dim) // out_dim`` — pure integer arithmetic, so
+    an independent SQL oracle can recompute every resized pixel from
+    the synthesis closed form (no float resampling ambiguity; bilinear
+    would need an epsilon-tolerant gate). Statistics are computed from
+    the re-encoded-then-re-decoded payload, so a hash match proves the
+    full decode -> resample -> encode -> decode chain, not just the
+    index math.
+
+    Scale shape: mapInPandas over the payload column — Arrow-batched,
+    shuffle-free, payloads move once; the thumbnail shape of a training
+    pipeline's image-preprocessing stage."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "kind", "dim_a", "dim_b", "n_vals", "sum_vals", "sumsq_vals")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                d = decode_real(bytes(payload))
+                if d["kind"] == "wav":
+                    continue  # images only; audio resampling is a different op
+                px = d["pixels"]
+                h, w = px.shape[0], px.shape[1]
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                small = px[ys][:, xs]
+                reenc = decode_bmp(encode_bmp(small))
+                vals = reenc["pixels"].astype(np.int64).ravel()
+                rows["doc_id"].append(doc_id)
+                rows["kind"].append("bmp")
+                rows["dim_a"].append(reenc["width"])
+                rows["dim_b"].append(reenc["height"])
+                rows["n_vals"].append(int(vals.size))
+                rows["sum_vals"].append(int(vals.sum()))
+                rows["sumsq_vals"].append(int((vals * vals).sum()))
+            out = pd.DataFrame(rows)
+            out["dim_a"] = out["dim_a"].astype("int32")
+            out["dim_b"] = out["dim_b"].astype("int32")
+            yield out
+
+    return multimodal.mapInPandas(fn, MEDIA_SCHEMA)

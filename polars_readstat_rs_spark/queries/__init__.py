@@ -88,6 +88,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "r14_xpt_v8_roundtrip",
     "q84_group_percentiles",
     "v12_knn_label_vote",
+    "m08_image_resize",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

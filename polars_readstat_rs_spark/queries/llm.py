@@ -741,3 +741,34 @@ def m07_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_frame_features(
         multimodal.synth_media_payloads(docs, kind="wav"), frame=16, hop=8
     )
+
+
+@register(
+    "m08_image_resize",
+    oracle="""
+    WITH s AS (SELECT doc_id, unnest(range(0, 60)) AS p FROM documents),
+    v AS (
+      SELECT doc_id,
+             (doc_id + 3 * ((((p // 3) % 5) * 8) // 5)
+                     + 5 * ((((p // 3) // 5) * 6) // 4)
+                     + 11 * (p % 3)) % 256 AS val
+      FROM s)
+    SELECT doc_id, 'bmp' AS kind, CAST(5 AS INT) AS dim_a, CAST(4 AS INT) AS dim_b,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(val) AS BIGINT) AS sum_vals,
+           CAST(sum(val * val) AS BIGINT) AS sumsq_vals
+    FROM v GROUP BY doc_id
+    """,
+)
+def m08_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize gate (operators/multimodal.py:resize_images):
+    8x6 BMPs synthesized executor-side, decoded, nearest-neighbor
+    resampled to 5x4 with the integer floor map src=(dst*src_dim)//out
+    (non-divisible dims so the index math is exercised), RE-ENCODED as
+    BMP and decoded again for the statistics — the oracle recomputes
+    every resized pixel from the synthesis closed form, so a hash match
+    proves decode -> resample -> encode -> decode end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(
+        multimodal.synth_media_payloads(docs, kind="bmp"), out_w=5, out_h=4
+    )

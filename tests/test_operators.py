@@ -1594,3 +1594,23 @@ def test_knn_label_vote_deterministic(spark):
     qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
     out = {r["q_id"]: (r["label"], r["votes"]) for r in knn_label_vote(cdf, qdf, k=3).collect()}
     assert out == {0: (7, 3), 1: (9, 3)}
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Planted 4x2 BMP resized to 2x1: the floor map picks pixels
+    (0,0) and (0,2); stats must match those exact pixels after the
+    re-encode roundtrip."""
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import multimodal as M
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)  # (h=2, w=4, 3)
+    payload = M.encode_bmp(px)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.resize_images(df, out_w=2, out_h=1).collect()[0]
+    # src_x = (dst*4)//2 -> {0, 2}; src_y = 0
+    chosen = px[[0]][:, [0, 2]].astype(np.int64).ravel()
+    assert (row["dim_a"], row["dim_b"]) == (2, 1)
+    assert row["n_vals"] == chosen.size
+    assert row["sum_vals"] == int(chosen.sum())
+    assert row["sumsq_vals"] == int((chosen * chosen).sum())
