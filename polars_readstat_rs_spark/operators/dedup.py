@@ -809,3 +809,73 @@ def duplicated_spans(
             "dup_ratio", F.col("n_dup").cast("double") / F.col("n_windows").cast("double")
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash candidate pairs with the SIGNATURE-ESTIMATED Jaccard —
+    the screening pass of a production dedup pipeline: banded candidates
+    exactly like :func:`minhash_lsh_pairs`, but similarity is estimated
+    as the fraction of agreeing minhash chunks (E[match] = J for each
+    chunk, so n_agree/NUM_HASHES is an unbiased estimate with stderr
+    ~ sqrt(J(1-J)/NUM_HASHES)) and the shingle tables are NEVER
+    revisited. At 100 TB the signatures are a persisted artifact a few
+    hundred bytes per doc; estimate-screening candidate pairs against
+    them costs two signature joins instead of re-shuffling the corpus'
+    shingle text — exact verification (:func:`minhash_lsh_pairs`) then
+    runs only on the estimate's survivors.
+
+    Output: a_id, b_id, n_agree (0..NUM_HASHES), est_jaccard."""
+    sh = _shingle_table(df, id_col, text_col, n, persist=False)
+    spark = sh.sparkSession
+    min_cols = ", ".join(
+        f"min(substring(hx, {1 + 8 * i}, 8)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    stats = spark.sql(
+        f"SELECT doc, {min_cols} "
+        "FROM (SELECT doc, sha2(sh, 256) AS hx FROM {sh}) GROUP BY doc",
+        sh=sh,
+    ).persist()
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(NUM_BANDS)
+    )
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
+    cap_cte = (
+        """, capped AS (
+          SELECT doc, band_idx, band_key FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY band_idx, band_key ORDER BY doc ASC) AS __rn
+            FROM long) WHERE __rn <= {mb})""".format(mb=int(max_bucket))
+        if max_bucket is not None
+        else ", capped AS (SELECT * FROM long)"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    out = spark.sql(
+        f"""
+        WITH banded AS (SELECT doc, {band_exprs} FROM {{stats}}),
+        long AS (SELECT doc, stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)
+                 FROM banded){cap_cte},
+        cand AS (
+          SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+          FROM capped x JOIN capped y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc)
+        SELECT c.a_id, c.b_id,
+               CAST({agree} AS INT) AS n_agree,
+               CAST(({agree}) AS DOUBLE) / {NUM_HASHES}.0 AS est_jaccard
+        FROM cand c
+        JOIN {{stats}} sa ON c.a_id = sa.doc
+        JOIN {{stats}} sb ON c.b_id = sb.doc
+        """,
+        stats=stats,
+    )
+    return _track(out, stats)

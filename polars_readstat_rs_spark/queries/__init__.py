@@ -89,6 +89,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "q84_group_percentiles",
     "v12_knn_label_vote",
     "m08_image_resize",
+    "d13_minhash_estimate",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

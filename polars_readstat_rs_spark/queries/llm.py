@@ -772,3 +772,43 @@ def m08_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(
         multimodal.synth_media_payloads(docs, kind="bmp"), out_w=5, out_h=4
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(substring(sha256(sh), {1 + 8 * i}, 8)) AS h{i}" for i in range(dedup.NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(dedup.NUM_BANDS):
+        hs = [f"h{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)]
+        key = " || '|' || ".join(hs)
+        band_selects.append(f"SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(dedup.NUM_HASHES)
+    )
+    return f"""
+    WITH {_sh_ctes()},
+    sig AS (SELECT doc, {sig_cols} FROM (SELECT doc, sh FROM sh) GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc)
+    SELECT c.a_id, c.b_id, CAST({agree} AS INT) AS n_agree,
+           CAST(({agree}) AS DOUBLE) / {dedup.NUM_HASHES}.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.a_id = sa.doc
+    JOIN sig sb ON c.b_id = sb.doc
+    """
+
+
+@register("d13_minhash_estimate", oracle=_minhash_estimate_oracle())
+def d13_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimated Jaccard screening (operators/dedup.py:
+    minhash_estimate_pairs): banded candidates scored by the fraction
+    of agreeing minhash chunks — the shingle text is never revisited,
+    which is the screening pass a 100 TB dedup runs against its
+    persisted signature artifact before exact verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_pairs(docs, "doc_id", "text", n=_SHINGLE_N)
