@@ -325,8 +325,18 @@ class ReadstatDataSource(DataSource):
                 compress=_true(self.options.get("compress"), default=False),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
-        raise ValueError("streaming readstat sink writes .dta or .sav "
-                         '(option("format", "stata"|"spss"))')
+        if fmt == "xport":
+            return _XptStreamWriter(
+                self.options["path"],
+                schema,
+                dsname=self.options.get("dsname", "DATA"),
+                dslabel=self.options.get("data_label", ""),
+                staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+                version=int(self.options.get("xport_version", "5")),
+            )
+        raise ValueError("streaming readstat sink writes .dta, .sav or .xpt "
+                         '(option("format", "stata"|"spss"|"xport"))')
 
 
 class _StreamFilePartition(InputPartition):
@@ -1045,6 +1055,50 @@ class _SavStreamWriter(_SavWriter, DataSourceStreamArrowWriter):
             user_missing=self.user_missing,
             compress=self.compress,
             declared=self.string_widths,
+        )
+        os.replace(tmp, final)
+        for blob, _ in parts:
+            try:
+                os.unlink(blob)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m and getattr(m, "blob_path", ""):
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
+
+
+class _XptStreamWriter(_XptWriter, DataSourceStreamArrowWriter):
+    """Streaming .xpt sink: the _DtaStreamWriter contract (immutable
+    part-{batchId}.xpt per micro-batch, temp-name + atomic rename,
+    idempotent on replay) over the XPORT assembler — v5 or v8 via
+    option("xport_version"). Closes the transport-format ingest loop:
+    an .xpt drop directory can now be both streamed FROM (the source is
+    per-file format-generic) and streamed TO."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        from pyspark.sql import types as _T
+
+        from .formats.sas.xport import assemble_xpt
+
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{batchId:05d}.xpt")
+        tmp = final + ".tmp_"
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_xpt(
+            tmp,
+            parts,
+            dsname=self.dsname,
+            dslabel=self.dslabel,
+            column_order=[
+                (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
+            ],
+            string_widths=self.string_widths,
+            version=self.version,
         )
         os.replace(tmp, final)
         for blob, _ in parts:

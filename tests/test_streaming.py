@@ -515,3 +515,50 @@ def test_readstat_stream_empty_dir_start_with_schema(spark, tmp_path, sf_dir):
         assert spark.table("empty_start").count() == len(nation)
     finally:
         q.stop()
+
+
+def test_readstat_stream_sink_xpt(spark, tmp_path, sf_dir):
+    """option('format','xport') + xport_version=8: the streaming sink
+    writes immutable v8 .xpt part files (long names intact), readable
+    back by the batch reader."""
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.formats.sas import xport as X
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in_x"
+    drop.mkdir()
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .selectExpr(
+            "CAST(n_nationkey AS DOUBLE) AS the_nation_key_column",
+            "n_name AS the_nation_name_column",
+        )
+        .toPandas()
+    )
+    tmp = drop / ".a.dta.tmp"
+    nation.to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out_xpt"
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.format("readstat")
+        .option("format", "xport")
+        .option("xport_version", "8")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start(str(out))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = sorted(out.glob("part-*.xpt"))
+    assert parts and X.read_metadata(str(parts[0])).version == 8
+    back = spark.read.format("readstat").load(str(out))
+    assert back.columns == ["the_nation_key_column", "the_nation_name_column"]
+    assert back.count() == len(nation)
+    assert sorted(r.the_nation_name_column for r in back.collect()) == sorted(
+        nation.the_nation_name_column
+    )
