@@ -90,6 +90,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "v12_knn_label_vote",
     "m08_image_resize",
     "d13_minhash_estimate",
+    "q85_recursive_hierarchy",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

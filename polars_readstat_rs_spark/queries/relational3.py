@@ -1092,3 +1092,44 @@ def q84_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return exact_percentiles(li, "l_returnflag", "l_extendedprice", (0.25, 0.5, 0.75, 0.9))
+
+
+@register(
+    "q85_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc(node, anc, depth) AS (
+      SELECT s_suppkey, s_suppkey // 2, CAST(1 AS INT) FROM supplier WHERE s_suppkey > 1
+      UNION ALL
+      SELECT a.node, a.anc // 2, CAST(a.depth + 1 AS INT) FROM anc a WHERE a.anc > 1
+    )
+    SELECT depth, count(*) AS n,
+           CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+           CAST(sum(anc) AS BIGINT) AS anc_sum
+    FROM anc GROUP BY depth
+    """,
+)
+def q85_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4):
+    ancestor-chain walk over the implicit binary hierarchy
+    parent(k) = k div 2 on supplier keys — the BOM-explosion /
+    org-chart traversal shape. Spark executes the recursion as
+    iterated unions (depth here is log2(n), so the loop is bounded and
+    each iteration is a full distributed plan); DuckDB runs its native
+    recursive CTE — the hash gate proves both fixpoints agree."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc, depth) AS (
+          SELECT s_suppkey, s_suppkey DIV 2, CAST(1 AS INT)
+          FROM {sup} WHERE s_suppkey > 1
+          UNION ALL
+          SELECT a.node, a.anc DIV 2, CAST(a.depth + 1 AS INT)
+          FROM anc a WHERE a.anc > 1
+        )
+        SELECT depth, count(*) AS n,
+               CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+               CAST(sum(anc) AS BIGINT) AS anc_sum
+        FROM anc GROUP BY depth
+        """,
+        sup=sup,
+    )
