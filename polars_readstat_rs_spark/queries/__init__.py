@@ -91,6 +91,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "m08_image_resize",
     "d13_minhash_estimate",
     "q85_recursive_hierarchy",
+    "q86_windowed_distinct",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

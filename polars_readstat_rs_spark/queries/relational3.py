@@ -1133,3 +1133,35 @@ def q85_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         sup=sup,
     )
+
+
+@register(
+    "q86_windowed_distinct",
+    oracle=f"""
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_distinct_types
+    FROM {EVENTS_US} e
+    """,
+)
+def q86_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT count — a window feature Spark LACKS
+    natively (count(DISTINCT) OVER is unsupported), re-expressed as
+    size(collect_set(...)) over the same ROWS frame: per event, how
+    many distinct event types the user produced in their last 10
+    events. The frame is rows-bounded, so the collected set is capped
+    at 10 elements per row regardless of partition size — no unbounded
+    state, safe at any scale. DuckDB runs its native DISTINCT window
+    aggregate; the hash gate proves the re-expression exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_distinct_types"),
+    )
