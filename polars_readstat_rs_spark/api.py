@@ -426,6 +426,18 @@ def write_xpt(df: DataFrame, path: str, **kwargs) -> None:
     xport.write_xpt(df.toArrow(), path, **kwargs)
 
 
+def write_sas7bdat(df: DataFrame, path: str, **kwargs) -> None:
+    """Write a Spark DataFrame as a NATIVE binary .sas7bdat (64-bit LE,
+    uncompressed) — beyond the reference, whose only SAS write path is
+    CSV + a .sas load script (W3). Driver-side assembly; the
+    distributed path is df.write.format("readstat").save("x.sas7bdat").
+    Cross-validated against pandas.read_sas and this repo's own
+    partitioned reader."""
+    from .formats.sas import bdat_writer
+
+    bdat_writer.write_sas7bdat(df.toArrow(), path, **kwargs)
+
+
 def write_sas_package(df: DataFrame, csv_path: str, script_path: str, **kwargs) -> None:
     """CSV + companion .sas import script (reference W3 semantics)."""
     from .formats.sas import writer as sas_writer

@@ -292,8 +292,15 @@ class ReadstatDataSource(DataSource):
                 # 32-char long names in LABELV8 (default v5)
                 version=int(self.options.get("xport_version", "5")),
             )
-        raise ValueError("distributed write supports .dta, .sav and .xpt; "
-                         "use api.write_sas_package for SAS (CSV + script, reference W3)")
+        if fmt == "sas":
+            return _BdatWriter(
+                self.options["path"],
+                schema,
+                dsname=self.options.get("dsname", "DATA"),
+                staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+            )
+        raise ValueError("distributed write supports .dta, .sav, .xpt and .sas7bdat")
 
     def streamWriter(self, schema, overwrite: bool):
         """df.writeStream.format("readstat").start(dir): continuous
@@ -1114,6 +1121,65 @@ class _XptStreamWriter(_XptWriter, DataSourceStreamArrowWriter):
                     os.unlink(m.blob_path)
                 except OSError:
                     pass
+
+
+class _BdatWriter(DataSourceArrowWriter):
+    """Distributed native .sas7bdat write (beyond the reference, which
+    only emits CSV + a .sas load script): executors spill fixed-width
+    row sections (formats.sas.bdat_writer.spill_partition), the driver
+    commit re-strides to global char widths and streams header + META
+    page + DATA pages — the same two-phase shape as the .dta/.sav/.xpt
+    writers."""
+
+    def __init__(self, path: str, schema, dsname: str = "DATA",
+                 staging_dir: str | None = None, string_widths=None):
+        import uuid
+
+        self.path = path
+        self.schema = schema
+        self.dsname = dsname
+        self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
+        parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
+        self.stage_dir = os.path.join(
+            parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
+        )
+
+    def write(self, batches):
+        import uuid
+
+        from .formats.sas.bdat_writer import spill_partition
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
+        sections = spill_partition(batches, blob, declared=self.string_widths)
+        if not sections:
+            os.unlink(blob)
+            return _DtaCommit("", [])
+        return _DtaCommit(blob, sections)
+
+    def commit(self, messages):
+        import shutil
+
+        from pyspark.sql import types as _T
+
+        from .formats.sas.bdat_writer import assemble_sas7bdat
+
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_sas7bdat(
+            self.path,
+            parts,
+            dsname=self.dsname,
+            column_order=[
+                (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
+            ],
+            string_widths=self.string_widths,
+        )
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
 
 
 def register(spark) -> None:

@@ -1,0 +1,371 @@
+"""Native .sas7bdat BINARY writer — beyond the reference AND beyond its
+own writing story: polars_readstat_rs only writes SAS as CSV + a .sas
+load script (its W3 surface; `src/sas/writer.rs` has no binary path),
+because the sas7bdat page format is undocumented by SAS. This module
+writes real 64-bit little-endian uncompressed .sas7bdat files that both
+independent readers of the format we have access to — our own parser
+(`formats/sas/parser.py`, built against the public format notes and the
+430-file reference corpus) and `pandas.read_sas` — accept and decode
+bit-for-bit.
+
+Layout written (64-bit LE, uncompressed):
+- 8 KiB header: magic, '3'/'3' alignment bytes (u64 + 4-byte align),
+  endian 0x01, encoding byte 20 (UTF-8), dataset name, header/page
+  sizes, page count, release string.
+- One META page (type 0) holding, in processor-dependency order
+  (pandas processes pointers strictly in order): ROW_SIZE (808 bytes;
+  row length/count, col-count split, mix-row count, lcs=lcp=0),
+  COL_SIZE, one COL_TEXT block (u16 self-inclusive size + packed
+  name/label text), COL_NAME pointers, COL_ATTRS (offset/len/type per
+  column), and one FORMAT/LABEL subheader PER column (pandas only
+  materializes a column when it sees its format subheader). The page
+  length grows to fit all metadata on one page — a deliberate
+  simplification over SAS's multi-page metadata chaining, accepted by
+  both readers.
+- DATA pages (type 256): block_count rows packed back-to-back at
+  bit_offset+8; numerics are plain LE IEEE doubles (missing = NaN),
+  chars are space-padded bytes in the declared encoding.
+
+Distributed write follows the house two-phase shape (XPORT/W1/W2
+pattern): executors spill fixed-width row sections with local string
+widths; the driver commit re-strides each section to the global widths
+and streams pages — one section of memory at a time, no row
+materialization.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .xport import _sanitize_names
+
+_MAGIC = bytes(
+    [
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00, 0xC2, 0xEA, 0x81, 0x60,
+        0xB3, 0x14, 0x11, 0xCF, 0xBD, 0x92, 0x08, 0x00,
+        0x09, 0xC7, 0x31, 0x8C, 0x18, 0x1F, 0x10, 0x11,
+    ]
+)
+_HDR_LEN = 8192
+_BO = 32  # 64-bit page bit offset
+_PTR = 24  # 64-bit subheader pointer length
+_SIG_ROW = b"\x00\x00\x00\x00\xf7\xf7\xf7\xf7"
+_SIG_COL = b"\x00\x00\x00\x00\xf6\xf6\xf6\xf6"
+_SIG_TEXT = b"\xfd\xff\xff\xff\xff\xff\xff\xff"
+_SIG_NAME = b"\xff\xff\xff\xff\xff\xff\xff\xff"
+_SIG_ATTR = b"\xfc\xff\xff\xff\xff\xff\xff\xff"
+_SIG_FMT = b"\xfe\xfb\xff\xff\xff\xff\xff\xff"
+
+
+def encode_row_sections(
+    table: pa.Table, string_widths: dict[str, int] | None = None
+) -> tuple[list[tuple[str, bool, int]], bytes]:
+    """(columns [(name, is_char, length)], packed row bytes) for a table
+    chunk. Numerics: LE doubles, null -> NaN. Chars: space-padded UTF-8
+    at max(observed, declared) width. Sections from chunks of the same
+    schema concatenate directly (same contract as xport.encode_sections)."""
+    n = table.num_rows
+    cols, parts = [], []
+    names = _sanitize_names(list(table.column_names), 32)
+    for name, short in zip(table.column_names, names):
+        col = table.column(name).combine_chunks()
+        typ = table.schema.field(name).type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            enc = [(x or "").encode("utf-8", "replace") for x in col.to_pylist()]
+            width = max([len(e) for e in enc] + [int((string_widths or {}).get(name, 1)), 1])
+            buf = np.full((n, width), 0x20, dtype=np.uint8)
+            for i, e in enumerate(enc):
+                b = e[:width]
+                buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            cols.append((short, True, width))
+            parts.append(buf)
+        else:
+            arr = col.cast(pa.float64())
+            vals = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+            null = np.asarray(arr.is_null())
+            if null.any():
+                vals = vals.copy()
+                vals[null] = np.nan
+            parts.append(vals.astype("<f8").view(np.uint8).reshape(n, 8))
+            cols.append((short, False, 8))
+    if not cols:
+        raise ValueError("cannot write a sas7bdat file with zero columns")
+    rec = np.concatenate(parts, axis=1) if parts else np.zeros((n, 0), np.uint8)
+    return cols, rec.tobytes()
+
+
+def _meta_page(
+    cols: list[tuple[str, bool, int]], row_length: int, row_count: int, page_length: int
+) -> bytes:
+    """One META page: header + pointer array + subheader payloads."""
+    ncols = len(cols)
+
+    # --- COL_TEXT block: [u16 size][6 zero][packed names], self-inclusive
+    text = bytearray(b"\x00" * 8)
+    name_refs = []  # (offset, length) within the block, u16-addressed
+    for name, _, _ in cols:
+        b = name.encode("utf-8", "replace")[:32]
+        name_refs.append((len(text), len(b)))
+        text += b
+        text += b"\x00" * (-len(text) % 4)
+    if len(text) > 0xFFFF:
+        raise ValueError("column name text exceeds one 64 KiB text block")
+    struct.pack_into("<H", text, 0, len(text))
+
+    # --- payloads
+    row_size = bytearray(808)
+    row_size[0:8] = _SIG_ROW
+    struct.pack_into("<Q", row_size, 5 * 8, row_length)
+    struct.pack_into("<Q", row_size, 6 * 8, row_count)
+    struct.pack_into("<Q", row_size, 9 * 8, ncols)  # col_count_p1
+    struct.pack_into("<Q", row_size, 10 * 8, 0)  # col_count_p2
+    struct.pack_into("<Q", row_size, 15 * 8, 0)  # rows on mix page (none)
+    # lcs@682, lcp@706 stay 0 -> pandas takes the uncompressed path
+
+    col_size = bytearray(24)
+    col_size[0:8] = _SIG_COL
+    struct.pack_into("<Q", col_size, 8, ncols)
+
+    col_text = bytes(_SIG_TEXT) + bytes(text)
+
+    col_name = bytearray(28 + 8 * ncols)
+    col_name[0:8] = _SIG_NAME
+    for i, (off, ln) in enumerate(name_refs):
+        struct.pack_into("<HHH", col_name, 16 + 8 * i, 0, off, ln)
+
+    col_attr = bytearray(28 + 16 * ncols)
+    col_attr[0:8] = _SIG_ATTR
+    pos = 0
+    for i, (_, is_char, ln) in enumerate(cols):
+        struct.pack_into("<Q", col_attr, 16 + 16 * i, pos)
+        struct.pack_into("<I", col_attr, 24 + 16 * i, ln)
+        col_attr[30 + 16 * i] = 2 if is_char else 1
+        pos += ln
+
+    fmts = []
+    for _ in cols:
+        f = bytearray(88)
+        f[0:8] = _SIG_FMT
+        # all six u16 text refs (fmt idx/off/len, label idx/off/len) = 0:
+        # no format, no label — readers fall back to plain double/char
+        fmts.append(bytes(f))
+
+    payloads = [bytes(row_size), bytes(col_size), col_text, bytes(col_name), bytes(col_attr), *fmts]
+
+    page = bytearray(page_length)
+    struct.pack_into("<H", page, _BO, 0)  # META
+    struct.pack_into("<H", page, _BO + 2, 0)  # block_count
+    struct.pack_into("<H", page, _BO + 4, len(payloads))
+    ptr_base = _BO + 8
+    off = ptr_base + _PTR * len(payloads)
+    off += -off % 8
+    for i, p in enumerate(payloads):
+        if off + len(p) > page_length:
+            raise ValueError("metadata does not fit the page (internal sizing bug)")
+        struct.pack_into("<QQ", page, ptr_base + _PTR * i, off, len(p))
+        # compression=0, type=0, 6 pad bytes already zero
+        page[off : off + len(p)] = p
+        off += len(p)
+        off += -off % 8
+    return bytes(page)
+
+
+def _header(page_length: int, page_count: int, dsname: str) -> bytes:
+    hdr = bytearray(_HDR_LEN)
+    hdr[0:32] = _MAGIC
+    hdr[32] = ord("3")  # 64-bit
+    hdr[35] = ord("3")  # 4-byte alignment
+    hdr[37] = 0x01  # little-endian
+    hdr[39] = ord("1")  # unix platform
+    hdr[70] = 20  # UTF-8
+    hdr[92:156] = dsname.encode("utf-8", "replace")[:64].ljust(64, b"\x00")
+    hdr[156:164] = b"DATA    "
+    # created/modified (seconds since 1960) at 164+4 / 172+4: left 0.0
+    struct.pack_into("<I", hdr, 200, _HDR_LEN)  # header size (196+align1)
+    struct.pack_into("<I", hdr, 204, page_length)
+    struct.pack_into("<I", hdr, 208, page_count)
+    hdr[224:232] = b"9.0401M4"  # release (216 + total_align 8)
+    hdr[232:248] = b"X64_ES08".ljust(16, b" ")
+    return bytes(hdr)
+
+
+def _page_geometry(cols, row_length: int) -> tuple[int, int]:
+    """(page_length, meta payload demand) — page must hold the whole
+    metadata set AND at least one data row."""
+    ncols = len(cols)
+    text = 8 + sum(((len(n.encode()) + 3) // 4) * 4 for n, _, _ in cols)
+    meta = (
+        _BO + 8 + _PTR * (5 + ncols)
+        + 8  # alignment slop
+        + sum((p + 7) // 8 * 8 for p in (808, 24, 8 + text, 28 + 8 * ncols, 28 + 16 * ncols))
+        + 96 * ncols
+    )
+    need = max(meta, _BO + 8 + row_length, 8192)
+    page_length = 1 << max(13, (need - 1).bit_length())  # power of two >= 8 KiB
+    return page_length, meta
+
+
+def assemble_sas7bdat(
+    path: str,
+    parts: list[tuple[str, list]],
+    dsname: str = "DATA",
+    column_order: list | None = None,
+    string_widths: dict[str, int] | None = None,
+) -> None:
+    """Driver commit: stream partition row-sections into one .sas7bdat,
+    re-striding char columns to global max widths (xport.assemble_xpt
+    contract; sections carry (name, is_char, length) per chunk)."""
+    all_sections = [(blob, s) for blob, secs in parts for s in secs]
+    order_names = [c[0] if isinstance(c, tuple) else c for c in (column_order or [])]
+    if not all_sections:
+        cols_decl = [
+            c if isinstance(c, tuple) else (c, c in (string_widths or {}))
+            for c in (column_order or [])
+        ]
+        if not cols_decl:
+            raise ValueError("cannot write an empty sas7bdat with no schema")
+        shorts = _sanitize_names([n for n, _ in cols_decl], 32)
+        cols = [
+            (s, is_char, max(1, int((string_widths or {}).get(n, 1))) if is_char else 8)
+            for (n, is_char), s in zip(cols_decl, shorts)
+        ]
+        row_length = sum(ln for _, _, ln in cols)
+        page_length, _ = _page_geometry(cols, row_length)
+        with open(path, "wb") as f:
+            f.write(_header(page_length, 1, dsname))
+            f.write(_meta_page(cols, row_length, 0, page_length))
+        return
+
+    first = all_sections[0][1][3]
+    names = [n for n, _, _ in first]
+    widths = {n: ln for n, c, ln in first}
+    total_rows = 0
+    for _, (_, _, nrows, vars_) in all_sections:
+        if [n for n, _, _ in vars_] != names:
+            raise ValueError("sas7bdat sections disagree on column order")
+        for n, c, ln in vars_:
+            widths[n] = max(widths[n], ln)
+        total_rows += nrows
+    short_of = dict(zip(order_names, _sanitize_names(order_names, 32))) if order_names else {}
+    for n, w in (string_widths or {}).items():
+        short = short_of.get(n, _sanitize_names([n], 32)[0])
+        if short not in widths:
+            raise ValueError(
+                f"sas7bdat writer: string_widths declares column {n!r} "
+                f"(short {short!r}) not in the written schema"
+            )
+        widths[short] = max(widths[short], int(w))
+
+    cols, pos = [], 0
+    for n, c, _ in first:
+        cols.append((n, c, widths[n] if c else 8))
+        pos += cols[-1][2]
+    row_length = pos
+    page_length, _ = _page_geometry(cols, row_length)
+    rows_per_page = min((page_length - _BO - 8) // row_length, 0xFFFF)
+    if rows_per_page < 1:
+        raise ValueError("row longer than the maximum page size")
+    data_pages = (total_rows + rows_per_page - 1) // rows_per_page
+
+    with open(path, "wb") as f:
+        f.write(_header(page_length, 1 + data_pages, dsname))
+        f.write(_meta_page(cols, row_length, total_rows, page_length))
+        page = bytearray(page_length)
+        rows_on_page = 0
+
+        def flush():
+            nonlocal rows_on_page, page
+            struct.pack_into("<H", page, _BO, 256)  # DATA
+            struct.pack_into("<H", page, _BO + 2, rows_on_page)
+            struct.pack_into("<H", page, _BO + 4, 0)
+            f.write(bytes(page))
+            page = bytearray(page_length)
+            rows_on_page = 0
+
+        for blob, (off, nbytes, nrows, vars_) in all_sections:
+            with open(blob, "rb") as src_f:
+                src_f.seek(off)
+                data = src_f.read(nbytes)
+            sec_len = sum(ln for _, _, ln in vars_)
+            src = np.frombuffer(data, np.uint8).reshape(nrows, sec_len)
+            if sec_len != row_length:  # re-stride to global char widths
+                dst = np.full((nrows, row_length), 0x20, dtype=np.uint8)
+                spos = dpos = 0
+                for (n, c, ln), (_, _, out_ln) in zip(vars_, cols):
+                    dst[:, dpos : dpos + ln] = src[:, spos : spos + ln]
+                    spos += ln
+                    dpos += out_ln
+                src = dst
+            for r in range(nrows):
+                base = _BO + 8 + rows_on_page * row_length
+                page[base : base + row_length] = src[r].tobytes()
+                rows_on_page += 1
+                if rows_on_page == rows_per_page:
+                    flush()
+        if rows_on_page:
+            flush()
+
+
+def spill_partition(batches, blob_path: str, declared: dict[str, int] | None = None):
+    """Executor side of the distributed write (xport.spill_partition
+    contract): encode Arrow batches to row sections appended to
+    ``blob_path``; returns [(offset, nbytes, nrows, cols), ...]."""
+    sections = []
+    off = 0
+    with open(blob_path, "wb") as f:
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            if t.num_rows == 0:
+                continue
+            cols, data = encode_row_sections(t, declared)
+            f.write(data)
+            sections.append((off, len(data), t.num_rows, cols))
+            off += len(data)
+    return sections
+
+
+def write_sas7bdat(
+    table,
+    path: str,
+    dsname: str = "DATA",
+    string_widths: dict[str, int] | None = None,
+) -> None:
+    """Single-shot writer for an Arrow table / Spark / pandas DataFrame."""
+    if hasattr(table, "to_arrow"):
+        table = table.to_arrow()
+    elif not isinstance(table, pa.Table):
+        table = pa.Table.from_pandas(table, preserve_index=False)
+    cols, data = encode_row_sections(table, string_widths)
+    n = table.num_rows
+    sections = [("", [(0, len(data), n, cols)])] if n else []
+    import os
+    import tempfile
+
+    if not sections:
+        assemble_sas7bdat(
+            path, [],
+            dsname=dsname,
+            column_order=[(c, ch) for c, ch, _ in cols],
+            string_widths={c: ln for c, ch, ln in cols if ch} or string_widths,
+        )
+        return
+    fd, blob = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        assemble_sas7bdat(
+            path,
+            [(blob, [(0, len(data), n, cols)])],
+            dsname=dsname,
+            column_order=list(table.column_names),
+            string_widths=string_widths,
+        )
+    finally:
+        try:
+            os.unlink(blob)
+        except OSError:
+            pass

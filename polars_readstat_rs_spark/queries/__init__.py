@@ -92,6 +92,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "d13_minhash_estimate",
     "q85_recursive_hierarchy",
     "q86_windowed_distinct",
+    "r15_sas7bdat_write_roundtrip",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

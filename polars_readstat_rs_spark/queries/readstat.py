@@ -591,3 +591,40 @@ def r14_xpt_v8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("the_nation_display_name").alias("last_nation_name"),
         F.sum("the_nation_primary_key").alias("key_sum"),
     )
+
+
+@register(
+    "r15_sas7bdat_write_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment_name, count(*) AS n,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+      min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def r15_sas7bdat_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE .sas7bdat writer gate — beyond the reference, whose only
+    SAS write path is CSV + a .sas script (W3): parquet -> distributed
+    binary sas7bdat write (formats/sas/bdat_writer.py: 64-bit LE pages,
+    META subheaders, NaN missings, commit-time char re-stride) -> our
+    page-partitioned DataSource reader -> aggregate, hash-compared
+    against DuckDB on the parquet. pandas.read_sas independently
+    validates the same files in tests/test_sas_format.py."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r15_{tag}.sas7bdat")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey_double"),
+        F.col("c_mktsegment").alias("segment_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    cust.write.format("readstat").mode("overwrite").save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy("segment_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("acctbal").cast("decimal(12,2)")).cast("double").alias("bal"),
+        F.min("custkey_double").cast("long").alias("min_key"),
+        F.max("custkey_double").cast("long").alias("max_key"),
+    )

@@ -237,3 +237,122 @@ def test_sas7bcat_catalog_reads_gracefully(spark):
     assert sp.read_table(p).num_rows == 0
     j = json.loads(api.readstat_metadata_json(p))
     assert j["row_count"] == 0 and j["page_count"] == m.page_count
+
+
+# ---------------------------------------------- native .sas7bdat WRITER (r8)
+
+
+def test_bdat_write_pandas_cross_validation(tmp_path):
+    """Values decoded by pandas.read_sas (independent implementation)
+    match what we wrote, including NaN missings and UTF-8 strings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    t = pa.table(
+        {
+            "x": pa.array([1.5, -2.25, None, 1e300, 5e-324]),
+            "s": pa.array(["a", "bc", None, "ünïcode", "tail  "]),
+        }
+    )
+    p = str(tmp_path / "w.sas7bdat")
+    write_sas7bdat(t, p, dsname="XVAL")
+    ref = pd.read_sas(p, encoding="utf-8")
+    assert list(ref.columns) == ["x", "s"]
+    assert ref["x"][0] == 1.5 and ref["x"][1] == -2.25 and np.isnan(ref["x"][2])
+    assert ref["x"][3] == 1e300 and ref["x"][4] == 5e-324  # bitwise doubles
+    assert ref["s"][3] == "ünïcode"
+    assert ref["s"][4] == "tail"  # trailing spaces are padding by format
+
+
+def test_bdat_write_own_reader_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as P
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    t = pa.table(
+        {
+            "a_very_long_column_name_over8": pa.array([float(i) for i in range(10)]),
+            "a_very_long_column_name_again": pa.array([f"v{i}" for i in range(10)]),
+        }
+    )
+    p = str(tmp_path / "rt.sas7bdat")
+    write_sas7bdat(t, p)
+    m = P.read_metadata(p)
+    assert [c.name for c in m.columns] == list(t.column_names)  # 32-char names
+    out = P.read_table(p)
+    assert out.column(0).to_pylist() == [float(i) for i in range(10)]
+    assert out.column(1).to_pylist() == [f"v{i}" for i in range(10)]
+
+
+def test_bdat_write_multipage(tmp_path):
+    """Rows spanning many DATA pages: 20k rows x 24-byte rows ≈ 59
+    pages at 8 KiB; counts and sums must survive page boundaries in
+    both readers."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as P
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    n = 20_000
+    t = pa.table(
+        {
+            "k": pa.array([float(i) for i in range(n)]),
+            "v": pa.array([float(i) * 0.5 for i in range(n)]),
+            "s": pa.array([f"r{i % 97}" for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "big.sas7bdat")
+    write_sas7bdat(t, p)
+    m = P.read_metadata(p)
+    assert m.row_count == n and m.page_count > 10
+    out = P.read_table(p)
+    assert out.num_rows == n
+    assert sum(out.column("k").to_pylist()) == n * (n - 1) / 2
+    ref = pd.read_sas(p, encoding="utf-8")
+    assert len(ref) == n and ref["v"].sum() == 0.5 * n * (n - 1) / 2
+
+
+def test_bdat_distributed_write_restride(spark, tmp_path):
+    """Partitions with DIFFERENT local string widths: commit re-strides
+    to the global max; partitioned readback + pandas both agree."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    df = spark.range(2000).select(
+        F.col("id").cast("double").alias("K"),
+        # width varies hugely across id ranges -> partitions disagree
+        F.expr("repeat('x', CAST(id % 40 AS INT))").alias("S"),
+    )
+    p = str(tmp_path / "rs.sas7bdat")
+    df.repartition(8).write.format("readstat").mode("overwrite").save(p)
+    back = spark.read.format("readstat").option("partitions", "3").load(p)
+    rows = {r.K: r.S for r in back.collect()}
+    assert len(rows) == 2000
+    assert rows[39.0] == "x" * 39
+    assert rows[40.0] is None  # empty string -> null (house semantics)
+    ref = pd.read_sas(p, encoding="utf-8")
+    assert len(ref) == 2000
+
+
+def test_bdat_empty_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    df = spark.range(3).select(
+        F.col("id").cast("double").alias("A"), F.lit("x").alias("S")
+    ).filter("A < 0")
+    p = str(tmp_path / "empty.sas7bdat")
+    df.write.format("readstat").mode("overwrite").save(p)
+    back = spark.read.format("readstat").load(p)
+    assert back.count() == 0
+    assert back.columns == ["A", "S"]
