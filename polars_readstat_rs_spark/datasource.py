@@ -342,8 +342,16 @@ class ReadstatDataSource(DataSource):
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
                 version=int(self.options.get("xport_version", "5")),
             )
-        raise ValueError("streaming readstat sink writes .dta, .sav or .xpt "
-                         '(option("format", "stata"|"spss"|"xport"))')
+        if fmt == "sas":
+            return _BdatStreamWriter(
+                self.options["path"],
+                schema,
+                dsname=self.options.get("dsname", "DATA"),
+                staging_dir=self.options.get("staging_dir"),
+                string_widths=json.loads(self.options.get("string_widths", "{}")),
+            )
+        raise ValueError("streaming readstat sink writes .dta, .sav, .xpt or .sas7bdat "
+                         '(option("format", "stata"|"spss"|"xport"|"sas"))')
 
 
 class _StreamFilePartition(InputPartition):
@@ -1180,6 +1188,47 @@ class _BdatWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _BdatStreamWriter(_BdatWriter, DataSourceStreamArrowWriter):
+    """Streaming native .sas7bdat sink: immutable part-{batchId}.sas7bdat
+    per micro-batch, temp-name + atomic rename, idempotent on replay —
+    the same contract as the dta/sav/xpt stream sinks."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        import shutil
+
+        from pyspark.sql import types as _T
+
+        from .formats.sas.bdat_writer import assemble_sas7bdat
+
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{batchId:05d}.sas7bdat")
+        tmp = final + ".tmp_"
+        parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
+        assemble_sas7bdat(
+            tmp,
+            parts,
+            dsname=self.dsname,
+            column_order=[
+                (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
+            ],
+            string_widths=self.string_widths,
+        )
+        os.replace(tmp, final)
+        for blob, _ in parts:
+            try:
+                os.unlink(blob)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m and getattr(m, "blob_path", ""):
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:

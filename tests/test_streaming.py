@@ -562,3 +562,46 @@ def test_readstat_stream_sink_xpt(spark, tmp_path, sf_dir):
     assert sorted(r.the_nation_name_column for r in back.collect()) == sorted(
         nation.the_nation_name_column
     )
+
+
+def test_readstat_stream_sink_sas7bdat(spark, tmp_path, sf_dir):
+    """option('format','sas'): the streaming sink writes immutable
+    native .sas7bdat part files, readable back by the batch reader AND
+    pandas."""
+    import pandas as pd
+
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in_b"
+    drop.mkdir()
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .selectExpr("CAST(n_nationkey AS DOUBLE) AS nkey", "n_name")
+        .toPandas()
+    )
+    tmp = drop / ".a.dta.tmp"
+    nation.to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out_bdat"
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.format("readstat")
+        .option("format", "sas")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start(str(out))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = sorted(out.glob("part-*.sas7bdat"))
+    assert parts
+    ref = pd.read_sas(str(parts[0]), encoding="utf-8")
+    assert len(ref) == len(nation)
+    back = spark.read.format("readstat").load(str(out))
+    assert back.count() == len(nation)
+    assert sorted(r.n_name for r in back.collect()) == sorted(nation.n_name)
