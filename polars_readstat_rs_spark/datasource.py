@@ -299,6 +299,7 @@ class ReadstatDataSource(DataSource):
                 dsname=self.options.get("dsname", "DATA"),
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
+                variable_labels=json.loads(self.options.get("variable_labels", "{}")),
             )
         raise ValueError("distributed write supports .dta, .sav, .xpt and .sas7bdat")
 
@@ -1140,12 +1141,14 @@ class _BdatWriter(DataSourceArrowWriter):
     writers."""
 
     def __init__(self, path: str, schema, dsname: str = "DATA",
-                 staging_dir: str | None = None, string_widths=None):
+                 staging_dir: str | None = None, string_widths=None,
+                 variable_labels=None):
         import uuid
 
         self.path = path
         self.schema = schema
         self.dsname = dsname
+        self.variable_labels = variable_labels or {}
         self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
         self.stage_dir = os.path.join(
@@ -1181,6 +1184,7 @@ class _BdatWriter(DataSourceArrowWriter):
                 (f.name, isinstance(f.dataType, _T.StringType)) for f in self.schema.fields
             ],
             string_widths=self.string_widths,
+            variable_labels=self.variable_labels,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -63,11 +63,16 @@ _SIG_FMT = b"\xfe\xfb\xff\xff\xff\xff\xff\xff"
 
 def encode_row_sections(
     table: pa.Table, string_widths: dict[str, int] | None = None
-) -> tuple[list[tuple[str, bool, int]], bytes]:
-    """(columns [(name, is_char, length)], packed row bytes) for a table
-    chunk. Numerics: LE doubles, null -> NaN. Chars: space-padded UTF-8
-    at max(observed, declared) width. Sections from chunks of the same
-    schema concatenate directly (same contract as xport.encode_sections)."""
+) -> tuple[list[tuple[str, bool, int, str]], bytes]:
+    """(columns [(name, is_char, length, sas_format)], packed row bytes)
+    for a table chunk. Numerics: LE doubles, null -> NaN. Chars:
+    space-padded UTF-8 at max(observed, declared) width. TIMESTAMP
+    columns become SAS datetime doubles (seconds since 1960-01-01,
+    format DATETIME) and DATE columns SAS date doubles (days since
+    1960-01-01, format DATE) — both independent readers convert them
+    back (parser._column_kind prefix rules; pandas sas_date(time)
+    _formats). Sections from chunks of the same schema concatenate
+    directly (same contract as xport.encode_sections)."""
     n = table.num_rows
     cols, parts = [], []
     names = _sanitize_names(list(table.column_names), 32)
@@ -81,17 +86,28 @@ def encode_row_sections(
             for i, e in enumerate(enc):
                 b = e[:width]
                 buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-            cols.append((short, True, width))
+            cols.append((short, True, width, ""))
             parts.append(buf)
+            continue
+        if pa.types.is_timestamp(typ):
+            arr = col.cast(pa.timestamp("us")).cast(pa.int64())
+            vals = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+            vals = vals / 1e6 + 3653.0 * 86400.0  # unix us -> SAS seconds
+            fmt = "DATETIME"
+        elif pa.types.is_date(typ):
+            arr = col.cast(pa.date32()).cast(pa.int32())
+            vals = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+            vals = vals + 3653.0  # unix days -> SAS days
+            fmt = "DATE"
         else:
             arr = col.cast(pa.float64())
             vals = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
-            null = np.asarray(arr.is_null())
-            if null.any():
-                vals = vals.copy()
-                vals[null] = np.nan
-            parts.append(vals.astype("<f8").view(np.uint8).reshape(n, 8))
-            cols.append((short, False, 8))
+            fmt = ""
+        null = np.asarray(col.is_null())
+        vals = vals.copy()
+        vals[null] = np.nan
+        parts.append(vals.astype("<f8").view(np.uint8).reshape(n, 8))
+        cols.append((short, False, 8, fmt))
     if not cols:
         raise ValueError("cannot write a sas7bdat file with zero columns")
     rec = np.concatenate(parts, axis=1) if parts else np.zeros((n, 0), np.uint8)
@@ -99,21 +115,35 @@ def encode_row_sections(
 
 
 def _meta_page(
-    cols: list[tuple[str, bool, int]], row_length: int, row_count: int, page_length: int
+    cols: list[tuple[str, bool, int, str]],
+    row_length: int,
+    row_count: int,
+    page_length: int,
+    labels: dict[str, str] | None = None,
 ) -> bytes:
-    """One META page: header + pointer array + subheader payloads."""
+    """One META page: header + pointer array + subheader payloads.
+    ``labels`` maps short column name -> variable label text."""
     ncols = len(cols)
+    labels = labels or {}
 
-    # --- COL_TEXT block: [u16 size][6 zero][packed names], self-inclusive
+    # --- COL_TEXT block: [u16 size][6 zero][packed names/fmts/labels],
+    # self-inclusive size; all refs are (offset, length) into this block
     text = bytearray(b"\x00" * 8)
-    name_refs = []  # (offset, length) within the block, u16-addressed
-    for name, _, _ in cols:
-        b = name.encode("utf-8", "replace")[:32]
-        name_refs.append((len(text), len(b)))
-        text += b
-        text += b"\x00" * (-len(text) % 4)
+
+    def _put(s: str, maxlen: int) -> tuple[int, int]:
+        b = s.encode("utf-8", "replace")[:maxlen]
+        ref = (len(text), len(b))
+        text.extend(b)
+        text.extend(b"\x00" * (-len(text) % 4))
+        return ref
+
+    name_refs = [_put(name, 32) for name, _, _, _ in cols]
+    fmt_refs = [_put(fmt, 32) if fmt else (0, 0) for _, _, _, fmt in cols]
+    lbl_refs = [
+        _put(labels[name], 256) if labels.get(name) else (0, 0) for name, _, _, _ in cols
+    ]
     if len(text) > 0xFFFF:
-        raise ValueError("column name text exceeds one 64 KiB text block")
+        raise ValueError("column name/format/label text exceeds one 64 KiB text block")
     struct.pack_into("<H", text, 0, len(text))
 
     # --- payloads
@@ -140,18 +170,23 @@ def _meta_page(
     col_attr = bytearray(28 + 16 * ncols)
     col_attr[0:8] = _SIG_ATTR
     pos = 0
-    for i, (_, is_char, ln) in enumerate(cols):
+    for i, (_, is_char, ln, _) in enumerate(cols):
         struct.pack_into("<Q", col_attr, 16 + 16 * i, pos)
         struct.pack_into("<I", col_attr, 24 + 16 * i, ln)
         col_attr[30 + 16 * i] = 2 if is_char else 1
         pos += ln
 
     fmts = []
-    for _ in cols:
+    for i in range(ncols):
         f = bytearray(88)
         f[0:8] = _SIG_FMT
-        # all six u16 text refs (fmt idx/off/len, label idx/off/len) = 0:
-        # no format, no label — readers fall back to plain double/char
+        # six u16 text refs at 3*8 + {22..32}: fmt idx/off/len, label
+        # idx/off/len (idx 0 = the single text block); (0,0) refs mean
+        # no format / no label and readers fall back to plain double/char
+        struct.pack_into(
+            "<HHHHHH", f, 24 + 22, 0, fmt_refs[i][0], fmt_refs[i][1],
+            0, lbl_refs[i][0], lbl_refs[i][1],
+        )
         fmts.append(bytes(f))
 
     payloads = [bytes(row_size), bytes(col_size), col_text, bytes(col_name), bytes(col_attr), *fmts]
@@ -193,11 +228,17 @@ def _header(page_length: int, page_count: int, dsname: str) -> bytes:
     return bytes(hdr)
 
 
-def _page_geometry(cols, row_length: int) -> tuple[int, int]:
+def _page_geometry(cols, row_length: int, labels: dict[str, str] | None = None) -> tuple[int, int]:
     """(page_length, meta payload demand) — page must hold the whole
     metadata set AND at least one data row."""
     ncols = len(cols)
-    text = 8 + sum(((len(n.encode()) + 3) // 4) * 4 for n, _, _ in cols)
+    labels = labels or {}
+    text = 8 + sum(
+        ((len(n.encode()) + 3) // 4) * 4
+        + ((len(f.encode()) + 3) // 4) * 4
+        + ((len(labels.get(n, "").encode()[:256]) + 3) // 4) * 4
+        for n, _, _, f in cols
+    )
     meta = (
         _BO + 8 + _PTR * (5 + ncols)
         + 8  # alignment slop
@@ -215,12 +256,19 @@ def assemble_sas7bdat(
     dsname: str = "DATA",
     column_order: list | None = None,
     string_widths: dict[str, int] | None = None,
+    variable_labels: dict[str, str] | None = None,
 ) -> None:
     """Driver commit: stream partition row-sections into one .sas7bdat,
     re-striding char columns to global max widths (xport.assemble_xpt
-    contract; sections carry (name, is_char, length) per chunk)."""
+    contract; sections carry (name, is_char, length, sas_format) per
+    chunk). ``variable_labels`` is keyed by ORIGINAL column name."""
     all_sections = [(blob, s) for blob, secs in parts for s in secs]
     order_names = [c[0] if isinstance(c, tuple) else c for c in (column_order or [])]
+    short_of = dict(zip(order_names, _sanitize_names(order_names, 32))) if order_names else {}
+    labels = {
+        short_of.get(n, _sanitize_names([n], 32)[0]): v
+        for n, v in (variable_labels or {}).items()
+    }
     if not all_sections:
         cols_decl = [
             c if isinstance(c, tuple) else (c, c in (string_widths or {}))
@@ -230,27 +278,26 @@ def assemble_sas7bdat(
             raise ValueError("cannot write an empty sas7bdat with no schema")
         shorts = _sanitize_names([n for n, _ in cols_decl], 32)
         cols = [
-            (s, is_char, max(1, int((string_widths or {}).get(n, 1))) if is_char else 8)
+            (s, is_char, max(1, int((string_widths or {}).get(n, 1))) if is_char else 8, "")
             for (n, is_char), s in zip(cols_decl, shorts)
         ]
-        row_length = sum(ln for _, _, ln in cols)
-        page_length, _ = _page_geometry(cols, row_length)
+        row_length = sum(ln for _, _, ln, _ in cols)
+        page_length, _ = _page_geometry(cols, row_length, labels)
         with open(path, "wb") as f:
             f.write(_header(page_length, 1, dsname))
-            f.write(_meta_page(cols, row_length, 0, page_length))
+            f.write(_meta_page(cols, row_length, 0, page_length, labels))
         return
 
     first = all_sections[0][1][3]
-    names = [n for n, _, _ in first]
-    widths = {n: ln for n, c, ln in first}
+    names = [n for n, _, _, _ in first]
+    widths = {n: ln for n, c, ln, _ in first}
     total_rows = 0
     for _, (_, _, nrows, vars_) in all_sections:
-        if [n for n, _, _ in vars_] != names:
+        if [n for n, _, _, _ in vars_] != names:
             raise ValueError("sas7bdat sections disagree on column order")
-        for n, c, ln in vars_:
+        for n, c, ln, _ in vars_:
             widths[n] = max(widths[n], ln)
         total_rows += nrows
-    short_of = dict(zip(order_names, _sanitize_names(order_names, 32))) if order_names else {}
     for n, w in (string_widths or {}).items():
         short = short_of.get(n, _sanitize_names([n], 32)[0])
         if short not in widths:
@@ -261,11 +308,11 @@ def assemble_sas7bdat(
         widths[short] = max(widths[short], int(w))
 
     cols, pos = [], 0
-    for n, c, _ in first:
-        cols.append((n, c, widths[n] if c else 8))
+    for n, c, _, fmt in first:
+        cols.append((n, c, widths[n] if c else 8, fmt))
         pos += cols[-1][2]
     row_length = pos
-    page_length, _ = _page_geometry(cols, row_length)
+    page_length, _ = _page_geometry(cols, row_length, labels)
     rows_per_page = min((page_length - _BO - 8) // row_length, 0xFFFF)
     if rows_per_page < 1:
         raise ValueError("row longer than the maximum page size")
@@ -273,7 +320,7 @@ def assemble_sas7bdat(
 
     with open(path, "wb") as f:
         f.write(_header(page_length, 1 + data_pages, dsname))
-        f.write(_meta_page(cols, row_length, total_rows, page_length))
+        f.write(_meta_page(cols, row_length, total_rows, page_length, labels))
         page = bytearray(page_length)
         rows_on_page = 0
 
@@ -290,12 +337,12 @@ def assemble_sas7bdat(
             with open(blob, "rb") as src_f:
                 src_f.seek(off)
                 data = src_f.read(nbytes)
-            sec_len = sum(ln for _, _, ln in vars_)
+            sec_len = sum(ln for _, _, ln, _ in vars_)
             src = np.frombuffer(data, np.uint8).reshape(nrows, sec_len)
             if sec_len != row_length:  # re-stride to global char widths
                 dst = np.full((nrows, row_length), 0x20, dtype=np.uint8)
                 spos = dpos = 0
-                for (n, c, ln), (_, _, out_ln) in zip(vars_, cols):
+                for (n, c, ln, _), (_, _, out_ln, _) in zip(vars_, cols):
                     dst[:, dpos : dpos + ln] = src[:, spos : spos + ln]
                     spos += ln
                     dpos += out_ln
@@ -333,6 +380,7 @@ def write_sas7bdat(
     path: str,
     dsname: str = "DATA",
     string_widths: dict[str, int] | None = None,
+    variable_labels: dict[str, str] | None = None,
 ) -> None:
     """Single-shot writer for an Arrow table / Spark / pandas DataFrame."""
     if hasattr(table, "to_arrow"):
@@ -349,8 +397,9 @@ def write_sas7bdat(
         assemble_sas7bdat(
             path, [],
             dsname=dsname,
-            column_order=[(c, ch) for c, ch, _ in cols],
-            string_widths={c: ln for c, ch, ln in cols if ch} or string_widths,
+            column_order=[(c, ch) for c, ch, _, _ in cols],
+            string_widths={c: ln for c, ch, ln, _ in cols if ch} or string_widths,
+            variable_labels=variable_labels,
         )
         return
     fd, blob = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
@@ -363,6 +412,7 @@ def write_sas7bdat(
             dsname=dsname,
             column_order=list(table.column_names),
             string_widths=string_widths,
+            variable_labels=variable_labels,
         )
     finally:
         try:

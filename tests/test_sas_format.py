@@ -356,3 +356,65 @@ def test_bdat_empty_write(spark, tmp_path):
     back = spark.read.format("readstat").load(p)
     assert back.count() == 0
     assert back.columns == ["A", "S"]
+
+
+def test_bdat_write_dates_timestamps_labels(tmp_path):
+    """TIMESTAMP/DATE columns write as SAS datetime/date doubles with
+    DATETIME/DATE formats; both readers convert back exactly (incl.
+    pre-1960 values and sub-second precision); variable labels survive."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as P
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    ts = [dt.datetime(2024, 3, 1, 12, 30, 45, 500000), dt.datetime(1959, 12, 31, 23, 0), None]
+    ds = [dt.date(2024, 3, 1), dt.date(1900, 1, 1), None]
+    t = pa.table(
+        {
+            "event_ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_d": pa.array(ds, type=pa.date32()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    p = str(tmp_path / "dates.sas7bdat")
+    write_sas7bdat(t, p, variable_labels={"v": "the value label"})
+    m = P.read_metadata(p)
+    kinds = {c.name: (c.kind, c.fmt) for c in m.columns}
+    assert kinds["event_ts"] == ("datetime", "DATETIME")
+    assert kinds["event_d"] == ("date", "DATE")
+    assert {c.name: c.label for c in m.columns}["v"] == "the value label"
+    out = P.read_table(p)
+    assert out.column("event_ts").to_pylist() == ts
+    assert out.column("event_d").to_pylist() == ds
+    ref = pd.read_sas(p, encoding="utf-8")
+    assert ref["event_ts"][0] == pd.Timestamp("2024-03-01 12:30:45.500")
+    assert ref["event_d"][1] == pd.Timestamp("1900-01-01")
+    assert pd.isna(ref["event_ts"][2]) and pd.isna(ref["event_d"][2])
+
+
+def test_bdat_distributed_write_timestamps(spark, tmp_path, sf_dir):
+    """Distributed write of a real TIMESTAMP column (events.ts):
+    readback timestamps equal the source micros exactly."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+    from polars_readstat_rs_spark.tables import load_table
+
+    api._ensure_registered(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").cast("double").alias("eid"),
+            F.col("ts").cast("timestamp").alias("event_time"),
+        )
+        .limit(500)
+    )
+    p = str(tmp_path / "ev.sas7bdat")
+    ev.repartition(4).write.format("readstat").mode("overwrite").save(p)
+    back = spark.read.format("readstat").load(p)
+    src = {r.eid: r.event_time for r in ev.collect()}
+    got = {r.eid: r.event_time for r in back.collect()}
+    assert got == src
