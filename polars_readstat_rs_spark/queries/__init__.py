@@ -93,6 +93,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "q85_recursive_hierarchy",
     "q86_windowed_distinct",
     "r15_sas7bdat_write_roundtrip",
+    "r16_sas7bdat_timestamp_roundtrip",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

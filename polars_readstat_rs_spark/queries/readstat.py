@@ -628,3 +628,41 @@ def r15_sas7bdat_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("custkey_double").cast("long").alias("min_key"),
         F.max("custkey_double").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r16_sas7bdat_timestamp_roundtrip",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS event_day,
+           count(*) AS n,
+           CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_us,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_us
+    FROM events GROUP BY 1
+    """,
+)
+def r16_sas7bdat_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE sas7bdat TIMESTAMP fidelity gate: events.ts (microsecond
+    timestamps) -> distributed binary sas7bdat write (SAS datetime
+    doubles + DATETIME format, formats/sas/bdat_writer.py) -> our
+    reader converts back to timestamp -> per-day aggregate with exact
+    min/max epoch micros, hash-compared against DuckDB on the parquet.
+    A one-microsecond drift anywhere in the epoch math fails the hash."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r16_{tag}.sas7bdat")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("double").alias("eid"),
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    ev.write.format("readstat").mode("overwrite").save(path)
+    df = spark.read.format("readstat").load(path)
+    # readback arrives as TIMESTAMP_NTZ (house prefer_timestamp_ntz);
+    # cast to TIMESTAMP under the UTC session zone — identical micros
+    et = F.col("event_time").cast("timestamp")
+    return df.groupBy(F.to_date(et).alias("event_day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_micros(et)).alias("min_us"),
+        F.max(F.unix_micros(et)).alias("max_us"),
+    )
