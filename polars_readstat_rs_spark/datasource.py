@@ -300,6 +300,10 @@ class ReadstatDataSource(DataSource):
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
                 variable_labels=json.loads(self.options.get("variable_labels", "{}")),
+                # option("compress","true"): SASYZCRL row compression —
+                # pays off on wide/padded rows (each row also costs a
+                # 24-byte subheader pointer)
+                compress=_true(self.options.get("compress"), default=False),
             )
         raise ValueError("distributed write supports .dta, .sav, .xpt and .sas7bdat")
 
@@ -1142,12 +1146,13 @@ class _BdatWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema, dsname: str = "DATA",
                  staging_dir: str | None = None, string_widths=None,
-                 variable_labels=None):
+                 variable_labels=None, compress: bool = False):
         import uuid
 
         self.path = path
         self.schema = schema
         self.dsname = dsname
+        self.compress = compress
         self.variable_labels = variable_labels or {}
         self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
@@ -1185,6 +1190,7 @@ class _BdatWriter(DataSourceArrowWriter):
             ],
             string_widths=self.string_widths,
             variable_labels=self.variable_labels,
+            compress=self.compress,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

@@ -120,15 +120,23 @@ def _meta_page(
     row_count: int,
     page_length: int,
     labels: dict[str, str] | None = None,
+    compress: bool = False,
 ) -> bytes:
     """One META page: header + pointer array + subheader payloads.
-    ``labels`` maps short column name -> variable label text."""
+    ``labels`` maps short column name -> variable label text. With
+    ``compress`` the text block carries the SASYZCRL literal at block
+    offset 12 (where pandas reads it via lcp=8 from subheader offset
+    16+4) and a creator-proc at offset 36; our reader just greps the
+    first text payload for the literal."""
     ncols = len(cols)
     labels = labels or {}
 
     # --- COL_TEXT block: [u16 size][6 zero][packed names/fmts/labels],
     # self-inclusive size; all refs are (offset, length) into this block
-    text = bytearray(b"\x00" * 8)
+    text = bytearray(b"\x00" * (44 if compress else 8))
+    if compress:
+        text[12:20] = b"SASYZCRL"
+        text[36:44] = b"DATASTEP"
 
     def _put(s: str, maxlen: int) -> tuple[int, int]:
         b = s.encode("utf-8", "replace")[:maxlen]
@@ -154,7 +162,10 @@ def _meta_page(
     struct.pack_into("<Q", row_size, 9 * 8, ncols)  # col_count_p1
     struct.pack_into("<Q", row_size, 10 * 8, 0)  # col_count_p2
     struct.pack_into("<Q", row_size, 15 * 8, 0)  # rows on mix page (none)
-    # lcs@682, lcp@706 stay 0 -> pandas takes the uncompressed path
+    # lcs@682 stays 0; lcp@706: 0 -> pandas uncompressed path, 8 ->
+    # pandas reads the 8-byte compression literal from the text block
+    if compress:
+        struct.pack_into("<H", row_size, 706, 8)
 
     col_size = bytearray(24)
     col_size[0:8] = _SIG_COL
@@ -245,7 +256,7 @@ def _page_geometry(cols, row_length: int, labels: dict[str, str] | None = None) 
         + sum((p + 7) // 8 * 8 for p in (808, 24, 8 + text, 28 + 8 * ncols, 28 + 16 * ncols))
         + 96 * ncols
     )
-    need = max(meta, _BO + 8 + row_length, 8192)
+    need = max(meta, _BO + 8 + _PTR + row_length, 8192)
     page_length = 1 << max(13, (need - 1).bit_length())  # power of two >= 8 KiB
     return page_length, meta
 
@@ -257,6 +268,7 @@ def assemble_sas7bdat(
     column_order: list | None = None,
     string_widths: dict[str, int] | None = None,
     variable_labels: dict[str, str] | None = None,
+    compress: bool = False,
 ) -> None:
     """Driver commit: stream partition row-sections into one .sas7bdat,
     re-striding char columns to global max widths (xport.assemble_xpt
@@ -285,7 +297,7 @@ def assemble_sas7bdat(
         page_length, _ = _page_geometry(cols, row_length, labels)
         with open(path, "wb") as f:
             f.write(_header(page_length, 1, dsname))
-            f.write(_meta_page(cols, row_length, 0, page_length, labels))
+            f.write(_meta_page(cols, row_length, 0, page_length, labels, compress))
         return
 
     first = all_sections[0][1][3]
@@ -316,22 +328,51 @@ def assemble_sas7bdat(
     rows_per_page = min((page_length - _BO - 8) // row_length, 0xFFFF)
     if rows_per_page < 1:
         raise ValueError("row longer than the maximum page size")
-    data_pages = (total_rows + rows_per_page - 1) // rows_per_page
 
     with open(path, "wb") as f:
-        f.write(_header(page_length, 1 + data_pages, dsname))
-        f.write(_meta_page(cols, row_length, total_rows, page_length, labels))
+        f.write(_header(page_length, 1, dsname))  # page count patched below
+        f.write(_meta_page(cols, row_length, total_rows, page_length, labels, compress))
+        n_pages = 1
         page = bytearray(page_length)
         rows_on_page = 0
+        entries: list[bytes] = []
+        used = 0
+        cap = page_length - (_BO + 8)
 
         def flush():
-            nonlocal rows_on_page, page
+            nonlocal rows_on_page, page, n_pages
             struct.pack_into("<H", page, _BO, 256)  # DATA
             struct.pack_into("<H", page, _BO + 2, rows_on_page)
             struct.pack_into("<H", page, _BO + 4, 0)
             f.write(bytes(page))
             page = bytearray(page_length)
             rows_on_page = 0
+            n_pages += 1
+
+        def flush_compressed():
+            # compressed rows live as data SUBHEADERS on META pages:
+            # pointer (offset, len, comp=4, type=1) per row; readers
+            # dispatch raw-vs-compressed on len == row_length
+            nonlocal entries, used, n_pages
+            if not entries:
+                return
+            cpage = bytearray(page_length)
+            struct.pack_into("<H", cpage, _BO, 0)  # META
+            struct.pack_into("<H", cpage, _BO + 2, len(entries))
+            struct.pack_into("<H", cpage, _BO + 4, len(entries))
+            ptr_base = _BO + 8
+            off2 = ptr_base + _PTR * len(entries)
+            for i, eb in enumerate(entries):
+                struct.pack_into("<QQ", cpage, ptr_base + _PTR * i, off2, len(eb))
+                cpage[ptr_base + _PTR * i + 16] = 4  # compressed-data id
+                cpage[ptr_base + _PTR * i + 17] = 1  # data subheader type
+                cpage[off2 : off2 + len(eb)] = eb
+                off2 += len(eb)
+            f.write(bytes(cpage))
+            entries, used = [], 0
+            n_pages += 1
+
+        from .parser import _META_EXCLUDE, _is_meta_sig
 
         for blob, (off, nbytes, nrows, vars_) in all_sections:
             with open(blob, "rb") as src_f:
@@ -348,13 +389,37 @@ def assemble_sas7bdat(
                     dpos += out_ln
                 src = dst
             for r in range(nrows):
-                base = _BO + 8 + rows_on_page * row_length
-                page[base : base + row_length] = src[r].tobytes()
-                rows_on_page += 1
-                if rows_on_page == rows_per_page:
-                    flush()
-        if rows_on_page:
+                if compress:
+                    rb = src[r].tobytes()
+                    c = rle_compress_row(rb)
+                    eb = c if c is not None and len(c) < row_length else rb
+                    if eb is rb and (
+                        _is_meta_sig(rb[:8]) or rb[:4] in _META_EXCLUDE
+                    ):
+                        # an incompressible row whose first bytes spell a
+                        # metadata signature would be dropped/misrouted by
+                        # readers (~2^-32 per row on random data) — no
+                        # valid raw encoding exists, so fail loudly
+                        raise ValueError(
+                            "row collides with a metadata signature; "
+                            "write this dataset with compress=False"
+                        )
+                    if used + _PTR + len(eb) > cap:
+                        flush_compressed()
+                    entries.append(eb)
+                    used += _PTR + len(eb)
+                else:
+                    base = _BO + 8 + rows_on_page * row_length
+                    page[base : base + row_length] = src[r].tobytes()
+                    rows_on_page += 1
+                    if rows_on_page == rows_per_page:
+                        flush()
+        if compress:
+            flush_compressed()
+        elif rows_on_page:
             flush()
+        f.seek(208)
+        f.write(struct.pack("<I", n_pages))
 
 
 def spill_partition(batches, blob_path: str, declared: dict[str, int] | None = None):
@@ -381,6 +446,7 @@ def write_sas7bdat(
     dsname: str = "DATA",
     string_widths: dict[str, int] | None = None,
     variable_labels: dict[str, str] | None = None,
+    compress: bool = False,
 ) -> None:
     """Single-shot writer for an Arrow table / Spark / pandas DataFrame."""
     if hasattr(table, "to_arrow"):
@@ -413,9 +479,101 @@ def write_sas7bdat(
             column_order=list(table.column_names),
             string_widths=string_widths,
             variable_labels=variable_labels,
+            compress=compress,
         )
     finally:
         try:
             os.unlink(blob)
         except OSError:
             pass
+
+
+# ------------------------------------------------------- RLE compression
+
+# First-byte safety: a row subheader's leading bytes must never look
+# like a metadata signature (parser._META_SIG4/_META_EXCLUDE 4-byte
+# prefixes; pandas' 8-byte exact signatures), or readers drop/misroute
+# the row. Encodings below never START with 0x00 (COPY64) or
+# 0xF6-0xFF (long ZERO2 runs) — the leading op is always a short-count
+# ZERO2/BLANK2 (<= 0xF5), ZERO17/BLANK17, INSERT_*, or a COPY1-49.
+_UNSAFE_FIRST = set(range(0xF6, 0x100)) | {0x00}
+
+
+def rle_compress_row(row: bytes) -> bytes | None:
+    """SASYZCRL encoder (opcode semantics are the inverse of
+    parser.rle_decompress, itself derived from the reference
+    decompressor /root/reference/src/sas/decompressor/rle.rs): greedy
+    byte-run detection with literal COPY chunks between runs. Returns
+    None when the encoding does not shrink the row (caller stores the
+    raw row; readers dispatch on length == row_length)."""
+    n = len(row)
+    out = bytearray()
+    lit_start = 0  # pending literal [lit_start, i)
+    i = 0
+
+    def flush_literal(end: int) -> None:
+        p = lit_start
+        while p < end:
+            take = min(64, end - p)
+            cnt = take - 1
+            # COPY1/17/33/49: cmd 0x8+cnt//16, low cnt%16 -> copies cnt+1
+            out.append(((0x08 + (cnt // 16)) << 4) | (cnt % 16))
+            out.extend(row[p : p + take])
+            p += take
+        return
+
+    while i < n:
+        b = row[i]
+        run = 1
+        while i + run < n and row[i + run] == b and run < 4112:
+            run += 1
+        # worthwhile run? specials (zero/blank/@) pay off at 2-3+, any
+        # byte at 4+ (INSERT_BYTE3 costs 2 bytes for 3-18 repeats)
+        is_special = b in (0x00, 0x20, 0x40)
+        if (is_special and run >= 3) or run >= 4:
+            flush_literal(i)
+            lit = len(out) == 0
+            r = run
+            while r > 0:
+                if is_special:
+                    code = {0x40: 0, 0x20: 1, 0x00: 2}[b]
+                    if r >= 17:
+                        cnt = min(r, 4112)
+                        out.append(((0x05 + code) << 4) | ((cnt - 17) >> 8))
+                        out.append((cnt - 17) & 0xFF)
+                        r -= cnt
+                    elif r >= 2:
+                        cnt = min(r, 7 if lit else 17)  # short first op stays safe
+                        out.append(((0x0D + code) << 4) | (cnt - 2))
+                        r -= cnt
+                    else:
+                        # a 1-byte tail of a special run: literal copy
+                        out.append(0x80)
+                        out.append(b)
+                        r -= 1
+                else:
+                    if r >= 18:
+                        cnt = min(r, 513)
+                        out.append((0x04 << 4) | ((cnt - 18) >> 8))
+                        out.append((cnt - 18) & 0xFF)
+                        out.append(b)
+                        r -= cnt
+                    elif r >= 3:
+                        out.append((0x0C << 4) | (r - 3))
+                        out.append(b)
+                        r = 0
+                    else:
+                        out.append(((0x08 << 4)) | (r - 1))
+                        out.extend([b] * r)
+                        r = 0
+                lit = False
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    if not out or len(out) >= n:
+        return None
+    if out[0] in _UNSAFE_FIRST:  # defensive: should be unreachable
+        return None
+    return bytes(out)

@@ -418,3 +418,96 @@ def test_bdat_distributed_write_timestamps(spark, tmp_path, sf_dir):
     src = {r.eid: r.event_time for r in ev.collect()}
     got = {r.eid: r.event_time for r in back.collect()}
     assert got == src
+
+
+def test_bdat_rle_compressor_fuzz_roundtrip():
+    """The SASYZCRL encoder inverts exactly through our decompressor,
+    never emits a metadata-signature-looking first byte, and returns
+    None (store raw) when it cannot shrink."""
+    import random
+
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import rle_compress_row
+    from polars_readstat_rs_spark.formats.sas.parser import rle_decompress
+
+    rng = random.Random(11)
+    compressed = 0
+    for _ in range(800):
+        n = rng.randint(1, 400)
+        style = rng.random()
+        if style < 0.3:
+            row = bytes(rng.getrandbits(8) for _ in range(n))
+        elif style < 0.6:
+            row = b"".join(
+                bytes([rng.choice([0, 0x20, 0x40, 7, 255])]) * rng.randint(1, 40)
+                for _ in range(8)
+            )[:n] or b"\x00"
+        else:
+            row = (
+                bytes(rng.getrandbits(8) for _ in range(5))
+                + b"\x00" * rng.randint(0, 60)
+                + b" " * rng.randint(0, 60)
+            ) * 3
+            row = row[:n] or b"\x01"
+        c = rle_compress_row(row)
+        if c is None:
+            continue
+        compressed += 1
+        assert len(c) < len(row)
+        assert c[0] not in set(range(0xF6, 0x100)) | {0x00}
+        assert rle_decompress(c, len(row)) == row
+    assert compressed > 300  # the fixture mix must actually exercise it
+
+
+def test_bdat_compressed_write_roundtrip(tmp_path):
+    """compress=True: wide padded rows shrink dramatically and decode
+    identically in our reader AND pandas (RLE rows as data subheaders
+    on META pages)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as P
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array([float(i) for i in range(n)]),
+            "note": pa.array([("x" * (i % 12)) for i in range(n)]),
+        }
+    )
+    pc = str(tmp_path / "c.sas7bdat")
+    pu = str(tmp_path / "u.sas7bdat")
+    write_sas7bdat(t, pc, compress=True, string_widths={"note": 200})
+    write_sas7bdat(t, pu, compress=False, string_widths={"note": 200})
+    assert os.path.getsize(pc) < os.path.getsize(pu) / 3
+    m = P.read_metadata(pc)
+    assert m.compression == "RLE" and m.row_count == n
+    out = P.read_table(pc)
+    assert out.column("k").to_pylist() == [float(i) for i in range(n)]
+    assert out.column("note").to_pylist()[:3] == [None, "x", "xx"]
+    ref = pd.read_sas(pc, encoding="utf-8")
+    assert len(ref) == n and ref["k"].sum() == n * (n - 1) / 2
+
+
+def test_bdat_compressed_distributed_page_parallel(spark, tmp_path):
+    """Distributed compressed write -> our page-parallel compressed
+    reader (C4) over multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+
+    api._ensure_registered(spark)
+    df = spark.range(4000).select(
+        F.col("id").cast("double").alias("K"),
+        F.expr("repeat('pad', CAST(id % 30 AS INT))").alias("S"),
+    )
+    p = str(tmp_path / "dc.sas7bdat")
+    df.repartition(5).write.format("readstat").mode("overwrite").option(
+        "compress", "true"
+    ).save(p)
+    back = spark.read.format("readstat").option("partitions", "4").load(p)
+    assert back.rdd.getNumPartitions() == 4
+    agg = back.agg(F.count("*").alias("n"), F.sum("K").alias("s")).collect()[0]
+    assert (agg.n, agg.s) == (4000, 4000 * 3999 / 2)
