@@ -94,6 +94,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "q86_windowed_distinct",
     "r15_sas7bdat_write_roundtrip",
     "r16_sas7bdat_timestamp_roundtrip",
+    "r17_sas7bdat_compressed_roundtrip",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

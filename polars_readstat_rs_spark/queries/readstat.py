@@ -666,3 +666,42 @@ def r16_sas7bdat_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.min(F.unix_micros(et)).alias("min_us"),
         F.max(F.unix_micros(et)).alias("max_us"),
     )
+
+
+@register(
+    "r17_sas7bdat_compressed_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+      CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum,
+      min(p_type) AS first_type, max(p_type) AS last_type
+    FROM part GROUP BY p_brand
+    """,
+)
+def r17_sas7bdat_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE-COMPRESSED native sas7bdat gate: parquet -> distributed
+    compressed write (option compress=true; SASYZCRL rows as data
+    subheaders, bdat_writer.rle_compress_row) -> our page-parallel
+    compressed reader (C4) -> aggregate vs DuckDB on the parquet. The
+    padded p_type/p_brand strings are the compression-friendly shape;
+    a single mis-decoded run anywhere flips the value hash."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r17_{tag}.sas7bdat")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pkey"),
+        F.col("p_brand").alias("p_brand"),
+        F.col("p_type").alias("p_type"),
+        F.col("p_retailprice").alias("price"),
+    )
+    part.write.format("readstat").mode("overwrite").option("compress", "true").option(
+        "string_widths", '{"p_type": 40, "p_brand": 16}'
+    ).save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("price_sum"),
+        F.min("p_type").alias("first_type"),
+        F.max("p_type").alias("last_type"),
+    )
