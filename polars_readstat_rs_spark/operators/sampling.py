@@ -325,3 +325,50 @@ def curriculum_schedule(
     if phase_token_budget is not None:
         out = out.filter(F.col("cum_tokens") <= int(phase_token_budget))
     return out
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    val_rate: float = 0.2,
+    n: int = 3,
+    threshold: float = 0.2,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val split that near-dup clusters never straddle — the
+    contamination-by-construction guard a training pipeline needs
+    BEFORE the split, not after (p06's contamination_report measures
+    leakage; this prevents it): documents are clustered by n-gram
+    Jaccard near-duplication (:func:`~.dedup.ngram_jaccard_pairs` >=
+    ``threshold`` -> :func:`~.dedup.neardup_components` min-label
+    clusters, unpaired docs are their own singleton cluster), then the
+    ENTIRE cluster is routed to val when bucket(cluster) < rate * 2^32
+    — the same deterministic md5 bucket as :func:`hash_sample`, keyed
+    by the cluster representative, so two near-duplicates can never end
+    up on opposite sides of the boundary.
+
+    Scale shape: the dedup machinery's (df-capped inverted index +
+    bounded min-label iterations), one left join of the corpus against
+    the (small) paired-docs cluster table, then a pure map-side split
+    expression — no additional shuffles.
+
+    Output: doc (id), cluster (representative id), split ('train'/'val')."""
+    from .dedup import _track, neardup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comp = neardup_components(pairs.select("a_id", "b_id"))
+    base = df.select(F.col(id_col).alias("doc"))
+    lab = (
+        base.join(comp.withColumnRenamed("node", "doc"), "doc", "left")
+        .withColumn("cluster", F.coalesce(F.col("comp"), F.col("doc")))
+        .drop("comp")
+    )
+    thresholdb = int(val_rate * BUCKETS)
+    out = lab.withColumn(
+        "split",
+        F.when(_bucket("cluster", seed) < F.lit(thresholdb), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+    return _track(out, pairs, comp)

@@ -95,6 +95,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "r15_sas7bdat_write_roundtrip",
     "r16_sas7bdat_timestamp_roundtrip",
     "r17_sas7bdat_compressed_roundtrip",
+    "p11_leakage_free_split",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

@@ -197,3 +197,44 @@ def p06_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return sampling.contamination_report(train, test, "doc_id", "text", n=_P06_N)
+
+
+def _p11_oracle() -> str:
+    from .llm import _JACCARD_SELECT, _sh_ctes
+
+    bucket = _bucket_sql("split", "cluster")
+    thr = int(0.2 * sampling.BUCKETS)
+    return f"""
+    WITH {_sh_ctes()},
+    pairs AS (
+      SELECT a_id, b_id FROM ({_JACCARD_SELECT}) WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    gnodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM gnodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r),
+    comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id AS doc, COALESCE(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.node)
+    SELECT doc, cluster,
+           CASE WHEN {bucket} < {thr} THEN 'val' ELSE 'train' END AS split
+    FROM lab
+    """
+
+
+@register("p11_leakage_free_split", oracle=_p11_oracle())
+def p11_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split (operators/sampling.py:
+    leakage_free_split): near-dup clusters route to one side WHOLE —
+    Jaccard pairs -> min-label components -> md5 bucket on the cluster
+    representative. The oracle replays the full chain (recursive-CTE
+    components + identical bucket math), so the hash proves no
+    near-duplicate pair ever straddles the split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.leakage_free_split(docs, "doc_id", "text", val_rate=0.2)

@@ -1614,3 +1614,44 @@ def test_resize_images_nearest_neighbor(spark):
     assert row["n_vals"] == chosen.size
     assert row["sum_vals"] == int(chosen.sum())
     assert row["sumsq_vals"] == int((chosen * chosen).sum())
+
+
+def test_leakage_free_split_invariant(spark):
+    """The one property that matters: documents connected by a
+    near-dup pair are NEVER on opposite sides of the split, and the
+    split covers every document exactly once."""
+    from polars_readstat_rs_spark.operators import dedup, sampling
+
+    rows = []
+    # 30 near-dup families of 3 + 60 singletons; vocabularies are
+    # DISJOINT across families/singletons (hashed tokens), so clusters
+    # are exactly the families — a shared template would near-dup-link
+    # the whole corpus into one cluster and the test would assert
+    # nothing (first version of this fixture did exactly that)
+    import hashlib
+
+    def toks(tag, n=12):
+        return " ".join(
+            hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:10] for i in range(n)
+        )
+
+    for fam in range(30):
+        base = toks(f"fam{fam}")
+        for j in range(3):
+            rows.append((fam * 10 + j, base + f" tail{j}"))
+    for k in range(60):
+        rows.append((1000 + k, toks(f"solo{k}")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.leakage_free_split(df, "doc_id", "text", val_rate=0.3).cache()
+    assert out.count() == len(rows)
+    side = {r.doc: r.split for r in out.collect()}
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2)
+    straddle = [
+        (r.a_id, r.b_id) for r in pairs.collect() if side[r.a_id] != side[r.b_id]
+    ]
+    assert straddle == []
+    # both sides are populated at 30% val over ~90 clusters
+    splits = {v for v in side.values()}
+    assert splits == {"train", "val"}
+    dedup.release_cached(out)
+    out.unpersist()
