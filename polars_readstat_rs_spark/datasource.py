@@ -48,9 +48,18 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 import pyarrow as pa_lib
-from pyspark.sql.pandas.types import from_arrow_schema
+
 
 from .formats.stata import parser as stata_parser
+
+
+def _from_arrow_schema(schema):
+    # lazy: pyspark.sql.pandas.types drags the full pandas import chain
+    # (~0.3 s) into every cold executor Python worker, but only the
+    # DRIVER (schema planning) needs this conversion
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(schema, prefer_timestamp_ntz=True)
 
 TARGET_PARTITION_BYTES = 48 << 20
 
@@ -188,24 +197,22 @@ class ReadstatDataSource(DataSource):
         path = expand_paths(self.options["path"])[0]
         if fmt == "stata":
             meta = stata_parser.read_metadata(path)
-            return from_arrow_schema(
-                stata_parser.arrow_schema(meta, self._read_opts(), self._columns()),
-                prefer_timestamp_ntz=True,
+            return _from_arrow_schema(
+                stata_parser.arrow_schema(meta, self._read_opts(), self._columns())
             )
         if fmt == "spss":
             from .formats.spss import parser as spss_parser
 
             meta = spss_parser.read_metadata(path)
-            return from_arrow_schema(
-                spss_parser.arrow_schema(meta, self._read_opts(), self._columns()),
-                prefer_timestamp_ntz=True,
+            return _from_arrow_schema(
+                spss_parser.arrow_schema(meta, self._read_opts(), self._columns())
             )
         if fmt == "sas":
             from .formats.sas import parser as sas_parser
 
             meta = sas_parser.read_metadata(path)
             opts = self._read_opts()
-            return from_arrow_schema(
+            return _from_arrow_schema(
                 sas_parser.arrow_schema(
                     meta,
                     self._columns(),
@@ -213,16 +220,14 @@ class ReadstatDataSource(DataSource):
                     informative_nulls=opts.informative_nulls,
                     informative_null_columns=opts.informative_null_columns,
                     informative_null_suffix=opts.informative_null_suffix,
-                ),
-                prefer_timestamp_ntz=True,
+                )
             )
         if fmt == "xport":
             from .formats.sas import xport
 
             meta = xport.read_metadata(path)
-            return from_arrow_schema(
-                xport.arrow_schema(meta, self._read_opts(), self._columns()),
-                prefer_timestamp_ntz=True,
+            return _from_arrow_schema(
+                xport.arrow_schema(meta, self._read_opts(), self._columns())
             )
         raise ValueError(f"unsupported format {fmt}")
 
