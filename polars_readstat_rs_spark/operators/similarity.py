@@ -147,6 +147,11 @@ def brute_force_topk(
     # cosine is undefined for the zero vector and silence here reads as
     # "empty corpus" to the caller.
     if len(q_rows) and (q_nrm == 0.0).any():
+        # NOTE: the SQL oracles would instead DROP such a query's rows
+        # via NULL/NaN division — a deliberate parity exception on
+        # degenerate input (none exists in any gated fixture): the
+        # engine fails loudly where silent SQL semantics would hide an
+        # upstream bug.
         bad = [q_ids[i] for i in np.flatnonzero(q_nrm == 0.0)[:5].tolist()]
         raise ValueError(
             "brute_force_topk: zero-norm query vector(s) "
