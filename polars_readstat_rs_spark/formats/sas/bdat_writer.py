@@ -106,6 +106,11 @@ def encode_row_sections(
         null = np.asarray(col.is_null())
         vals = vals.copy()
         vals[null] = np.nan
+        # SAS's numeric domain is finite-or-missing: every reader
+        # (ours, pandas, SAS itself) decodes the 0x7FF exponent range
+        # as missing, so +/-inf cannot round-trip — normalize it to
+        # missing at write time instead of letting it silently decay
+        vals[np.isinf(vals)] = np.nan
         parts.append(vals.astype("<f8").view(np.uint8).reshape(n, 8))
         cols.append((short, False, 8, fmt))
     if not cols:

@@ -511,3 +511,55 @@ def test_bdat_compressed_distributed_page_parallel(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4
     agg = back.agg(F.count("*").alias("n"), F.sum("K").alias("s")).collect()[0]
     assert (agg.n, agg.s) == (4000, 4000 * 3999 / 2)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    doubles=st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=25),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    compress=st.booleans(),
+)
+def test_bdat_roundtrip_property(doubles, texts, compress, tmp_path_factory):
+    """IEEE doubles (any finite value, incl. denormals/extremes) and
+    printable strings roundtrip bitwise through the native sas7bdat
+    writer + our reader, compressed and uncompressed."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as P
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    n = min(len(doubles), len(texts))
+    t = pa.table(
+        {
+            "d": pa.array(doubles[:n], type=pa.float64()),
+            "s": pa.array(texts[:n], type=pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("bdat") / "x.sas7bdat")
+    write_sas7bdat(t, p, compress=compress)
+    rt = P.read_table(p)
+    assert rt.num_rows == n
+    import math
+
+    for g, w in zip(rt.column("d").to_pylist(), doubles[:n]):
+        if w is None or math.isinf(w):
+            assert g is None  # SAS numeric domain is finite-or-missing
+        else:
+            assert g == w
+    for g, w in zip(rt.column("s").to_pylist(), texts[:n]):
+        assert g == ((w or None) and w.rstrip(" ") or None)
