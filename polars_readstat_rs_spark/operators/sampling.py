@@ -335,6 +335,7 @@ def leakage_free_split(
     n: int = 3,
     threshold: float = 0.2,
     seed: str = "split",
+    method: str = "minhash",
 ) -> DataFrame:
     """Train/val split that near-dup clusters never straddle — the
     contamination-by-construction guard a training pipeline needs
@@ -348,15 +349,27 @@ def leakage_free_split(
     by the cluster representative, so two near-duplicates can never end
     up on opposite sides of the boundary.
 
+    ``method``: "minhash" (default — LSH-banded candidates with exact
+    Jaccard verify, the frontline 100 TB path) or "jaccard" (exact
+    all-co-shingle pairs, superlinear by design; the verification
+    oracle's formulation, used by the p11 gate for SQL parity). Both
+    verify candidates with exact Jaccard >= threshold, so minhash can
+    only MISS a cluster edge LSH never surfaces — never invent one.
+
     Scale shape: the dedup machinery's (df-capped inverted index +
     bounded min-label iterations), one left join of the corpus against
     the (small) paired-docs cluster table, then a pure map-side split
     expression — no additional shuffles.
 
     Output: doc (id), cluster (representative id), split ('train'/'val')."""
-    from .dedup import _track, neardup_components, ngram_jaccard_pairs
+    from .dedup import _track, minhash_lsh_pairs, neardup_components, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n=n).filter(
+            F.col("jaccard") >= threshold
+        )
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     comp = neardup_components(pairs.select("a_id", "b_id"))
     base = df.select(F.col(id_col).alias("doc"))
     lab = (

@@ -235,6 +235,9 @@ def p11_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs -> min-label components -> md5 bucket on the cluster
     representative. The oracle replays the full chain (recursive-CTE
     components + identical bucket math), so the hash proves no
-    near-duplicate pair ever straddles the split."""
+    near-duplicate pair ever straddles the split. The gate pins
+    method="jaccard" (the SQL-expressible exact formulation); the
+    default is the minhash-LSH frontline path, invariant-tested in
+    tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.leakage_free_split(docs, "doc_id", "text", val_rate=0.2)
+    return sampling.leakage_free_split(docs, "doc_id", "text", val_rate=0.2, method="jaccard")

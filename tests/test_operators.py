@@ -1642,7 +1642,11 @@ def test_leakage_free_split_invariant(spark):
     for k in range(60):
         rows.append((1000 + k, toks(f"solo{k}")))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = sampling.leakage_free_split(df, "doc_id", "text", val_rate=0.3).cache()
+    # exact-jaccard method: the strict invariant (checked below against
+    # ALL jaccard pairs) only holds when the split saw the same pairs
+    out = sampling.leakage_free_split(
+        df, "doc_id", "text", val_rate=0.3, method="jaccard"
+    ).cache()
     assert out.count() == len(rows)
     side = {r.doc: r.split for r in out.collect()}
     pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2)
@@ -1655,3 +1659,13 @@ def test_leakage_free_split_invariant(spark):
     assert splits == {"train", "val"}
     dedup.release_cached(out)
     out.unpersist()
+    # default (minhash) method: same invariant over the pairs IT found
+    out2 = sampling.leakage_free_split(df, "doc_id", "text", val_rate=0.3).cache()
+    side2 = {r.doc: r.split for r in out2.collect()}
+    mh = dedup.minhash_lsh_pairs(df, "doc_id", "text").filter("jaccard >= 0.2")
+    assert [
+        (r.a_id, r.b_id) for r in mh.collect() if side2[r.a_id] != side2[r.b_id]
+    ] == []
+    dedup.release_cached(out2)
+    dedup.release_cached(mh)
+    out2.unpersist()

@@ -326,6 +326,19 @@ def main() -> None:
                 docs, "doc_id", "text"
             ),
             "scd2_pit": lambda: _scd2_pit(events),
+            # r8 additions
+            "exact_percentiles": lambda: __import__(
+                "polars_readstat_rs_spark.operators.profile", fromlist=["profile"]
+            ).exact_percentiles(events, "user_id", "value"),
+            "knn_label_vote": lambda: similarity.knn_label_vote(
+                emb, emb.filter(F.col("vec_id") < 100), k=5
+            ),
+            "leakage_free_split": lambda: sampling.leakage_free_split(
+                docs, "doc_id", "text"
+            ),
+            "minhash_estimate": lambda: dedup.minhash_estimate_pairs(
+                docs, "doc_id", "text"
+            ),
         }
         for name, mk in ops.items():
             if only and name not in only:
