@@ -274,6 +274,15 @@ class ReadstatDataSource(DataSource):
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         if fmt == "spss":
+            # a .zsav target implies the zlib container; otherwise the
+            # compress option picks False / bytecode / "zsav" explicitly
+            comp_opt = self.options.get("compress")
+            compress = (
+                "zsav"
+                if self.options["path"].lower().endswith(".zsav")
+                or str(comp_opt).lower() == "zsav"
+                else _true(comp_opt, default=False)
+            )
             return _SavWriter(
                 self.options["path"],
                 schema,
@@ -282,7 +291,7 @@ class ReadstatDataSource(DataSource):
                 data_label=self.options.get("data_label", ""),
                 user_missing=json.loads(self.options.get("user_missing", "{}")),
                 staging_dir=self.options.get("staging_dir"),
-                compress=_true(self.options.get("compress"), default=False),
+                compress=compress,
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         if fmt == "xport":

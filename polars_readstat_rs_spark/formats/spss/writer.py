@@ -412,14 +412,18 @@ def assemble_sav(
     variable_labels: dict[str, str] | None = None,
     data_label: str = "",
     user_missing: dict[str, list[float]] | None = None,
-    compress: bool = False,
+    compress: bool | str = False,
     declared: dict[str, int] | None = None,
 ) -> None:
     """Driver side: global layout from section metadata, then stream
     every section into the final file. Sections already in the global
     layout (``final``/``rle`` from :func:`spill_sav_partition`) are
     byte-copied; only local-layout sections pay a numpy re-stride (and,
-    under ``compress``, driver-side RLE)."""
+    under ``compress``, driver-side RLE). ``compress`` accepts False /
+    True ("bytecode" RLE, compression=1) / "zsav": the same RLE stream
+    spooled to a temp file beside the output and wrapped block-by-block
+    in the zlib container (compression=2) — one block of driver memory
+    at a time, so the distributed path stays dataset-size-independent."""
     value_labels = value_labels or {}
     variable_labels = variable_labels or {}
     user_missing = user_missing or {}
@@ -448,6 +452,7 @@ def assemble_sav(
         }
     )
     col_infos = [(c.is_str, c.width) for c in specs]
+    zsav = compress == "zsav"
     with open(path, "wb") as out:
         header = bytearray(
             _dictionary_bytes(
@@ -455,8 +460,18 @@ def assemble_sav(
             )
         )
         if compress:
-            struct.pack_into("<i", header, 72, 1)  # bytecode RLE
+            struct.pack_into("<i", header, 72, 2 if zsav else 1)
         out.write(header)
+        if zsav:
+            import os as _os
+            import tempfile as _tf
+
+            spool = _tf.TemporaryFile(
+                dir=_os.path.dirname(_os.path.abspath(path)) or "."
+            )
+            sink = spool
+        else:
+            sink = out
         for blob_path, secs in parts:
             if not secs:
                 continue
@@ -469,7 +484,7 @@ def assemble_sav(
                         left = sec["rec_len"]
                         while left:
                             chunk = blob.read(min(left, 8 << 20))
-                            out.write(chunk)
+                            sink.write(chunk)
                             left -= len(chunk)
                         continue
                     raw = blob.read(sec["rec_len"])
@@ -493,11 +508,14 @@ def assemble_sav(
                             rec[fld] = np.ascontiguousarray(dst).view(f"S{gw}").reshape(n)
                     if compress:
                         units, codes = _unit_codes(rec, col_infos)
-                        out.write(_rle_encode(units, codes, final=False))
+                        sink.write(_rle_encode(units, codes, final=False))
                     else:
-                        out.write(rec.tobytes())
+                        sink.write(rec.tobytes())
         if compress:
-            out.write(bytes([252]) + bytes(7))  # single EOF group
+            sink.write(bytes([252]) + bytes(7))  # single EOF group
+        if zsav:
+            _zsav_stream(out, spool, zheader_ofs=len(header))
+            spool.close()
 
 
 # --------------------------------------------------- RLE-compressed output
@@ -564,3 +582,36 @@ def _rle_encode(units: np.ndarray, codes: np.ndarray, final: bool = True) -> byt
         dest = out_off[g] + 8 + 8 * rank
         out[(dest[:, None] + np.arange(8)[None, :]).ravel()] = units[lit_idx].ravel()
     return out.tobytes()
+
+
+def _zsav_stream(out, spool, zheader_ofs: int, bias: int = 100,
+                 block_bytes: int = ZSAV_BLOCK_BYTES) -> None:
+    """Streaming counterpart of :func:`_zsav_body` for the distributed
+    commit: the RLE bytecode spool is zlib-compressed one
+    ``block_bytes`` chunk at a time into ``out`` (zheader placeholder
+    patched after the block index is known), so the zsav container
+    never holds more than one block in driver memory."""
+    import zlib
+
+    spool.seek(0)
+    zheader_pos = out.tell()
+    out.write(b"\x00" * 24)  # zheader placeholder
+    entries = []
+    uofs, cofs = zheader_ofs, zheader_pos + 24
+    while True:
+        b = spool.read(block_bytes)
+        if not b and entries:
+            break
+        c = zlib.compress(b)
+        out.write(c)
+        entries.append((uofs, cofs, len(b), len(c)))
+        uofs += len(b)
+        cofs += len(c)
+        if len(b) < block_bytes:
+            break
+    ztrailer_ofs = out.tell()
+    out.write(struct.pack("<qqii", bias, 0, block_bytes, len(entries)))
+    for e in entries:
+        out.write(struct.pack("<qqii", *e))
+    out.seek(zheader_pos)
+    out.write(struct.pack("<3Q", zheader_ofs, ztrailer_ofs, 24 + 24 * len(entries)))

@@ -705,3 +705,39 @@ def r17_sas7bdat_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         F.min("p_type").alias("first_type"),
         F.max("p_type").alias("last_type"),
     )
+
+
+@register(
+    "r18_zsav_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r18_zsav_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed .zsav (zlib-container SPSS) WRITE gate — the writer
+    matrix's last variant (the reference reads zsav, never writes it):
+    parquet -> distributed write with the RLE spool wrapped
+    block-streaming into the zlib container at commit
+    (formats/spss/writer.py:_zsav_stream) -> our block-parallel zsav
+    reader -> aggregate vs DuckDB on the parquet."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r18_{tag}.zsav")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    orders.write.format("readstat").mode("overwrite").save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

@@ -560,3 +560,34 @@ def test_informative_null_suffix_and_label_toggle(spark, tmp_path):
     )
     inds2 = [r.x__missing for r in df2.collect()]
     assert "REFUSED" not in inds2 and any(i == "7" for i in inds2 if i)
+
+
+def test_zsav_distributed_write_roundtrip(spark, tmp_path):
+    """A .zsav target (or option compress=zsav) produces a real
+    compression=2 zlib container from the distributed writer — the RLE
+    spool is wrapped block-streaming at commit; readback matches."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark import api
+    from polars_readstat_rs_spark.formats.spss import parser as SP
+
+    api._ensure_registered(spark)
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").cast("double").alias("K"),
+        F.concat(F.lit("name_"), F.col("id")).alias("S"),
+    )
+    pz = str(tmp_path / "d.zsav")
+    ps = str(tmp_path / "d.sav")
+    df.repartition(4).write.format("readstat").mode("overwrite").save(pz)
+    df.repartition(4).write.format("readstat").mode("overwrite").save(ps)
+    m = SP.read_metadata(pz)
+    assert m.compression == 2 and m.row_count == n
+    import os
+
+    assert os.path.getsize(pz) < os.path.getsize(ps) / 2
+    back = spark.read.format("readstat").load(pz)
+    agg = back.agg(
+        F.count("*").alias("n"), F.sum("K").alias("s"), F.countDistinct("S").alias("d")
+    ).collect()[0]
+    assert (agg.n, agg.d) == (n, n) and agg.s == n * (n - 1) / 2
