@@ -340,6 +340,12 @@ class ReadstatDataSource(DataSource):
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         if fmt == "spss":
+            comp_opt = self.options.get("compress")
+            compress = (
+                "zsav"
+                if str(comp_opt).lower() == "zsav"
+                else _true(comp_opt, default=False)
+            )
             return _SavStreamWriter(
                 self.options["path"],
                 schema,
@@ -348,7 +354,7 @@ class ReadstatDataSource(DataSource):
                 data_label=self.options.get("data_label", ""),
                 user_missing=json.loads(self.options.get("user_missing", "{}")),
                 staging_dir=self.options.get("staging_dir"),
-                compress=_true(self.options.get("compress"), default=False),
+                compress=compress,
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
         if fmt == "xport":
@@ -1076,7 +1082,8 @@ class _SavStreamWriter(_SavWriter, DataSourceStreamArrowWriter):
         from .formats.spss.writer import assemble_sav
 
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{batchId:05d}.sav")
+        ext = "zsav" if self.compress == "zsav" else "sav"
+        final = os.path.join(self.path, f"part-{batchId:05d}.{ext}")
         tmp = final + ".tmp_"
         parts = [(m.blob_path, m.sections) for m in messages if m and m.blob_path]
         assemble_sav(
