@@ -163,9 +163,11 @@ def main() -> None:
             for k in (
                 "n_files",
                 "spark_total",
+                "spark_total_aqe_on",
                 "duckdb_total",
                 "ratio",
                 "ratio_all_queries",
+                "ratio_all_queries_aqe_on",
                 "floor_adjusted_ratio_all",
                 "spark_shuffle_pipeline_sec",
             )

@@ -175,6 +175,21 @@ def run_multifile(
         duck_times[q] = time_min(lambda: con.execute(ORACLES[q]).fetchall(), runs)
     con.close()
 
+    # Transparency pass (r8): the local session profile defaults AQE
+    # off (see session.py) — re-time the Spark side once with AQE ON so
+    # the config choice is reported as DATA, not hidden tuning. The
+    # delta is the per-query-stage materialization barrier cost at this
+    # (sub-second-stage) scale; at cluster scale the same barriers
+    # amortize and AQE's runtime re-planning pays for itself.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark_aqe_on = {}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for q in queries:
+            spark_aqe_on[q] = time_min(lambda: run_spark(q), 2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
     n_q = len(queries)
     sp_total, du_total = sum(spark_times.values()), sum(duck_times.values())
     # The scale-representative comparison is the WORK-DOMINATED set:
@@ -208,6 +223,10 @@ def run_multifile(
         # ratio is n_queries x (spark_floor - duck_floor) of scheduling
         # constants that are flat in data volume; subtracting them
         # (floor_adjusted) shows the data-dependent comparison.
+        "spark_total_aqe_on": round(sum(spark_aqe_on.values()), 3),
+        "ratio_all_queries_aqe_on": round(
+            sum(spark_aqe_on.values()) / max(du_total, 1e-9), 3
+        ),
         "spark_empty_job_sec": spark_floor,
         "spark_shuffle_pipeline_sec": spark_shuffle_floor,
         "duckdb_empty_stmt_sec": duck_floor,
