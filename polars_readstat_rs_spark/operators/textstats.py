@@ -488,3 +488,76 @@ def tfidf_top_terms(
             F.col("doc").alias(id_col), "rank", "tok", "tf", "df", "n_docs", "weight"
         )
     )
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> DataFrame:
+    """Iterative BPE VOCABULARY TRAINING — the full merge loop, not just
+    the first iteration's statistic (:func:`bpe_pair_counts`): learn
+    ``n_merges`` merges over the corpus' word-frequency table exactly as
+    Sennrich et al. 2016 describes, distributed end to end.
+
+    Formulation (the scalable one): BPE trains on DISTINCT words with
+    counts, so the working table is the vocabulary — sublinear in corpus
+    size — and each iteration is (pair count -> argmax -> merge), all
+    relational. Words are carried as sentinel-encoded token strings
+    ``>t1<>t2<...``; a merge of pair (a, b) is the literal replacement
+    ``'>a<>b<' -> '>ab<'``, whose left-to-right non-overlapping
+    semantics (Spark ``replace`` == DuckDB ``replace``) IS the greedy
+    BPE merge rule, including the '>a<>a<>a<' -> '>aa<>a<' repeat case.
+    The per-iteration argmax is a bounded-model collect (ONE row:
+    count DESC, a ASC, b ASC tie-break); merges apply as a pure map
+    stage over the word table. Words containing the sentinel characters
+    are excluded (none exist in the fixtures; a production tokenizer
+    would escape them).
+
+    Output: one row per learned merge — rank, left, right, merged,
+    pair_count (the argmax count at learn time)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").rlike("[<>]"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit(">"),
+                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "<>"),
+                F.lit("<"),
+            ),
+        )
+        .select("s", "cnt")
+        .localCheckpoint()  # the loop below rewrites s n_merges times
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        toks = words.select(
+            "cnt", F.expr("regexp_extract_all(s, '>([^<>]+)<', 1)").alias("t")
+        )
+        pairs = toks.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        merges.append((rank, a, b, a + b, int(n)))
+        words = words.withColumn(
+            "s", F.expr(f"replace(s, '>{a}<>{b}<', '>{a}{b}<')")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )

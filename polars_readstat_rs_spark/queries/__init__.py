@@ -97,6 +97,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "r17_sas7bdat_compressed_roundtrip",
     "p11_leakage_free_split",
     "r18_zsav_write_roundtrip",
+    "t16_bpe_train",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

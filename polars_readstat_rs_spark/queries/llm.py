@@ -812,3 +812,52 @@ def d13_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted signature artifact before exact verification."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_estimate_pairs(docs, "doc_id", "text", n=_SHINGLE_N)
+
+
+def _bpe_train_oracle(n_merges: int = 4) -> str:
+    stages = []
+    finals = []
+    for k in range(1, n_merges + 1):
+        prev = f"words{k - 1}"
+        stages.append(f"""
+    toks{k} AS (
+      SELECT regexp_extract_all(s, '>([^<>]+)<', 1) AS t, cnt FROM {prev}),
+    pairs{k} AS (
+      SELECT cnt,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                    i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      FROM toks{k}),
+    best{k} AS (
+      SELECT p.a AS a, p.b AS b, sum(cnt) AS n
+      FROM pairs{k} GROUP BY 1, 2
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    words{k} AS (
+      SELECT replace(s, '>' || ba.a || '<>' || ba.b || '<',
+                     '>' || ba.a || ba.b || '<') AS s, cnt
+      FROM {prev}, best{k} ba)""")
+        finals.append(
+            f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\", "
+            f"a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM best{k}"
+        )
+    return f"""
+    WITH words0 AS (
+      SELECT '>' || array_to_string(regexp_extract_all(w, '.'), '<>') || '<' AS s, cnt
+      FROM (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
+        GROUP BY w)),{",".join(stages)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@register("t16_bpe_train", oracle=_bpe_train_oracle())
+def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE vocabulary TRAINING (operators/textstats.py:
+    bpe_train): 4 merges learned over the distinct-word frequency table
+    — pair-count aggregation, deterministic argmax, sentinel-encoded
+    greedy merge via literal replace — hash-compared against DuckDB
+    running the same 4 iterations UNROLLED as CTE stages, so every
+    intermediate merge decision must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_train(docs, n_merges=4)

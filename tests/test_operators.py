@@ -1669,3 +1669,20 @@ def test_leakage_free_split_invariant(spark):
     dedup.release_cached(out2)
     dedup.release_cached(mh)
     out2.unpersist()
+
+
+def test_bpe_train_planted_merges(spark):
+    """Hand-computable corpus: 'aaab' x10 + 'ab' x5. Iter 1 pairs:
+    (a,a)=20 [greedy: two per 'aaab'? no — three a's give (a,a) twice
+    per word = 20], (a,b)=15 -> merge (a,a). Iter 2 re-tokenizes
+    'aaab' as [aa, a, b]: pairs (aa,a)=10, (a,b)=15 -> merge (a,b).
+    The repeat-run greedy case ('aaa' -> [aa, a]) is exactly what the
+    sentinel replace must get right."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    rows = [(i, "aaab") for i in range(10)] + [(100 + i, "ab") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.rank: (r.left, r.right, r.merged, r.pair_count) for r in
+           textstats.bpe_train(df, n_merges=2).collect()}
+    assert out[1] == ("a", "a", "aa", 20)
+    assert out[2] == ("a", "b", "ab", 15)
