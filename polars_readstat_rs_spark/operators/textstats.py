@@ -561,3 +561,41 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> Dat
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Tokenize with a LEARNED BPE merge list (:func:`bpe_train`'s
+    output, collected as the bounded vocabulary model): words are
+    sentinel-encoded and every merge applies in rank order as the same
+    greedy literal replacement used during training, so encode is
+    train-consistent by construction. Pure map stages + one per-doc
+    aggregation — no shuffle beyond the final groupBy(doc_id).
+
+    Output: doc_id, n_words, n_tokens (post-merge), n_chars (pre-merge
+    token count — the compression baseline)."""
+    s = F.concat(
+        F.lit(">"),
+        F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "<>"),
+        F.lit("<"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    ).filter((F.col("w") != "") & ~F.col("w").rlike("[<>]")).withColumn("s", s)
+    # nested replace expression built as SQL text (one py4j trip)
+    expr = "s"
+    for a, b in merges:
+        expr = f"replace({expr}, '>{a}<>{b}<', '>{a}{b}<')"
+    return (
+        words.withColumn("enc", F.expr(expr))
+        .select(
+            "doc_id",
+            F.size(F.expr("regexp_extract_all(s, '>([^<>]+)<', 1)")).alias("nc"),
+            F.size(F.expr("regexp_extract_all(enc, '>([^<>]+)<', 1)")).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+    )

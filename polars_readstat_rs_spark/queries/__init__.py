@@ -98,6 +98,7 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "p11_leakage_free_split",
     "r18_zsav_write_roundtrip",
     "t16_bpe_train",
+    "t17_bpe_encode",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

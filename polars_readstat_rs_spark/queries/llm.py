@@ -814,7 +814,8 @@ def d13_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_estimate_pairs(docs, "doc_id", "text", n=_SHINGLE_N)
 
 
-def _bpe_train_oracle(n_merges: int = 4) -> str:
+def _bpe_ctes(n_merges: int = 4) -> tuple[str, list[str]]:
+    """(WITH-clause text words0..wordsN/bestK, final per-merge SELECTs)."""
     stages = []
     finals = []
     for k in range(1, n_merges + 1):
@@ -839,16 +840,20 @@ def _bpe_train_oracle(n_merges: int = 4) -> str:
             f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\", "
             f"a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM best{k}"
         )
-    return f"""
+    ctes = f"""
     WITH words0 AS (
       SELECT '>' || array_to_string(regexp_extract_all(w, '.'), '<>') || '<' AS s, cnt
       FROM (
         SELECT w, count(*) AS cnt FROM (
           SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
         WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
-        GROUP BY w)),{",".join(stages)}
-    {" UNION ALL ".join(finals)}
-    """
+        GROUP BY w)),{",".join(stages)}"""
+    return ctes, finals
+
+
+def _bpe_train_oracle(n_merges: int = 4) -> str:
+    ctes, finals = _bpe_ctes(n_merges)
+    return ctes + "\n    " + " UNION ALL ".join(finals)
 
 
 @register("t16_bpe_train", oracle=_bpe_train_oracle())
@@ -861,3 +866,45 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate merge decision must agree exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.bpe_train(docs, n_merges=4)
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    # reuse the trainer's unrolled stages to re-derive best1..bestN,
+    # then apply them per (doc, word) and aggregate per doc
+    ctes, _finals = _bpe_ctes(n_merges)
+    enc = "d.s"
+    for k in range(1, n_merges + 1):
+        enc = f"replace({enc}, '>' || b{k}.a || '<>' || b{k}.b || '<', '>' || b{k}.a || b{k}.b || '<')"
+    joins = " ".join(f"CROSS JOIN best{k} b{k}" for k in range(1, n_merges + 1))
+    return f"""{ctes.rstrip()},
+    docwords AS (
+      SELECT doc_id,
+             '>' || array_to_string(regexp_extract_all(w, '.'), '<>') || '<' AS s
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT regexp_matches(w, '[<>]')),
+    encoded AS (
+      SELECT d.doc_id,
+             len(regexp_extract_all(d.s, '>([^<>]+)<', 1)) AS nc,
+             len(regexp_extract_all({enc}, '>([^<>]+)<', 1)) AS nt
+      FROM docwords d {joins})
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+    FROM encoded GROUP BY doc_id
+    """
+
+
+@register("t17_bpe_encode", oracle=_bpe_encode_oracle())
+def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained vocabulary (operators/textstats.py:
+    bpe_encode): the 4 merges learned by t16 are collected as the
+    bounded model and applied per word in rank order; per-doc token
+    counts are hash-compared against DuckDB re-deriving the SAME merges
+    (unrolled trainer CTEs) and applying them identically — train and
+    encode must agree end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in textstats.bpe_train(docs, n_merges=4).collect()
+    ]
+    return textstats.bpe_encode(docs, merges)
