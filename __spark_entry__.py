@@ -26,10 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the rotation was edited only in the queries package while a stale
 # _R5_HEAD copy here won, so the driver recorded the identical 50 as
 # r5). r8: HEAD leads with the 5 entries never recorded by any prior
-# round (_R7_DEFER — judge-verified at sf0.01 in r7), completing the
-# r1-r8 driver-recorded union at 164/164 pre-r8 queries; the r8
-# additions (r14-r17, q84-q86, v12, d13, m08, p11) sit in _RISKY_TAIL
-# after full local check_oracle passes.
+# round (_R7_DEFER — judge-verified at sf0.01 in r7, completing the
+# driver-recorded union at 164/164 pre-r8 queries), then the 14 r8
+# additions (r14-r18, q84-q86, v12, d13, m08, p11, t16, t17 — all
+# locally check_oracle-verified 14/14 at sf0.01) so they earn driver
+# rows in their first round too.
 from polars_readstat_rs_spark.queries import HEAD as _HEAD
 
 # Queries whose operator family is independently proven by an earlier

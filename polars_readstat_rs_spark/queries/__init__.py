@@ -82,9 +82,11 @@ _R7_DEFER = (
     "r09_sav_option_interaction",
 )
 
-# Brand-new, never-locally-verified queries go here until a full
-# tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
+# The r8 first/second-wave additions: all 14 passed a dedicated
+# tools/check_oracle.py run at sf0.01 (14/14) plus the full-registry
+# sf0.1 sweep for the first 12 (t16/t17 verified individually after),
+# so they graduate from _RISKY_TAIL into the recorded head below.
+_R8_NEW = (
     "r14_xpt_v8_roundtrip",
     "q84_group_percentiles",
     "v12_knn_label_vote",
@@ -101,14 +103,21 @@ _RISKY_TAIL = (  # r8 additions, locally check_oracle-verified before entry
     "t17_bpe_encode",
 )
 
+# Brand-new, never-locally-verified queries go here until a full
+# tools/check_oracle.py run has passed them (see module docstring).
+_RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
+)
+
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
 # __spark_entry__ copy won, so r6 recorded the identical 50 as r5).
-# Round-8 rotation (r7 verdict task 1): the 5 _R7_DEFER entries were the
-# only registry queries never recorded by the driver (r1-r7 union =
-# 159/164; judge oracle-verified all 5 at sf0.01 in r7). Put them at
-# positions 1-5 so CORRECTNESS_r08 completes the union at 164/164.
-HEAD = _R7_DEFER + _R7_HEAD
+# Round-8 rotation (r7 verdict task 1 + this round's additions): the
+# driver records only the FIRST 50 entries, so the head leads with the
+# queries that have never had a driver CORRECTNESS row — the 5
+# _R7_DEFER entries (completes the r1-r7 union at 164/164), then the
+# 14 _R8_NEW gates added this round (locally verified, see above),
+# then the previously-recorded rotation.
+HEAD = _R7_DEFER + _R8_NEW + _R7_HEAD
 
 _ordered = (
     [n for n in HEAD if n in QUERIES]
