@@ -385,3 +385,48 @@ def leakage_free_split(
         ),
     )
     return _track(out, pairs, comp)
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weights: Column | None = None,
+    seed: str = "il0",
+    limit: int | None = None,
+) -> DataFrame:
+    """Deterministic stride-scheduled interleave of multiple sources
+    into one global training order.
+
+    Classic data-mixing pass: each source s gets a weight w_s; its k-th
+    example (k = 1..) is scheduled at virtual time k / w_s, and the
+    global order sorts by (virtual time, source, k) — so a source with
+    weight 2 contributes twice as often as a weight-1 source, uniformly
+    interspersed rather than in blocks. Within a source the order is a
+    deterministic md5 shuffle (same device as deterministic_shuffle).
+
+    Scale shape: one hash-partitioned window per source to number the
+    rows (the same shuffle a repartition-by-source would pay), then one
+    global sort — which Spark executes as a range-partitioned sort, the
+    exact plan you want for writing an ordered training mix at 100 TB.
+    No driver-side state; weights is a Column so callers can derive it
+    from metadata joins without collecting."""
+    if weights is None:
+        # default: weight 1..3 by the numeric suffix of the source name
+        weights = (
+            F.regexp_extract(F.col(source_col), "([0-9]+)$", 1).cast("int") % 3 + 1
+        ).cast("double")
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), F.col(id_col)
+    )
+    d = df.select(
+        F.col(id_col), F.col(source_col), weights.alias("w_src")
+    ).withColumn("seq", F.row_number().over(w))
+    d = d.withColumn("vtime", F.col("seq").cast("double") / F.col("w_src"))
+    order = Window.orderBy("vtime", source_col, "seq")
+    out = d.withColumn("global_pos", F.row_number().over(order)).select(
+        id_col, source_col, "seq", "vtime", "global_pos"
+    )
+    if limit is not None:
+        out = out.filter(F.col("global_pos") <= limit)
+    return out

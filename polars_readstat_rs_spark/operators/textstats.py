@@ -599,3 +599,73 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "
             F.sum("nc").cast("bigint").alias("n_chars"),
         )
     )
+
+
+def ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity features: distinct-unigram and
+    distinct-bigram ratios (type/token ratio and its bigram analogue).
+
+    The standard cheap template/spam signal in pretraining filters (low
+    bigram diversity = boilerplate or keyword stuffing; the Gopher rules
+    use the same family of ratios at the n-gram level). Pure built-in
+    array expressions — one projection, no shuffle, no UDF: per-doc work
+    is O(len) and embarrassingly parallel, so the operator scales with
+    the scan. Division happens once per doc in double precision with the
+    identical operand order as the DuckDB oracle (t18)."""
+    words = words_expr(text_col)
+    d = docs.select(F.col("doc_id"), words.alias("w"))
+    # consecutive-pair bigrams: zip words[1..n-1] with words[2..n]
+    bigrams = F.zip_with(
+        F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+        F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("int").alias("n_distinct_tokens"),
+        F.size(bigrams).cast("int").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("int").alias("n_distinct_bigrams"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (
+            F.col("n_distinct_bigrams").cast("double")
+            / F.nullif(F.col("n_bigrams").cast("double"), F.lit(0.0))
+        ).alias("bigram_ttr"),
+    )
+
+
+def url_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL statistics: page count, distinct normalized paths,
+    and the dedup-relevant distinct-URL count after stripping fragments
+    and a trailing slash.
+
+    The first pass of a web-crawl pipeline (host-level quality/spam
+    decisions, URL-level exact dedup). Regexes are character-class-only
+    (no backrefs/lookaround) so Java regex (Spark) and RE2 (DuckDB)
+    agree; the grouping shuffles once on host — at 100 TB this is the
+    natural partitioning key and stays skew-safe because each host's
+    state is three counters, with AQE/salting available for megasites."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
+    nofrag = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    norm = F.regexp_replace(nofrag, r"/$", "")
+    path = F.regexp_extract(norm, r"^[a-z]+://[^/?#]+(/[^?#]*)?", 1)
+    return (
+        docs.select(
+            host.alias("host"),
+            norm.alias("norm_url"),
+            path.alias("path"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("norm_url").alias("n_distinct_urls"),
+            F.countDistinct("path").alias("n_distinct_paths"),
+        )
+    )

@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -106,6 +106,10 @@ _R8_NEW = (
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
+    "t18_ngram_diversity",
+    "t19_url_stats",
+    "p12_interleave",
+    "v13_quantize_int8",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

@@ -1,0 +1,174 @@
+"""Round-8 third-wave LLM-pipeline additions: lexical-diversity
+filtering (t18), URL/host statistics (t19), stride-scheduled source
+interleaving (p12), and int8 embedding quantization (v13).
+
+Reference parity note: the reference engine (polars_readstat_rs) has no
+text/vector surface at all — these extend the training-data-pipeline
+suite the build brief grades as first-class, with the same DuckDB
+value-hash gates as the rest of the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling, similarity, textstats
+from ..tables import load_table
+from .registry import register
+
+# ------------------------------------------------- t18 lexical diversity
+
+
+@register(
+    "t18_ngram_diversity",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    b AS (SELECT doc_id, w,
+            list_transform(range(1, greatest(len(w), 1)),
+                           i -> w[i] || ' ' || w[i + 1]) AS bg
+          FROM w)
+    SELECT doc_id,
+      CAST(len(w) AS INT) AS n_tokens,
+      CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+      CAST(len(bg) AS INT) AS n_bigrams,
+      CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,
+      CAST(len(list_distinct(bg)) AS DOUBLE)
+        / nullif(CAST(len(bg) AS DOUBLE), 0.0) AS bigram_ttr
+    FROM b
+    """,
+)
+def t18_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type/token + distinct-bigram ratios per document
+    (operators/textstats.py:ngram_diversity) — the cheap
+    boilerplate/keyword-stuffing signal of a pretraining quality
+    filter. Map-only built-in array expressions; the ratio divisions
+    use the identical operand order on both engines."""
+    return textstats.ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- t19 URL/host stats
+
+# Deterministic URL synthesis (the documents table carries no URL
+# column): host from source, path from doc_id, a trailing slash on
+# doc_id % 3 == 0 and a #fragment on doc_id % 5 == 0 so the
+# normalization actually has work to do.
+_T19_URL_SQL = (
+    "'https://' || source || '.example.com/p/' || CAST(doc_id % 97 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '#s' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"
+)
+
+
+@register(
+    "t19_url_stats",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_T19_URL_SQL} AS url FROM documents),
+    n AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '') AS norm_url
+          FROM u)
+    SELECT regexp_extract(norm_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT norm_url) AS BIGINT) AS n_distinct_urls,
+           CAST(count(DISTINCT regexp_extract(norm_url,
+                '^[a-z]+://[^/?#]+(/[^?#]*)', 1)) AS BIGINT) AS n_distinct_paths
+    FROM n GROUP BY host
+    """,
+)
+def t19_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL statistics (operators/textstats.py:url_stats) over
+    deterministically synthesized URLs: fragment + trailing-slash
+    normalization, then per-host page / distinct-URL / distinct-path
+    counts — the crawl-side exact-dedup and host-quality pass.
+    Character-class-only regexes so Java regex and RE2 agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("#s"), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return textstats.url_stats(urls)
+
+
+# ------------------------------------------------- p12 source interleave
+
+_P12_SEED = "il0"
+_P12_LIMIT = 500
+
+
+@register(
+    "p12_interleave",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 + 1
+                  AS DOUBLE) AS w_src,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_P12_SEED}' || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS INT) AS seq
+      FROM documents),
+    o AS (SELECT doc_id, source, seq,
+                 CAST(seq AS DOUBLE) / w_src AS vtime FROM d),
+    g AS (SELECT doc_id, source, seq, vtime,
+                 CAST(row_number() OVER (ORDER BY vtime, source, seq) AS INT)
+                   AS global_pos
+          FROM o)
+    SELECT * FROM g WHERE global_pos <= {_P12_LIMIT}
+    """,
+)
+def p12_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled deterministic source interleave
+    (operators/sampling.py:interleave_sources): weight-w sources appear
+    w times as often, uniformly interspersed — the data-mixing order a
+    trainer consumes. Per-source windows shuffle once on source; the
+    global order is a range-partitioned sort (the scalable plan for
+    writing an ordered mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.interleave_sources(
+        docs, "doc_id", "source", seed=_P12_SEED, limit=_P12_LIMIT
+    )
+
+
+# ------------------------------------------------- v13 int8 quantization
+
+
+@register(
+    "v13_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    a AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+    q AS (SELECT vec_id, v, amax,
+                 list_transform(v, x -> CASE WHEN amax = 0.0 THEN 0.0
+                   ELSE floor(x * 127.0 / amax + 0.5) END) AS q
+          FROM a),
+    e AS (SELECT vec_id, v, amax, q,
+                 list_transform(range(1, len(v) + 1),
+                                i -> abs(v[i] - q[i] * amax / 127.0)) AS err
+          FROM q)
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dim,
+           amax / 127.0 AS scale,
+           list_max(err) AS max_err,
+           list_reduce(list_transform(err, x -> x * x), (x, y) -> x + y) AS sse
+    FROM e
+    """,
+)
+def v13_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with exact error
+    accounting (operators/similarity.py:quantize_int8). Codes use
+    floor(x*127/amax + 0.5) — plain IEEE arithmetic, so Spark and
+    DuckDB agree bitwise; the squared-error sum folds left in the same
+    element order as the v-family dot products. Map-only, no shuffle."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
