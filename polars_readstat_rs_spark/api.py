@@ -255,6 +255,29 @@ def readstat_metadata(spark: SparkSession, path: str) -> DataFrame:
             "path string, nobs long, nvar int, name string, kind string, "
             "width int, offset int, format string, var_label string, table_name string",
         )
+    if ext == "por":
+        from .formats.spss import portable
+
+        meta = portable.read_metadata(path)
+        rows = [
+            (
+                path,
+                len(meta.variables),
+                v.name,
+                "Char" if v.width else "Numeric",
+                v.width,
+                v.fmt_type,
+                v.label or None,
+                len(v.value_labels),
+                meta.product or None,
+            )
+            for v in meta.variables
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, nvar int, name string, kind string, width int, "
+            "format_type int, var_label string, n_value_labels int, product string",
+        )
     raise ValueError(f"unsupported extension for {path}")
 
 
@@ -388,6 +411,35 @@ def readstat_metadata_json(path: str) -> str:
                 "variables": variables,
             }
         )
+    if ext == "por":
+        from .formats.spss import portable
+
+        meta = portable.read_metadata(path)
+        variables = [
+            {
+                "name": v.name,
+                "label": v.label or None,
+                "type": "Char" if v.width else "Numeric",
+                "width": v.width,
+                "format_type": v.fmt_type,
+                "n_value_labels": len(v.value_labels),
+                "n_missing_values": len(v.missing_values),
+            }
+            for v in meta.variables
+        ]
+        return json.dumps(
+            {
+                # .por has no case count in the header (row_count would
+                # need a full data walk; -1 = unknown, matching the
+                # streaming read contract)
+                "row_count": meta.row_count,
+                "column_count": len(meta.variables),
+                "precision": meta.precision,
+                "weight_var": meta.weight_var,
+                "product": meta.product or None,
+                "variables": variables,
+            }
+        )
     raise ValueError(f"unsupported extension for {path}")
 
 
@@ -424,6 +476,17 @@ def write_xpt(df: DataFrame, path: str, **kwargs) -> None:
     from .formats.sas import xport
 
     xport.write_xpt(df.toArrow(), path, **kwargs)
+
+
+def write_por(df: DataFrame, path: str, **kwargs) -> None:
+    """Write a Spark DataFrame as SPSS Portable .por (driver-side
+    assembly; the distributed path is df.write.format("readstat")
+    .save("x.por") — beyond the reference, which has no .por support).
+    Numbers are written in exact base-30 (see formats/spss/portable.py),
+    so every double roundtrips bitwise through this engine."""
+    from .formats.spss import portable
+
+    portable.write_por(df.toArrow(), path, **kwargs)
 
 
 def write_sas7bdat(df: DataFrame, path: str, **kwargs) -> None:

@@ -99,7 +99,7 @@ def _true(opt: str | None, default: bool = True) -> bool:
     return str(opt).lower() in ("1", "true", "yes")
 
 
-_EXTS = ("dta", "sav", "zsav", "sas7bdat", "sas7bcat", "xpt")
+_EXTS = ("dta", "sav", "zsav", "sas7bdat", "sas7bcat", "xpt", "por")
 
 
 def expand_paths(path: str) -> list[str]:
@@ -152,6 +152,8 @@ class ReadstatDataSource(DataSource):
             return "sas"
         if ext in ("xpt",):
             return "xport"
+        if ext in ("por",):
+            return "por"
         raise ValueError(f"cannot infer readstat format from path {path!r}")
 
     def _read_opts(self):
@@ -186,6 +188,13 @@ class ReadstatDataSource(DataSource):
 
             kwargs.pop("value_labels_as_strings")  # no labels in XPORT v5
             return xport.ReadOptions(**kwargs)
+        if self._fmt() == "por":
+            from .formats.spss import portable
+
+            return portable.ReadOptions(
+                user_missing_as_null=_true(self.options.get("user_missing_as_null")),
+                **kwargs,
+            )
         return stata_parser.ReadOptions(**kwargs)
 
     def _columns(self) -> list[str] | None:
@@ -228,6 +237,13 @@ class ReadstatDataSource(DataSource):
             meta = xport.read_metadata(path)
             return _from_arrow_schema(
                 xport.arrow_schema(meta, self._read_opts(), self._columns())
+            )
+        if fmt == "por":
+            from .formats.spss import portable
+
+            meta = portable.read_metadata(path)
+            return _from_arrow_schema(
+                portable.arrow_schema(meta, self._read_opts(), self._columns())
             )
         raise ValueError(f"unsupported format {fmt}")
 
@@ -319,7 +335,15 @@ class ReadstatDataSource(DataSource):
                 # 24-byte subheader pointer)
                 compress=_true(self.options.get("compress"), default=False),
             )
-        raise ValueError("distributed write supports .dta, .sav, .xpt and .sas7bdat")
+        if fmt == "por":
+            return _PorWriter(
+                self.options["path"],
+                schema,
+                staging_dir=self.options.get("staging_dir"),
+                variable_labels=variable_labels,
+                value_labels=value_labels,
+            )
+        raise ValueError("distributed write supports .dta, .sav, .xpt, .por and .sas7bdat")
 
     def streamWriter(self, schema, overwrite: bool):
         """df.writeStream.format("readstat").start(dir): continuous
@@ -375,8 +399,16 @@ class ReadstatDataSource(DataSource):
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
             )
-        raise ValueError("streaming readstat sink writes .dta, .sav, .xpt or .sas7bdat "
-                         '(option("format", "stata"|"spss"|"xport"|"sas"))')
+        if fmt == "por":
+            return _PorStreamWriter(
+                self.options["path"],
+                schema,
+                staging_dir=self.options.get("staging_dir"),
+                variable_labels=json.loads(self.options.get("variable_labels", "{}")),
+                value_labels=json.loads(self.options.get("value_labels", "{}")),
+            )
+        raise ValueError("streaming readstat sink writes .dta, .sav, .xpt, .por or .sas7bdat "
+                         '(option("format", "stata"|"spss"|"xport"|"por"|"sas"))')
 
 
 class _StreamFilePartition(InputPartition):
@@ -628,6 +660,10 @@ class _ReadstatReader(DataSourceReader):
             from .formats.sas import xport
 
             return xport.arrow_schema(xport.read_metadata(path), self.opts, self.columns)
+        if self.fmt == "por":
+            from .formats.spss import portable
+
+            return portable.arrow_schema(portable.read_metadata(path), self.opts, self.columns)
         from .formats.sas import parser as sas_parser
 
         return sas_parser.arrow_schema(
@@ -709,6 +745,14 @@ class _ReadstatReader(DataSourceReader):
             meta = xport.read_metadata(path)
             # fixed-width records: O(1)-seek analytical byte-range splits
             nobs, rec = meta.row_count, max(1, meta.row_length)
+        elif self.fmt == "por":
+            # .por is a single self-delimiting character stream with no
+            # case count in the header and no random access — one
+            # partition per file, the same stance the reference takes
+            # for compressed .sav (src/spss/polars_output.rs:403-405).
+            # Multi-file scans still parallelize on the file axis, and
+            # .por is a legacy interchange format (small by construction).
+            return [_RowRange(path, self.offset, self.limit)]
         else:
             raise ValueError(self.fmt)
 
@@ -754,6 +798,14 @@ class _ReadstatReader(DataSourceReader):
             return
         if self.fmt == "stata":
             batches = self._read_stata(partition)
+        elif self.fmt == "por":
+            from .formats.spss import portable
+
+            t = portable.read_table(
+                partition.path, self.opts, self.columns,
+                offset=partition.start, limit=partition.count,
+            )
+            batches = t.to_batches(self.batch_size)
         elif self.fmt == "xport":
             from .formats.sas import xport
 
@@ -1147,6 +1199,144 @@ class _XptStreamWriter(_XptWriter, DataSourceStreamArrowWriter):
                 os.unlink(blob)
             except OSError:
                 pass
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m and getattr(m, "blob_path", ""):
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
+
+
+class _PorWriter(DataSourceArrowWriter):
+    """Distributed .por (SPSS Portable) write: the data section is a
+    pure concatenation of self-delimiting per-case value encodings, so
+    executors encode their partitions to ASCII blobs
+    (formats.spss.portable.encode_cases) and commit() streams header +
+    blobs through an 80-character line re-wrapper with O(1) driver
+    memory. Beyond the reference, which has no .por support at all
+    (src/lib.rs:383-394 dispatches only sas7bdat/dta/sav)."""
+
+    def __init__(self, path: str, schema, staging_dir: str | None = None,
+                 variable_labels=None, value_labels=None):
+        import uuid
+
+        self.path = path
+        self.schema = schema
+        self.variable_labels = variable_labels or {}
+        self.value_labels = value_labels or {}
+        parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
+        self.stage_dir = os.path.join(
+            parent, f".{os.path.basename(path)}._stage_{uuid.uuid4().hex}"
+        )
+
+    def write(self, batches):
+        import uuid
+
+        import pyarrow as pa
+
+        from .formats.spss.portable import encode_cases
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.txt")
+        widths: dict[str, int] = {}
+        nrows = 0
+        with open(blob, "w", encoding="ascii") as f:
+            for batch in batches:
+                t = pa.Table.from_batches([batch])
+                if not t.num_rows:
+                    continue
+                for i, fld in enumerate(t.schema):
+                    if pa.types.is_string(fld.type) or pa.types.is_large_string(fld.type):
+                        col = t.column(i).to_pylist()
+                        w = max([len(str(v)) for v in col if v is not None] or [0])
+                        widths[fld.name] = max(widths.get(fld.name, 0), w)
+                f.write(encode_cases(t))
+                nrows += t.num_rows
+        if not nrows:
+            os.unlink(blob)
+            return _DtaCommit("", [widths])
+        return _DtaCommit(blob, [widths])
+
+    def _assemble(self, messages, target: str) -> None:
+        from pyspark.sql import types as _T
+
+        from .formats.spss.portable import _LINE, _var_of_field, write_header
+        import pyarrow as pa
+
+        widths: dict[str, int] = {}
+        for m in messages:
+            if m and m.sections:
+                for k, v in m.sections[0].items():
+                    widths[k] = max(widths.get(k, 0), v)
+        variables = []
+        for f in self.schema.fields:
+            if isinstance(f.dataType, _T.StringType):
+                af = pa.field(f.name, pa.string())
+            elif isinstance(f.dataType, _T.DateType):
+                af = pa.field(f.name, pa.date32())
+            elif isinstance(f.dataType, (_T.TimestampType, _T.TimestampNTZType)):
+                af = pa.field(f.name, pa.timestamp("us"))
+            elif isinstance(f.dataType, (_T.IntegerType, _T.LongType, _T.ShortType,
+                                         _T.ByteType, _T.BooleanType)):
+                af = pa.field(f.name, pa.int64())
+            else:
+                af = pa.field(f.name, pa.float64())
+            variables.append(_var_of_field(af, widths.get(f.name, 1)))
+        header = write_header(variables, self.variable_labels, self.value_labels)
+        carry = ""
+        with open(target, "w", encoding="ascii", newline="") as out:
+
+            def emit(chunk: str) -> None:
+                nonlocal carry
+                carry += chunk
+                while len(carry) >= _LINE:
+                    out.write(carry[:_LINE] + "\n")
+                    carry = carry[_LINE:]
+
+            emit(header)
+            for m in messages:
+                if m and m.blob_path:
+                    with open(m.blob_path, encoding="ascii") as f:
+                        while True:
+                            chunk = f.read(1 << 20)
+                            if not chunk:
+                                break
+                            emit(chunk)
+            if carry:
+                out.write(carry.ljust(_LINE, "Z") + "\n")
+
+    def commit(self, messages):
+        import shutil
+
+        self._assemble(messages, self.path)
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class _PorStreamWriter(_PorWriter, DataSourceStreamArrowWriter):
+    """Streaming .por sink: the _DtaStreamWriter contract (immutable
+    part-{batchId}.por per micro-batch, temp-name + atomic rename,
+    idempotent on replay) over the portable assembler — completing the
+    sink matrix for every format this engine reads."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{batchId:05d}.por")
+        tmp = final + ".tmp_"
+        self._assemble(messages, tmp)
+        os.replace(tmp, final)
+        for m in messages:
+            if m and m.blob_path:
+                try:
+                    os.unlink(m.blob_path)
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
         for m in messages:

@@ -110,6 +110,7 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "t19_url_stats",
     "p12_interleave",
     "v13_quantize_int8",
+    "r19_por_roundtrip_agg",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

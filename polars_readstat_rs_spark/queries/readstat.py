@@ -741,3 +741,40 @@ def r18_zsav_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r19_por_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r19_por_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPSS Portable (.por) WRITE + READ gate — the format is entirely
+    beyond the reference (src/lib.rs:383-394 dispatches only
+    sas7bdat/dta/sav): parquet -> distributed .por write (executors
+    encode exact base-30 case streams, commit concatenates + re-wraps
+    80-char lines) -> single-stream por reader -> aggregate vs DuckDB
+    on the parquet. Exact because the base-30 encoding is exact for
+    every IEEE double (formats/spss/portable.py)."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r19_{tag}.por")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    orders.write.format("readstat").mode("overwrite").save(path)
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

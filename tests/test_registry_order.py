@@ -80,16 +80,23 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # All 55 sit in the first 55 slots: 50 recorded this round, the 5
-    # deferred most-expensive land in the r8 head window.
-    assert set(HEAD[:55]) == NEVER_RECORDED_PRE_R7
-    assert len(HEAD) == 55 == len(set(HEAD))
+    # r8 head: positions 1-5 are the 5 never-driver-recorded _R7_DEFER
+    # entries, 6-19 the 14 r8 additions (also never recorded), then the
+    # r7 rotation — so the driver's 50-query window records every entry
+    # that lacks a CORRECTNESS row, and HEAD[:55] still spans the 55
+    # never-recorded-pre-r7 set (now interleaved with the r8 gates).
+    from polars_readstat_rs_spark.queries import _R7_DEFER, _R8_NEW
+
+    assert HEAD[:5] == _R7_DEFER
+    assert HEAD[5:19] == _R8_NEW
+    assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
+    assert len(HEAD) == len(set(HEAD)) == 69
 
 
 def test_entry_ordering_matches_head():
     qnames = list(queries())
     onames = list(oracle_sql())
-    assert qnames[:55] == list(HEAD)
+    assert qnames[: len(HEAD)] == list(HEAD)
     assert onames == qnames  # oracle dict mirrors query dict exactly
     assert len(qnames) == len(set(qnames)) == len(QUERIES)
 
