@@ -70,6 +70,11 @@ class Variable:
     missing_range: bool = False
     missing_doubles: list[float] = field(default_factory=list)
     missing_strings: list[str] = field(default_factory=list)
+    # very-long-string (subtype 14) physical segmentation: per-segment
+    # record byte widths. Non-final segments carry 252 DATA bytes inside
+    # a 256-byte record slot; the final segment is exact. Empty for
+    # ordinary variables.
+    vls_segments: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -392,8 +397,9 @@ def _coalesce_very_long(meta: SpssMetadata) -> None:
         v = vs[i]
         if v.is_str and v.string_len > 255:
             n_segments = (v.string_len + 251) // 252
-            total_width = sum(x.width for x in vs[i : i + n_segments])
-            v.width = total_width
+            segs = [x.width * 8 for x in vs[i : i + n_segments]]
+            v.width = sum(segs) // 8
+            v.vls_segments = segs
             out.append(v)
             i += n_segments
         else:
@@ -872,6 +878,7 @@ def _decode_column(col, v: Variable, meta: SpssMetadata, opts: ReadOptions) -> p
 
     # string column
     u8 = np.ascontiguousarray(col).view(np.uint8).reshape(-1, v.width * 8)
+    u8 = _vls_squeeze(u8, v)
     cut = v.string_len if 0 < v.string_len <= u8.shape[1] else u8.shape[1]
     u8 = u8[:, :cut]
     vals = _decode_strings(u8, meta.encoding)
@@ -887,6 +894,23 @@ def _decode_column(col, v: Variable, meta: SpssMetadata, opts: ReadOptions) -> p
         else:
             out.append(s)
     return pa.array(out, type=pa.string())
+
+
+def _vls_squeeze(u8: np.ndarray, v) -> np.ndarray:
+    """Drop very-long-string segment padding: each non-final segment's
+    record slot holds only its first 252 bytes of DATA (the remainder is
+    space padding SPSS inserts to fill the 255-byte segment variable) —
+    naive concatenation would splice those pad bytes into the middle of
+    the value. No-op for ordinary variables."""
+    segs = getattr(v, "vls_segments", None)
+    if not segs or len(segs) < 2:
+        return u8
+    parts, off = [], 0
+    for k, w in enumerate(segs):
+        take = min(252, w) if k < len(segs) - 1 else w
+        parts.append(u8[:, off : off + take])
+        off += w
+    return np.hstack(parts)
 
 
 def _decode_strings(u8: np.ndarray, encoding: str) -> list[str]:
@@ -940,6 +964,7 @@ def _string_indicator_column(col, v, meta, use_labels: bool = True) -> pa.Array:
     """Declared-missing-string indicator: the declared value's label if
     one exists, else the string itself; null when not user-missing."""
     u8 = np.ascontiguousarray(col).view(np.uint8).reshape(len(col), -1)
+    u8 = _vls_squeeze(u8, v)
     cut = v.string_len if 0 < v.string_len <= u8.shape[1] else u8.shape[1]
     vals = _decode_strings(u8[:, :cut], meta.encoding)
     labels = meta.value_labels.get(v.value_label, {}) if use_labels else {}

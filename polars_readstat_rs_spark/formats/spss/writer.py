@@ -25,6 +25,17 @@ import pyarrow as pa
 from .parser import SAV_MISSING, SPSS_SEC_SHIFT
 
 _MAX_STR = 255
+_MAX_VLS = 32767  # SPSS very-long-string ceiling (subtype 14)
+
+
+def _vls_seg_units(total: int) -> list[int]:
+    """Per-segment record widths (8-byte units) for a very long string
+    of ``total`` declared bytes: ceil(total/252) segments, non-final
+    segments occupy 32 units (255-byte variables), the final segment is
+    sized to the remaining declared bytes."""
+    nseg = (total + 251) // 252
+    tail = total - 252 * (nseg - 1)
+    return [32] * (nseg - 1) + [(tail + 7) // 8]
 
 
 def _short_names(names: list[str]) -> list[str]:
@@ -55,12 +66,11 @@ class _Col:
         self.fmt_code = 5  # F (plain numeric)
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             vals = [(x or "").encode("utf-8") for x in self.arr.to_pylist()]
-            w = min(max((len(b) for b in vals), default=1), _MAX_STR)
-            w = max(w, 1)
-            if any(len(b) > _MAX_STR for b in vals):
+            w = max(max((len(b) for b in vals), default=1), 1)
+            if w > _MAX_VLS:
                 raise ValueError(
-                    f"column {name}: string values over {_MAX_STR} bytes are not supported "
-                    "by the .sav writer (reference limit)"
+                    f"column {name}: string values over {_MAX_VLS} bytes exceed "
+                    "the .sav very-long-string limit"
                 )
             if declared_len is not None:
                 if w > declared_len:
@@ -68,17 +78,36 @@ class _Col:
                         f"column {name}: value of {w} bytes exceeds the declared "
                         f"string_widths width {declared_len}"
                     )
-                w = max(1, min(int(declared_len), _MAX_STR))
+                w = max(1, min(int(declared_len), _MAX_VLS))
             self.is_str = True
             self.string_len = w
-            self.width = (w + 7) // 8
-            pad_w = self.width * 8
-            self.data = np.array([b.ljust(pad_w, b" ") for b in vals], dtype=f"S{pad_w}")
             self.fmt_code = 1  # A
+            if w <= _MAX_STR:
+                self.seg_units = None
+                self.width = (w + 7) // 8
+                pad_w = self.width * 8
+                self.data = np.array([b.ljust(pad_w, b" ") for b in vals], dtype=f"S{pad_w}")
+                return
+            # very long string (beyond the reference's 255-byte writer
+            # limit): SPSS subtype-14 segmentation — non-final segments
+            # are 255-byte variables whose record slot (256 bytes) holds
+            # 252 DATA bytes + padding; the final segment is exact.
+            self.seg_units = _vls_seg_units(w)
+            self.width = sum(self.seg_units)
+            nseg = len(self.seg_units)
+            rows = []
+            for b in vals:
+                chunks = []
+                for k, su in enumerate(self.seg_units):
+                    piece = b[252 * k : 252 * k + (252 if k < nseg - 1 else su * 8)]
+                    chunks.append(piece.ljust(su * 8, b" "))
+                rows.append(b"".join(chunks))
+            self.data = np.array(rows, dtype=f"S{self.width * 8}")
             return
         self.is_str = False
         self.string_len = 0
         self.width = 1
+        self.seg_units = None
         if pa.types.is_date32(t):
             days = np.asarray(self.arr.cast(pa.int32()).fill_null(0), dtype=np.int64)
             v = (days * 86400 + SPSS_SEC_SHIFT).astype(np.float64)
@@ -112,6 +141,8 @@ class SavSpec:
     string_len: int  # declared byte length (0 numeric)
     width: int  # 8-byte units per row
     fmt_code: int
+    # very-long-string physical segmentation (None for ordinary columns)
+    seg_units: list[int] | None = None
 
 
 def _dictionary_bytes(
@@ -145,30 +176,65 @@ def _dictionary_bytes(
     out += hdr
 
     # ---- variable records (type 2) with continuations for wide strings
+    used_shorts = {c.short for c in specs}
+
+    def _seg_short(base: str, k: int) -> str:
+        cand = (base[:5] or "V")[:5] + f"S{k}"
+        j = 0
+        while cand in used_shorts:
+            j += 1
+            cand = (base[:4] or "V")[:4] + f"S{k}{j}"
+        used_shorts.add(cand)
+        return cand
+
+    def _var_record(typ: int, decl_len: int, short: str, vlabel: bytes, miss, units: int):
+        rec = bytearray()
+        rec += struct.pack(endian + "i", 2)
+        rec += struct.pack(endian + "iii", typ, 1 if vlabel else 0, len(miss))
+        if typ > 0:
+            print_fmt = (1 << 16) | (min(decl_len, 255) << 8)
+        else:
+            fmt_code = 5
+            print_fmt = (fmt_code << 16) | (8 << 8) | 2
+        rec += struct.pack(endian + "I", print_fmt)
+        rec += struct.pack(endian + "I", print_fmt)
+        rec += short.encode("ascii").ljust(8)[:8]
+        if vlabel:
+            rec += struct.pack(endian + "I", len(vlabel))
+            pad = (len(vlabel) + 3) // 4 * 4
+            rec += vlabel.ljust(pad, b"\0")
+        for m in miss:
+            rec += struct.pack(endian + "d", float(m))
+        for _ in range(units - 1):  # string continuation records
+            rec += struct.pack(endian + "i", 2)
+            rec += struct.pack(endian + "iii", -1, 0, 0)
+            rec += struct.pack(endian + "II", 0, 0)
+            rec += b"        "
+        return bytes(rec)
+
     for c in specs:
         vlabel = variable_labels.get(c.name, "").encode("utf-8")
-        typ = c.string_len if c.is_str else 0
         miss = [] if c.is_str else list(user_missing.get(c.name, []))[:3]
-        out += struct.pack(endian + "i", 2)
-        out += struct.pack(endian + "iii", typ, 1 if vlabel else 0, len(miss))
+        if c.seg_units:
+            # very long string: one 255-byte variable per non-final
+            # segment + the exact-width final segment; the true length
+            # rides in the subtype-14 record below
+            nseg = len(c.seg_units)
+            tail = c.string_len - 252 * (nseg - 1)
+            for k, su in enumerate(c.seg_units):
+                decl = 255 if k < nseg - 1 else tail
+                short = c.short if k == 0 else _seg_short(c.short, k)
+                out += _var_record(decl, decl, short, vlabel if k == 0 else b"", [], su)
+            continue
         if c.is_str:
-            print_fmt = (c.fmt_code << 16) | (min(c.string_len, 255) << 8)
+            out += _var_record(c.string_len, c.string_len, c.short, vlabel, [], c.width)
         else:
-            print_fmt = (c.fmt_code << 16) | (8 << 8) | 2
-        out += struct.pack(endian + "I", print_fmt)
-        out += struct.pack(endian + "I", print_fmt)
-        out += c.short.encode("ascii").ljust(8)[:8]
-        if vlabel:
-            out += struct.pack(endian + "I", len(vlabel))
-            pad = (len(vlabel) + 3) // 4 * 4
-            out += vlabel.ljust(pad, b"\0")
-        for m in miss:
-            out += struct.pack(endian + "d", float(m))
-        for _ in range(c.width - 1):  # string continuation records
-            out += struct.pack(endian + "i", 2)
-            out += struct.pack(endian + "iii", -1, 0, 0)
-            out += struct.pack(endian + "II", 0, 0)
-            out += b"        "
+            fmt = bytearray(_var_record(0, 0, c.short, vlabel, miss, 1))
+            # numeric print/write format code comes from the spec
+            pf = (c.fmt_code << 16) | (8 << 8) | 2
+            struct.pack_into(endian + "I", fmt, 16, pf)
+            struct.pack_into(endian + "I", fmt, 20, pf)
+            out += bytes(fmt)
 
     # ---- value labels (type 3 + 4), numeric keys only
     offsets = {}
@@ -192,6 +258,11 @@ def _dictionary_bytes(
     # ---- subtype 13: long variable names
     entries = "\t".join(f"{c.short}={c.name}" for c in specs).encode("utf-8")
     out += struct.pack(endian + "iiII", 7, 13, 1, len(entries)) + entries
+    # ---- subtype 14: very-long-string true lengths (KEY=len entries)
+    vls = [c for c in specs if c.seg_units]
+    if vls:
+        body = b"".join(f"{c.short}={c.string_len}".encode("ascii") + b"\x00\t" for c in vls)
+        out += struct.pack(endian + "iiII", 7, 14, 1, len(body)) + body
     # ---- subtype 20: encoding
     out += struct.pack(endian + "iiII", 7, 20, 1, 5) + b"UTF-8"
     # ---- dict termination
@@ -231,7 +302,7 @@ def write_sav(
     nobs = table.num_rows
 
     specs = [
-        SavSpec(c.name, s, c.is_str, c.string_len, c.width, c.fmt_code)
+        SavSpec(c.name, s, c.is_str, c.string_len, c.width, c.fmt_code, c.seg_units)
         for c, s in zip(cols, shorts)
     ]
     out = bytearray(
@@ -344,6 +415,7 @@ def encode_sav_section(batch, declared: dict[str, int] | None = None) -> tuple[b
                 "string_len": c.string_len,
                 "width": c.width,
                 "fmt_code": c.fmt_code,
+                "seg_units": c.seg_units,
             }
             for c in cols
         ],
@@ -438,6 +510,25 @@ def assemble_sav(
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             sl = max((s["cols"][i]["string_len"] for s in all_secs), default=1)
             sl = max(sl, declared.get(f.name, 0), 1)
+            if sl > _MAX_STR:
+                # very long string: every section must already be in the
+                # global segment layout — guaranteed when the width is
+                # declared (string_widths), the scalable path. Undeclared
+                # VLS widths can disagree across partitions; re-striding
+                # between different SEGMENTED layouts is deliberately
+                # unsupported (declare the width instead).
+                segs = _vls_seg_units(sl)
+                for s in all_secs:
+                    c = s["cols"][i]
+                    if c["string_len"] != sl or c["seg_units"] != segs:
+                        raise ValueError(
+                            f"column {f.name}: strings over {_MAX_STR} bytes in a "
+                            "distributed .sav write require a string_widths "
+                            "declaration so every partition encodes the same "
+                            "segment layout"
+                        )
+                specs.append(SavSpec(f.name, shorts[i], True, sl, sum(segs), 1, segs))
+                continue
             specs.append(SavSpec(f.name, shorts[i], True, sl, (sl + 7) // 8, 1))
         else:
             fmt = 20 if pa.types.is_date32(t) else 22 if pa.types.is_timestamp(t) else 5

@@ -591,3 +591,74 @@ def test_zsav_distributed_write_roundtrip(spark, tmp_path):
         F.count("*").alias("n"), F.sum("K").alias("s"), F.countDistinct("S").alias("d")
     ).collect()[0]
     assert (agg.n, agg.d) == (n, n) and agg.s == n * (n - 1) / 2
+
+
+# --------------------------------------------------- very long strings
+
+
+def test_vls_write_read_roundtrip(tmp_path):
+    """Strings over 255 bytes write as SPSS subtype-14 segments
+    (non-final 255-byte variables carrying 252 data bytes each) and
+    coalesce back exactly — including the 252/253 segment-boundary
+    cases where naive concatenation would splice pad bytes in."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.spss import writer as W
+
+    vals = ["x" * 600, "short", "", None, "q" * 252, "r" * 253, "s" * 504, "t" * 1024]
+    t = pa.table(
+        {
+            "k": pa.array([float(i) for i in range(len(vals))]),
+            "txt": pa.array(vals),
+            "m": pa.array(["tail"] * len(vals)),
+        }
+    )
+    p = str(tmp_path / "vls.sav")
+    W.write_sav(t, p)
+    meta = parser.read_metadata(p)
+    v = next(x for x in meta.variables if x.name == "txt")
+    assert v.string_len == 1024 and v.vls_segments[0] == 256
+    assert len(v.vls_segments) == (1024 + 251) // 252
+    out = parser.read_table(p)
+    exp = ["x" * 600, "short", None, None, "q" * 252, "r" * 253, "s" * 504, "t" * 1024]
+    assert out.column("txt").to_pylist() == exp
+    assert out.column("m").to_pylist() == ["tail"] * 8  # layout after VLS intact
+
+
+def test_vls_compressed_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.spss import writer as W
+
+    vals = ["y" * 300, "z" * 299]
+    t = pa.table({"txt": pa.array(vals)})
+    p = str(tmp_path / "vls_rle.sav")
+    W.write_sav(t, p, compress=True)
+    out = parser.read_table(p)
+    assert out.column("txt").to_pylist() == vals
+
+
+def test_vls_distributed_requires_declared_width(spark, tmp_path):
+    import json
+
+    from polars_readstat_rs_spark.api import _ensure_registered
+
+    _ensure_registered(spark)
+    df = spark.range(0, 60).selectExpr(
+        "cast(id as double) as k",
+        "repeat(substring('abcde', cast(id % 5 as int) + 1, 1), "
+        "cast(id % 400 as int) + 1) as txt",
+    )
+    p = str(tmp_path / "vls_dist.sav")
+    (
+        df.repartition(3)
+        .write.format("readstat")
+        .mode("overwrite")
+        .option("string_widths", json.dumps({"txt": 400}))
+        .save(p)
+    )
+    back = spark.read.format("readstat").load(p)
+    from pyspark.sql import functions as F
+
+    row = back.agg(F.sum(F.length("txt")).alias("n"), F.count("*").alias("c")).collect()[0]
+    assert row["c"] == 60 and row["n"] == sum((i % 400) + 1 for i in range(60))
