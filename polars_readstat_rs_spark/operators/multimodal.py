@@ -697,3 +697,52 @@ def resize_images(multimodal: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def resample_audio(multimodal: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor audio downsampling over REAL WAV payloads: decode
+    the RIFF container, decimate by ``factor`` (every factor-th sample,
+    the rate-reduction pass before a fixed-sample-rate model), RE-ENCODE
+    at the reduced sample rate and decode again for the emitted
+    statistics — so the gate pins decode -> decimate -> encode -> decode
+    end-to-end, like the image-resize gate (m08). Anti-alias filtering
+    (FIR before decimation) would slot into the same kernel but has no
+    closed-form SQL oracle; the decimation index map does. Arrow-batched
+    mapInPandas; payloads move once, no shuffle."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "n_out", "sample_rate", "sum_vals", "energy")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                d = decode_wav(bytes(payload))
+                s2 = d["samples"][::factor]
+                enc = encode_wav(
+                    s2.astype(np.uint8), sample_rate=d["sample_rate"] // factor
+                )
+                d2 = decode_wav(enc)
+                v = d2["samples"].astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_out"].append(int(v.size))
+                rows["sample_rate"].append(int(d2["sample_rate"]))
+                rows["sum_vals"].append(int(v.sum()))
+                rows["energy"].append(int((v * v).sum()))
+            out = pd.DataFrame(rows)
+            out["n_out"] = out["n_out"].astype("int32")
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["sum_vals"] = out["sum_vals"].astype("int64")
+            out["energy"] = out["energy"].astype("int64")
+            yield out
+
+    return multimodal.mapInPandas(fn, RESAMPLE_SCHEMA)

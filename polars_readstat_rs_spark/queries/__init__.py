@@ -111,6 +111,8 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "p12_interleave",
     "v13_quantize_int8",
     "r19_por_roundtrip_agg",
+    "m09_audio_resample",
+    "q87_grouped_mode",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

@@ -172,3 +172,35 @@ def v13_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB agree bitwise; the squared-error sum folds left in the same
     element order as the v-family dot products. Map-only, no shuffle."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- m09 audio resample
+
+
+@register(
+    "m09_audio_resample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, (64 + doc_id % 32 + 1) // 2)) AS j
+      FROM documents),
+    v AS (SELECT doc_id, j, (doc_id * 31 + (2 * j) * 7) % 256 AS smp FROM s)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_out,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(sum(smp) AS BIGINT) AS sum_vals,
+           CAST(sum(smp * smp) AS BIGINT) AS energy
+    FROM v GROUP BY doc_id
+    """,
+)
+def m09_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-downsampling gate (operators/multimodal.py:
+    resample_audio): WAV payloads decoded by the RIFF parser, decimated
+    2:1, re-encoded at 4 kHz and decoded again — the oracle recomputes
+    every kept sample from the synthesis closed form (sample i =
+    (doc_id*31 + 7i) % 256, keeping even i), so a hash match proves the
+    full decode -> decimate -> encode -> decode chain."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resample_audio(
+        multimodal.synth_media_payloads(docs, kind="wav"), factor=2
+    )

@@ -1165,3 +1165,45 @@ def q86_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_distinct_types"),
     )
+
+
+@register(
+    "q87_grouped_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY n DESC, o_orderpriority ASC) AS INT) AS rk
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def q87_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped MODE (most frequent value, lexicographic
+    tie-break). Spark 3.4+ ships F.mode but leaves ties implementation-
+    defined; the scalable deterministic shape is count-then-argmax:
+    one partial-aggregated groupBy on (group, value) — map-side combine
+    keeps the shuffle at distinct-pair cardinality, not row count —
+    then a row_number window over the tiny per-group value list. Both
+    engines run the identical formulation, so the tie-break is pinned."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
