@@ -203,8 +203,8 @@ def _dictionary_bytes(
             rec += struct.pack(endian + "I", len(vlabel))
             pad = (len(vlabel) + 3) // 4 * 4
             rec += vlabel.ljust(pad, b"\0")
-        for m in miss:
-            rec += struct.pack(endian + "d", float(m))
+        for m in miss:  # pre-encoded 8-byte blobs (numeric or string)
+            rec += m
         for _ in range(units - 1):  # string continuation records
             rec += struct.pack(endian + "i", 2)
             rec += struct.pack(endian + "iii", -1, 0, 0)
@@ -214,7 +214,19 @@ def _dictionary_bytes(
 
     for c in specs:
         vlabel = variable_labels.get(c.name, "").encode("utf-8")
-        miss = [] if c.is_str else list(user_missing.get(c.name, []))[:3]
+        if c.is_str:
+            # string user-missing: SPSS allows up to 3 declared values
+            # for strings of width <= 8 (space-padded 8-byte blobs)
+            miss = [
+                str(m).encode("utf-8")[:8].ljust(8, b" ")
+                for m in list(user_missing.get(c.name, []))[:3]
+                if c.string_len <= 8
+            ]
+        else:
+            miss = [
+                struct.pack(endian + "d", float(m))
+                for m in list(user_missing.get(c.name, []))[:3]
+            ]
         if c.seg_units:
             # very long string: one 255-byte variable per non-final
             # segment + the exact-width final segment; the true length
@@ -227,7 +239,7 @@ def _dictionary_bytes(
                 out += _var_record(decl, decl, short, vlabel if k == 0 else b"", [], su)
             continue
         if c.is_str:
-            out += _var_record(c.string_len, c.string_len, c.short, vlabel, [], c.width)
+            out += _var_record(c.string_len, c.string_len, c.short, vlabel, miss, c.width)
         else:
             fmt = bytearray(_var_record(0, 0, c.short, vlabel, miss, 1))
             # numeric print/write format code comes from the spec
@@ -236,7 +248,9 @@ def _dictionary_bytes(
             struct.pack_into(endian + "I", fmt, 20, pf)
             out += bytes(fmt)
 
-    # ---- value labels (type 3 + 4), numeric keys only
+    # ---- value labels (type 3 + 4): numeric keys, plus short-string
+    # keys (<= 8 bytes, space-padded blobs — the same layout the reader
+    # trims back, parser.py value-label handling)
     offsets = {}
     seg = 0
     for c in specs:
@@ -244,11 +258,16 @@ def _dictionary_bytes(
         seg += c.width
     for c in specs:
         mapping = value_labels.get(c.name)
-        if not mapping or c.is_str:
+        if not mapping:
             continue
+        if c.is_str and c.string_len > 8:
+            continue  # long-string labels need subtype 21 (read-only here)
         out += struct.pack(endian + "iI", 3, len(mapping))
-        for k in sorted(mapping):
-            out += struct.pack(endian + "d", float(k))
+        for k in sorted(mapping, key=str if c.is_str else float):
+            if c.is_str:
+                out += str(k).encode("utf-8")[:8].ljust(8, b" ")
+            else:
+                out += struct.pack(endian + "d", float(k))
             lab = mapping[k].encode("utf-8")[:255]
             out += bytes([len(lab)])
             padded = (len(lab) + 8) // 8 * 8 - 1

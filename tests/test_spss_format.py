@@ -662,3 +662,32 @@ def test_vls_distributed_requires_declared_width(spark, tmp_path):
 
     row = back.agg(F.sum(F.length("txt")).alias("n"), F.count("*").alias("c")).collect()[0]
     assert row["c"] == 60 and row["n"] == sum((i % 400) + 1 for i in range(60))
+
+
+def test_string_value_labels_and_missing_write(tmp_path):
+    """Short-string (<= 8 byte) value labels and user-missing strings
+    write as type-3 records with space-padded 8-byte keys — previously
+    the writer was numeric-only (the reference's own writer limit)."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.spss import writer as W
+
+    t = pa.table({"code": pa.array(["A", "B", "NA", "C"]), "grp": pa.array([1.0, 2.0, 3.0, 9.0])})
+    p = str(tmp_path / "strlab.sav")
+    W.write_sav(
+        t,
+        p,
+        value_labels={"code": {"A": "alpha", "B": "beta"}, "grp": {1.0: "one", 2.0: "two"}},
+        user_missing={"code": ["NA"], "grp": [9.0]},
+    )
+    m = parser.read_metadata(p)
+    v = next(x for x in m.variables if x.name == "code")
+    assert v.missing_strings == ["NA"]
+    out = parser.read_table(p)
+    assert out.column("code").to_pylist() == ["alpha", "beta", None, "C"]
+    assert out.column("grp").to_pylist() == ["one", "two", "3", None]
+    raw = parser.read_table(
+        p, opts=parser.ReadOptions(value_labels_as_strings=False, user_missing_as_null=False)
+    )
+    assert raw.column("code").to_pylist() == ["A", "B", "NA", "C"]
+    assert raw.column("grp").to_pylist() == [1.0, 2.0, 3.0, 9.0]
