@@ -1288,3 +1288,27 @@ def quantize_int8(
             F.transform("err", lambda e: e * e), F.lit(0.0), lambda a, x: a + x
         ).alias("sse"),
     )
+
+
+def dequantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Quantize-then-reconstruct projection: the corpus an int8 ANN
+    index actually searches. Same code path as :func:`quantize_int8`
+    (floor(x*127/amax + 0.5), dequant q*amax/127 — plain IEEE
+    arithmetic, oracle-bitwise); pair with :func:`ann_recall` to
+    measure the recall cost of 4x vector compression before committing
+    a 100 TB corpus to it (v14). Map-only projection."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v")).withColumn(
+        "amax", F.array_max(F.transform("v", F.abs))
+    )
+    dq = F.transform(
+        "v",
+        lambda x: F.when(F.col("amax") == 0.0, F.lit(0.0)).otherwise(
+            F.floor(x * F.lit(127.0) / F.col("amax") + F.lit(0.5)).cast("double")
+            * F.col("amax")
+            / F.lit(127.0)
+        ),
+    )
+    return base.select(F.col(id_col), dq.alias(vec_col))

@@ -669,3 +669,24 @@ def url_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
             F.countDistinct("path").alias("n_distinct_paths"),
         )
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first mapper of nearly every
+    pretraining pipeline: lowercase, strip characters outside
+    [a-z0-9 ], collapse whitespace runs, trim. Emits the normalized
+    text's md5 plus before/after size stats so the gate output stays
+    small while pinning every byte of the transform. Pure JVM
+    expressions (regexp chains with character-class-only patterns that
+    Java regex and RE2 evaluate identically); map-only, scales as the
+    scan."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, "  +", " "))
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("int").alias("n_chars_raw"),
+        F.length(collapsed).cast("int").alias("n_chars_norm"),
+        F.size(F.split(collapsed, " ")).cast("int").alias("n_words_norm"),
+        F.md5(collapsed).alias("norm_md5"),
+    )

@@ -113,6 +113,8 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "r19_por_roundtrip_agg",
     "m09_audio_resample",
     "q87_grouped_mode",
+    "t20_normalize_text",
+    "v14_quantized_recall",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

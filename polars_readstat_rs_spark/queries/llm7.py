@@ -204,3 +204,112 @@ def m09_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resample_audio(
         multimodal.synth_media_payloads(docs, kind="wav"), factor=2
     )
+
+
+# ------------------------------------------------- t20 text normalization
+
+# deterministic noise injection so the normalization has work to do on
+# the clean synthetic corpus: mixed case, punctuation, extra spaces
+_T20_NOISY_SQL = (
+    "concat(text, ' ', upper(substring(text, 1, 12)), '!!,', "
+    "CASE WHEN doc_id % 2 = 0 THEN '  double  spaced. ' ELSE ' [tag#' "
+    "|| CAST(doc_id % 13 AS VARCHAR) || ']' END)"
+)
+
+
+@register(
+    "t20_normalize_text",
+    oracle=f"""
+    WITH noisy AS (SELECT doc_id, text, {_T20_NOISY_SQL} AS t2 FROM documents),
+    n AS (SELECT doc_id, t2,
+                 trim(regexp_replace(regexp_replace(lower(t2), '[^a-z0-9 ]', '', 'g'),
+                                     '  +', ' ', 'g')) AS norm
+          FROM noisy)
+    SELECT doc_id,
+           CAST(length(t2) AS INT) AS n_chars_raw,
+           CAST(length(norm) AS INT) AS n_chars_norm,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_words_norm,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def t20_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (operators/textstats.py:
+    normalize_text) over deterministically noised text (mixed case,
+    punctuation, runs of spaces): lowercase -> character-class strip ->
+    whitespace collapse -> trim, gated byte-for-byte via the md5 of the
+    normalized text. DuckDB needs the 'g' flag for global
+    regexp_replace; Spark's is global by default — the hash match
+    proves both chains agree on every byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.upper(F.substring("text", 1, 12)),
+        F.lit("!!,"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("  double  spaced. ")).otherwise(
+            F.concat(F.lit(" [tag#"), (F.col("doc_id") % 13).cast("string"), F.lit("]"))
+        ),
+    )
+    return textstats.normalize_text(
+        docs.select("doc_id", noisy.alias("text"))
+    )
+
+
+# ------------------------------------------------- v14 quantized recall
+
+_V14_K = 10
+
+
+def _v14_oracle() -> str:
+    from .llm import _cosine_sql
+    from .registry import ORACLES
+
+    dequant = (
+        "list_transform(lv, x -> CASE WHEN amax = 0.0 THEN 0.0 "
+        "ELSE floor(x * 127.0 / amax + 0.5) * amax / 127.0 END)"
+    )
+    return f"""
+    WITH bf AS ({ORACLES["v01_cosine_topk"]}),
+    dq AS (
+      SELECT vec_id, {dequant} AS dvec
+      FROM (SELECT vec_id, lv, list_max(list_transform(lv, x -> abs(x))) AS amax
+            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lv
+                  FROM embeddings))),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    ap AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, d.vec_id,
+               {_cosine_sql('q.q_vec', 'd.dvec')} AS sim,
+               CAST(row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_cosine_sql('q.q_vec', 'd.dvec')} DESC, d.vec_id) AS INT) AS rank
+        FROM dq d JOIN q ON d.vec_id <> q.q_id
+      ) WHERE rank <= {_V14_K}),
+    base AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM bf GROUP BY q_id),
+    hits AS (
+      SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM bf JOIN ap ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id
+      GROUP BY bf.q_id)
+    SELECT base.q_id, n_truth, COALESCE(n_hit, 0) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """
+
+
+@register("v14_quantized_recall", oracle=_v14_oracle())
+def v14_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of brute-force search over the int8-reconstructed
+    corpus (operators/similarity.py:dequantize_int8) against exact
+    float ground truth — the eval a pipeline runs before committing an
+    embedding corpus to 4x-compressed storage. Composes v13's exact
+    quantization arithmetic with the v01/v06 recall harness; both
+    engines compute bit-identical reconstructed vectors, so the recall
+    numbers hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(emb, queries, k=_V14_K)
+    approx = similarity.brute_force_topk(
+        similarity.dequantize_int8(emb), queries, k=_V14_K
+    )
+    return similarity.ann_recall(truth, approx, k=_V14_K)
