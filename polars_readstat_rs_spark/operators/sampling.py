@@ -405,12 +405,18 @@ def interleave_sources(
     interspersed rather than in blocks. Within a source the order is a
     deterministic md5 shuffle (same device as deterministic_shuffle).
 
-    Scale shape: one hash-partitioned window per source to number the
-    rows (the same shuffle a repartition-by-source would pay), then one
-    global sort — which Spark executes as a range-partitioned sort, the
-    exact plan you want for writing an ordered training mix at 100 TB.
-    No driver-side state; weights is a Column so callers can derive it
-    from metadata joins without collecting."""
+    Scale shape: one hash-partitioned window per source numbers the
+    rows (the shuffle a repartition-by-source would pay). The global
+    position NEVER uses a partitionless window (that collapses the
+    whole dataset onto one task): with ``limit`` the schedule head is
+    taken via orderBy().limit() — Spark's distributed TakeOrdered —
+    and only the bounded head is numbered; without ``limit`` the
+    positions come from a range-partitioned sort plus per-partition
+    prefix offsets (a bounded partition-count aggregate broadcast back)
+    — the same two-phase zip-index every engine uses for global
+    numbering at scale. No driver-side state beyond the per-partition
+    counts; weights is a Column so callers can derive it from metadata
+    joins without collecting."""
     if weights is None:
         # default: weight 1..3 by the numeric suffix of the source name
         weights = (
@@ -423,10 +429,29 @@ def interleave_sources(
         F.col(id_col), F.col(source_col), weights.alias("w_src")
     ).withColumn("seq", F.row_number().over(w))
     d = d.withColumn("vtime", F.col("seq").cast("double") / F.col("w_src"))
-    order = Window.orderBy("vtime", source_col, "seq")
-    out = d.withColumn("global_pos", F.row_number().over(order)).select(
-        id_col, source_col, "seq", "vtime", "global_pos"
-    )
+    sort_cols = [F.col("vtime"), F.col(source_col), F.col("seq")]
     if limit is not None:
-        out = out.filter(F.col("global_pos") <= limit)
-    return out
+        head = d.orderBy(*sort_cols).limit(limit)
+        order = Window.orderBy(*sort_cols)  # bounded: <= limit rows
+        return head.withColumn("global_pos", F.row_number().over(order)).select(
+            id_col, source_col, "seq", "vtime", "global_pos"
+        )
+    srt = d.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    srt = srt.withColumn("_pid", F.spark_partition_id())
+    counts = srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select("_pid", "_off")  # one row per partition — broadcast model
+    local = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        srt.withColumn("_local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            source_col,
+            "seq",
+            "vtime",
+            (F.col("_off") + F.col("_local")).cast("int").alias("global_pos"),
+        )
+    )
