@@ -605,3 +605,46 @@ def test_readstat_stream_sink_sas7bdat(spark, tmp_path, sf_dir):
     back = spark.read.format("readstat").load(str(out))
     assert back.count() == len(nation)
     assert sorted(r.n_name for r in back.collect()) == sorted(nation.n_name)
+
+
+def test_readstat_stream_sink_por(spark, tmp_path, sf_dir):
+    """option('format','por'): the streaming sink writes immutable
+    SPSS Portable part files (exact base-30 doubles), readable back by
+    the batch reader — completing the sink matrix for every format the
+    engine reads."""
+    from polars_readstat_rs_spark.datasource import register as register_ds
+    from polars_readstat_rs_spark.formats.spss import portable as P
+    from polars_readstat_rs_spark.tables import load_table
+
+    register_ds(spark)
+    drop = tmp_path / "in_p"
+    drop.mkdir()
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .selectExpr("CAST(n_nationkey AS DOUBLE) AS nkey", "n_name")
+        .toPandas()
+    )
+    tmp = drop / ".a.dta.tmp"
+    nation.to_stata(str(tmp), version=118, write_index=False)
+    tmp.rename(drop / "a.dta")
+
+    out = tmp_path / "out_por"
+    q = (
+        spark.readStream.format("readstat")
+        .load(str(drop))
+        .writeStream.format("readstat")
+        .option("format", "por")
+        .option("checkpointLocation", str(tmp_path / "ck_por"))
+        .start(str(out))
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = sorted(out.glob("part-*.por"))
+    assert parts
+    meta = P.read_metadata(str(parts[0]))
+    assert [v.name for v in meta.variables] == ["nkey", "n_name"]
+    back = spark.read.format("readstat").load(str(out))
+    assert back.count() == len(nation)
+    assert sorted(r.n_name for r in back.collect()) == sorted(nation.n_name)

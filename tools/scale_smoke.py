@@ -254,6 +254,14 @@ def main() -> None:
             "filtered_topk": lambda: similarity.filtered_topk(
                 emb, emb.filter(F.col("vec_id") < 5)
             ),
+            # r8 third-wave operators: the interleave's UNLIMITED path is
+            # the interesting one (two-phase range-sort + prefix-sum
+            # numbering — the global-window shape it replaced would have
+            # been a single-task sort and failed this smoke by design)
+            "interleave": lambda: sampling.interleave_sources(docs, "doc_id", "source"),
+            "ngram_diversity": lambda: textstats.ngram_diversity(docs),
+            "normalize_text": lambda: textstats.normalize_text(docs),
+            "quantize_int8": lambda: similarity.quantize_int8(emb),
             # adversarial skew: every doc identical -> every simhash band
             # bucket holds the WHOLE corpus. With the max_bucket cap the
             # band self-join is O(cap^2) regardless of n, so wall time
