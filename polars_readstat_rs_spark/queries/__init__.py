@@ -115,6 +115,7 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "q87_grouped_mode",
     "t20_normalize_text",
     "v14_quantized_recall",
+    "d14_lsh_recall",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

@@ -313,3 +313,59 @@ def v14_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.dequantize_int8(emb), queries, k=_V14_K
     )
     return similarity.ann_recall(truth, approx, k=_V14_K)
+
+
+# ------------------------------------------------- d14 LSH recall eval
+
+
+def _d14_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH ex AS ({ORACLES["d02_dedup_ngram_jaccard"]}),
+    cd AS (SELECT DISTINCT a_id, b_id FROM ({ORACLES["d03_dedup_minhash_lsh"]})
+           WHERE jaccard >= 0.2),
+    hits AS (
+      SELECT ex.jaccard, (cd.a_id IS NOT NULL) AS found
+      FROM ex LEFT JOIN cd ON ex.a_id = cd.a_id AND ex.b_id = cd.b_id)
+    SELECT LEAST(CAST(floor(jaccard * 10) AS INT), 9) AS sim_bucket,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS recall
+    FROM hits GROUP BY sim_bucket
+    """
+
+
+@register("d14_lsh_recall", oracle=_d14_oracle())
+def d14_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall against exact n-gram-Jaccard ground truth,
+    bucketed by similarity decile — the S-curve eval a pipeline runs to
+    size bands/rows before trusting LSH as the frontline dedup at
+    100 TB (where the d02 exact all-pairs oracle is impossible). Uses
+    the same operators the d02/d03 gates pin, so the only new logic is
+    the join + bucketing; recall is exact-count arithmetic."""
+    from ..operators import dedup
+    from .llm import _SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=_SHINGLE_N, threshold=0.2)
+    cand = (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=_SHINGLE_N)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    hits = exact.join(
+        cand.withColumn("_found", F.lit(True)), ["a_id", "b_id"], "left"
+    ).select("jaccard", F.coalesce(F.col("_found"), F.lit(False)).alias("found"))
+    return hits.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias("sim_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("found"), 1).otherwise(0)).cast("bigint").alias("n_found"),
+        (
+            F.sum(F.when(F.col("found"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
