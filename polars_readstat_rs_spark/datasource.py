@@ -288,6 +288,7 @@ class ReadstatDataSource(DataSource):
                 variable_labels,
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
+                version=int(self.options.get("dta_version", "118")),
             )
         if fmt == "spss":
             # a .zsav target implies the zlib container; otherwise the
@@ -878,11 +879,13 @@ class _DtaWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, path: str, schema, value_labels=None, variable_labels=None,
-                 staging_dir: str | None = None, string_widths=None):
+                 staging_dir: str | None = None, string_widths=None, version: int = 118):
         import uuid
 
         self.path = path
         self.schema = schema
+        # option("dta_version", "117"): pre-Stata-14 output (no strL)
+        self.version = version
         # option("string_widths", '{"col": bytes}'): sections encode at
         # the declared width, so commit()'s fast path byte-copies them
         self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
@@ -925,6 +928,7 @@ class _DtaWriter(DataSourceArrowWriter):
             value_labels=self.value_labels,
             variable_labels=self.variable_labels,
             declared=self.string_widths,
+            version=self.version,
         )
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 

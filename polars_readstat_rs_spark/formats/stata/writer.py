@@ -248,7 +248,16 @@ class DtaStreamWriter:
         value_labels: dict[str, dict[int, str]] | None = None,
         variable_labels: dict[str, str] | None = None,
         data_label: str = "",
+        version: int = 118,
     ):
+        if version not in (117, 118):
+            raise ValueError(f"dta writer supports versions 117 and 118, got {version}")
+        if version == 117 and any(c.typecode == _TYPE_STRL for c in specs):
+            # v117 GSO/(v,o) packing differs (u32+u32 vs 2+6); strL
+            # columns stay a v118 feature here — declare string_widths
+            # <= 2045 or write v118
+            raise ValueError("strL (long string) columns require dta version 118")
+        self.version = version
         self.path = path
         self.specs = specs
         self.nobs = nobs
@@ -269,11 +278,24 @@ class DtaStreamWriter:
         assert self._state == "new"
         specs = self.specs
         nvar = len(specs)
-        enc_label = self.data_label.encode("utf-8")[:320]
-        self._w(b"<stata_dta><header><release>118</release><byteorder>LSF</byteorder>")
+        v8 = self.version >= 118
+        # v117 section widths per the dta_117 spec (and parser._layout):
+        # names/label-names 33, formats 49, variable labels 81, N u32,
+        # data label u8-length (<= 80); text nominally latin-1 — ASCII
+        # content roundtrips everywhere, see write_dta docstring
+        self._nm = 129 if v8 else 33
+        self._fm = 57 if v8 else 49
+        self._vl = 321 if v8 else 81
+        rel = b"118" if v8 else b"117"
+        enc_label = self.data_label.encode("utf-8")[: 320 if v8 else 80]
+        self._w(b"<stata_dta><header><release>" + rel + b"</release><byteorder>LSF</byteorder>")
         self._w(b"<K>" + struct.pack("<H", nvar) + b"</K>")
-        self._w(b"<N>" + struct.pack("<Q", self.nobs) + b"</N>")
-        self._w(b"<label>" + struct.pack("<H", len(enc_label)) + enc_label + b"</label>")
+        if v8:
+            self._w(b"<N>" + struct.pack("<Q", self.nobs) + b"</N>")
+            self._w(b"<label>" + struct.pack("<H", len(enc_label)) + enc_label + b"</label>")
+        else:
+            self._w(b"<N>" + struct.pack("<I", self.nobs) + b"</N>")
+            self._w(b"<label>" + bytes([len(enc_label)]) + enc_label + b"</label>")
         self._w(b"<timestamp>" + bytes([17]) + _pad(b"01 Jan 2026 00:00", 17) + b"</timestamp>")
         self._w(b"</header>")
 
@@ -289,7 +311,7 @@ class DtaStreamWriter:
         self._mark("varnames")
         self._w(b"<varnames>")
         for c in specs:
-            self._w(_pad(c.name.encode("utf-8"), 129))
+            self._w(_pad(c.name.encode("utf-8"), self._nm))
         self._w(b"</varnames>")
 
         self._mark("sortlist")
@@ -298,19 +320,19 @@ class DtaStreamWriter:
         self._mark("formats")
         self._w(b"<formats>")
         for c in specs:
-            self._w(_pad(c.fmt.encode(), 57))
+            self._w(_pad(c.fmt.encode(), self._fm))
         self._w(b"</formats>")
 
         self._mark("value_label_names")
         self._w(b"<value_label_names>")
         for c in specs:
-            self._w(_pad(c.label_name.encode("utf-8"), 129))
+            self._w(_pad(c.label_name.encode("utf-8"), self._nm))
         self._w(b"</value_label_names>")
 
         self._mark("variable_labels")
         self._w(b"<variable_labels>")
         for c in specs:
-            self._w(_pad(self.variable_labels.get(c.name, "").encode("utf-8"), 321))
+            self._w(_pad(self.variable_labels.get(c.name, "").encode("utf-8"), self._vl))
         self._w(b"</variable_labels>")
 
         self._mark("characteristics")
@@ -358,7 +380,7 @@ class DtaStreamWriter:
             table_bytes += b"".join(struct.pack("<i", k) for k in keys)
             table_bytes += bytes(txt)
             self._w(b"<lbl>" + struct.pack("<I", len(table_bytes)))
-            self._w(_pad(c.label_name.encode("utf-8"), 129) + b"\0\0\0")
+            self._w(_pad(c.label_name.encode("utf-8"), self._nm) + b"\0\0\0")
             self._w(table_bytes + b"</lbl>")
         self._w(b"</value_labels>")
 
@@ -393,8 +415,13 @@ def write_dta(
     value_labels: dict[str, dict[int, str]] | None = None,
     variable_labels: dict[str, str] | None = None,
     data_label: str = "",
+    version: int = 118,
 ) -> None:
-    """Write an Arrow table as Stata .dta version 118 (single-shot)."""
+    """Write an Arrow table as Stata .dta (single-shot). ``version``:
+    118 (default, UTF-8, strL) or 117 (pre-Stata-14 compat: 32-char
+    names, u32 row count; no strL — strings over 2045 bytes raise;
+    text content should be ASCII/latin-1-safe since v117 readers decode
+    the dictionary as cp1252)."""
     if hasattr(table, "to_arrow"):  # pandas-free duck-typing for Spark DF
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
@@ -425,7 +452,7 @@ def write_dta(
         else:
             rec[f"f{i}"] = c.data
 
-    w = DtaStreamWriter(path, specs, nobs, value_labels, variable_labels, data_label)
+    w = DtaStreamWriter(path, specs, nobs, value_labels, variable_labels, data_label, version=version)
     w.begin()
     w.write_data(rec.tobytes())
     w.write_strls(b"".join(strl_heap))
@@ -697,10 +724,12 @@ def assemble_dta(
     value_labels: dict[str, dict[int, str]] | None = None,
     variable_labels: dict[str, str] | None = None,
     declared: dict[str, int] | None = None,
+    version: int = 118,
 ) -> None:
     """Driver side of the distributed write: stream spilled sections into
     one .dta file. Holds one section in memory at a time — total dataset
-    size is irrelevant to driver memory."""
+    size is irrelevant to driver memory. ``version`` 117 forbids strL
+    (declare string_widths <= 2045 to keep wide strings fixed)."""
     value_labels = value_labels or {}
     all_sections = [s for _, secs in parts for s in secs]
     specs = decide_layout(schema, all_sections, declared=declared)
@@ -709,7 +738,7 @@ def assemble_dta(
             spec.label_name = spec.name
     nobs = sum(s["nrows"] for s in all_sections)
 
-    w = DtaStreamWriter(path, specs, nobs, value_labels, variable_labels)
+    w = DtaStreamWriter(path, specs, nobs, value_labels, variable_labels, version=version)
     w.begin()
 
     # pass 1: records (collect promoted-GSO spill paths for pass 2)

@@ -116,6 +116,7 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "t20_normalize_text",
     "v14_quantized_recall",
     "d14_lsh_recall",
+    "r20_dta_v117_roundtrip",
 )
 
 # Single source of truth for the driver-recorded head — __spark_entry__

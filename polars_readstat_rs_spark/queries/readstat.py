@@ -778,3 +778,46 @@ def r19_por_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r20_dta_v117_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r20_dta_v117_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stata v117 (pre-Stata-14) WRITE gate — the writer matrix gains a
+    version knob (option dta_version=117: 33-byte names, u32 row count,
+    49-byte formats, no strL): parquet -> distributed v117 write -> our
+    v102-119 reader -> aggregate vs DuckDB on the parquet. pandas
+    cross-reads the same file in tests."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r20_{tag}.dta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    (
+        orders.write.format("readstat")
+        .mode("overwrite")
+        .option("dta_version", "117")
+        .save(path)
+    )
+    from ..formats.stata.parser import read_metadata
+
+    assert read_metadata(path).version == 117
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

@@ -305,3 +305,39 @@ def test_dta_declared_string_widths(spark, tmp_path):
         encode_section(batch, declared={"s": 4})
     _, _, meta = encode_section(batch, declared={"s": 10})
     assert meta["cols"][0]["width"] == 10
+
+
+def test_write_dta_v117_pandas_crossread(tmp_path):
+    """dta_version=117: pre-Stata-14 layout (33-byte names, u32 N,
+    49-byte formats), cross-validated by pandas and our own reader;
+    strL columns are rejected with a clear error."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.stata import writer as W
+
+    t = pa.table(
+        {
+            "k": pa.array(range(50), type=pa.int32()),
+            "name": pa.array([f"row{i}" for i in range(50)]),
+            "v": pa.array([i * 0.5 for i in range(50)], type=pa.float64()),
+            "d": pa.array(
+                [datetime.date(2020, 1, 1 + i % 28) for i in range(50)], type=pa.date32()
+            ),
+        }
+    )
+    p = str(tmp_path / "v117.dta")
+    W.write_dta(t, p, version=117, variable_labels={"v": "value col"})
+    m = parser.read_metadata(p)
+    assert m.version == 117
+    v = next(x for x in m.variables if x.name == "v")
+    assert v.var_label == "value col"
+    out = parser.read_table(p)
+    assert out.column("name").to_pylist()[:3] == ["row0", "row1", "row2"]
+    assert out.column("d").to_pylist()[0] == datetime.date(2020, 1, 1)
+    ref = pd.read_stata(p, convert_categoricals=False)
+    assert len(ref) == 50 and abs(ref["v"].sum() - sum(i * 0.5 for i in range(50))) < 1e-9
+    with pytest.raises(ValueError, match="strL"):
+        W.write_dta(pa.table({"s": pa.array(["x" * 3000])}), p, version=117)
