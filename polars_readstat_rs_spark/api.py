@@ -114,9 +114,15 @@ def readstat_scan(
     informative_null_suffix: str | None = None,
     informative_null_use_value_labels: bool = True,
     split_compressed: bool = False,
+    catalog: str | None = None,
 ) -> DataFrame:
     _ensure_registered(spark)
     r = spark.read.format("readstat")
+    if catalog:
+        # SAS value labels live in a separate .sas7bcat catalog; columns
+        # whose display format matches a catalog entry decode to label
+        # strings (P5 parity for SAS — formats/sas/catalog.py)
+        r = r.option("catalog", catalog)
     if not split_compressed and offset == 0 and limit is None:
         # Auto-route: splitting a SINGLE compressed .sav/.zsav otherwise
         # falls to an O(file-bytes) control-stream scan inside the
@@ -441,6 +447,27 @@ def readstat_metadata_json(path: str) -> str:
             }
         )
     raise ValueError(f"unsupported extension for {path}")
+
+
+def read_sas_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """A .sas7bcat's value-label formats as a queryable DataFrame
+    (one row per range/value/missing entry) — the relational face of
+    formats/sas/catalog.py. The reference cannot read catalogs at all
+    (its ext dispatch sends .sas7bcat to the sas7bdat reader,
+    src/lib.rs:389); this is beyond-reference surface."""
+    from .formats.sas.catalog import read_catalog
+
+    rows = []
+    for name, fmt in read_catalog(path).items():
+        for lo, hi, lab in fmt.ranges:
+            rows.append((name, "range", float(lo), float(hi), None, lab))
+        for val, lab in fmt.values.items():
+            rows.append((name, "value", None, None, val, lab))
+        for tag, lab in fmt.missing.items():
+            rows.append((name, "missing", None, None, tag, lab))
+    return spark.createDataFrame(
+        rows, "format string, kind string, lo double, hi double, value string, label string"
+    )
 
 
 def write_dta(df: DataFrame, path: str, compress: bool = False, **kwargs) -> None:

@@ -172,6 +172,14 @@ class ReadstatDataSource(DataSource):
             from .formats.sas import parser as sas_parser
 
             kwargs.pop("value_labels_as_strings")
+            cat = self.options.get("catalog")
+            if cat:
+                # P5 for SAS: value labels live in a sibling .sas7bcat.
+                # Loaded ONCE on the driver; the small dict pickles to
+                # executors with the reader (no catalog I/O per task).
+                from .formats.sas.catalog import read_catalog
+
+                kwargs["catalog_formats"] = read_catalog(cat)
             return sas_parser.ReadOptions(**kwargs)
         if self._fmt() == "spss":
             from .formats.spss import parser as spss_parser
@@ -229,6 +237,7 @@ class ReadstatDataSource(DataSource):
                     informative_nulls=opts.informative_nulls,
                     informative_null_columns=opts.informative_null_columns,
                     informative_null_suffix=opts.informative_null_suffix,
+                    catalog_formats=opts.catalog_formats,
                 )
             )
         if fmt == "xport":
@@ -674,6 +683,7 @@ class _ReadstatReader(DataSourceReader):
             informative_nulls=self.opts.informative_nulls,
             informative_null_columns=self.opts.informative_null_columns,
             informative_null_suffix=self.opts.informative_null_suffix,
+            catalog_formats=self.opts.catalog_formats,
         )
 
     def _file_partitions(self, path: str, allow_expensive_split: bool = True):

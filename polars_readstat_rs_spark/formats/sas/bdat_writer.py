@@ -62,7 +62,8 @@ _SIG_FMT = b"\xfe\xfb\xff\xff\xff\xff\xff\xff"
 
 
 def encode_row_sections(
-    table: pa.Table, string_widths: dict[str, int] | None = None
+    table: pa.Table, string_widths: dict[str, int] | None = None,
+    column_formats: dict[str, str] | None = None,
 ) -> tuple[list[tuple[str, bool, int, str]], bytes]:
     """(columns [(name, is_char, length, sas_format)], packed row bytes)
     for a table chunk. Numerics: LE doubles, null -> NaN. Chars:
@@ -86,7 +87,7 @@ def encode_row_sections(
             for i, e in enumerate(enc):
                 b = e[:width]
                 buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-            cols.append((short, True, width, ""))
+            cols.append((short, True, width, (column_formats or {}).get(name, "")))
             parts.append(buf)
             continue
         if pa.types.is_timestamp(typ):
@@ -112,7 +113,9 @@ def encode_row_sections(
         # missing at write time instead of letting it silently decay
         vals[np.isinf(vals)] = np.nan
         parts.append(vals.astype("<f8").view(np.uint8).reshape(n, 8))
-        cols.append((short, False, 8, fmt))
+        # a user format (e.g. a .sas7bcat catalog entry like NATIONF)
+        # overrides the inferred temporal format for display/label use
+        cols.append((short, False, 8, (column_formats or {}).get(name, fmt)))
     if not cols:
         raise ValueError("cannot write a sas7bdat file with zero columns")
     rec = np.concatenate(parts, axis=1) if parts else np.zeros((n, 0), np.uint8)
@@ -459,13 +462,14 @@ def write_sas7bdat(
     string_widths: dict[str, int] | None = None,
     variable_labels: dict[str, str] | None = None,
     compress: bool = False,
+    column_formats: dict[str, str] | None = None,
 ) -> None:
     """Single-shot writer for an Arrow table / Spark / pandas DataFrame."""
     if hasattr(table, "to_arrow"):
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
         table = pa.Table.from_pandas(table, preserve_index=False)
-    cols, data = encode_row_sections(table, string_widths)
+    cols, data = encode_row_sections(table, string_widths, column_formats)
     n = table.num_rows
     sections = [("", [(0, len(data), n, cols)])] if n else []
     import os

@@ -191,6 +191,12 @@ class ReadOptions:
     # reference SeparateColumn { suffix } (its default "_null"; ours
     # "__missing" — documented deviation, configurable per scan)
     informative_null_suffix: str = "__missing"
+    # P5 for SAS (beyond reference): value labels live in a separate
+    # .sas7bcat catalog — a pre-loaded {format_name: SasFormat} dict
+    # (formats/sas/catalog.py). Columns whose display format matches a
+    # catalog entry decode to label strings, mirroring Stata/SPSS
+    # value_labels_as_strings.
+    catalog_formats: dict | None = None
 
     def null_mode(self):
         from ..nulls import normalize_mode
@@ -202,6 +208,19 @@ class ReadOptions:
             return False
         cols = self.informative_null_columns
         return cols is None or name in cols
+
+    def catalog_format_for(self, c: "Column"):
+        if not self.catalog_formats or not c.fmt:
+            return None
+        if c.kind not in ("numeric", "char"):
+            return None  # date/time formats never name catalog entries
+        from .catalog import normalize_format_name
+
+        key = normalize_format_name(c.fmt)
+        fmt = self.catalog_formats.get(key)
+        if fmt is None or fmt.is_char != c.is_char:
+            return None
+        return fmt
 
 
 def _column_kind(col_type_char: bool, fmt: str) -> str:
@@ -862,9 +881,15 @@ def _decode_column(arr, c: Column, meta: SasMetadata, opts: ReadOptions) -> pa.A
 
         # SAS strings share the C-string semantics of the stata reader:
         # stop at first NUL, trim trailing spaces, "" -> null.
-        return fixed_width_strings(
+        s = fixed_width_strings(
             u8, meta.encoding, null_empty=opts.missing_string_as_null, trim_spaces=True
         )
+        cat_fmt = opts.catalog_format_for(c)
+        if cat_fmt is not None:
+            from .catalog import label_char
+
+            return label_char(s, cat_fmt)
+        return s
 
     # numeric: truncated doubles padded LE-left / BE-right
     full = np.zeros((n, 8), dtype=np.uint8)
@@ -882,6 +907,16 @@ def _decode_column(arr, c: Column, meta: SasMetadata, opts: ReadOptions) -> pa.A
     abs_bits = bits & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
     mask = abs_bits >= np.uint64(0x7FF0_0000_0000_0000)
     vals = np.where(mask, 0.0, vals).astype(np.float64)
+
+    cat_fmt = opts.catalog_format_for(c)
+    if cat_fmt is not None and c.kind == "numeric":
+        from .catalog import label_numeric
+
+        tags = None
+        if cat_fmt.missing and mask.any():
+            # reuse the informative-null tag extraction for .A-.Z/._
+            tags = np.array(_indicator_column(arr, c, meta).to_pylist(), dtype=object)
+        return label_numeric(vals, mask, tags, cat_fmt)
 
     if c.kind == "date":
         # day values outside ±[-135080, 156935] are actually seconds
@@ -953,6 +988,7 @@ def arrow_schema(
     informative_nulls: bool | str = False,
     informative_null_columns: list[str] | None = None,
     informative_null_suffix: str = "__missing",
+    catalog_formats: dict | None = None,
 ) -> pa.Schema:
     from ..nulls import informative_fields
 
@@ -960,12 +996,17 @@ def arrow_schema(
         informative_nulls=informative_nulls,
         informative_null_columns=informative_null_columns,
         informative_null_suffix=informative_null_suffix,
+        catalog_formats=catalog_formats,
     )
     mode = opts.null_mode()
     sel = _select(meta.columns, columns)
     fields = []
     for c in sel:
-        f = arrow_field(c)
+        # catalog-labeled columns surface as strings (P5, like Stata)
+        if opts.catalog_format_for(c) is not None:
+            f = pa.field(c.name, pa.string())
+        else:
+            f = arrow_field(c)
         if opts.tracks_nulls(c.name, not c.is_char):
             fields.extend(informative_fields(c.name, f.type, mode, opts.informative_null_suffix))
         else:
@@ -987,7 +1028,8 @@ def read_table(
     opts = opts or ReadOptions()
     meta = read_metadata(path)
     schema = arrow_schema(meta, columns, opts.row_index, opts.informative_nulls,
-                          opts.informative_null_columns)
+                          opts.informative_null_columns,
+                          catalog_formats=opts.catalog_formats)
     want_end = meta.row_count if limit is None else min(meta.row_count, offset + limit)
     tables = []
     seen = 0

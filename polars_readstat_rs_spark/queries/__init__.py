@@ -103,9 +103,11 @@ _R8_NEW = (
     "t17_bpe_encode",
 )
 
-# Brand-new, never-locally-verified queries go here until a full
-# tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
+# The r8 third-wave additions: graduated from _RISKY_TAIL after the
+# full-registry tools/check_oracle.py sweep passed them at sf0.01
+# (189/189 this session) on top of the earlier dedicated sf0.01+sf0.1
+# runs — they need driver CORRECTNESS rows, so they join the head.
+_R8_THIRD = (
     "t18_ngram_diversity",
     "t19_url_stats",
     "p12_interleave",
@@ -119,6 +121,10 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
     "r20_dta_v117_roundtrip",
 )
 
+# Brand-new, never-locally-verified queries go here until a full
+# tools/check_oracle.py run has passed them (see module docstring).
+_RISKY_TAIL: tuple[str, ...] = ()
+
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
 # __spark_entry__ copy won, so r6 recorded the identical 50 as r5).
@@ -128,7 +134,7 @@ _RISKY_TAIL: tuple[str, ...] = (  # r8 third-wave additions enter here
 # _R7_DEFER entries (completes the r1-r7 union at 164/164), then the
 # 14 _R8_NEW gates added this round (locally verified, see above),
 # then the previously-recorded rotation.
-HEAD = _R7_DEFER + _R8_NEW + _R7_HEAD
+HEAD = _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
 
 _ordered = (
     [n for n in HEAD if n in QUERIES]

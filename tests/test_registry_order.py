@@ -85,12 +85,13 @@ def test_head_covers_all_never_recorded():
     # r7 rotation — so the driver's 50-query window records every entry
     # that lacks a CORRECTNESS row, and HEAD[:55] still spans the 55
     # never-recorded-pre-r7 set (now interleaved with the r8 gates).
-    from polars_readstat_rs_spark.queries import _R7_DEFER, _R8_NEW
+    from polars_readstat_rs_spark.queries import _R7_DEFER, _R8_NEW, _R8_THIRD
 
     assert HEAD[:5] == _R7_DEFER
     assert HEAD[5:19] == _R8_NEW
+    assert HEAD[19:30] == _R8_THIRD
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
-    assert len(HEAD) == len(set(HEAD)) == 69
+    assert len(HEAD) == len(set(HEAD)) == 80
 
 
 def test_entry_ordering_matches_head():
