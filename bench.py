@@ -115,6 +115,48 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     r1_total = round(sum(times[n] for n in R1_SET if n in times), 3)
+
+    # Same-run DuckDB baseline over the IDENTICAL single-file inputs
+    # (r9): round-over-round absolute wall times are confounded by VM
+    # speed drift — replaying r7's exact tree in the r9 environment
+    # measured 11.68 s vs its recorded 7.93 s (47% machine drift), while
+    # r8's code was 2.25 s FASTER than r7's code under identical
+    # conditions. The stable round-over-round metric is therefore the
+    # ratio to a same-run DuckDB baseline, not the absolute total.
+    duck_total = None
+    try:
+        import duckdb
+
+        from polars_readstat_rs_spark.queries import ORACLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.cpu_count()}")
+        for tname in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {tname} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{tname}.parquet')"
+            )
+        con.execute(ORACLES["q01_pricing_summary"]).fetchall()  # warmup
+        duck_times: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in times or name not in ORACLES:
+                continue
+            best_d = None
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(ORACLES[name]).fetchall()
+                dt = time.time() - t0
+                if best_d is None or dt < best_d:
+                    best_d = dt
+            duck_times[name] = best_d
+        con.close()
+        duck_total = round(sum(duck_times.values()), 3)
+    except Exception as exc:
+        print(f"duckdb headline baseline failed: {exc!r}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -129,6 +171,11 @@ def main() -> None:
         "runs": min(run_counts.values()) if run_counts else 0,
         "runs_max": max(run_counts.values()) if run_counts else 0,
     }
+    if duck_total is not None:
+        # machine-drift-immune headline metric: both engines timed in
+        # THIS run on the identical single files
+        out["duckdb_value"] = duck_total
+        out["ratio_headline"] = round(total / max(duck_total, 1e-9), 3)
     if errors:
         # totals over a PARTIAL query set are not comparable round-over-
         # round — flag it loudly so a shrunken sum can't read as a win

@@ -70,21 +70,57 @@ def _one():  # lazy: F.lit needs an active SparkContext
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer-cents two-level aggregation (r9): the per-row double->decimal
+    # casts were 2/3 of q01's wall clock (measured 0.51 -> 0.32 s at sf0.1).
+    # Level 1 groups by (flag, status, disc_cents, tax_cents) — disc/tax
+    # have a tiny domain (<= 11 x 9 values), so the partial agg reduces to
+    # ~99 rows per (flag, status) pair — and sums integer CENTS as plain
+    # longs (whole-stage-codegen fast path; the values are exact 2-dp
+    # decimals stored as nearest-doubles, so round(x*100) recovers the
+    # exact integer). Level 2 reconstructs the exact decimal sums over
+    # those ~400 rows, where Int128 decimal math is free, and distributes
+    # the (1-d)(1+t) products over the per-(d,t) subtotals — decimal
+    # arithmetic is distributive, so the result is bit-identical to the
+    # direct per-row decimal formulation (verified: collected outputs
+    # compare equal tuple-for-tuple).
+    # Scale bound: a level-1 long sum overflows at 9.2e18 cents
+    # (~$92 quadrillion per (flag,status,d,t) cell) — beyond any TPC-H SF.
     li = load_table(spark, sf_dir, "lineitem")
-    qty, price, disc, tax = _money("l_quantity"), _money("l_extendedprice"), _rate("l_discount"), _rate("l_tax")
-    return (
+
+    def cents(c: str):  # exact integer cents from a 2-dp-valued double
+        return F.round(F.col(c) * 100).cast("long")
+
+    d20 = "decimal(20,0)"
+    g1 = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            cents("l_discount").alias("dc"),
+            cents("l_tax").alias("tc"),
         )
+        .agg(
+            F.sum(cents("l_quantity")).alias("sq"),
+            F.sum(cents("l_extendedprice")).alias("sp"),
+            F.count("*").alias("c"),
+        )
+    )
+    sq, sp = F.col("sq").cast(d20), F.col("sp").cast(d20)
+    dc, tc = F.col("dc").cast("decimal(3,0)"), F.col("tc").cast("decimal(3,0)")
+    c100 = F.lit(100).cast("decimal(3,0)")
+    cnt = F.col("c").cast(d20)
+    sum_qty_dec = F.sum(sq) / F.lit(100)
+    sum_price_dec = F.sum(sp) / F.lit(100)
+    sum_disc_dec = F.sum(dc * cnt) / F.lit(100)
+    return g1.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty_dec.cast("double").alias("sum_qty"),
+        sum_price_dec.cast("double").alias("sum_base_price"),
+        (F.sum(sp * (c100 - dc)) / F.lit(10_000)).cast("double").alias("sum_disc_price"),
+        (F.sum(sp * (c100 - dc) * (c100 + tc)) / F.lit(1_000_000)).cast("double").alias("sum_charge"),
+        (sum_qty_dec.cast("double") / F.sum("c")).alias("avg_qty"),
+        (sum_price_dec.cast("double") / F.sum("c")).alias("avg_price"),
+        (sum_disc_dec.cast("double") / F.sum("c")).alias("avg_disc"),
+        F.sum("c").alias("count_order"),
     )
 
 
