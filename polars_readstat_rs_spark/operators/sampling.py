@@ -142,7 +142,12 @@ def pack_sequences(
             + F.expr(f"(_cum - n_tokens) div {budget}"),
         )
     )
-    wp = Window.partitionBy("pack_id").orderBy(id_col)
+    # packs never span _grp blocks, so partitionBy(_grp, pack_id) equals
+    # partitionBy(pack_id) semantically — and because the existing
+    # hash-partitioning on (_grp) already clusters (_grp, pack_id),
+    # EnsureRequirements inserts NO second exchange, only a local
+    # re-sort (one shuffle saved vs the old partitionBy(pack_id)).
+    wp = Window.partitionBy("_grp", "pack_id").orderBy(id_col)
     return out.withColumn("pack_pos", F.row_number().over(wp)).drop("_cum", "_grp")
 
 
@@ -174,6 +179,7 @@ def contamination_report(
     text_col: str,
     n: int = 3,
     min_overlap: int = 1,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Train/test n-gram contamination: for each test document, how many
     of its distinct n-gram shingles appear in ANY train document, and
@@ -186,17 +192,28 @@ def contamination_report(
     single groupBy(doc) computing size and overlap together): the
     earlier sizes/hits two-branch shape exploded the test corpus twice
     and paid two extra shuffles (the r3->r4 p06 regression).
+
+    ``hash_shingles`` (default) joins on xxhash64(shingle) longs instead
+    of the raw strings: the distinct + join shuffles carry 8-byte keys
+    rather than full n-gram text (measured 0.83 -> 0.53 s at sf0.1; the
+    byte saving grows with shingle length at scale). A 64-bit collision
+    counts a clean test shingle as contaminated: P ~ d^2/2^65 for d
+    distinct shingles — negligible below billions of shingles, and a
+    screening metric tolerates ~1e-8 relative inflation at corpus scale.
+    Pass ``hash_shingles=False`` for exact string membership.
     """
     from .text import shingles_expr
 
     from .spread import spread
 
+    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: F.col(c))
     test_sh = spread(test).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
-    )
+    ).select("doc", key("sh").alias("sh"))
     train_sh = (
         spread(train)
         .select(F.explode(shingles_expr(text_col, n)).alias("sh"))
+        .select(key("sh").alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
