@@ -344,6 +344,9 @@ class ReadstatDataSource(DataSource):
                 # pays off on wide/padded rows (each row also costs a
                 # 24-byte subheader pointer)
                 compress=_true(self.options.get("compress"), default=False),
+                # option("column_formats", '{"col": "FMTNAME"}'): SAS
+                # display formats per column (catalog value-label keys)
+                column_formats=json.loads(self.options.get("column_formats", "{}")),
             )
         if fmt == "por":
             return _PorWriter(
@@ -1371,7 +1374,8 @@ class _BdatWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema, dsname: str = "DATA",
                  staging_dir: str | None = None, string_widths=None,
-                 variable_labels=None, compress: bool = False):
+                 variable_labels=None, compress: bool = False,
+                 column_formats=None):
         import uuid
 
         self.path = path
@@ -1379,6 +1383,9 @@ class _BdatWriter(DataSourceArrowWriter):
         self.dsname = dsname
         self.compress = compress
         self.variable_labels = variable_labels or {}
+        # per-column SAS display format names (e.g. a .sas7bcat catalog
+        # entry like PRIOF) — carried into each column's format subheader
+        self.column_formats = dict(column_formats or {})
         self.string_widths = {k: int(v) for k, v in (string_widths or {}).items()}
         parent = staging_dir or (os.path.dirname(os.path.abspath(path)) or ".")
         self.stage_dir = os.path.join(
@@ -1392,7 +1399,8 @@ class _BdatWriter(DataSourceArrowWriter):
 
         os.makedirs(self.stage_dir, exist_ok=True)
         blob = os.path.join(self.stage_dir, f"part-{uuid.uuid4().hex}.bin")
-        sections = spill_partition(batches, blob, declared=self.string_widths)
+        sections = spill_partition(batches, blob, declared=self.string_widths,
+                                   column_formats=self.column_formats)
         if not sections:
             os.unlink(blob)
             return _DtaCommit("", [])

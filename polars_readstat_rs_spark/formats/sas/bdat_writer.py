@@ -437,7 +437,8 @@ def assemble_sas7bdat(
         f.write(struct.pack("<I", n_pages))
 
 
-def spill_partition(batches, blob_path: str, declared: dict[str, int] | None = None):
+def spill_partition(batches, blob_path: str, declared: dict[str, int] | None = None,
+                    column_formats: dict[str, str] | None = None):
     """Executor side of the distributed write (xport.spill_partition
     contract): encode Arrow batches to row sections appended to
     ``blob_path``; returns [(offset, nbytes, nrows, cols), ...]."""
@@ -448,7 +449,7 @@ def spill_partition(batches, blob_path: str, declared: dict[str, int] | None = N
             t = pa.Table.from_batches([batch])
             if t.num_rows == 0:
                 continue
-            cols, data = encode_row_sections(t, declared)
+            cols, data = encode_row_sections(t, declared, column_formats)
             f.write(data)
             sections.append((off, len(data), t.num_rows, cols))
             off += len(data)

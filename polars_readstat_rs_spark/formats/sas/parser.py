@@ -1086,8 +1086,14 @@ def read_page_range(
     them across Spark tasks."""
     meta = read_metadata(path)
     opts = opts or ReadOptions()
-    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls,
-                          informative_null_columns=opts.informative_null_columns)
+    # row_index stays False: the planner never page-parallelizes a
+    # compressed read when row_index is set (datasource.py "plain" gate),
+    # and decode_rows here has no global row offset to number from.
+    schema = arrow_schema(meta, columns,
+                          informative_nulls=opts.informative_nulls,
+                          informative_null_columns=opts.informative_null_columns,
+                          informative_null_suffix=opts.informative_null_suffix,
+                          catalog_formats=opts.catalog_formats)
     pending: list[bytes] = []
     pending_rows = 0
     for block, nrows in iter_row_blocks(path, meta, (page_lo, page_hi)):
@@ -1118,8 +1124,11 @@ def read_partition(
     """
     meta = read_metadata(path)
     opts = opts or ReadOptions()
-    schema = arrow_schema(meta, columns, informative_nulls=opts.informative_nulls,
-                          informative_null_columns=opts.informative_null_columns)
+    schema = arrow_schema(meta, columns, row_index=opts.row_index,
+                          informative_nulls=opts.informative_nulls,
+                          informative_null_columns=opts.informative_null_columns,
+                          informative_null_suffix=opts.informative_null_suffix,
+                          catalog_formats=opts.catalog_formats)
     if meta.compression or not count:
         t = read_table(path, columns, offset=start, limit=count, opts=opts)
         yield from t.to_batches(max_chunksize=batch_size)

@@ -821,3 +821,67 @@ def r20_dta_v117_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r21_catalog_write_roundtrip",
+    oracle="""
+    SELECT CASE CAST(o_orderkey % 5 AS INT)
+             WHEN 0 THEN 'P_ZERO' WHEN 1 THEN 'P_ONE' WHEN 2 THEN 'P_TWO'
+             ELSE 'P_HIGH' END AS prio_label,
+      count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def r21_catalog_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.sas7bcat catalog WRITE + APPLY gate (r8 verdict item 6): the
+    catalog writer (formats/sas/catalog.py:write_catalog) emits a format
+    with exact entries AND a span range; a sas7bdat is written through
+    the DISTRIBUTED sink with option("column_formats") attaching the
+    format name to a numeric column; the read applies the re-read
+    catalog (option("catalog")), decoding codes 0/1/2 via exact matches
+    and 3-4 via the [3,4] span — the aggregate over the decoded LABEL
+    strings hashes against DuckDB recomputing the same labeling with a
+    CASE on the parquet. The reference only READS catalogs
+    (src/sas/catalog.rs); the write side is beyond-reference."""
+    from ..api import _ensure_registered
+    from ..formats.sas.catalog import SasFormat, write_catalog
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    cat = os.path.join(tempfile.gettempdir(), f"readstat_r21_{tag}.sas7bcat")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r21_{tag}.sas7bdat")
+    write_catalog(
+        cat,
+        {
+            "PRIOF": SasFormat(
+                name="PRIOF",
+                ranges=[
+                    (0.0, 0.0, "P_ZERO"),
+                    (1.0, 1.0, "P_ONE"),
+                    (2.0, 2.0, "P_TWO"),
+                    (3.0, 4.0, "P_HIGH"),  # span: exercises range lookup
+                ],
+            )
+        },
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey") % 5).cast("double").alias("prio_code"),
+        F.col("o_totalprice").alias("price"),
+    )
+    (
+        orders.write.format("readstat")
+        .mode("overwrite")
+        .option("column_formats", '{"prio_code": "PRIOF"}')
+        .save(path)
+    )
+    df = spark.read.format("readstat").option("catalog", cat).load(path)
+    return df.groupBy(F.col("prio_code").alias("prio_label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

@@ -182,6 +182,22 @@ def test_encoding_table_reference_parity():
     for byte in ref:
         codecs.lookup(parser._pyencoding(byte))  # resolvable codec
 
+    # when the reference checkout is present, parse its match arms so the
+    # expectation can't drift from the actual file (r8 verdict item 5)
+    import os
+    import re
+
+    rs = "/root/reference/src/sas/encoding.rs"
+    if os.path.exists(rs):
+        with open(rs) as fh:
+            src = fh.read()
+        body = src.split("fn get_encoding_name")[1].split("fn get_encoding")[0]
+        parsed = {
+            int(m.group(1)): m.group(2)
+            for m in re.finditer(r'(\d+)\s*=>\s*"([^"]+)"', body)
+        }
+        assert parser._ENCODING_NAMES == parsed
+
 
 def test_encoding_new_codec_families_decode():
     """One decode probe per codec family added for reference parity."""
@@ -563,3 +579,68 @@ def test_bdat_roundtrip_property(doubles, texts, compress, tmp_path_factory):
             assert g == w
     for g, w in zip(rt.column("s").to_pylist(), texts[:n]):
         assert g == ((w or None) and w.rstrip(" ") or None)
+
+
+def test_catalog_write_read_parity(tmp_path):
+    """write_catalog -> read_catalog round-trips every SasFormat field:
+    exact numeric entries, span ranges, char value maps, and missing-tag
+    labels (r8 verdict item 6 — the write side had no direct gate)."""
+    from polars_readstat_rs_spark.formats.sas.catalog import (
+        SasFormat,
+        read_catalog,
+        write_catalog,
+    )
+
+    fmts = {
+        "NUMF": SasFormat(
+            name="NUMF",
+            ranges=[(0.0, 0.0, "zero"), (1.5, 1.5, "one-and-a-half"),
+                    (10.0, 20.0, "ten to twenty"), (-5.0, -1.0, "negative span")],
+            missing={".": "sysmiss", "A": "refused", "_": "underscore"},
+        ),
+        "$CHARF": SasFormat(
+            name="$CHARF",
+            is_char=True,
+            values={"Y": "yes", "N": "no", "DK": "don't know"},
+        ),
+    }
+    path = str(tmp_path / "fmts.sas7bcat")
+    write_catalog(path, fmts)
+    back = read_catalog(path)
+    assert set(back) == {"NUMF", "$CHARF"}
+    assert back["NUMF"].ranges == fmts["NUMF"].ranges
+    assert back["NUMF"].missing == fmts["NUMF"].missing
+    assert back["NUMF"].is_char is False
+    assert back["$CHARF"].is_char is True
+    assert back["$CHARF"].values == fmts["$CHARF"].values
+
+
+def test_catalog_labels_through_spark_read(spark, tmp_path):
+    """End-to-end: distributed sas7bdat write with column_formats option,
+    catalog written by write_catalog, read back with option("catalog") —
+    numeric codes decode to label strings (exact + span), schema says
+    string."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.api import _ensure_registered
+    from polars_readstat_rs_spark.formats.sas.catalog import SasFormat, write_catalog
+
+    _ensure_registered(spark)
+    cat = str(tmp_path / "f.sas7bcat")
+    data = str(tmp_path / "d.sas7bdat")
+    write_catalog(cat, {"PRIOF": SasFormat(
+        name="PRIOF",
+        ranges=[(0.0, 0.0, "P_ZERO"), (1.0, 1.0, "P_ONE"), (2.0, 4.0, "P_HIGH")],
+    )})
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("k"),
+        (F.col("id") % 5).cast("double").alias("code"),
+    )
+    (df.write.format("readstat").mode("overwrite")
+       .option("column_formats", '{"code": "PRIOF"}').save(data))
+    out = spark.read.format("readstat").option("catalog", cat).load(data)
+    assert dict(out.dtypes)["code"] == "string"
+    got = {r["k"]: r["code"] for r in out.collect()}
+    assert got[0.0] == "P_ZERO" and got[1.0] == "P_ONE"
+    assert got[2.0] == got[3.0] == got[4.0] == "P_HIGH"
+    assert got[5.0] == "P_ZERO"  # 5 % 5 = 0
