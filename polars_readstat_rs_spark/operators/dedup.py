@@ -174,13 +174,19 @@ def _jaccard_on(
         # forced broadcast — AQE still picks a broadcast exchange at
         # runtime when the measured size is actually small
         shj_cte = (
-            "SELECT s.doc, s.sh FROM {sh} s LEFT SEMI JOIN "
+            "SELECT s.doc, xxhash64(s.sh) AS sh FROM {sh} s LEFT SEMI JOIN "
             "(SELECT a_id AS doc FROM {pairs} UNION SELECT b_id FROM {pairs}) c "
             "ON s.doc = c.doc"
         )
         pair_filter = "LEFT SEMI JOIN {pairs} p ON i.a_id = p.a_id AND i.b_id = p.b_id"
     else:
-        shj_cte = "SELECT doc, sh FROM {sh}"
+        # the intersection join only tests shingle EQUALITY, so it keys
+        # on xxhash64(sh) — the co-shingle shuffle carries 8-byte longs
+        # instead of full n-gram strings (same trick as
+        # sampling.contamination_report; a 64-bit collision inflates one
+        # pair's |A∩B| with probability ~d^2/2^65 — negligible and
+        # deterministic). Signature math (minhash) stays on raw strings.
+        shj_cte = "SELECT doc, xxhash64(sh) AS sh FROM {sh}"
         pair_filter = ""
     return spark.sql(
         f"""
