@@ -170,7 +170,14 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
-    price, disc = _money("l_extendedprice"), _rate("l_discount")
+    # integer-cents revenue (same exactness argument as q01): per-row
+    # price_cents*(100-disc_cents) <= 1.1e9 and a group is ONE order
+    # (<= 7 lineitems), so the long sum never overflows at any SF; the
+    # single decimal division per group reconstructs the exact 4-dp
+    # rational the oracle's decimal sum produces.
+    rev_u4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     # lineitem-rooted join order (see q05): the filtered cust/orders sides
     # hash-build, the big lineitem side probes.
     return (
@@ -178,7 +185,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, cust.c_custkey == orders.o_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(
-            F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
+            (F.sum(rev_u4).cast("decimal(20,0)") / F.lit(10_000))
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .select("l_orderkey", "revenue", "orderdate", "n_lines")
@@ -246,8 +255,25 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        # two-level integer-cents revenue (q01's trick adapted to an
+        # unbounded group): level 1 sums long cents per (nation, disc) —
+        # <= 25 x 11 cells, each bounded by total_revenue/275 so the long
+        # stays far from 9.2e18 at any realistic SF — level 2 distributes
+        # (100-d) over the per-disc subtotals in exact decimal.
+        .groupBy("n_name", F.round(F.col("l_discount") * 100).cast("long").alias("_dc"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("_sp"))
         .groupBy("n_name")
-        .agg(F.sum(price * (_one() - disc)).cast("double").alias("revenue"))
+        .agg(
+            (
+                F.sum(
+                    F.col("_sp").cast("decimal(20,0)")
+                    * (F.lit(100) - F.col("_dc")).cast("decimal(3,0)")
+                )
+                / F.lit(10_000)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
