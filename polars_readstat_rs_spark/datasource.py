@@ -340,10 +340,15 @@ class ReadstatDataSource(DataSource):
                 staging_dir=self.options.get("staging_dir"),
                 string_widths=json.loads(self.options.get("string_widths", "{}")),
                 variable_labels=json.loads(self.options.get("variable_labels", "{}")),
-                # option("compress","true"): SASYZCRL row compression —
-                # pays off on wide/padded rows (each row also costs a
-                # 24-byte subheader pointer)
-                compress=_true(self.options.get("compress"), default=False),
+                # option("compress", "rle"|"rdc"|"true"): SASYZCRL /
+                # SASYZCR2 row compression — pays off on wide/padded
+                # rows (each row also costs a 24-byte subheader pointer);
+                # "true" keeps the pre-r9 RLE behavior
+                compress=(
+                    self.options["compress"].upper()
+                    if str(self.options.get("compress", "")).lower() in ("rle", "rdc")
+                    else _true(self.options.get("compress"), default=False)
+                ),
                 # option("column_formats", '{"col": "FMTNAME"}'): SAS
                 # display formats per column (catalog value-label keys)
                 column_formats=json.loads(self.options.get("column_formats", "{}")),

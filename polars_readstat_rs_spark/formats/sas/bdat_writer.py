@@ -132,10 +132,10 @@ def _meta_page(
 ) -> bytes:
     """One META page: header + pointer array + subheader payloads.
     ``labels`` maps short column name -> variable label text. With
-    ``compress`` the text block carries the SASYZCRL literal at block
-    offset 12 (where pandas reads it via lcp=8 from subheader offset
-    16+4) and a creator-proc at offset 36; our reader just greps the
-    first text payload for the literal."""
+    ``compress`` ("RLE" or "RDC") the text block carries the SASYZCRL /
+    SASYZCR2 literal at block offset 12 (where pandas reads it via
+    lcp=8 from subheader offset 16+4) and a creator-proc at offset 36;
+    our reader just greps the first text payload for the literal."""
     ncols = len(cols)
     labels = labels or {}
 
@@ -143,7 +143,7 @@ def _meta_page(
     # self-inclusive size; all refs are (offset, length) into this block
     text = bytearray(b"\x00" * (44 if compress else 8))
     if compress:
-        text[12:20] = b"SASYZCRL"
+        text[12:20] = b"SASYZCR2" if compress == "RDC" else b"SASYZCRL"
         text[36:44] = b"DATASTEP"
 
     def _put(s: str, maxlen: int) -> tuple[int, int]:
@@ -288,7 +288,13 @@ def assemble_sas7bdat(
     """Driver commit: stream partition row-sections into one .sas7bdat,
     re-striding char columns to global max widths (xport.assemble_xpt
     contract; sections carry (name, is_char, length, sas_format) per
-    chunk). ``variable_labels`` is keyed by ORIGINAL column name."""
+    chunk). ``variable_labels`` is keyed by ORIGINAL column name.
+    ``compress``: False, "RLE" (SASYZCRL; True is accepted as an
+    alias), or "RDC" (SASYZCR2)."""
+    if compress:
+        compress = "RLE" if compress is True else str(compress).upper()
+        if compress not in ("RLE", "RDC"):
+            raise ValueError(f"compress must be False, 'RLE' or 'RDC', got {compress!r}")
     all_sections = [(blob, s) for blob, secs in parts for s in secs]
     order_names = [c[0] if isinstance(c, tuple) else c for c in (column_order or [])]
     short_of = dict(zip(order_names, _sanitize_names(order_names, 32))) if order_names else {}
@@ -406,7 +412,7 @@ def assemble_sas7bdat(
             for r in range(nrows):
                 if compress:
                     rb = src[r].tobytes()
-                    c = rle_compress_row(rb)
+                    c = rdc_compress_row(rb) if compress == "RDC" else rle_compress_row(rb)
                     eb = c if c is not None and len(c) < row_length else rb
                     if eb is rb and (
                         _is_meta_sig(rb[:8]) or rb[:4] in _META_EXCLUDE
@@ -593,4 +599,99 @@ def rle_compress_row(row: bytes) -> bytes | None:
         return None
     if out[0] in _UNSAFE_FIRST:  # defensive: should be unreachable
         return None
+    return bytes(out)
+
+
+# ------------------------------------------------------- RDC compression
+
+def rdc_compress_row(row: bytes) -> bytes | None:
+    """SASYZCR2 (Ross Data Compression) encoder — the inverse of
+    parser.rdc_decompress (grammar re-derived from the reference
+    decompressor /root/reference/src/sas/decompressor/rdc.rs as a spec;
+    the reference itself never writes RDC).
+
+    Stream = repeated [16-bit big-endian control word][items]: control
+    bit 0 (MSB-first) = one literal byte, bit 1 = a command byte
+    ``(cmd << 4) | cnt``:
+
+    - cmd 0: short RLE, take = cnt + 3 (3..18), one value byte follows
+    - cmd 1: long RLE, take = cnt + (b1 << 4) + 19 (19..4114), value b2
+    - cmd 2: long pattern, offset = cnt + 3 + (b1 << 4) (3..4098),
+      count = b2 + 16 (16..271)
+    - cmd 3..15: short pattern, take = cmd (3..15), same offset coding
+
+    Greedy: at each position take the longer of the byte-run and the
+    rightmost 3-byte-anchored back-match (window 4098, overlap allowed
+    — self-referential copies repeat modularly exactly like the
+    decompressor's ``offset < take`` path). Returns None when RDC does
+    not shrink the row OR the encoded prefix would collide with a
+    metadata signature (the caller stores the raw row; readers dispatch
+    on length == row_length)."""
+    n = len(row)
+    if n < 3:
+        return None
+    bits: list[int] = []          # 1 bit per item, MSB-first per group
+    payload: list[bytes] = []     # item payloads in order
+    i = 0
+    while i < n:
+        b = row[i]
+        run = 1
+        while i + run < n and row[i + run] == b:
+            run += 1
+        run = min(run, 4114, n - i)
+        mlen = 0
+        moff = 0
+        if n - i >= 3 and i >= 3:
+            lo = max(0, i - 4098)
+            j = row.rfind(row[i : i + 3], lo, i)  # j <= i-3 -> offset >= 3
+            if j != -1:
+                off = i - j
+                maxl = min(n - i, 271)
+                L = 0
+                while L < maxl and row[i + L] == row[i + L - off]:
+                    L += 1
+                mlen, moff = L, off
+        best = max(run if run >= 3 else 0, mlen)
+        if best < 3:
+            bits.append(0)
+            payload.append(row[i : i + 1])
+            i += 1
+            continue
+        if run >= mlen:  # RLE (prefer: 2-byte payload up to take 18)
+            take = run
+            if take <= 18:
+                payload.append(bytes(((0 << 4) | (take - 3), b)))
+            else:
+                take = min(take, 4114)
+                v = take - 19
+                payload.append(bytes(((1 << 4) | (v & 0x0F), v >> 4, b)))
+            bits.append(1)
+            i += take
+        else:
+            take = mlen
+            o = moff - 3
+            if take <= 15:
+                payload.append(bytes(((take << 4) | (o & 0x0F), o >> 4)))
+            else:
+                payload.append(bytes(((2 << 4) | (o & 0x0F), o >> 4, take - 16)))
+            bits.append(1)
+            i += take
+    # assemble 16-item control groups
+    out = bytearray()
+    for g in range(0, len(bits), 16):
+        grp = bits[g : g + 16]
+        ctrl = 0
+        for k, bit in enumerate(grp):
+            if bit:
+                ctrl |= 0x8000 >> k
+        out += ctrl.to_bytes(2, "big")
+        for item in payload[g : g + 16]:
+            out += item
+    if len(out) >= n:
+        return None
+    from .parser import _META_EXCLUDE, _is_meta_sig
+
+    head = bytes(out[:8])
+    if _is_meta_sig(head) or head[:4] in _META_EXCLUDE:
+        return None  # raw row routes safely by length == row_length
     return bytes(out)

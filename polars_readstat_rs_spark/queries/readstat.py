@@ -885,3 +885,57 @@ def r21_catalog_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r22_rdc_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r22_rdc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS RDC (SASYZCR2) WRITE gate — beyond the reference twice over
+    (it writes no binary sas7bdat at all, and reads RDC only
+    sequentially): parquet -> distributed write with
+    option("compress","rdc") (executors spill raw sections; the commit
+    runs the greedy LZ encoder from bdat_writer.rdc_compress_row) ->
+    our PAGE-PARALLEL compressed reader (datasource _PageRange) ->
+    aggregate vs DuckDB on the parquet. A padded string column makes
+    the codec actually engage (pattern matches + RLE runs); pandas
+    cross-reads the same encoding in pytest."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r22_{tag}.sas7bdat")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        # padded synthetic note: gives RDC real pattern/run structure
+        F.rpad(
+            F.concat(F.lit("priority "), F.col("o_orderpriority"), F.lit(" status "), F.col("o_orderstatus")),
+            96,
+            " ",
+        ).alias("note"),
+    )
+    (
+        orders.write.format("readstat")
+        .mode("overwrite")
+        .option("compress", "rdc")
+        .option("string_widths", '{"note": 96}')
+        .save(path)
+    )
+    from ..formats.sas.parser import read_metadata
+
+    assert read_metadata(path).compression == "RDC"
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )
