@@ -247,3 +247,42 @@ def test_v10_ann_join_no_cartesian_and_partial_topk(spark, sf_dir):
     plan = _plan(QUERIES["v10_ann_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_p04_pack_sequences_single_exchange(spark, sf_dir):
+    """pack_sequences (r9): the pack_pos window partitions by
+    (_grp, pack_id), which the cumsum window's hash partitioning on
+    (_grp) already clusters — EnsureRequirements must insert exactly ONE
+    exchange (the r8 shape re-shuffled on pack_id: two)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["p04_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_p06_and_d02_join_on_hashed_shingles(spark, sf_dir):
+    """The contamination membership join and the jaccard intersection
+    self-join key on xxhash64(shingle) longs, not raw n-gram strings —
+    the shuffle-bytes contract for 100 TB corpora (r9)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    for q in ("p06_contamination", "d02_dedup_ngram_jaccard"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "xxhash64" in plan, q
+        from polars_readstat_rs_spark.operators.dedup import release_cached
+
+        release_cached(QUERIES[q](spark, sf_dir))
+
+
+def test_q01_cents_aggregation_shape(spark, sf_dir):
+    """q01 (r9): level-1 partial aggregation sums LONGS (integer cents),
+    not decimals — no Int128/BigDecimal sum buffer in the per-row hot
+    stage; the only decimal math sits above the second (tiny) agg."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # two aggregation levels on the cents columns
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    # the scan-side stage must carry round(x*100) cents math
+    assert "round(" in plan and "cast(round(" in plan
