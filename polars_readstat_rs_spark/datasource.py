@@ -26,6 +26,9 @@ Options:
   order, so sorting by _row_idx reconstructs file order).
 - ``value_labels_as_strings`` (default true), ``missing_string_as_null``
   (default true): reference P5/P8 semantics.
+- ``filter_pushdown`` (default FALSE): accept Catalyst filters for
+  batch-side application (P4). Opt-in because Spark reuses the planned
+  scan across queries on the same relation — see _ReadstatReader.
 
 At cluster scale each partition is an independent (path, row-range) unit
 -> 1000 executors can share one huge file or many files; compressed
@@ -543,12 +546,30 @@ class _ReadstatReader(DataSourceReader):
 
         self.rle_plan: dict[str, list] = _json.loads(options.get("rle_plan", "{}"))
         self.pushed: list = []
+        # Batch-side filter application is OPT-IN (r9): Spark caches the
+        # planned scan per relation and REUSES it for later queries on
+        # the same DataFrame/SQL view — a scan planned with query A's
+        # filters then serves filterless query B, silently dropping rows
+        # (reproduced on plain `df.filter(...).count(); df.count()` and
+        # on `CREATE TEMPORARY VIEW ... USING readstat`). Nothing inside
+        # the reader can see which query is executing, so the only sound
+        # default is to decline the filters (Catalyst re-applies every
+        # one JVM-side — correctness never depended on acceptance).
+        # option("filter_pushdown","true") restores the Arrow-transfer
+        # shrink for single-action reads (gates, benches, ETL jobs that
+        # read once per relation).
+        self.accept_filters = _true(options.get("filter_pushdown"), default=False)
 
     def pushFilters(self, filters):
         """Predicate pushdown (absent in the reference — P4). Simple
         comparisons are applied batch-side in the Python worker before
         Arrow crosses to the JVM, shrinking the transfer; every filter is
-        also returned so Catalyst re-applies them (belt and braces)."""
+        also returned so Catalyst re-applies them (belt and braces) —
+        which is also what makes declining them (the default, see
+        __init__) always correct."""
+        if not self.accept_filters:
+            yield from filters
+            return
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,

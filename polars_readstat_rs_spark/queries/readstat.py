@@ -484,7 +484,10 @@ def r12_pushdown_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     StringStartsWith / GreaterThan (datasource.py pushFilters). The
     filters are applied batch-side in the reader (and re-applied by
     Catalyst), so a pushdown that drops or duplicates rows breaks the
-    hash against DuckDB filtering the parquet directly."""
+    hash against DuckDB filtering the parquet directly. Acceptance is
+    opt-in since r9 (filter_pushdown option) — this single-action read
+    is exactly the safe pattern; see
+    tests/test_api.py::test_no_stale_filter_on_reused_relation."""
     from ..api import _ensure_registered
 
     _ensure_registered(spark)
@@ -497,7 +500,7 @@ def r12_pushdown_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         )
         write_dta(cust, path)
-    df = spark.read.format("readstat").load(path)
+    df = spark.read.format("readstat").option("filter_pushdown", "true").load(path)
     return (
         df.filter(
             F.col("c_mktsegment").isin("BUILDING", "MACHINERY")

@@ -145,7 +145,7 @@ def test_filter_pushdown_applies_batch_side(tmp_path):
     df = pd.DataFrame({"a": np.arange(100, dtype="int32"), "s": ["x", "y"] * 50})
     p = str(tmp_path / "pf.dta")
     df.to_stata(p, version=118, write_index=False)
-    r = _ReadstatReader({"path": p}, "stata", None, __import__(
+    r = _ReadstatReader({"path": p, "filter_pushdown": "true"}, "stata", None, __import__(
         "polars_readstat_rs_spark.formats.stata.parser", fromlist=["ReadOptions"]
     ).ReadOptions())
     remaining = list(r.pushFilters([GreaterThan(("a",), 90), EqualTo(("s",), "y")]))
@@ -188,7 +188,7 @@ def test_filter_pushdown_in_and_string_predicates(tmp_path):
     df.to_stata(p, version=118, write_index=False)
 
     def rows_with(filters):
-        r = _ReadstatReader({"path": p}, "stata", None, ReadOptions())
+        r = _ReadstatReader({"path": p, "filter_pushdown": "true"}, "stata", None, ReadOptions())
         remaining = list(r.pushFilters(filters))
         assert len(remaining) == len(filters)  # Catalyst re-applies everything
         assert len(r.pushed) == len(filters)
@@ -568,3 +568,70 @@ def test_narrow_rule_toggles(spark):
             df, compress_numeric=False, datetime_to_date=False, string_to_numeric=False
         ).dtypes
     ) == dict(df.dtypes)
+
+
+def test_sql_ddl_view_over_readstat(spark, tmp_path):
+    """Pure-SQL surface: CREATE TEMPORARY VIEW ... USING readstat lets a
+    SQL-only user query .dta/.sav/.sas7bdat files with no Python
+    DataFrame code — options (path, columns, catalog, ...) pass through
+    the same DataSource."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.api import _ensure_registered
+
+    _ensure_registered(spark)
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    for ext in ("dta", "sav", "sas7bdat"):
+        p = str(tmp_path / f"t.{ext}")
+        df.write.format("readstat").mode("overwrite").save(p)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW sqlv_{ext} USING readstat OPTIONS (path '{p}')"
+        )
+        row = spark.sql(
+            f"SELECT count(*) AS n, sum(v) AS s FROM sqlv_{ext} WHERE k < 50"
+        ).collect()[0]
+        assert (row["n"], row["s"]) == (50, 2450.0), ext
+        # grouped SQL over the labeled string column
+        g = {
+            r["grp"]: r["n"]
+            for r in spark.sql(
+                f"SELECT grp, count(*) AS n FROM sqlv_{ext} GROUP BY grp"
+            ).collect()
+        }
+        assert g == {"g0": 34, "g1": 33, "g2": 33}, ext
+
+
+def test_no_stale_filter_on_reused_relation(spark, tmp_path):
+    """Regression (r9): Spark caches the planned scan per relation and
+    reuses it across queries — with batch-side filters ACCEPTED, a scan
+    planned for df.filter(...) then served a filterless df.count() with
+    query A's filters still applied (50 instead of 100; same leak
+    through CREATE TEMPORARY VIEW). Filter acceptance is therefore
+    OPT-IN; by default the reader declines every filter and Catalyst
+    applies them JVM-side, so relation reuse is always correct."""
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    p = str(tmp_path / "stale.dta")
+    df.write.format("readstat").mode("overwrite").save(p)
+
+    # DataFrame-path reuse: filtered action then full action on ONE df
+    sdf = spark.read.format("readstat").load(p)
+    assert sdf.filter(F.col("k") < 50).count() == 50
+    assert sdf.count() == 100
+    assert sdf.filter(F.col("k") < 20).count() == 20
+    assert sdf.count() == 100
+
+    # SQL temp-view reuse: the relation lives in the catalog
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW stale_v USING readstat OPTIONS (path '{p}')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM stale_v WHERE k < 50").collect()[0]["n"] == 50
+    assert spark.sql("SELECT count(*) AS n FROM stale_v").collect()[0]["n"] == 100
+    assert spark.table("stale_v").count() == 100
