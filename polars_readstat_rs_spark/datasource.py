@@ -292,6 +292,16 @@ class ReadstatDataSource(DataSource):
         fmt = self._fmt()
         value_labels = json.loads(self.options.get("value_labels", "{}"))
         variable_labels = json.loads(self.options.get("variable_labels", "{}"))
+        if _true(self.options.get("multifile"), default=False):
+            # option("multifile","true"): the 100 TB WRITE path — each
+            # task writes ONE complete standalone file of the target
+            # format into the output DIRECTORY (no driver-side assembly
+            # at all; commit only renames). The single-file writers above
+            # stream sections through the driver, which is the right
+            # shape for "produce one .dta", but a 100 TB result cannot
+            # be one file — and the read side already scans directories
+            # partition-per-file (expand_paths).
+            return _MultiPartWriter(self.options["path"], schema, fmt, self.options)
         if fmt == "stata":
             return _DtaWriter(
                 self.options["path"],
@@ -1503,3 +1513,132 @@ class _BdatStreamWriter(_BdatWriter, DataSourceStreamArrowWriter):
 def register(spark) -> None:
     """Register format("readstat") on this SparkSession."""
     spark.dataSource.register(ReadstatDataSource)
+
+
+class _PartFileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_path: str):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
+
+
+class _MultiPartWriter(DataSourceArrowWriter):
+    """Partitioned DIRECTORY sink (option("multifile","true")): each
+    task single-shot-writes its partition as one complete standalone
+    file of the target format — part-{partitionId}-{uuid}.{ext} — fully
+    executor-side. Two-phase exactly-once: tasks write to dot-tmp names
+    and return them in the commit message; the driver commit() renames
+    exactly the committed set (task retries leave only unreferenced
+    tmps, removed by abort/cleanup). The read side lists the directory
+    and plans one partition per file, so write->read round-trips at any
+    file count.
+
+    Memory shape: a task buffers ITS partition as one Arrow table (the
+    single-shot writers need the full table for width decisions) —
+    bounded by upstream partition sizing, the same contract as columnar
+    writers that buffer a row group.
+    """
+
+    _EXT = {"stata": "dta", "spss": "sav", "sas": "sas7bdat", "xport": "xpt", "por": "por"}
+
+    def __init__(self, path: str, schema, fmt: str, options):
+        import json
+
+        self.path = path
+        self.schema = schema
+        self.fmt = fmt
+        self.ext = self._EXT[fmt]
+        if fmt == "spss" and str(options.get("path", "")).lower().endswith("zsav"):
+            self.ext = "zsav"
+        self.value_labels = {
+            col: {int(k): v for k, v in m.items()}
+            for col, m in json.loads(options.get("value_labels", "{}")).items()
+        }
+        self.variable_labels = json.loads(options.get("variable_labels", "{}"))
+        self.string_widths = {
+            k: int(v) for k, v in json.loads(options.get("string_widths", "{}")).items()
+        }
+        self.dta_version = int(options.get("dta_version", "118"))
+        self.xport_version = int(options.get("xport_version", "5"))
+        compress = str(options.get("compress", "")).lower()
+        self.compress = (
+            compress.upper() if compress in ("rle", "rdc") else _true(options.get("compress"), default=False)
+        )
+        os.makedirs(path, exist_ok=True)
+
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema)
+
+    def _write_one(self, table, out_path: str) -> None:
+        if self.fmt == "stata":
+            from .formats.stata.writer import write_dta
+
+            write_dta(table, out_path, value_labels=self.value_labels,
+                      variable_labels=self.variable_labels, version=self.dta_version)
+        elif self.fmt == "spss":
+            from .formats.spss.writer import write_sav
+
+            # value_labels keyed by float for SPSS
+            vl = {c: {float(k): v for k, v in m.items()} for c, m in self.value_labels.items()}
+            write_sav(table, out_path, value_labels=vl,
+                      variable_labels=self.variable_labels,
+                      compress="zsav" if self.ext == "zsav" else self.compress)
+        elif self.fmt == "sas":
+            from .formats.sas.bdat_writer import write_sas7bdat
+
+            write_sas7bdat(table, out_path, string_widths=self.string_widths or None,
+                           variable_labels=self.variable_labels, compress=self.compress)
+        elif self.fmt == "xport":
+            from .formats.sas.xport import write_xpt
+
+            write_xpt(table, out_path, string_widths=self.string_widths or None,
+                      version=self.xport_version)
+        elif self.fmt == "por":
+            from .formats.spss.portable import write_por
+
+            write_por(table, out_path, variable_labels=self.variable_labels or None)
+        else:  # pragma: no cover — writer() only routes the five formats
+            raise ValueError(f"multifile write unsupported for format {self.fmt}")
+
+    def write(self, batches):
+        import uuid
+
+        from pyspark import TaskContext
+
+        batches = list(batches)
+        table = (
+            pa_lib.Table.from_batches(batches)
+            if batches
+            else pa_lib.Table.from_batches([], schema=self._arrow_schema())
+        )
+        if table.num_rows == 0:
+            return _PartFileCommit("", "")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        base = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.{self.ext}"
+        tmp = os.path.join(self.path, f".{base}.tmp_")
+        self._write_one(table, tmp)
+        return _PartFileCommit(tmp, os.path.join(self.path, base))
+
+    def commit(self, messages):
+        published = 0
+        for m in messages:
+            if m and m.tmp_path:
+                os.replace(m.tmp_path, m.final_path)
+                published += 1
+        if not published:
+            # empty result: one zero-row file so directory reads still
+            # see the schema (same stance as the single-file writers)
+            self._write_one(
+                pa_lib.Table.from_batches([], schema=self._arrow_schema()),
+                os.path.join(self.path, f"part-00000-empty.{self.ext}"),
+            )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m and m.tmp_path:
+                try:
+                    os.unlink(m.tmp_path)
+                except OSError:
+                    pass

@@ -942,3 +942,45 @@ def r22_rdc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r23_multifile_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r23_multifile_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned DIRECTORY sink gate (the 100 TB write shape): parquet
+    -> option("multifile","true") .dta write — each task single-shot
+    writes one complete part-NNNNN.dta, commit only renames (no driver
+    assembly) -> directory read (one partition per file) -> aggregate
+    vs DuckDB on the parquet. Proves the executor-side writer and the
+    multi-file scan agree end-to-end."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r23_{tag}.dta")
+    orders = load_table(spark, sf_dir, "orders").repartition(8).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    (
+        orders.write.format("readstat")
+        .mode("overwrite")
+        .option("multifile", "true")
+        .save(path)
+    )
+    df = spark.read.format("readstat").load(path)
+    assert df.rdd.getNumPartitions() >= 8  # partition-per-file scan
+    return df.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

@@ -635,3 +635,41 @@ def test_no_stale_filter_on_reused_relation(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM stale_v WHERE k < 50").collect()[0]["n"] == 50
     assert spark.sql("SELECT count(*) AS n FROM stale_v").collect()[0]["n"] == 100
     assert spark.table("stale_v").count() == 100
+
+
+def test_multifile_directory_write_roundtrip(spark, tmp_path):
+    """option("multifile","true"): each task writes ONE standalone file
+    of the target format into the output directory (the 100 TB write
+    shape — no driver assembly); the directory read plans one partition
+    per file and round-trips exactly. Empty frames still publish a
+    zero-row schema file."""
+    df = (
+        spark.range(5000)
+        .repartition(6)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("s"),
+        )
+    )
+    import glob
+
+    for ext in ("dta", "sav", "zsav", "xpt", "por", "sas7bdat"):
+        out = str(tmp_path / f"dir.{ext}")
+        df.write.format("readstat").mode("overwrite").option("multifile", "true").save(out)
+        files = glob.glob(f"{out}/part-*.{ext}")
+        assert len(files) == 6, (ext, files)
+        assert not glob.glob(f"{out}/.*tmp_*"), "tmp files must not survive commit"
+        back = spark.read.format("readstat").load(out)
+        assert back.count() == 5000
+        assert back.agg(F.sum("k")).collect()[0][0] == sum(range(5000))
+        assert back.rdd.getNumPartitions() == 6  # partition-per-file read
+
+    # empty input -> one zero-row file carrying the schema
+    out = str(tmp_path / "empty.dta")
+    df.filter(F.lit(False)).write.format("readstat").mode("overwrite").option(
+        "multifile", "true"
+    ).save(out)
+    back = spark.read.format("readstat").load(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "v", "s"}
