@@ -301,7 +301,7 @@ class ReadstatDataSource(DataSource):
             # shape for "produce one .dta", but a 100 TB result cannot
             # be one file — and the read side already scans directories
             # partition-per-file (expand_paths).
-            return _MultiPartWriter(self.options["path"], schema, fmt, self.options)
+            return _MultiPartWriter(self.options["path"], schema, fmt, self.options, overwrite)
         if fmt == "stata":
             return _DtaWriter(
                 self.options["path"],
@@ -1540,12 +1540,13 @@ class _MultiPartWriter(DataSourceArrowWriter):
 
     _EXT = {"stata": "dta", "spss": "sav", "sas": "sas7bdat", "xport": "xpt", "por": "por"}
 
-    def __init__(self, path: str, schema, fmt: str, options):
+    def __init__(self, path: str, schema, fmt: str, options, overwrite: bool = False):
         import json
 
         self.path = path
         self.schema = schema
         self.fmt = fmt
+        self.overwrite = overwrite
         self.ext = self._EXT[fmt]
         if fmt == "spss" and str(options.get("path", "")).lower().endswith("zsav"):
             self.ext = "zsav"
@@ -1622,6 +1623,17 @@ class _MultiPartWriter(DataSourceArrowWriter):
         return _PartFileCommit(tmp, os.path.join(self.path, base))
 
     def commit(self, messages):
+        import glob as _glob
+
+        if self.overwrite:
+            # clear previous contents at COMMIT time (not planning), so a
+            # failed job leaves the old directory intact; tmp files have a
+            # dot prefix and never match the part glob
+            for old in _glob.glob(os.path.join(self.path, f"part-*.{self.ext}")):
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
         published = 0
         for m in messages:
             if m and m.tmp_path:

@@ -665,6 +665,16 @@ def test_multifile_directory_write_roundtrip(spark, tmp_path):
         assert back.agg(F.sum("k")).collect()[0][0] == sum(range(5000))
         assert back.rdd.getNumPartitions() == 6  # partition-per-file read
 
+    # overwrite clears previous parts (no stale-file mixing): rewrite
+    # the dta dir with FEWER partitions and expect exactly that many
+    out = str(tmp_path / "dir.dta")
+    df.repartition(3).write.format("readstat").mode("overwrite").option(
+        "multifile", "true"
+    ).save(out)
+    files = glob.glob(f"{out}/part-*.dta")
+    assert len(files) == 3, files
+    assert spark.read.format("readstat").load(out).count() == 5000
+
     # empty input -> one zero-row file carrying the schema
     out = str(tmp_path / "empty.dta")
     df.filter(F.lit(False)).write.format("readstat").mode("overwrite").option(
