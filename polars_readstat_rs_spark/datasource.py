@@ -29,6 +29,11 @@ Options:
 - ``filter_pushdown`` (default FALSE): accept Catalyst filters for
   batch-side application (P4). Opt-in because Spark reuses the planned
   scan across queries on the same relation — see _ReadstatReader.
+- ``union_by_name`` (default false): multi-file scans with EVOLVING
+  schemas (survey waves) read as the by-name union of all files'
+  fields — missing columns null-fill, type conflicts fail at plan time.
+- ``multifile`` (write, default false): partitioned DIRECTORY sink —
+  each task writes one complete standalone file; see _MultiPartWriter.
 
 At cluster scale each partition is an independent (path, row-range) unit
 -> 1000 executors can share one huge file or many files; compressed
@@ -213,6 +218,8 @@ class ReadstatDataSource(DataSource):
         return [c.strip() for c in cols.split(",")] if cols else None
 
     def schema(self):
+        if _true(self.options.get("union_by_name"), default=False):
+            return self._union_schema()
         fmt = self._fmt()
         path = expand_paths(self.options["path"])[0]
         if fmt == "stata":
@@ -259,8 +266,73 @@ class ReadstatDataSource(DataSource):
             )
         raise ValueError(f"unsupported format {fmt}")
 
+    def _arrow_schema_of_path(self, path: str, columns=None):
+        """Per-file ARROW schema with the full option surface (the same
+        dispatch the reader's _arrow_schema_of uses)."""
+        fmt = self._fmt()
+        opts = self._read_opts()
+        if fmt == "stata":
+            return stata_parser.arrow_schema(stata_parser.read_metadata(path), opts, columns)
+        if fmt == "spss":
+            from .formats.spss import parser as spss_parser
+
+            return spss_parser.arrow_schema(spss_parser.read_metadata(path), opts, columns)
+        if fmt == "xport":
+            from .formats.sas import xport
+
+            return xport.arrow_schema(xport.read_metadata(path), opts, columns)
+        if fmt == "por":
+            from .formats.spss import portable
+
+            return portable.arrow_schema(portable.read_metadata(path), opts, columns)
+        from .formats.sas import parser as sas_parser
+
+        return sas_parser.arrow_schema(
+            sas_parser.read_metadata(path),
+            columns,
+            row_index=opts.row_index,
+            informative_nulls=opts.informative_nulls,
+            informative_null_columns=opts.informative_null_columns,
+            informative_null_suffix=opts.informative_null_suffix,
+            catalog_formats=opts.catalog_formats,
+        )
+
+    def _union_schema(self):
+        """option("union_by_name","true"): the directory schema is the
+        BY-NAME union of every file's fields (survey waves: later files
+        add variables; missing ones read as null). Field order = first
+        appearance across the sorted file list; a name whose type
+        differs across files fails LOUDLY at plan time (no silent
+        coercion). O(#files) driver work, header reads only — the same
+        cost the mismatch check in partitions() already pays."""
+        fields: dict[str, object] = {}
+        origin: dict[str, str] = {}
+        for p in expand_paths(self.options["path"]):
+            s = self._arrow_schema_of_path(p)  # full per-file field set
+            for f in s:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = f.type
+                    origin[f.name] = p
+                elif prev != f.type:
+                    raise ValueError(
+                        f"union_by_name: column {f.name!r} is {prev} in "
+                        f"{origin[f.name]!r} but {f.type} in {p!r} — cast "
+                        "the files to a common type or read them separately"
+                    )
+        cols = self._columns()
+        names = [n for n in fields if cols is None or n in cols]
+        if cols is not None:
+            missing = [c for c in cols if c not in fields]
+            if missing:
+                raise ValueError(f"union_by_name: columns {missing} exist in no input file")
+            names = [c for c in cols]  # user-given projection order
+        return _from_arrow_schema(pa_lib.schema([pa_lib.field(n, fields[n]) for n in names]))
+
     def reader(self, schema) -> DataSourceReader:
-        return _ReadstatReader(self.options, self._fmt(), self._columns(), self._read_opts())
+        return _ReadstatReader(
+            self.options, self._fmt(), self._columns(), self._read_opts(), schema
+        )
 
     def streamReader(self, schema):
         """spark.readStream.format("readstat").load(dir): Structured
@@ -540,11 +612,16 @@ class _ReadstatStreamReader(DataSourceStreamReader):
 
 
 class _ReadstatReader(DataSourceReader):
-    def __init__(self, options, fmt: str, columns, opts):
+    def __init__(self, options, fmt: str, columns, opts, spark_schema=None):
         self.path = options["path"]
         self.fmt = fmt
         self.columns = columns
         self.opts = opts
+        # union-by-name multi-file mode: batches align (null-fill +
+        # reorder + cast) to the planner's union schema in read()
+        self.union_by_name = _true(options.get("union_by_name"), default=False)
+        self.spark_schema = spark_schema if self.union_by_name else None
+        self._target_arrow = None  # lazily derived executor-side
         self.batch_size = int(options.get("batch_size", 65536))
         self.offset = int(options.get("offset", 0))
         self.limit = int(options.get("limit", -1))
@@ -682,14 +759,18 @@ class _ReadstatReader(DataSourceReader):
         first_schema = None
         out = []
         for p in paths:
-            if first_schema is None:
+            if self.union_by_name:
+                pass  # per-file schemas may differ; read() aligns batches
+            elif first_schema is None:
                 first_schema = self._arrow_schema_of(p)
             else:
                 s = self._arrow_schema_of(p)
                 if s != first_schema:
                     raise ValueError(
                         f"schema mismatch in multi-file scan: {p!r} has {s} "
-                        f"!= {paths[0]!r} {first_schema}"
+                        f"!= {paths[0]!r} {first_schema}. Pass "
+                        "option('union_by_name','true') to read evolving "
+                        "schemas as their by-name union (missing -> null)."
                     )
             # intra-file RLE split planning decompresses the file on the
             # driver — fine for one file, O(corpus) driver work for a
@@ -827,7 +908,51 @@ class _ReadstatReader(DataSourceReader):
             count = min(count, self.limit)
         return start, count
 
+    def _target_schema(self):
+        if self._target_arrow is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self._target_arrow = to_arrow_schema(self.spark_schema)
+        return self._target_arrow
+
+    def _file_cols(self, path: str) -> list[str] | None:
+        """union_by_name projection for ONE file: the target fields that
+        actually exist in it (file order). A file contributing no
+        projected column still contributes its ROWS — keep one real
+        column so the parser preserves the row count; _align drops it."""
+        have = [f.name for f in self._arrow_schema_of(path)]
+        want = set(f.name for f in self._target_schema())
+        cols = [n for n in have if n in want]
+        return cols or have[:1]
+
+    def _align(self, batch):
+        """Null-fill, reorder, and cast one record batch to the union
+        schema (union_by_name mode only)."""
+        target = self._target_schema()
+        present = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+        n = batch.num_rows
+        arrays = []
+        for f in target:
+            a = present.get(f.name)
+            if a is None:
+                arrays.append(pa_lib.nulls(n, f.type))
+            elif a.type != f.type:
+                arrays.append(a.cast(f.type))
+            else:
+                arrays.append(a)
+        return pa_lib.RecordBatch.from_arrays(arrays, schema=target)
+
     def read(self, partition: _RowRange):
+        if self.union_by_name:
+            # per-task copy of the reader: narrowing the projection to
+            # THIS file's fields is task-local state
+            self.columns = self._file_cols(partition.path)
+            for b in self._read_raw(partition):
+                yield self._align(b)
+            return
+        yield from self._read_raw(partition)
+
+    def _read_raw(self, partition: _RowRange):
         if isinstance(partition, _PageRange):
             from .formats.sas import parser as sas_parser
 

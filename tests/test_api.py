@@ -683,3 +683,50 @@ def test_multifile_directory_write_roundtrip(spark, tmp_path):
     back = spark.read.format("readstat").load(out)
     assert back.count() == 0
     assert set(back.columns) == {"k", "v", "s"}
+
+
+def test_union_by_name_directory_read(spark, tmp_path):
+    """option("union_by_name","true"): evolving-schema corpora (survey
+    waves) read as the by-name union — missing columns null-fill, field
+    order is first appearance, projections may name late-wave columns,
+    and a type CONFLICT fails loudly at plan time."""
+    d = str(tmp_path / "waves")
+    import os
+
+    os.makedirs(d)
+    spark.range(3).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") + 0.5).alias("b")
+    ).write.format("readstat").mode("overwrite").save(f"{d}/w1.dta")
+    spark.range(3).select(
+        (F.col("id") + 10).cast("int").alias("a"),
+        (F.col("id") + 20.5).alias("b"),
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("c"),
+    ).write.format("readstat").mode("overwrite").save(f"{d}/w2.dta")
+
+    df = spark.read.format("readstat").option("union_by_name", "true").load(d)
+    assert df.schema.simpleString() == "struct<a:int,b:double,c:string>"
+    rows = [tuple(r) for r in df.orderBy("a").collect()]
+    assert rows[0] == (0, 0.5, None) and rows[-1] == (12, 22.5, "x2")
+
+    # projection including a column only the second wave has
+    sub = (
+        spark.read.format("readstat")
+        .option("union_by_name", "true")
+        .option("columns", "c,a")
+        .load(d)
+    )
+    assert sub.columns == ["c", "a"]
+    assert [r["c"] for r in sub.orderBy("a").collect()] == [None, None, None, "x0", "x1", "x2"]
+
+    # without the option: loud mismatch pointing at the fix
+    import pytest
+
+    with pytest.raises(Exception, match="union_by_name"):
+        spark.read.format("readstat").load(d).count()
+
+    # type conflict: same name, different type -> loud plan-time error
+    spark.range(2).select(F.lit("notnum").alias("b"), F.col("id").cast("int").alias("a")).write.format(
+        "readstat"
+    ).mode("overwrite").save(f"{d}/w3.dta")
+    with pytest.raises(Exception, match="common type"):
+        spark.read.format("readstat").option("union_by_name", "true").load(d).schema
