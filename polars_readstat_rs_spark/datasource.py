@@ -374,6 +374,19 @@ class ReadstatDataSource(DataSource):
             # be one file — and the read side already scans directories
             # partition-per-file (expand_paths).
             return _MultiPartWriter(self.options["path"], schema, fmt, self.options, overwrite)
+        if not overwrite and os.path.exists(self.options["path"]):
+            # single-file stat formats are not appendable containers: a
+            # mode("append") here used to silently OVERWRITE the file.
+            # Appending to a missing path is just a create and stays
+            # allowed; real appends belong to the multifile directory
+            # sink (each job adds part files) or the streaming sinks.
+            raise ValueError(
+                f"cannot append to existing single-file output "
+                f"{self.options['path']!r}: .dta/.sav/.xpt/.por/.sas7bdat are "
+                "not appendable containers — use mode('overwrite'), or "
+                "option('multifile','true') for an appendable directory of "
+                "part files"
+            )
         if fmt == "stata":
             return _DtaWriter(
                 self.options["path"],

@@ -730,3 +730,24 @@ def test_union_by_name_directory_read(spark, tmp_path):
     ).mode("overwrite").save(f"{d}/w3.dta")
     with pytest.raises(Exception, match="common type"):
         spark.read.format("readstat").option("union_by_name", "true").load(d).schema
+
+
+def test_append_semantics(spark, tmp_path):
+    """mode('append') on an existing SINGLE-FILE output must fail loudly
+    (it used to silently overwrite — stat files are not appendable
+    containers); append to a missing path is a create; the multifile
+    directory sink appends for real."""
+    import pytest
+
+    df = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    p = str(tmp_path / "t.dta")
+    df.write.format("readstat").mode("append").save(p)  # create-by-append ok
+    assert spark.read.format("readstat").load(p).count() == 10
+    with pytest.raises(Exception, match="not appendable"):
+        df.write.format("readstat").mode("append").save(p)
+    assert spark.read.format("readstat").load(p).count() == 10  # untouched
+
+    mp = str(tmp_path / "dir.dta")
+    df.write.format("readstat").mode("overwrite").option("multifile", "true").save(mp)
+    df.write.format("readstat").mode("append").option("multifile", "true").save(mp)
+    assert spark.read.format("readstat").load(mp).count() == 20
