@@ -42,7 +42,7 @@ result to free executor storage in long pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles_expr
@@ -885,3 +885,70 @@ def minhash_estimate_pairs(
         stats=stats,
     )
     return _track(out, stats)
+
+
+# Tracking params stripped during URL canonicalization: the analytics /
+# click-id junk that makes one page crawl as thousands of "distinct"
+# URLs. Matched against the key side of key=value, anchored.
+_URL_TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_expr(url_col: str) -> Column:
+    """Canonical form of a URL as a pure built-in expression chain:
+    lowercase scheme+host, strip a scheme-default port (:80 http /
+    :443 https), drop the fragment, normalize the path's trailing slash
+    (empty path -> "/"), drop tracking query params (utm_*, fbclid,
+    gclid, msclkid, ref) and sort the survivors byte-lexicographically.
+
+    Character-class-only regexes (no backrefs/lookaround) so Java regex
+    and RE2 produce identical extractions; the param sort uses binary
+    collation on both engines. Map-only — scales as the scan."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(raw_path == "/", raw_path).otherwise(F.regexp_replace(raw_path, "/$", ""))
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def url_dedup(urls: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup after canonicalization — the crawl
+    pipeline's first dedup pass (before any content hashing): one page
+    crawled under http/https, with/without :443, trailing slash,
+    #fragments, utm_* click-ids, or reordered query params collapses to
+    one canonical key; the kept representative is the smallest id
+    (deterministic across runs and partitionings).
+
+    Emits (canon_url, keep_id, n_dupes) per canonical URL. Shape at
+    scale: canonicalization is map-only; the single shuffle groups on
+    the canonical URL — a high-cardinality, hash-distributed key (the
+    whole point of dedup), so partial aggregation collapses repeats
+    map-side and no salting is needed."""
+    return (
+        urls.select(
+            canonical_url_expr(url_col).alias("canon_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_dupes"),
+        )
+    )

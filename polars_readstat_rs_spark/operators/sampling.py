@@ -472,3 +472,63 @@ def interleave_sources(
             (F.col("_off") + F.col("_local")).cast("int").alias("global_pos"),
         )
     )
+
+
+def mix_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    weight: Column,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture plan (the static core of Pile/DoReMi-style
+    data mixing): given per-document texts, a per-source mixing weight
+    expression, and a total training token budget, compute for every
+    source its available tokens, its weight-proportional target, the
+    Bernoulli/epoch sampling plan that realizes the target, and the
+    up/down-sampling factor.
+
+    ``sample_rate`` > 1 means the source is repeated: ``n_full_epochs``
+    whole passes plus a ``residual_rate`` Bernoulli pass — exactly the
+    loader schedule (e.g. rate 2.4 = 2 full epochs + sample 40%).
+
+    Determinism: available/target are exact integer arithmetic until
+    single, identically-ordered double divisions (both engines IEEE754).
+    Scale: one partial-aggregated shuffle on source (few hundred keys),
+    then a 1-row broadcast for the weight total — no data-proportional
+    driver work; the plan output is loader metadata, tiny by nature."""
+    per_src = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).alias("_tok"),
+            weight.cast("bigint").alias("_w"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("available_tokens"),
+            F.max("_w").alias("weight"),
+        )
+    )
+    totals = per_src.agg(F.sum("weight").alias("_w_total"))
+    planned = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        "weight",
+        (
+            (F.lit(int(budget_tokens)) * F.col("weight")).cast("double")
+            / F.col("_w_total").cast("double")
+        ).alias("target_tokens"),
+    )
+    rate = F.col("target_tokens") / F.col("available_tokens").cast("double")
+    return planned.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        rate.alias("sample_rate"),
+        F.floor(rate).cast("bigint").alias("n_full_epochs"),
+        (rate - F.floor(rate)).alias("residual_rate"),
+    )

@@ -690,3 +690,55 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.split(collapsed, " ")).cast("int").alias("n_words_norm"),
         F.md5(collapsed).alias("norm_md5"),
     )
+
+
+# C4 cleaning thresholds (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2): keep
+# lines with a terminal-punctuation character and at least 5 words; drop
+# whole pages containing "lorem ipsum" or a curly brace; keep pages with
+# at least 3 surviving sentences/lines. (C4's "3 sentences" is applied
+# here as 3 surviving lines, its practical proxy on line-split pages.)
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+_C4_LINE_TERMINAL = '[.!?"]$'
+
+
+def c4_line_filters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4-style line + page filtering as ONE map-only pass.
+
+    Per document: split on newlines, keep lines that end in terminal
+    punctuation and have >= C4_MIN_LINE_WORDS words; drop the whole page
+    if the raw text contains "lorem ipsum" (case-insensitive) or "{",
+    or if fewer than C4_MIN_KEPT_LINES lines survive. Emits per-line and
+    per-page audit counters plus ``kept_md5`` (md5 of the retained text,
+    NULL for dropped pages) so a gate pins every byte of the transform.
+
+    Scale: pure built-in array expressions (split / filter / array_join)
+    inside whole-stage codegen — no shuffle, no UDF, scales as the scan.
+    The page verdict and the cleaned text come out of the same pass, so
+    a pipeline can fork keep/drop audit streams from one scan."""
+    lines = F.split(F.col(text_col), "\n")
+    keep_line = lambda ln: (  # noqa: E731 — inline predicate for F.filter
+        (F.size(F.split(F.trim(ln), " ")) >= C4_MIN_LINE_WORDS)
+        & ln.rlike(_C4_LINE_TERMINAL)
+    )
+    kept = F.filter(lines, keep_line)
+    kept_text = F.array_join(kept, "\n")
+    page_ok = (
+        ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    keep_doc = page_ok & (F.size(kept) >= C4_MIN_KEPT_LINES)
+    n_words_kept = F.aggregate(
+        kept,
+        F.lit(0),
+        lambda acc, ln: acc + F.size(F.split(F.trim(ln), " ")),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_words_kept.cast("int").alias("n_words_kept"),
+        keep_doc.alias("keep_doc"),
+        F.when(keep_doc, F.md5(kept_text)).alias("kept_md5"),
+    )

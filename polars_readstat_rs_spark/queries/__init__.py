@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -121,6 +121,36 @@ _R8_THIRD = (
     "r20_dta_v117_roundtrip",
 )
 
+# Round-9 additions, all never driver-recorded: the three readstat
+# gates from the first r9 wave (catalog write, RDC write, multifile
+# directory sink) and the second-wave pipeline ops (C4 filters, URL
+# dedup, mix budget). Each passed dedicated tools/check_oracle.py runs
+# at sf0.01 AND sf0.1 this round, so they lead the recorded head.
+_R9_NEW = (
+    "r21_catalog_write_roundtrip",
+    "r22_rdc_write_roundtrip",
+    "r23_multifile_write_roundtrip",
+    "t21_c4_filters",
+    "d15_url_dedup",
+    "p13_mix_budget",
+)
+
+# Queries whose IMPLEMENTATION materially changed in round 9 (integer-
+# cents aggregation q01/q03/q05, xxhash64 shingle keys d02/p06,
+# single-exchange p04, opt-in batch filter acceptance r12): they have
+# old driver CORRECTNESS rows, but those predate the rewrite — put them
+# inside the recorded window so the round's artifact re-proves them.
+_R9_TOUCHED = (
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "d02_dedup_ngram_jaccard",
+    "d03_dedup_minhash_lsh",
+    "p04_pack_sequences",
+    "p06_contamination",
+    "r12_pushdown_matrix",
+)
+
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 _RISKY_TAIL: tuple[str, ...] = ()
@@ -134,7 +164,15 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # _R7_DEFER entries (completes the r1-r7 union at 164/164), then the
 # 14 _R8_NEW gates added this round (locally verified, see above),
 # then the previously-recorded rotation.
-HEAD = _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
+# Round-9 rotation: the 6 never-recorded _R9_NEW gates lead, then the 8
+# _R9_TOUCHED rewrites, then the prior rotation (dedup'd) fills the
+# remaining recorded slots.
+_PRIOR = _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
+HEAD = (
+    _R9_NEW
+    + _R9_TOUCHED
+    + tuple(n for n in _PRIOR if n not in _R9_NEW and n not in _R9_TOUCHED)
+)
 
 _ordered = (
     [n for n in HEAD if n in QUERIES]

@@ -1686,3 +1686,78 @@ def test_bpe_train_planted_merges(spark):
            textstats.bpe_train(df, n_merges=2).collect()}
     assert out[1] == ("a", "a", "aa", 20)
     assert out[2] == ("a", "b", "ab", 15)
+
+
+def test_c4_line_filters_rules(spark):
+    from polars_readstat_rs_spark.operators.textstats import c4_line_filters
+
+    good = "alpha beta gamma delta epsilon zeta."
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept page
+            (1, "\n".join([good, 'quote line with five words here"', good])),
+            # page containing lorem ipsum -> dropped despite 3 good lines
+            (2, "\n".join([good, good, good, "some Lorem IPSUM boilerplate text here."])),
+            # page containing a brace -> dropped
+            (3, "\n".join([good, good, good, "code { x }"])),
+            # only 2 surviving lines -> dropped
+            (4, "\n".join([good, good, "too short line.", "five words but no punct"])),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_line_filters(docs).collect()}
+    assert out[1].keep_doc and out[1].kept_md5 is not None
+    assert out[1].n_lines == 3 and out[1].n_kept_lines == 3
+    assert out[1].n_words_kept == 6 + 6 + 6
+    assert not out[2].keep_doc and out[2].kept_md5 is None
+    assert out[2].n_kept_lines == 4  # line filter passes; page rule rejects
+    assert not out[3].keep_doc
+    assert not out[4].keep_doc and out[4].n_kept_lines == 2
+
+
+def test_canonical_url_dedup_collapses_junk_variants(spark):
+    rows = [
+        (1, "HTTP://Ex.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://ex.com/a?a=1&b=2"),
+        (3, "https://ex.com:443/a"),  # different scheme -> distinct from 1/2
+        (4, "https://ex.com/a/"),
+        (5, "http://ex.com:8080/a"),  # non-default port survives
+        (6, "http://ex.com"),  # empty path -> "/"
+        (7, "http://ex.com/?gclid=zz"),
+    ]
+    out = {
+        r.canon_url: r
+        for r in dedup.url_dedup(spark.createDataFrame(rows, ["doc_id", "url"])).collect()
+    }
+    assert set(out) == {
+        "http://ex.com/a?a=1&b=2",
+        "https://ex.com/a",
+        "http://ex.com:8080/a",
+        "http://ex.com/",
+    }
+    assert out["http://ex.com/a?a=1&b=2"].keep_id == 1
+    assert out["http://ex.com/a?a=1&b=2"].n_dupes == 1
+    assert out["https://ex.com/a"].keep_id == 3 and out["https://ex.com/a"].n_dupes == 1
+    assert out["http://ex.com/"].keep_id == 6 and out["http://ex.com/"].n_dupes == 1
+
+
+def test_mix_budget_epoch_plan(spark):
+    from polars_readstat_rs_spark.operators.sampling import mix_budget
+
+    docs = spark.createDataFrame(
+        [
+            ("small", "w1 w2 w3 w4"),  # 4 tokens x 10 docs = 40 available
+            ("big", " ".join(f"t{i}" for i in range(100))),  # 100 x 10 = 1000
+        ],
+        ["source", "text"],
+    )
+    docs = docs.crossJoin(spark.range(10).select(F.col("id").alias("_r"))).drop("_r")
+    weight = F.when(F.col("source") == "small", F.lit(1)).otherwise(F.lit(3))
+    out = {r.source: r for r in mix_budget(docs, 400, weight).collect()}
+    small, big = out["small"], out["big"]
+    assert small.available_tokens == 40 and big.available_tokens == 1000
+    assert small.target_tokens == 100.0 and big.target_tokens == 300.0
+    assert small.sample_rate == 2.5  # upsample: 2 epochs + 50% pass
+    assert small.n_full_epochs == 2 and small.residual_rate == 0.5
+    assert big.sample_rate == 0.3 and big.n_full_epochs == 0
+    assert big.residual_rate == 0.3

@@ -347,6 +347,31 @@ def main() -> None:
             "minhash_estimate": lambda: dedup.minhash_estimate_pairs(
                 docs, "doc_id", "text"
             ),
+            "c4_filters": lambda: textstats.c4_line_filters(
+                docs.select(
+                    "doc_id",
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1.\n"
+                    ).alias("text"),
+                )
+            ),
+            "url_dedup": lambda: dedup.url_dedup(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://h"),
+                        (F.col("doc_id") % 1000).cast("string"),
+                        F.lit(".example.com/p/"),
+                        (F.col("doc_id") % 7919).cast("string"),
+                        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&a=1")).otherwise(
+                            F.lit("?a=1")
+                        ),
+                    ).alias("url"),
+                )
+            ),
+            "mix_budget": lambda: sampling.mix_budget(
+                docs, 10_000_000, (F.col("doc_id") % 5 + 1)
+            ),
         }
         for name, mk in ops.items():
             if only and name not in only:
