@@ -395,37 +395,53 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_media_payloads(docs: DataFrame, kind: str = "wav") -> DataFrame:
+def synth_media_payloads(
+    docs: DataFrame, kind: str = "wav", seed_col: str = "doc_id"
+) -> DataFrame:
     """Deterministic WAV/BMP payload synthesis per doc_id (mapInPandas,
     numpy encoders) — the fixture generator for the real-codec gates:
-    sample/pixel values are closed-form in doc_id, so a SQL oracle can
+    sample/pixel values are closed-form in the seed, so a SQL oracle can
     recompute the decoded statistics independently.
 
-    wav: 64 + doc_id%32 samples of 8-bit PCM, sample[i] = (doc_id*31 +
+    wav: 64 + seed%32 samples of 8-bit PCM, sample[i] = (seed*31 +
     i*7) % 256, mono @ 8 kHz. bmp/png: 8x6 RGB, pixel value at (x, y,
-    channel c) = (doc_id + 3x + 5y + 11c) % 256 (png rows filtered
-    y%5, so every defilter path is exercised)."""
+    channel c) = (seed + 3x + 5y + 11c) % 256 (png rows filtered
+    y%5, so every defilter path is exercised). bmp_texture: 8x6 RGB with
+    (seed*(x+1)*(y+2) + 7x^2 + 3y + 11c) % 256 — a seed-DEPENDENT
+    texture (the plain gradient is perceptually identical for every
+    seed, which dHash is designed to be invariant to; the quadratic
+    terms make different seeds produce different comparison signs).
+
+    ``seed_col`` defaults to doc_id (every payload distinct); a coarser
+    seed (e.g. doc_id % 40) makes groups of ids carry byte-identical
+    media — the duplicate structure the perceptual-dedup gates need."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             payloads = []
-            for doc_id in b["doc_id"]:
+            for seed in b["_seed"]:
                 if kind == "wav":
-                    n = 64 + int(doc_id) % 32
-                    s = (int(doc_id) * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+                    n = 64 + int(seed) % 32
+                    s = (int(seed) * 31 + np.arange(n, dtype=np.int64) * 7) % 256
                     payloads.append(encode_wav(s.astype(np.uint8)))
                 else:
                     x = np.arange(8).reshape(1, 8, 1)
                     y = np.arange(6).reshape(6, 1, 1)
                     c = np.arange(3).reshape(1, 1, 3)
-                    px = ((int(doc_id) + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+                    if kind == "bmp_texture":
+                        px = (
+                            (int(seed) * (x + 1) * (y + 2) + 7 * x * x + 3 * y + 11 * c)
+                            % 256
+                        ).astype(np.uint8)
+                    else:
+                        px = ((int(seed) + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
                     payloads.append(
                         encode_png(px) if kind == "png" else encode_bmp(px)
                     )
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return docs.select("doc_id", F.col(seed_col).alias("_seed")).mapInPandas(
         fn,
         T.StructType(
             [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
@@ -746,3 +762,83 @@ def resample_audio(multimodal: DataFrame, factor: int = 2) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(fn, RESAMPLE_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash_hex", T.StringType()),
+    ]
+)
+
+
+def dhash_images(
+    multimodal: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image payload — the
+    standard near-duplicate-image fingerprint (Krawetz's dHash): REAL
+    decode (BMP/PNG magic-byte dispatch), integer grayscale
+    (sum(channels) // n_channels), nearest-neighbor resample to
+    (hash_w+1) x hash_h with the same exact floor map as
+    :func:`resize_images`, then bit[y*hash_w + x] = gray[y, x+1] >
+    gray[y, x]. Identical images always collide; small crops/rescales
+    usually collide; unrelated images differ — grouping by the hash is
+    the image analogue of text exact-dedup, and Hamming-near hashes
+    feed the same banded-LSH machinery as SimHash (dedup.simhash_pairs).
+
+    Every step is integer-exact, so a SQL oracle can recompute the hash
+    bit-for-bit from the synthesis closed form. The 64 bits are emitted
+    as four 16-bit groups hex-concatenated (same no-signed-overflow
+    discipline as the SimHash operator): group g packs bits
+    [g*16, (g+1)*16) little-endian (bit i contributes 1 << (i % 16)).
+
+    Scale shape: mapInPandas over payloads — Arrow-batched, map-only,
+    shuffle-free; the downstream dedup groupBy shuffles only the 16-hex
+    fingerprints."""
+    import numpy as np
+
+    n_bits = hash_w * hash_h
+    if n_bits % 16 != 0:
+        raise ValueError(f"hash_w*hash_h must be a multiple of 16, got {n_bits}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                d = decode_real(bytes(payload))
+                if d["kind"] == "wav":
+                    continue  # images only
+                px = d["pixels"].astype(np.int64)
+                gray = px.sum(axis=2) // px.shape[2]
+                h, w = gray.shape
+                ys = (np.arange(hash_h, dtype=np.int64) * h) // hash_h
+                xs = (np.arange(hash_w + 1, dtype=np.int64) * w) // (hash_w + 1)
+                g = gray[ys][:, xs]
+                bits = (g[:, 1:] > g[:, :-1]).ravel()  # row-major: i = y*hash_w + x
+                out = []
+                for grp in range(n_bits // 16):
+                    v = 0
+                    for j in range(16):
+                        if bits[grp * 16 + j]:
+                            v |= 1 << j
+                    out.append(f"{v:04x}")
+                ids.append(doc_id)
+                hashes.append("".join(out))
+            yield pd.DataFrame({"doc_id": ids, "dhash_hex": hashes})
+
+    return multimodal.mapInPandas(fn, DHASH_SCHEMA)
+
+
+def dhash_dedup(multimodal: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Exact perceptual-dedup over image payloads: group by the dHash
+    fingerprint, keep the smallest doc_id per group. One shuffle on the
+    16-hex hash — high-cardinality and hash-distributed, with partial
+    aggregation collapsing duplicate fingerprints map-side."""
+    return (
+        dhash_images(multimodal, hash_w, hash_h)
+        .groupBy("dhash_hex")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_dupes"),
+        )
+    )

@@ -133,6 +133,7 @@ _R9_NEW = (
     "t21_c4_filters",
     "d15_url_dedup",
     "p13_mix_budget",
+    "m10_image_dhash_dedup",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -230,3 +230,64 @@ def p13_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("int") % 3 + 1
     )
     return sampling.mix_budget(docs, _P13_BUDGET, weight)
+
+
+# ------------------------------------------------- m10 perceptual image dedup
+
+# Payloads synthesized from seed = doc_id % 40, so groups of doc_ids
+# carry byte-identical BMPs — the duplicate structure a perceptual
+# dedup must recover. The bmp_texture closed form
+# pixel(x,y,c) = (seed*(x+1)*(y+2) + 7x^2 + 3y + 11c) % 256 is used
+# (NOT the plain m04/m08 gradient: dHash is by design invariant to a
+# uniform gradient, so every seed hashed identically and the gate
+# degenerated to one row). The oracle recomputes the dHash BIT-FOR-BIT
+# (grayscale = channel-sum // 3, floor-map resample to 9x8, left-right
+# comparison sign, little-endian 16-bit hex groups), so a match proves
+# decode -> grayscale -> resample -> bit extraction, not just grouping.
+
+
+@register(
+    "m10_image_dhash_dedup",
+    oracle="""
+    WITH p AS (SELECT doc_id, doc_id % 40 AS seed, unnest(range(0, 64)) AS i
+               FROM documents),
+    m AS (SELECT doc_id, i, seed,
+            ((i % 8) * 8) // 9 AS sx0,
+            (((i % 8) + 1) * 8) // 9 AS sx1,
+            ((i // 8) * 6) // 8 AS sy
+          FROM p),
+    g AS (SELECT doc_id, i,
+            (seed * (sx0 + 1) * (sy + 2) + 7 * sx0 * sx0 + 3 * sy) % 256 AS b0,
+            (seed * (sx1 + 1) * (sy + 2) + 7 * sx1 * sx1 + 3 * sy) % 256 AS b1
+          FROM m),
+    bits AS (SELECT doc_id, i,
+            CASE WHEN (b1 + (b1 + 11) % 256 + (b1 + 22) % 256) // 3
+                    > (b0 + (b0 + 11) % 256 + (b0 + 22) % 256) // 3
+                 THEN 1 ELSE 0 END AS bit
+          FROM g),
+    grp AS (SELECT doc_id, i // 16 AS grp,
+                   CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS v
+            FROM bits GROUP BY doc_id, i // 16),
+    hx AS (SELECT doc_id, string_agg(printf('%04x', v), '' ORDER BY grp) AS dhash_hex
+           FROM grp GROUP BY doc_id)
+    SELECT dhash_hex, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) - 1 AS INT) AS n_dupes
+    FROM hx GROUP BY dhash_hex
+    """,
+)
+def m10_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.py:dhash_dedup):
+    REAL BMP decode -> integer grayscale -> exact floor-map 9x8
+    resample -> 64-bit dHash as four 16-bit hex groups, then one
+    groupBy on the fingerprint keeping the smallest doc_id. Payload
+    synthesis reuses the m04/m08 closed form seeded by doc_id % 40 so
+    duplicate groups exist by construction."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = multimodal.synth_media_payloads(
+        docs.withColumn("_seed40", F.col("doc_id") % 40),
+        kind="bmp_texture",
+        seed_col="_seed40",
+    )
+    return multimodal.dhash_dedup(mm)

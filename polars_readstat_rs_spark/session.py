@@ -47,7 +47,14 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
     # local mode: cores/2 shuffle partitions measured fastest (task-setup
     # overhead dominates small shuffles; AQE still splits skewed ones).
     # On a real cluster this is overridden to ~2-3x total cores.
-    shuffle = str(max(8, int(cpus) // 2)) if cpus.isdigit() else cpus
+    # SPARK_GRAFT_SHUFFLE overrides for larger-than-sf0.1 local runs: the
+    # sf10 checkpoint measured 16 partitions spilling GBs per task on
+    # 60M-row joins (q05 30 s, single-core merge phases) — partition
+    # count must scale with data, which on a cluster AQE coalescing
+    # handles from a high initial number.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE") or (
+        str(max(8, int(cpus) // 2)) if cpus.isdigit() else cpus
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -1761,3 +1761,64 @@ def test_mix_budget_epoch_plan(spark):
     assert small.n_full_epochs == 2 and small.residual_rate == 0.5
     assert big.sample_rate == 0.3 and big.n_full_epochs == 0
     assert big.residual_rate == 0.3
+
+
+def test_dhash_images_known_bits_and_dedup(spark):
+    """Hand-checkable dHash: 2x2 hash over a 3x2 image whose gray values
+    are fully controlled; identical images collide, the horizontally
+    mirrored image differs."""
+    import numpy as np
+
+    # gray ramp left->right (gray == every channel value)
+    base = np.array([[10, 20, 30], [10, 20, 30]], np.uint8)  # (h=2, w=3)
+    up = np.repeat(base[:, :, None], 3, axis=2)
+    down = up[:, ::-1, :]  # mirrored: all comparisons flip
+    rows = [
+        (1, multimodal.encode_bmp(up)),
+        (2, multimodal.encode_bmp(up)),  # exact duplicate of 1
+        (3, multimodal.encode_bmp(down)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    # hash_w=4, hash_h=4 -> 16 bits, one hex group of 4 chars.
+    # Resample maps: xs = (arange(5)*3)//5 = [0,0,1,1,2] -> gray columns
+    # [10,10,20,20,30]; per row the 4 comparisons are F,T,F,T -> bits
+    # 1 and 3 of each 4-bit row nibble -> 0xa per row -> "aaaa".
+    out = {r.doc_id: r.dhash_hex for r in multimodal.dhash_images(df, 4, 4).collect()}
+    assert out[1] == out[2] != out[3]
+    assert out[1] == "aaaa"
+    # mirrored ramp: every comparison <=, no bits set
+    assert out[3] == "0000"
+    ded = {r.dhash_hex: r for r in multimodal.dhash_dedup(df, 4, 4).collect()}
+    assert ded["aaaa"].keep_id == 1 and ded["aaaa"].n_dupes == 1
+    assert ded["0000"].keep_id == 3 and ded["0000"].n_dupes == 0
+
+
+def test_dhash_rejects_non_16_multiple():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.dhash_images(None, 3, 3)
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a projection: applying it twice equals once
+    (the property that lets incremental crawls re-canonicalize merged
+    corpora without drift)."""
+    urls = [
+        "HTTP://A.B:80/x/y/?utm_campaign=c&z=1&a=2#f",
+        "https://A.B:443/",
+        "https://a.b:8443/p?b=1&a=1&a=0",
+        "ftp://Host:21/file",
+        "http://h/p1/p2",
+        "https://h.example.com/p/?ref=x",
+        "http://h?",
+        "http://h#only-frag",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["doc_id", "url"])
+    once = df.select(
+        "doc_id", dedup.canonical_url_expr("url").alias("url")
+    )
+    twice = once.select("doc_id", dedup.canonical_url_expr("url").alias("c2"))
+    joined = once.join(twice, "doc_id")
+    bad = joined.filter(F.col("url") != F.col("c2")).collect()
+    assert bad == [], bad

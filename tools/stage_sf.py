@@ -1,19 +1,37 @@
 """Synthesize a larger scale factor from sf0.1 by key-offset replication
 (r8 verdict task 8: the 2x ceiling is judged at sf0.1 where Spark's
-~0.1-0.2 s/stage scheduling floor dominates sub-second queries; an sf1
-run shows the floor amortizing as data grows).
+~0.1-0.2 s/stage scheduling floor dominates sub-second queries; sf1/sf10
+runs show the floor amortizing as data grows).
 
 Each replica i offsets every KEY column by i * STRIDE so grouped /
 joined / deduped entities stay distinct; dimension tables (region,
 nation, supplier, part, customer) stay single-copy, so fact->dim joins
-fan out 10x — the realistic shape (more facts per dim, not more dims).
-documents.text gets a per-replica suffix token so replicas are not
-byte-identical documents (otherwise every shingle's df multiplies by
-the replica count and the df-cap drops the whole corpus); events.ts is
-offset by i microseconds to keep window orderings deterministic.
+fan out factor-x — the realistic shape (more facts per dim, not more
+dims); events.ts is offset by i microseconds to keep window orderings
+deterministic.
+
+NEAR-DUP INVARIANT (the r9 sf10 lesson): a scale staging must keep the
+TRUE near-duplicate cluster size CONSTANT as the corpus grows (same
+principle as tools/scale_smoke.py's synth) — otherwise the near-dup
+PAIR OUTPUT grows quadratically in the factor and a "bench" measures
+that output explosion, not the operators. The first sf10 staging
+appended one ` rep{i}` token per replica: cross-replica Jaccard stayed
+~0.98, so every dup cluster grew 100x, candidate buckets hit the
+hot-bucket caps, and one exact-verify aggregation task ran 14+ minutes.
+Now:
+
+- documents.text interleaves a replica-unique token after EVERY OTHER
+  word, so every 3-gram shingle of replica i contains ``rep{i}`` and
+  cross-replica Jaccard is exactly 0 (within-replica structure — the
+  dedup signal — is untouched).
+- embeddings get a per-replica ISOMETRY (component roll by i % dim,
+  whole-vector negation for i >= dim): within-replica cosines are
+  exactly preserved, cross-replica cosines decorrelate, so ANN/near-dup
+  output scales linearly in the factor.
 
 Usage: python tools/stage_sf.py [src_sf_dir] [out_dir] [factor]
 Then:  python tools/bench_multifile.py <out_dir> 16
+   or: python tools/bench_scale_checkpoint.py <out_dir> BENCH_SF10.json 16
 """
 
 from __future__ import annotations
@@ -21,6 +39,7 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -35,6 +54,43 @@ KEYS = {
     "embeddings": ["vec_id"],
 }
 ALL = list(DIMS) + list(KEYS)
+
+
+def _interleave_rep_token(col: pa.ChunkedArray, i: int) -> pa.Array:
+    """Insert ``rep{i}`` after every other word so every word 3-gram
+    contains the replica token (cross-replica shingle overlap = 0)."""
+    # \1 is "two words + trailing space"; RE2 and this replacement are
+    # applied non-overlapping left-to-right, same as Spark/DuckDB.
+    return pc.replace_substring_regex(
+        col.cast(pa.string()), pattern=r"(\S+ \S+) ", replacement=rf"\1 rep{i} "
+    )
+
+
+def _isometry_embeddings(tbl: pa.Table, i: int) -> pa.Table:
+    """Per-replica isometric transform of the embedding column: roll
+    components by i % dim, negate the whole vector for i >= dim.
+    Within-replica pairwise cosines are bit-preserved (same permutation
+    + global sign applied to every row); cross-replica cosines
+    decorrelate, keeping near-dup output linear in the factor."""
+    if i == 0:
+        return tbl
+    idx = tbl.schema.get_field_index("embedding")
+    col = tbl.column(idx).combine_chunks()
+    # fixed-width list -> 2D numpy without per-row python lists
+    flat = np.asarray(col.flatten(), dtype=np.float32)
+    n = len(tbl)
+    dim = flat.size // n
+    mat = flat.reshape(n, dim)
+    rolled = np.roll(mat, i % dim, axis=1)
+    if i >= dim:
+        rolled = -rolled
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(rolled.ravel(), pa.float32()), dim)
+    # keep the original list<float> type so all replicas concat cleanly
+    out = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+        arr.values,
+    )
+    return tbl.set_column(idx, "embedding", out)
 
 
 def stage(src: str, out: str, factor: int = 10) -> str:
@@ -57,12 +113,9 @@ def stage(src: str, out: str, factor: int = 10) -> str:
                 )
             if name == "documents" and i:
                 idx = r.schema.get_field_index("text")
-                r = r.set_column(
-                    idx, "text",
-                    pc.binary_join_element_wise(
-                        r.column("text").cast(pa.string()), f" rep{i}", ""
-                    ),
-                )
+                r = r.set_column(idx, "text", _interleave_rep_token(r.column("text"), i))
+            if name == "embeddings":
+                r = _isometry_embeddings(r, i)
             if name == "events" and i:
                 idx = r.schema.get_field_index("ts")
                 r = r.set_column(
