@@ -683,10 +683,12 @@ def passage_dedup(
     2^43 and documents below ``MAX_PASSAGE_IDX`` chunks.
     """
     k = chunk_words
-    w = f"split(lower({text_col}), ' ')"
+    # let-bind the tokenized array (see text.py:shingles_expr): the
+    # split runs once per row, not once per chunk
     chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(size({w}) / cast({k} as double)) as int) - 1), "
-        f"i -> concat_ws(' ', slice({w}, i * {k} + 1, {k})))"
+        f"element_at(transform(array(split(lower({text_col}), ' ')), w -> "
+        f"transform(sequence(0, cast(ceil(size(w) / cast({k} as double)) as int) - 1), "
+        f"i -> concat_ws(' ', slice(w, i * {k} + 1, {k})))), 1)"
     )
     ch = (
         docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
@@ -710,7 +712,9 @@ def passage_dedup(
     )
     base = docs.select(
         F.col(id_col),
-        F.expr(f"cast(ceil(size({w}) / cast({k} as double)) as bigint)").alias("n_chunks"),
+        F.expr(
+            f"cast(ceil(size(split(lower({text_col}), ' ')) / cast({k} as double)) as bigint)"
+        ).alias("n_chunks"),
     )
     return (
         base.join(kept, id_col, "left")

@@ -17,13 +17,25 @@ def words_expr(text_col: str) -> Column:
 
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup unit for MinHash/Jaccard)."""
+    """Distinct word n-gram shingles (the dedup unit for MinHash/Jaccard).
+
+    The tokenized array is LET-BOUND via a 1-element outer ``transform``
+    (its lambda binds ``w`` once per row): higher-order-function lambdas
+    are interpreted, so a ``split(...)`` referenced directly inside the
+    inner lambda would re-tokenize the document once PER SHINGLE —
+    O(words^2) per document. That quadratic hid at sf0.1 (50-word docs)
+    and surfaced at the sf10 checkpoint as a 6-minute shingling stage;
+    the binding makes it one split per row (measured 3.4x at 150 words,
+    growing with length). Results are expression-for-expression
+    identical — the DuckDB oracles that replicate shingling are
+    unaffected."""
     words = f"split(lower(`{text_col}`), ' ')"
     return F.expr(
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {n})))) "
-        f"ELSE array() END"
+        f"element_at(transform(array({words}), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))) "
+        f"ELSE array() END), 1)"
     )
 
 
@@ -44,14 +56,16 @@ def chunk_documents(
     Returns (id, chunk_id, chunk_tokens, chunk_text).
     """
     words = f"split(lower({text_col}), ' ')"
-    n = f"size({words})"
-    # index of the last chunk: ceil((n - chunk_size) / stride), floored at 0
-    kmax = f"greatest(0, ({n} - {chunk_size} + {stride} - 1) div {stride})"
+    # let-bind the tokenized array (same O(words^2) re-split trap as
+    # shingles_expr — see its docstring): `w` is bound once per row,
+    # the inner lambda slices the bound array instead of re-splitting
     chunks = F.expr(
-        f"transform(sequence(0, {kmax}), i -> named_struct("
+        f"element_at(transform(array({words}), w -> "
+        f"transform(sequence(0, greatest(0, (size(w) - {chunk_size} + {stride} - 1) div {stride})), "
+        f"i -> named_struct("
         f"'chunk_id', cast(i as int), "
-        f"'chunk_tokens', least({chunk_size}, {n} - i * {stride}), "
-        f"'chunk_text', concat_ws(' ', slice({words}, i * {stride} + 1, {chunk_size}))))"
+        f"'chunk_tokens', least({chunk_size}, size(w) - i * {stride}), "
+        f"'chunk_text', concat_ws(' ', slice(w, i * {stride} + 1, {chunk_size}))))), 1)"
     )
     return (
         docs.select(F.col(id_col), F.explode(chunks).alias("_c"))

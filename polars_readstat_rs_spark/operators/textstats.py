@@ -140,17 +140,26 @@ def repetition_stats(docs: DataFrame, n: int = 3, max_dup_frac: float = 0.2) -> 
     repetition quality filter): dup_frac = 1 - distinct/total n-grams;
     documents above ``max_dup_frac`` are flagged for removal. Pure
     array expressions — no shuffle at all (a per-row map stage)."""
+    # let-bind words AND the gram array (see text.py:shingles_expr —
+    # a split referenced inside an HOF lambda re-tokenizes per element):
+    # one outer transform binds w, a nested one binds the built grams g,
+    # and both counters come out of a single struct.
     words = "split(lower(text), ' ')"
-    grams = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+    grams_of_w = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))) "
         f"ELSE array() END"
+    )
+    both = (
+        f"element_at(transform(array({words}), w -> "
+        f"element_at(transform(array({grams_of_w}), g -> "
+        f"struct(size(g) AS n, size(array_distinct(g)) AS nd)), 1)), 1)"
     )
     return docs.select(
         "doc_id",
-        F.expr(f"size({grams})").cast("bigint").alias("n_grams"),
-        F.expr(f"size(array_distinct({grams}))").cast("bigint").alias("n_distinct"),
+        F.expr(f"({both}).n").cast("bigint").alias("n_grams"),
+        F.expr(f"({both}).nd").cast("bigint").alias("n_distinct"),
     ).select(
         "doc_id",
         "n_grams",
@@ -277,14 +286,17 @@ def bigram_lm(
     (AQE splits residual hot-bigram skew). Everything else is map-only
     expression work — no UDFs, no driver materialization.
     """
+    # let-bind the tokenized array (see text.py:shingles_expr): the
+    # split runs once per row, not once per bigram
     bigrams = docs.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"CASE WHEN size(split(lower({text_col}), ' ')) >= 2 THEN "
-                f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1), "
-                f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, 2))) "
-                f"ELSE array() END"
+                f"element_at(transform(array(split(lower({text_col}), ' ')), w -> "
+                f"CASE WHEN size(w) >= 2 THEN "
+                f"transform(sequence(1, size(w) - 1), "
+                f"i -> concat_ws(' ', slice(w, i, 2))) "
+                f"ELSE array() END), 1)"
             )
         ).alias("bg"),
     )

@@ -9,6 +9,13 @@ the sf0.1/sf1 artifacts already pin) and times each engine once after a
 shared warmup — at this scale per-run noise is a rounding error against
 the engine gap being measured.
 
+DuckDB-side queries run in a KILLABLE SUBPROCESS with a per-query wall
+cap (SCALE_BENCH_DUCK_TIMEOUT, default 600 s): at sf10 the heavy dedup
+oracles' band self-joins grow superlinearly in DuckDB (d05 sf0.1->sf1
+measured 0.9 s -> 55 s), and a recorded ">600 s" lower bound makes the
+comparison point without spending hours — recorded as
+duckdb_timeout[q] = cap, never silently dropped.
+
 Usage: python tools/bench_scale_checkpoint.py <sf_dir> <out.json> [n_files] [--resume]
 """
 
@@ -16,12 +23,54 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, ".")
 
 from bench_multifile import ALL_TABLES, DEFAULT_QUERIES, stage  # noqa: E402
+
+DUCK_TIMEOUT = float(os.environ.get("SCALE_BENCH_DUCK_TIMEOUT", "600"))
+
+_DUCK_RUNNER = r"""
+import json, os, sys, time
+import duckdb
+spec = json.load(open(sys.argv[1]))
+con = duckdb.connect()
+con.execute(f"SET threads={os.cpu_count()}")
+for name, glob in spec["views"].items():
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
+con.execute(spec["warmup"]).fetchall()
+t = time.time()
+con.execute(spec["sql"]).fetchall()
+print(json.dumps({"sec": round(time.time() - t, 3)}))
+"""
+
+
+def run_duck_subprocess(views: dict, warmup: str, sql: str) -> dict:
+    """Execute one oracle in a killable child; returns {"sec": float}
+    or {"timeout": DUCK_TIMEOUT}. The child re-creates the views and
+    warms the catalog before timing, so the measured window matches the
+    in-process path."""
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump({"views": views, "warmup": warmup, "sql": sql}, fh)
+        spec_path = fh.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _DUCK_RUNNER, spec_path],
+            capture_output=True,
+            text=True,
+            timeout=DUCK_TIMEOUT,
+        )
+        if proc.returncode != 0:
+            return {"error": proc.stderr.strip()[-500:]}
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        return {"timeout": DUCK_TIMEOUT}
+    finally:
+        os.unlink(spec_path)
 
 
 def main() -> None:
@@ -30,8 +79,6 @@ def main() -> None:
     sf_dir = args[0]
     out_path = args[1]
     n_files = int(args[2]) if len(args) > 2 else 16
-
-    import duckdb
 
     from polars_readstat_rs_spark.operators.dedup import release_cached
     from polars_readstat_rs_spark.queries import ORACLES, QUERIES
@@ -61,6 +108,7 @@ def main() -> None:
             prev = json.load(fh)
         state["spark"].update(prev.get("spark", {}))
         state["duckdb"].update(prev.get("duckdb", {}))
+        state["duckdb_timeout"] = dict(prev.get("duckdb_timeout", {}))
 
     def save() -> None:
         sp, du = state["spark"], state["duckdb"]
@@ -74,12 +122,10 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump(state, fh, indent=1)
 
-    con = duckdb.connect()
-    con.execute(f"SET threads={os.cpu_count()}")
+    views = {}
     for name in ALL_TABLES:
         path = os.path.join(staged, f"{name}.parquet")
-        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
+        views[name] = f"{path}/*.parquet" if os.path.isdir(path) else path
 
     def run_spark(q: str) -> None:
         spark.catalog.clearCache()
@@ -87,9 +133,8 @@ def main() -> None:
         out.write.format("noop").mode("overwrite").save()
         release_cached(out)
 
-    # shared warmup: JVM codegen + parquet footers / duck catalog
+    # warmup: JVM codegen + parquet footers
     run_spark("q01_pricing_summary")
-    con.execute(ORACLES["q01_pricing_summary"]).fetchall()
 
     t0 = time.time()
     state["spark_empty_job_sec"] = round(
@@ -103,14 +148,20 @@ def main() -> None:
             state["spark"][q] = round(time.time() - t, 3)
             print(json.dumps({"engine": "spark", "q": q, "sec": state["spark"][q]}), flush=True)
             save()
+    state.setdefault("duckdb_timeout", {})
+    warmup_sql = ORACLES["q01_pricing_summary"]
     for q in DEFAULT_QUERIES:
-        if q not in state["duckdb"]:
-            t = time.time()
-            con.execute(ORACLES[q]).fetchall()
-            state["duckdb"][q] = round(time.time() - t, 3)
-            print(json.dumps({"engine": "duckdb", "q": q, "sec": state["duckdb"][q]}), flush=True)
-            save()
-    con.close()
+        if q in state["duckdb"] or q in state["duckdb_timeout"]:
+            continue
+        r = run_duck_subprocess(views, warmup_sql, ORACLES[q])
+        if "sec" in r:
+            state["duckdb"][q] = r["sec"]
+        elif "timeout" in r:
+            state["duckdb_timeout"][q] = r["timeout"]
+        else:
+            state.setdefault("duckdb_errors", {})[q] = r.get("error", "?")
+        print(json.dumps({"engine": "duckdb", "q": q, **r}), flush=True)
+        save()
     state["status"] = "complete"
     save()
     print(json.dumps({"done": out_path, "ratio_all_queries": state.get("ratio_all_queries")}))
