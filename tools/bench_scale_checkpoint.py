@@ -40,12 +40,16 @@ import duckdb
 spec = json.load(open(sys.argv[1]))
 con = duckdb.connect()
 con.execute(f"SET threads={os.cpu_count()}")
+con.execute("SET enable_progress_bar=false")  # progress bar would pollute stdout
 for name, glob in spec["views"].items():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
 con.execute(spec["warmup"]).fetchall()
 t = time.time()
 con.execute(spec["sql"]).fetchall()
-print(json.dumps({"sec": round(time.time() - t, 3)}))
+out = json.dumps({"sec": round(time.time() - t, 3)})
+with open(spec["result_path"], "w") as fh:  # result via file: stdout is unreliable
+    fh.write(out)
+print(out)
 """
 
 
@@ -54,8 +58,12 @@ def run_duck_subprocess(views: dict, warmup: str, sql: str) -> dict:
     or {"timeout": DUCK_TIMEOUT}. The child re-creates the views and
     warms the catalog before timing, so the measured window matches the
     in-process path."""
+    result_path = tempfile.mktemp(suffix=".result.json")
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
-        json.dump({"views": views, "warmup": warmup, "sql": sql}, fh)
+        json.dump(
+            {"views": views, "warmup": warmup, "sql": sql, "result_path": result_path},
+            fh,
+        )
         spec_path = fh.name
     try:
         proc = subprocess.run(
@@ -64,13 +72,18 @@ def run_duck_subprocess(views: dict, warmup: str, sql: str) -> dict:
             text=True,
             timeout=DUCK_TIMEOUT,
         )
+        if os.path.exists(result_path):
+            with open(result_path) as fh:
+                return json.load(fh)
         if proc.returncode != 0:
             return {"error": proc.stderr.strip()[-500:]}
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return {"error": "no result file"}
     except subprocess.TimeoutExpired:
         return {"timeout": DUCK_TIMEOUT}
     finally:
         os.unlink(spec_path)
+        if os.path.exists(result_path):
+            os.unlink(result_path)
 
 
 def main() -> None:

@@ -20,10 +20,15 @@ appended one ` rep{i}` token per replica: cross-replica Jaccard stayed
 hot-bucket caps, and one exact-verify aggregation task ran 14+ minutes.
 Now:
 
-- documents.text interleaves a replica-unique token after EVERY OTHER
-  word, so every 3-gram shingle of replica i contains ``rep{i}`` and
-  cross-replica Jaccard is exactly 0 (within-replica structure — the
-  dedup signal — is untouched).
+- documents.text applies a per-replica WORD BIJECTION (every word gets
+  the suffix ``~{i}``): a token renaming is an isomorphism, so every
+  within-replica Jaccard/SimHash/LM relation is preserved EXACTLY,
+  while cross-replica token sets (hence shingles AND token-frequency
+  profiles) are fully disjoint. (The first fix — interleaving one
+  shared ``rep{i}`` token after every other word — zeroed cross-replica
+  Jaccard but made every doc in a replica 50% identical at the TOKEN
+  level, which correlated SimHash fingerprints and recreated the hot
+  band buckets for d05. A bijection has no such shared token.)
 - embeddings get a per-replica ISOMETRY (component roll by i % dim,
   whole-vector negation for i >= dim): within-replica cosines are
   exactly preserved, cross-replica cosines decorrelate, so ANN/near-dup
@@ -56,13 +61,13 @@ KEYS = {
 ALL = list(DIMS) + list(KEYS)
 
 
-def _interleave_rep_token(col: pa.ChunkedArray, i: int) -> pa.Array:
-    """Insert ``rep{i}`` after every other word so every word 3-gram
-    contains the replica token (cross-replica shingle overlap = 0)."""
-    # \1 is "two words + trailing space"; RE2 and this replacement are
-    # applied non-overlapping left-to-right, same as Spark/DuckDB.
+def _suffix_words(col: pa.ChunkedArray, i: int) -> pa.Array:
+    """Per-replica word bijection: append ``~{i}`` to every word. An
+    isomorphic token renaming — within-replica shingle/Jaccard/SimHash
+    relations are exactly preserved; cross-replica token sets are
+    disjoint."""
     return pc.replace_substring_regex(
-        col.cast(pa.string()), pattern=r"(\S+ \S+) ", replacement=rf"\1 rep{i} "
+        col.cast(pa.string()), pattern=r"(\S+)", replacement=rf"\1~{i}"
     )
 
 
@@ -113,7 +118,7 @@ def stage(src: str, out: str, factor: int = 10) -> str:
                 )
             if name == "documents" and i:
                 idx = r.schema.get_field_index("text")
-                r = r.set_column(idx, "text", _interleave_rep_token(r.column("text"), i))
+                r = r.set_column(idx, "text", _suffix_words(r.column("text"), i))
             if name == "embeddings":
                 r = _isometry_embeddings(r, i)
             if name == "events" and i:
