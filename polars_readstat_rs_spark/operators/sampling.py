@@ -193,27 +193,31 @@ def contamination_report(
     earlier sizes/hits two-branch shape exploded the test corpus twice
     and paid two extra shuffles (the r3->r4 p06 regression).
 
-    ``hash_shingles`` (default) joins on xxhash64(shingle) longs instead
-    of the raw strings: the distinct + join shuffles carry 8-byte keys
-    rather than full n-gram text (measured 0.83 -> 0.53 s at sf0.1; the
-    byte saving grows with shingle length at scale). A 64-bit collision
-    counts a clean test shingle as contaminated: P ~ d^2/2^65 for d
-    distinct shingles — negligible below billions of shingles, and a
-    screening metric tolerates ~1e-8 relative inflation at corpus scale.
-    Pass ``hash_shingles=False`` for exact string membership.
+    ``hash_shingles`` (default) keys on xxhash64 longs instead of the
+    raw strings — and since r9's sf10 checkpoint, the hash is computed
+    DIRECTLY from the n word arguments (text.hashed_shingles_expr), so
+    the shingle strings are never materialized: the concat_ws
+    allocations were ~80% of p06's wall at sf10 (train-side explode
+    42 -> 7 s). The distinct + join shuffles carry 8-byte keys rather
+    than full n-gram text. A 64-bit collision counts a clean test
+    shingle as contaminated: P ~ d^2/2^65 for d distinct shingles —
+    negligible below billions of shingles, and a screening metric
+    tolerates ~1e-8 relative inflation at corpus scale. Pass
+    ``hash_shingles=False`` for exact string membership.
     """
-    from .text import shingles_expr
+    from .text import hashed_shingles_expr, shingles_expr
 
     from .spread import spread
 
-    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: F.col(c))
+    sh_expr = (
+        hashed_shingles_expr(text_col, n) if hash_shingles else shingles_expr(text_col, n)
+    )
     test_sh = spread(test).select(
-        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
-    ).select("doc", key("sh").alias("sh"))
+        F.col(id_col).alias("doc"), F.explode(sh_expr).alias("sh")
+    )
     train_sh = (
         spread(train)
-        .select(F.explode(shingles_expr(text_col, n)).alias("sh"))
-        .select(key("sh").alias("sh"))
+        .select(F.explode(sh_expr).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

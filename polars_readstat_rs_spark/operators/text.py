@@ -158,3 +158,28 @@ def wordpiece_tokenize(
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInPandas(fn, schema)
+
+
+def hashed_shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles ALREADY hashed to xxhash64 longs,
+    built without materializing the shingle strings: the n words hash
+    directly via the multi-argument xxhash64, skipping the per-element
+    concat_ws allocation that dominated shingle construction at the
+    sf10 checkpoint (p06's train-side explode: concat_ws strings 40 s
+    vs direct word-triple hashing — see NOTES_r9).
+
+    Equality-preserving vs hashing the joined string (words contain no
+    spaces post-split, so the n-tuple determines the shingle), but the
+    VALUES differ from xxhash64(concat_ws(' ', ...)): use only where
+    the hash is an internal equality key (membership joins, distinct
+    counts), never where an oracle replicates hash values. The same
+    64-bit collision caveat as all hashed-shingle paths applies."""
+    args = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    words = f"split(lower(`{text_col}`), ' ')"
+    return F.expr(
+        f"element_at(transform(array({words}), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> xxhash64({args}))) "
+        f"ELSE array() END), 1)"
+    )

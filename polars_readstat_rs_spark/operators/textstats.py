@@ -50,22 +50,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
     The double arithmetic is written in one fixed evaluation order so the
     DuckDB oracle reproduces it bitwise.
     """
-    words = words_expr("text")
     stop_list = ", ".join(f"'{t}'" for t in STOPWORDS)
-    n_tokens = F.size(words)
-    n_chars = F.length("text")
-    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
-    stop_ratio = (
-        F.expr(f"size(filter(split(lower(text), ' '), w -> w IN ({stop_list})))").cast("double")
-        / n_tokens.cast("double")
+    # let-bind the tokenized array and fold the three counters into ONE
+    # struct (see text.py:shingles_expr): Catalyst's projection collapse
+    # would otherwise inline the split into every reference — measured
+    # ~8 splits + interpreted IN-filters per row at the sf10 checkpoint.
+    counters = F.expr(
+        "element_at(transform(array(split(lower(text), ' ')), w -> struct("
+        "size(w) AS nt, "
+        "size(array_distinct(w)) AS nd, "
+        f"size(filter(w, x -> x IN ({stop_list}))) AS ns)), 1)"
     )
+    d = docs.select("doc_id", F.length("text").alias("_nc"), counters.alias("_c"))
+    n_tokens = F.col("_c.nt")
+    n_chars = F.col("_nc")
+    distinct_ratio = F.col("_c.nd").cast("double") / n_tokens.cast("double")
+    stop_ratio = F.col("_c.ns").cast("double") / n_tokens.cast("double")
     avg_word_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")
     score = (
         F.lit(0.5) * distinct_ratio
         + F.lit(0.3) * stop_ratio
         + F.lit(0.2) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(200.0))
     )
-    return docs.select(
+    return d.select(
         "doc_id",
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
