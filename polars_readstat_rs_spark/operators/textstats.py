@@ -27,10 +27,24 @@ def _marker_count(lang: str) -> F.Column:
 
 
 def langid(docs: DataFrame) -> DataFrame:
+    # all four marker counts from ONE let-bound tokenization (the
+    # separate _marker_count exprs each re-split the text — see
+    # quality_score / text.py:shingles_expr for the same trap)
+    fields = ", ".join(
+        f"size(filter(w, x -> x IN ({', '.join(repr(t) for t in LANG_MARKERS[lg])}))) AS {lg}"
+        for lg in LANG_MARKERS
+    )
+    counters = F.expr(
+        f"element_at(transform(array(split(lower(text), ' ')), w -> struct({fields})), 1)"
+    )
     scored = docs.select(
         "doc_id",
         "lang",
-        *[_marker_count(lg).alias(f"s_{lg}") for lg in LANG_MARKERS],
+        counters.alias("_m"),
+    ).select(
+        "doc_id",
+        "lang",
+        *[F.col(f"_m.{lg}").alias(f"s_{lg}") for lg in LANG_MARKERS],
     )
     s = {lg: F.col(f"s_{lg}") for lg in LANG_MARKERS}
     pred = (

@@ -80,18 +80,23 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r8 head: positions 1-5 are the 5 never-driver-recorded _R7_DEFER
-    # entries, 6-19 the 14 r8 additions (also never recorded), then the
-    # r7 rotation — so the driver's 50-query window records every entry
-    # that lacks a CORRECTNESS row, and HEAD[:55] still spans the 55
-    # never-recorded-pre-r7 set (now interleaved with the r8 gates).
-    from polars_readstat_rs_spark.queries import _R7_DEFER, _R8_NEW, _R8_THIRD
+    # r9 head: the never-driver-recorded r9 gates lead, then the 8
+    # queries whose implementation was materially rewritten in r9 (so
+    # the driver window re-proves exactly what changed), then the prior
+    # rotation dedup'd — the driver's 50-query window therefore records
+    # every entry that lacks a CORRECTNESS row for its CURRENT code.
+    from polars_readstat_rs_spark.queries import _R9_NEW, _R9_TOUCHED
 
-    assert HEAD[:5] == _R7_DEFER
-    assert HEAD[5:19] == _R8_NEW
-    assert HEAD[19:30] == _R8_THIRD
+    n_new, n_t = len(_R9_NEW), len(_R9_TOUCHED)
+    assert HEAD[:n_new] == _R9_NEW
+    assert HEAD[n_new : n_new + n_t] == _R9_TOUCHED
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
-    assert len(HEAD) == len(set(HEAD)) == 80
+    # prior rotation (80) + r9 additions, dedup'd against the touched
+    # queries already present in the prior rotation
+    from polars_readstat_rs_spark.queries import _PRIOR
+
+    expected = n_new + n_t + len(set(_PRIOR) - set(_R9_NEW) - set(_R9_TOUCHED))
+    assert len(HEAD) == len(set(HEAD)) == expected
 
 
 def test_entry_ordering_matches_head():
