@@ -110,10 +110,22 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, persist: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    persist: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exploded (id, shingle) pairs, df-capped. One row per distinct
     shingle per doc.
+
+    ``hashed=True`` emits xxhash64 longs built directly from the n word
+    arguments (text.hashed_shingles_expr) — the shingle STRINGS are
+    never materialized, which removed ~80% of the explode cost at the
+    sf10 checkpoint. Only for callers that treat shingles as equality
+    keys (jaccard intersections, df counts); signature math (minhash
+    sha256) needs the raw strings.
 
     Persisted by default: the inverted index feeds the self-join
     (twice), the per-doc sizes and the signature aggregation — without
@@ -128,10 +140,10 @@ def _shingle_table(
     # parquet split, which would serialize the shingling on one task
     # (spread never SHRINKS an already-wide corpus — the fixed 32 did)
     from .spread import spread
+    from .text import hashed_shingles_expr
 
-    sh = spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
-    )
+    expr = hashed_shingles_expr(text_col, n) if hashed else shingles_expr(text_col, n)
+    sh = spread(df).select(F.col(id_col).alias("doc"), F.explode(expr).alias("sh"))
     # df-cap via a count window: one shuffle on sh (vs aggregate + join
     # back = two), and the output stays hash-partitioned by sh for the
     # downstream self-join
@@ -145,7 +157,10 @@ def _shingle_table(
 
 
 def _jaccard_on(
-    sh: DataFrame, pairs: DataFrame | None = None, sizes: DataFrame | None = None
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Exact Jaccard between docs sharing >=1 shingle (or the given
     candidate pairs): |A∩B| from the inverted-index self-join,
@@ -173,20 +188,25 @@ def _jaccard_on(
         # plain semi-join: the candidate set is unbounded at scale, so no
         # forced broadcast — AQE still picks a broadcast exchange at
         # runtime when the measured size is actually small
+        key = "s.sh" if prehashed else "xxhash64(s.sh)"
         shj_cte = (
-            "SELECT s.doc, xxhash64(s.sh) AS sh FROM {sh} s LEFT SEMI JOIN "
+            f"SELECT s.doc, {key} AS sh FROM {{sh}} s LEFT SEMI JOIN "
             "(SELECT a_id AS doc FROM {pairs} UNION SELECT b_id FROM {pairs}) c "
             "ON s.doc = c.doc"
         )
         pair_filter = "LEFT SEMI JOIN {pairs} p ON i.a_id = p.a_id AND i.b_id = p.b_id"
     else:
         # the intersection join only tests shingle EQUALITY, so it keys
-        # on xxhash64(sh) — the co-shingle shuffle carries 8-byte longs
+        # on xxhash64 longs — the co-shingle shuffle carries 8 bytes
         # instead of full n-gram strings (same trick as
         # sampling.contamination_report; a 64-bit collision inflates one
         # pair's |A∩B| with probability ~d^2/2^65 — negligible and
-        # deterministic). Signature math (minhash) stays on raw strings.
-        shj_cte = "SELECT doc, xxhash64(sh) AS sh FROM {sh}"
+        # deterministic). ``prehashed`` inputs (hashed _shingle_table)
+        # arrive as longs already — no string ever exists. Signature
+        # math (minhash) stays on raw strings.
+        shj_cte = (
+            "SELECT doc, sh FROM {sh}" if prehashed else "SELECT doc, xxhash64(sh) AS sh FROM {sh}"
+        )
         pair_filter = ""
     return spark.sql(
         f"""
@@ -211,9 +231,16 @@ def _jaccard_on(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:
-    """Near-dup pairs by exact (df-capped) n-gram Jaccard >= threshold."""
-    sh = _shingle_table(df, id_col, text_col, n)
-    return _track(_jaccard_on(sh).filter(F.col("jaccard") >= threshold), sh)
+    """Near-dup pairs by exact (df-capped) n-gram Jaccard >= threshold.
+
+    The shingle table is built PRE-HASHED (no shingle strings exist at
+    any point — see _shingle_table(hashed=True)): every downstream use
+    here is equality-only (df-cap counts, intersection join, per-doc
+    sizes), with the documented 64-bit collision caveat."""
+    sh = _shingle_table(df, id_col, text_col, n, hashed=True)
+    return _track(
+        _jaccard_on(sh, prehashed=True).filter(F.col("jaccard") >= threshold), sh
+    )
 
 
 def minhash_signatures(
