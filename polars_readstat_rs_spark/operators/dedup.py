@@ -983,3 +983,98 @@ def url_dedup(urls: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> 
             (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_dupes"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ``k``-word gram, slide a ``window``
+    of consecutive gram hashes over the document, and select the
+    RIGHTMOST MINIMUM hash of each window. The selected set is tiny
+    (~2/(window+1) of grams) yet carries the winnowing guarantee: any
+    shared word run of at least ``window + k - 1`` words between two
+    documents produces at least one shared selected fingerprint —
+    unlike MinHash, misses are impossible, and unlike the full k-gram
+    index (p06/d02), the inverted index is ~window/2 times smaller.
+
+    Returns one row per selected fingerprint: (id, fp_hash BIGINT,
+    fp_pos INT). Determinism: the gram hash is the first 10 hex chars
+    of md5 (a 40-bit BIGINT both engines derive identically), and the
+    rightmost-min selection is encoded order-free as
+    ``array_min`` over ``hash * 2^16 + (65535 - pos)`` — min picks the
+    smallest hash, and among equal hashes the LARGEST position, with no
+    float or comparator anywhere. Documents are capped at 65,536 grams
+    by the position packing (longer docs should be chunked first —
+    chunk_documents composes).
+
+    Scale: selection is map-only per document (array expressions, no
+    shuffle at all); only the exploded fingerprint table shuffles, and
+    it is the small winnowed set, not the full gram set.
+    """
+    w = window
+    # let-bind words, then the packed gram-hash array (the
+    # O(words^2) re-split trap — see text.py:shingles_expr)
+    packed = F.expr(
+        f"element_at(transform(array(split(lower({text_col}), ' ')), ws -> "
+        f"CASE WHEN size(ws) >= {k} THEN "
+        f"transform(sequence(1, size(ws) - {k - 1}), "
+        f"p -> cast(conv(substring(md5(concat_ws(' ', slice(ws, p, {k}))), 1, 10), 16, 10) as bigint)"
+        f"     * cast(65536 as bigint) + (65536 - p)) "
+        f"ELSE array() END), 1)"
+    )
+    sel = F.expr(
+        "CASE WHEN size(_packed) = 0 THEN array() ELSE "
+        f"array_distinct(transform(sequence(0, greatest(size(_packed) - {w}, 0)), "
+        f"s -> array_min(slice(_packed, s + 1, {w})))) END"
+    )
+    return (
+        docs.select(F.col(id_col), packed.alias("_packed"))
+        .select(F.col(id_col), F.explode(sel).alias("_fp"))
+        .select(
+            id_col,
+            F.expr("_fp div 65536").alias("fp_hash"),
+            F.expr("cast(65536 - _fp % 65536 as int)").alias("fp_pos"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate plagiarism/duplication pairs from winnowing
+    fingerprints: documents sharing >= ``min_shared`` selected
+    fingerprint hashes, with the shared count — the MOSS report table.
+
+    Guarantee-based recall (every >= window+k-1-word overlap IS
+    caught), bounded index size, and the usual capped inverted-index
+    join shape: distinct (doc, hash) pairs, hot fingerprints capped at
+    MAX_BAND_BUCKET docs (boilerplate grams shared by everything stop
+    generating quadratic candidates, same contract as minhash_lsh_pairs),
+    one shuffle on the 40-bit hash key.
+    """
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k, window)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    fps = _cap_buckets(fps, ["fp_hash"], id_col, MAX_BAND_BUCKET)
+    a = fps.select(F.col("fp_hash"), F.col(id_col).alias("a_id"))
+    b = fps.select(F.col("fp_hash"), F.col(id_col).alias("b_id"))
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -842,3 +842,55 @@ def dhash_dedup(multimodal: DataFrame, hash_w: int = 8, hash_h: int = 8) -> Data
             (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_dupes"),
         )
     )
+
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sad", T.LongType()),
+        T.StructField("is_key", T.BooleanType()),
+    ]
+)
+
+
+def keyframe_detect(multimodal: DataFrame, threshold: int = 7) -> DataFrame:
+    """Frame-difference keyframe detection over a BMP video stream —
+    the shot-boundary pass a video training pipeline runs before
+    sampling frames for captioning/embedding.
+
+    Walks the container with the genuine header-driven demux
+    (:func:`decode_bmp_stream`), decodes EVERY frame, and emits the sum
+    of absolute pixel differences (SAD) against the previous frame;
+    frame 0 is always a keyframe with sad = 0, and frame f is a
+    keyframe when ``sad > threshold * n_values`` (i.e. the mean
+    per-value change exceeds ``threshold`` gray levels). Same
+    Arrow-batched 1:N mapInPandas fan-out as
+    :func:`sample_video_frames`; payloads never cross a shuffle, and
+    consecutive frames are compared inside one task (a video is one
+    row — no self-join, no window).
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "sad", "is_key")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                frames = decode_bmp_stream(bytes(payload))
+                prev = None
+                for i, f in enumerate(frames):
+                    px = f["pixels"].astype(np.int64)
+                    if prev is None:
+                        sad = 0
+                    else:
+                        sad = int(np.abs(px - prev).sum())
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["sad"].append(sad)
+                    rows["is_key"].append(i == 0 or sad > threshold * px.size)
+                    prev = px
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return multimodal.mapInPandas(fn, KEYFRAME_SCHEMA)

@@ -536,3 +536,49 @@ def mix_budget(
         F.floor(rate).cast("bigint").alias("n_full_epochs"),
         (rate - F.floor(rate)).alias("residual_rate"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): a weighted
+    WITHOUT-replacement sample of exactly ``k`` rows with per-row
+    unbiased subset-sum estimators.
+
+    Each row gets priority ``w * (2^32 + 1) / u`` where ``u`` is the
+    deterministic md5 bucket + 1 (uniform on [1, 2^32]) — i.e. w/U for
+    U uniform in (0, 1]. The k highest-priority rows are the sample;
+    the (k+1)-th priority is the threshold ``tau``, and each sampled
+    row's estimator weight is ``max(w, tau)``: for ANY subset S,
+    E[sum of est_w over sampled rows in S] = sum of true w over S — the
+    property that lets a 0.001% sample answer weighted corpus questions
+    unbiasedly.
+
+    Determinism across engines: both priority factors are exact IEEE
+    ops (an exact small-int double product, then one correctly-rounded
+    division), so Spark and DuckDB produce bit-identical doubles; ties
+    break on id. Scale: the only non-map work is TakeOrdered(k+1) — a
+    per-partition partial top-k whose shuffle carries k+1 rows per
+    partition, no global sort, no full shuffle (the same plan shape the
+    p12 rewrite established for ordered prefixes).
+    """
+    w = weight.cast("double")
+    u = (_bucket(id_col, seed) + F.lit(1)).cast("double")
+    pri = w * F.lit(float(BUCKETS + 1)) / u
+    ranked = df.withColumn("_w", w).withColumn("_pri", pri)
+    topk1 = ranked.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k + 1)
+    tau = topk1.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("_pri")).otherwise(F.lit(0.0)).alias("_tau")
+    )
+    sample = ranked.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k)
+    return (
+        sample.crossJoin(F.broadcast(tau))
+        .withColumn("est_w", F.greatest(F.col("_w"), F.col("_tau")))
+        .drop("_w")
+        .withColumnRenamed("_pri", "priority")
+        .withColumnRenamed("_tau", "tau")
+    )

@@ -1312,3 +1312,112 @@ def dequantize_int8(
         ),
     )
     return base.select(F.col(id_col), dq.alias(vec_col))
+
+
+def embedding_moments(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact integer second-moment sums over an embedding column — the
+    single distributed pass behind :func:`pca_whiten`.
+
+    Each component is quantized to ``floor(x*scale + 0.5)`` (floor of a
+    double is IEEE-exact, so Spark and DuckDB agree bitwise), then the
+    upper-triangular co-moment sums accumulate as plain BIGINTs:
+    one row per (i <= j) with ``n``, ``s_i = sum(q_i)``,
+    ``s_j = sum(q_j)`` and ``s_ij = sum(q_i * q_j)`` — everything a
+    covariance / PCA step needs, with zero float-summation order risk.
+
+    Scale: the double posexplode fans each row out to d(d+1)/2 pair
+    rows, but partial (map-side) aggregation collapses them to at most
+    d(d+1)/2 rows per task before the single tiny shuffle — the
+    classic one-pass Gramian. Overflow bound: |q| <= scale * max|x|,
+    so s_ij <= n * (scale*max|x|)^2; at scale=1000 and unit-norm-ish
+    embeddings that holds to ~10^12 rows per job (documented, not
+    checked row-wise).
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint")
+    )
+    qd = emb.select(q.alias("q"))
+    e1 = qd.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
+    e2 = e1.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    return e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").alias("s_i"),
+        F.sum("qj").alias("s_j"),
+        F.sum(F.col("qi") * F.col("qj")).alias("s_ij"),
+    )
+
+
+def pca_whiten(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: int = 1000,
+    whiten: bool = True,
+    eps: float = 1e-9,
+):
+    """Distributed PCA / whitening of an embedding column.
+
+    One :func:`embedding_moments` pass produces the exact integer
+    Gramian (d(d+1)/2 bounded rows — collected to the driver, which is
+    fine for any real embedding width: d=2048 is ~2M tiny rows); the
+    driver descales to the double covariance matrix, eigendecomposes
+    (numpy ``eigh``), and broadcasts the top-``k`` components back as
+    literal vectors. The projection itself is the Arrow-vectorized
+    :func:`pair_dot_udf` over the mean-centered vector — map-only, no
+    shuffle, so the whole operator is one tiny agg + one codegen map.
+
+    Returns ``(projected_df, model)`` where projected_df carries
+    (id_col, components array<double>) and model is a dict with
+    ``mean``, ``eigvals`` (descending), ``components`` (row-major,
+    k x d, orthonormal). With ``whiten=True`` each output coordinate is
+    divided by sqrt(eigval + eps), giving unit variance per component —
+    the standard preprocessing before clustering / SemDeDup on a
+    100 TB embedding corpus.
+
+    The reference engine has no linear-algebra surface
+    (polars_readstat_rs is a statistical-file reader); this extends the
+    vector family of SURVEY.md §2.6.
+    """
+    import numpy as np
+
+    rows = embedding_moments(emb, id_col, vec_col, scale).collect()
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    s1 = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for r in rows:
+        s2[r["i"], r["j"]] = s2[r["j"], r["i"]] = r["s_ij"]
+        if r["i"] == r["j"]:  # diagonal rows carry every s_i exactly once
+            s1[r["i"]] = r["s_i"]
+    mean = s1 / (n * scale)
+    cov = (s2 / scale**2 - np.outer(s1, s1) / (n * scale**2)) / n
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    eigvals = eigvals[order]
+    comps = eigvecs[:, order].T  # k x d
+    model = {"mean": mean, "eigvals": eigvals, "components": comps, "n": n}
+
+    centered = F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double") - F.element_at(F.lit(mean.tolist()), i + 1),
+    )
+    out = emb.select(F.col(id_col), centered.alias("_c"))
+    proj_cols = []
+    for ci in range(len(eigvals)):
+        row = comps[ci].tolist()
+        p = pair_dot_udf("_c", F.array(*[F.lit(float(v)) for v in row]))
+        if whiten:
+            p = p / float(np.sqrt(eigvals[ci] + eps))
+        proj_cols.append(p.alias(f"pc{ci}"))
+    projected = out.select(
+        id_col, F.array(*[c for c in proj_cols]).alias("components")
+    )
+    return projected, model

@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -134,6 +134,13 @@ _R9_NEW = (
     "d15_url_dedup",
     "p13_mix_budget",
     "m10_image_dhash_dedup",
+    # third wave: verified by dedicated tools/check_oracle.py runs at
+    # sf0.01 AND sf0.1 before graduating out of _RISKY_TAIL
+    "v15_embedding_moments",
+    "p14_priority_sample",
+    "d16_winnow_pairs",
+    "p15_clean_corpus",
+    "m11_keyframes",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -1822,3 +1822,114 @@ def test_canonical_url_idempotent(spark):
     joined = once.join(twice, "doc_id")
     bad = joined.filter(F.col("url") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+def test_pca_whiten_matches_numpy(spark):
+    """pca_whiten's distributed moment pass + driver eigh must equal a
+    straight numpy PCA of the same (quantized) data: orthonormal
+    components, matching eigenvalues, and whitened projections with
+    ~unit variance per component."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud so the principal axes are unambiguous
+    base = rng.randn(400, 6) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(v) for v in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    projected, model = similarity.pca_whiten(df, k=3, scale=1000, whiten=True)
+
+    # numpy reference on the identically quantized data
+    q = np.floor(base.astype(np.float32).astype(np.float64) * 1000 + 0.5)
+    x = q / 1000.0
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(model["eigvals"], evals[order], rtol=1e-9)
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-12)
+    comps = np.asarray(model["components"])
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+
+    out = {r["vec_id"]: r["components"] for r in projected.collect()}
+    # projection centers the ORIGINAL floats (quantization is only for
+    # the exact moment pass), so the reference must too
+    x_orig = base.astype(np.float32).astype(np.float64)
+    ref = (x_orig - mean) @ evecs[:, order] / np.sqrt(evals[order] + 1e-9)
+    got = np.array([out[i] for i in range(400)])
+    # eigenvector sign is arbitrary — compare per-column up to sign
+    for c in range(3):
+        d_same = np.abs(got[:, c] - ref[:, c]).max()
+        d_flip = np.abs(got[:, c] + ref[:, c]).max()
+        assert min(d_same, d_flip) < 1e-6
+    # whitened: each component has ~unit variance
+    np.testing.assert_allclose(got.std(axis=0), 1.0, rtol=1e-2)
+
+
+def test_priority_sample_properties(spark):
+    """DLT priority sampling invariants: exactly k rows, est_w ==
+    max(w, tau) with tau the (k+1)-th priority, every sampled priority
+    >= tau, and the estimator totals are stable across partitionings
+    (pure hash determinism, no RNG state)."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    rows = [(i, f"g{i % 5}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    w = F.col("doc_id") % 9 + 1
+    out = sampling.priority_sample(df, "doc_id", w, k=50, seed="t").collect()
+    assert len(out) == 50
+    tau = out[0]["tau"]
+    assert all(r["tau"] == tau for r in out)
+    for r in out:
+        assert r["priority"] >= tau
+        assert r["est_w"] == max(float(r["doc_id"] % 9 + 1), tau)
+    # deterministic under repartitioning
+    out2 = sampling.priority_sample(
+        df.repartition(13), "doc_id", w, k=50, seed="t"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # all rows sampled when k >= n: tau = 0, est_w = w
+    small = spark.createDataFrame([(i, 0) for i in range(5)], ["doc_id", "x"])
+    allr = sampling.priority_sample(small, "doc_id", F.lit(2), k=10, seed="t").collect()
+    assert len(allr) == 5 and all(r["est_w"] == 2.0 and r["tau"] == 0.0 for r in allr)
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing GUARANTEE (Schleimer et al. 2003 thm 1): any two
+    documents sharing a word run of >= window + k - 1 words share at
+    least one selected fingerprint hash. Plant a 7-word run (k=4, w=4)
+    inside otherwise-disjoint documents and require a candidate pair;
+    fully disjoint docs must produce none."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1 words
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight nine ten {shared} eleven"),
+        (3, "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dedup.winnow_pairs(df, "doc_id", "text", k=4, window=4, min_shared=1)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    # fingerprint density: ~2/(w+1) of grams selected, never zero for
+    # docs with >= k words
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", k=4, window=4)
+    per_doc = {r["doc_id"]: r["cnt"] for r in fps.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_doc) == {1, 2, 3} and all(v >= 1 for v in per_doc.values())
+
+
+def test_keyframe_detect_semantics(spark):
+    """Frame 0 is always a keyframe with sad = 0; an identical repeated
+    frame yields sad = 0 / not key; a hard scene cut yields a large sad
+    and is_key."""
+    import numpy as np
+
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = np.full((4, 4, 3), 200, dtype=np.uint8)
+    payload = (
+        multimodal.encode_bmp(a) + multimodal.encode_bmp(a) + multimodal.encode_bmp(b)
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+    rows = {r["frame_idx"]: r for r in multimodal.keyframe_detect(df).collect()}
+    assert rows[0]["sad"] == 0 and rows[0]["is_key"]
+    assert rows[1]["sad"] == 0 and not rows[1]["is_key"]
+    assert rows[2]["sad"] == 200 * 48 and rows[2]["is_key"]

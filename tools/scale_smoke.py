@@ -372,6 +372,13 @@ def main() -> None:
             "mix_budget": lambda: sampling.mix_budget(
                 docs, 10_000_000, (F.col("doc_id") % 5 + 1)
             ),
+            # r9 third-wave additions
+            "winnow_pairs": lambda: dedup.winnow_pairs(docs, "doc_id", "text"),
+            "priority_sample": lambda: sampling.priority_sample(
+                docs, "doc_id", F.col("doc_id") % 9 + 1, k=1000
+            ),
+            "embedding_moments": lambda: similarity.embedding_moments(emb),
+            "pca_whiten": lambda: similarity.pca_whiten(emb, k=8)[0],
         }
         for name, mk in ops.items():
             if only and name not in only:
