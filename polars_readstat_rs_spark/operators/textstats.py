@@ -775,3 +775,45 @@ def c4_line_filters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         keep_doc.alias("keep_doc"),
         F.when(keep_doc, F.md5(kept_text)).alias("kept_md5"),
     )
+
+
+def langid_pred_expr(text_col: str = "text") -> F.Column:
+    """:func:`langid`'s predicted-language decision as ONE Column — the
+    fused-pipeline variant: a cleaning job that only needs the verdict
+    can filter on this expression inside the same scan as its other
+    rules instead of joining the langid operator's output back on
+    doc_id (at 100 TB that join is a full extra scan + shuffle). Two
+    nested 1-element transforms let-bind the tokenization and the
+    marker-count struct, so each runs once per row; the decision CASE
+    is bit-for-bit the one langid() emits (pinned by a pytest
+    equivalence sweep)."""
+    fields = ", ".join(
+        f"size(filter(w, x -> x IN ({', '.join(repr(t) for t in LANG_MARKERS[lg])}))) AS {lg}"
+        for lg in LANG_MARKERS
+    )
+    return F.expr(
+        f"element_at(transform(array(element_at(transform(array(split(lower({text_col}), ' ')), "
+        f"w -> struct({fields})), 1)), m -> "
+        "CASE WHEN m.en >= m.es AND m.en >= m.de AND m.en >= m.zh THEN 'en' "
+        "WHEN m.es >= m.de AND m.es >= m.zh THEN 'es' "
+        "WHEN m.de >= m.zh THEN 'de' ELSE 'zh' END), 1)"
+    )
+
+
+def gopher_keep_expr(text_col: str = "text") -> F.Column:
+    """:func:`gopher_quality`'s keep conjunction as ONE Column (fused-
+    pipeline variant, same rationale as :func:`langid_pred_expr`).
+    Identical fixed-order double arithmetic as the operator so a
+    composed oracle still matches bitwise."""
+    stop_list = ", ".join(f"'{t}'" for t in STOPWORDS)
+    avg = f"cast(length({text_col}) - (m.nw - 1) as double) / cast(m.nw as double)"
+    return F.expr(
+        f"element_at(transform(array(element_at(transform(array(split(lower({text_col}), ' ')), "
+        f"w -> struct(size(w) AS nw, "
+        f"size(filter(w, x -> x rlike '[a-z]')) AS na, "
+        f"size(array_intersect(array_distinct(w), array({stop_list}))) AS ns)), 1)), m -> "
+        f"m.nw >= {GOPHER_MIN_WORDS} AND m.nw <= {GOPHER_MAX_WORDS} "
+        f"AND {avg} >= {GOPHER_MIN_AVG_LEN!r} AND {avg} <= {GOPHER_MAX_AVG_LEN!r} "
+        f"AND cast(m.na as double) / cast(m.nw as double) >= {GOPHER_MIN_ALPHA_FRAC!r} "
+        f"AND m.ns >= {GOPHER_MIN_STOP_HITS}), 1)"
+    )

@@ -171,16 +171,16 @@ def p15_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), summarized per source with the kept id set pinned via
     md5 of the sorted id list. Each stage is an already-gated operator;
     this gate proves they COMPOSE (the oracle literally nests the t01
-    and t09 oracle SQL as CTEs). Scale shape: the two filter stages are
-    map-only operator outputs joined back on doc_id (hash-uniform key),
-    dedup is one window over md5(text) — the same shuffles the
-    standalone gates already budget, nothing quadratic."""
+    and t09 oracle SQL as CTEs). Scale shape: both filters apply as
+    FUSED column expressions (textstats.langid_pred_expr /
+    gopher_keep_expr, pytest-pinned equivalent to the operators) inside
+    ONE scan of documents — no join-back on doc_id, so the whole filter
+    phase is a single map-only WSCG stage; dedup is one window over
+    md5(text), the same shuffle the standalone d01 gate budgets."""
     docs = load_table(spark, sf_dir, "documents")
-    lid = textstats.langid(docs).filter(F.col("pred_lang") == "en").select("doc_id")
-    gq = textstats.gopher_quality(docs).filter(F.col("keep")).select("doc_id")
-    surv = docs.join(lid, "doc_id").join(gq, "doc_id").select(
-        "doc_id", "source", "text"
-    )
+    surv = docs.filter(
+        (textstats.langid_pred_expr() == "en") & textstats.gopher_keep_expr()
+    ).select("doc_id", "source", "text")
     w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
     reps = surv.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return reps.groupBy("source").agg(

@@ -1933,3 +1933,29 @@ def test_keyframe_detect_semantics(spark):
     assert rows[0]["sad"] == 0 and rows[0]["is_key"]
     assert rows[1]["sad"] == 0 and not rows[1]["is_key"]
     assert rows[2]["sad"] == 200 * 48 and rows[2]["is_key"]
+
+
+def test_fused_predicates_match_operators(spark, sf_dir):
+    """langid_pred_expr / gopher_keep_expr (the fused single-scan
+    pipeline variants) must agree row-for-row with the langid /
+    gopher_quality operator outputs — p15's oracle correctness depends
+    on this equivalence."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = docs.select(
+        "doc_id",
+        textstats.langid_pred_expr().alias("pred_f"),
+        textstats.gopher_keep_expr().alias("keep_f"),
+    )
+    ops = (
+        textstats.langid(docs)
+        .select("doc_id", "pred_lang")
+        .join(textstats.gopher_quality(docs).select("doc_id", "keep"), "doc_id")
+    )
+    bad = (
+        fused.join(ops, "doc_id")
+        .filter((F.col("pred_f") != F.col("pred_lang")) | (F.col("keep_f") != F.col("keep")))
+        .count()
+    )
+    assert bad == 0
