@@ -297,3 +297,46 @@ def components_star(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous majority label propagation (Raghavan et al. 2007) —
+    community detection over a near-dup / co-occurrence graph, the
+    soft-clustering companion to the hard connected components of
+    :func:`components_star`.
+
+    Semantics (fully deterministic): labels initialize to the node id;
+    each round, every node adopts the most frequent label among its
+    NEIGHBORS (its own label does not vote), ties broken by the
+    smallest label; all nodes update simultaneously (synchronous), so
+    the result after ``iters`` rounds is a pure function of the edge
+    set — no visit order, no RNG.
+
+    Scale: each round is one join of the undirected edge list against
+    the label table (shuffle on node id, hash-uniform) + one
+    partial-aggregated vote count + one per-node window on the already
+    vote-partitioned key. O(iters) rounds of O(edges) work — the same
+    budget as one components round, and unlike asynchronous LP it
+    needs no vertex program or mutable state.
+    """
+    from pyspark.sql import Window
+
+    s, d = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

@@ -141,6 +141,8 @@ _R9_NEW = (
     "d16_winnow_pairs",
     "p15_clean_corpus",
     "m11_keyframes",
+    "g05_label_propagation",
+    "v16_matryoshka_recall",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

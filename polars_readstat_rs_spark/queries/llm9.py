@@ -237,3 +237,108 @@ def m11_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.keyframe_detect(multimodal.synth_video_payloads(docs))
+
+
+# ------------------------------------------------- g05 label propagation
+
+from .llm import _JACCARD_SELECT, _sh_ctes  # noqa: E402
+
+
+def _g05_lp_iter(prev: str, out: str) -> str:
+    return f"""
+    {out}_v AS (
+      SELECT e.src AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2),
+    {out} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM {out}_v) WHERE rn = 1)"""
+
+
+@register(
+    "g05_label_propagation",
+    oracle=f"""
+    WITH {_sh_ctes()},
+    pairs AS (
+      SELECT a_id, b_id FROM ({_JACCARD_SELECT}) WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    {_g05_lp_iter('l0', 'l1')},
+    {_g05_lp_iter('l1', 'l2')}
+    SELECT node, lbl AS label FROM l2
+    """,
+)
+def g05_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous majority label propagation
+    (operators/graph.py:label_propagation) over the SAME near-dup pair
+    graph as d06/g04 — community detection where ties break to the
+    smallest label and every round is one edge-vs-labels join + vote
+    count + per-node argmax window. The oracle unrolls both rounds as
+    CTEs, so every vote count and tiebreak is value-pinned."""
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+    return graph.label_propagation(edges, iters=2)
+
+
+# ------------------------------------------------- v16 matryoshka recall
+
+from .llm import _cosine_sql  # noqa: E402
+
+_V16_DIMS = 16
+_V16_K = 10
+
+
+@register(
+    "v16_matryoshka_recall",
+    oracle=f"""
+    WITH bf AS ({{V01}}),
+    tq AS (SELECT vec_id AS q_id, embedding[1:{_V16_DIMS}] AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+    ts AS (
+      SELECT tq.q_id, e.vec_id,
+             {_cosine_sql('tq.q_vec', f'e.embedding[1:{_V16_DIMS}]')} AS sim
+      FROM embeddings e JOIN tq ON e.vec_id <> tq.q_id),
+    tr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM ts) WHERE rank <= {_V16_K}),
+    base AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM bf GROUP BY q_id),
+    hits AS (
+      SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM bf JOIN tr ON bf.q_id = tr.q_id AND bf.vec_id = tr.vec_id
+      GROUP BY bf.q_id)
+    SELECT base.q_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def v16_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding eval: recall@10 of brute-force
+    search over the FIRST 16 dimensions against full-width ground
+    truth — the measurement that decides whether a 100 TB corpus can be
+    indexed at 4x less vector bandwidth (the same contract as the int8
+    eval v14, but truncating width instead of precision). Truncation is
+    a map-only slice; both rankings reuse the v01 brute-force shape and
+    the recall join is the v06 harness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _V16_DIMS).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    tqueries = trunc.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(emb, queries, k=_V16_K)
+    approx = similarity.brute_force_topk(trunc, tqueries, k=_V16_K)
+    return similarity.ann_recall(truth, approx, k=_V16_K)
+
+
+ORACLES["v16_matryoshka_recall"] = ORACLES["v16_matryoshka_recall"].format(
+    V01=ORACLES["v01_cosine_topk"]
+)

@@ -1959,3 +1959,21 @@ def test_fused_predicates_match_operators(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_label_propagation_semantics(spark):
+    """Synchronous majority LP: neighbor-majority vote, smallest-label
+    tiebreak, simultaneous update. A 4-clique plus a pendant node must
+    converge to the clique minimum everywhere; two disconnected edges
+    stay in separate communities."""
+    from polars_readstat_rs_spark.operators import graph
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = clique + [(4, 9), (20, 21)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {r["node"]: r["label"] for r in graph.label_propagation(df, iters=3).collect()}
+    assert {out[n] for n in (1, 2, 3, 4, 9)} == {1}
+    # the isolated edge flips labels each sync round (classic LP
+    # 2-cycle on a single edge): after odd iters each holds the other's
+    # id — but both stay within {20, 21}, never the clique's labels
+    assert {out[20], out[21]} <= {20, 21}

@@ -286,3 +286,50 @@ def test_q01_cents_aggregation_shape(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
     # the scan-side stage must carry round(x*100) cents math
     assert "round(" in plan and "cast(round(" in plan
+
+
+def test_p14_priority_sample_uses_partial_topk(spark, sf_dir):
+    """Priority sampling must plan TakeOrderedAndProject (per-partition
+    partial top-k, k+1 rows survive per partition) — never a global
+    Sort + Limit, which would single-task the whole corpus."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["p14_priority_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_p15_clean_corpus_single_scan(spark, sf_dir):
+    """The fused cleaning pipeline must read documents ONCE (the
+    operator-join formulation scanned it three times) and keep the
+    langid+Gopher filters in the scan stage."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["p15_clean_corpus"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # rank-limit pushdown: the rn=1 dedup window partially deduplicates
+    # map-side before the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_d16_winnowing_selection_is_map_only(spark, sf_dir):
+    """Winnowing fingerprint SELECTION must not shuffle: the only
+    exchanges in the pair join belong to the distinct + groupBy on the
+    fingerprint/pair keys, and nothing re-sorts whole documents."""
+    from polars_readstat_rs_spark.operators import dedup
+    from polars_readstat_rs_spark.tables import load_table
+
+    fps = dedup.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    assert "Exchange" not in _plan(fps)
+
+
+def test_v15_moments_aggregate_partially(spark, sf_dir):
+    """The Gramian pass must partial-aggregate map-side: two
+    HashAggregates (partial + final) around ONE exchange, so each task
+    ships at most d(d+1)/2 rows regardless of corpus size."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["v15_embedding_moments"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
