@@ -230,6 +230,15 @@ def _record_dtype(specs: list[ColSpec]) -> np.dtype:
     )
 
 
+def _pack_strl_ref(v: int, o: int, version: int) -> int:
+    """Pack a strL (v, o) data-cell reference for the target version:
+    v118 splits the u64 as 16+48 bits, v119 as 24+40 (the GSO heap
+    entry itself is version-invariant: u32 v + u64 o)."""
+    if version >= 119:
+        return (v & 0xFF_FFFF) | ((o & 0xFF_FFFF_FFFF) << 24)
+    return (v & 0xFFFF) | ((o & 0xFFFF_FFFF_FFFF) << 16)
+
+
 def _gso_entry(v: int, o: int, payload: bytes) -> bytes:
     return b"GSO" + struct.pack("<IQBI", v, o, 0x82, len(payload)) + payload
 
@@ -250,8 +259,8 @@ class DtaStreamWriter:
         data_label: str = "",
         version: int = 118,
     ):
-        if version not in (117, 118):
-            raise ValueError(f"dta writer supports versions 117 and 118, got {version}")
+        if version not in (117, 118, 119):
+            raise ValueError(f"dta writer supports versions 117, 118 and 119, got {version}")
         if version == 117 and any(c.typecode == _TYPE_STRL for c in specs):
             # v117 GSO/(v,o) packing differs (u32+u32 vs 2+6); strL
             # columns stay a v118 feature here — declare string_widths
@@ -286,10 +295,16 @@ class DtaStreamWriter:
         self._nm = 129 if v8 else 33
         self._fm = 57 if v8 else 49
         self._vl = 321 if v8 else 81
-        rel = b"118" if v8 else b"117"
+        rel = str(self.version).encode()
         enc_label = self.data_label.encode("utf-8")[: 320 if v8 else 80]
         self._w(b"<stata_dta><header><release>" + rel + b"</release><byteorder>LSF</byteorder>")
-        self._w(b"<K>" + struct.pack("<H", nvar) + b"</K>")
+        # v119 (Stata 15/16 >32k-variable format): K is u32, sortlist
+        # entries are u32, strL (v,o) data refs split 24+40 (see
+        # parser._layout srt_len / read_metadata nvar width)
+        if self.version >= 119:
+            self._w(b"<K>" + struct.pack("<I", nvar) + b"</K>")
+        else:
+            self._w(b"<K>" + struct.pack("<H", nvar) + b"</K>")
         if v8:
             self._w(b"<N>" + struct.pack("<Q", self.nobs) + b"</N>")
             self._w(b"<label>" + struct.pack("<H", len(enc_label)) + enc_label + b"</label>")
@@ -315,7 +330,8 @@ class DtaStreamWriter:
         self._w(b"</varnames>")
 
         self._mark("sortlist")
-        self._w(b"<sortlist>" + b"\0" * (2 * (nvar + 1)) + b"</sortlist>")
+        srt = 4 if self.version >= 119 else 2
+        self._w(b"<sortlist>" + b"\0" * (srt * (nvar + 1)) + b"</sortlist>")
 
         self._mark("formats")
         self._w(b"<formats>")
@@ -418,10 +434,12 @@ def write_dta(
     version: int = 118,
 ) -> None:
     """Write an Arrow table as Stata .dta (single-shot). ``version``:
-    118 (default, UTF-8, strL) or 117 (pre-Stata-14 compat: 32-char
+    118 (default, UTF-8, strL), 117 (pre-Stata-14 compat: 32-char
     names, u32 row count; no strL — strings over 2045 bytes raise;
     text content should be ASCII/latin-1-safe since v117 readers decode
-    the dictionary as cp1252)."""
+    the dictionary as cp1252), or 119 (Stata 15/16 >32k-variable
+    format: u32 variable count, u32 sortlist entries, 24+40-bit strL
+    refs)."""
     if hasattr(table, "to_arrow"):  # pandas-free duck-typing for Spark DF
         table = table.to_arrow()
     elif not isinstance(table, pa.Table):
@@ -446,7 +464,7 @@ def write_dta(
                 if not s:
                     continue
                 v, o = i + 1, row + 1
-                refs[row] = (v & 0xFFFF) | ((o & 0xFFFF_FFFF_FFFF) << 16)
+                refs[row] = _pack_strl_ref(v, o, version)
                 strl_heap.append(_gso_entry(v, o, s.encode("utf-8") + b"\0"))
             rec[f"f{i}"] = refs.view("V8")
         else:
@@ -643,7 +661,9 @@ def _patch_gso(buf: bytes, base: int) -> bytes:
     return bytes(out)
 
 
-def _convert_section(blob, sec: dict, specs: list[ColSpec], row_base: int) -> tuple[bytes, bytes]:
+def _convert_section(
+    blob, sec: dict, specs: list[ColSpec], row_base: int, version: int = 118
+) -> tuple[bytes, bytes]:
     """Re-stride one spilled section into the final record layout.
 
     Returns (record_bytes, extra_gso_bytes). Works purely on byte
@@ -704,15 +724,23 @@ def _convert_section(blob, sec: dict, specs: list[ColSpec], row_base: int) -> tu
                     if not sval:
                         continue
                     o = row_base + row + 1
-                    refs[row] = (v_id & 0xFFFF) | ((o & 0xFFFF_FFFF_FFFF) << 16)
+                    refs[row] = _pack_strl_ref(v_id, o, version)
                     extra_gso.append(_gso_entry(v_id, o, bytes(sval) + b"\0"))
                 out[f] = refs.view("V8")
             else:
                 out[f] = view[f]  # numpy zero-pads S{w} -> S{W}
         else:  # strl
+            # spilled sections always pack refs 16+48 with section-local
+            # observation numbers; re-base to global and re-split for
+            # the target version
             refs = np.frombuffer(view[f].tobytes(), dtype="<u8").copy()
             nz = refs != 0
-            refs[nz] += np.uint64(row_base) << np.uint64(16)
+            if version >= 119:
+                v_ids = refs[nz] & np.uint64(0xFFFF)
+                o_glob = (refs[nz] >> np.uint64(16)) + np.uint64(row_base)
+                refs[nz] = v_ids | (o_glob << np.uint64(24))
+            else:
+                refs[nz] += np.uint64(row_base) << np.uint64(16)
             out[f] = refs.view("V8")
     return out.tobytes(), b"".join(extra_gso)
 
@@ -749,7 +777,7 @@ def assemble_dta(
             continue
         with open(blob_path, "rb") as blob:
             for sec in secs:
-                rec_bytes, extra = _convert_section(blob, sec, specs, row_base)
+                rec_bytes, extra = _convert_section(blob, sec, specs, row_base, version=version)
                 w.write_data(rec_bytes)
                 if extra:
                     extra_gso_chunks.append(extra)

@@ -143,6 +143,7 @@ _R9_NEW = (
     "m11_keyframes",
     "g05_label_propagation",
     "v16_matryoshka_recall",
+    "r24_dta_v119_roundtrip",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

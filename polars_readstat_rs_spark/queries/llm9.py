@@ -342,3 +342,65 @@ def v16_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["v16_matryoshka_recall"] = ORACLES["v16_matryoshka_recall"].format(
     V01=ORACLES["v01_cosine_topk"]
 )
+
+
+# ------------------------------------------------- r24 dta v119 roundtrip
+
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
+
+@register(
+    "r24_dta_v119_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority,
+             rpad(o_orderpriority, CAST(2500 + o_orderkey % 50 AS INT), 'x') AS blob
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(length(blob)) AS BIGINT) AS blob_chars,
+      min(md5(blob)) AS min_md5,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM b GROUP BY o_orderpriority
+    """,
+)
+def r24_dta_v119_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stata v119 WRITE gate — the writer matrix's last .dta version
+    (Stata 15/16 >32k-variable layout: u32 variable count, u32 sortlist
+    entries, 24+40-bit strL refs; the reference reads v119,
+    src/stata/header.rs, but writes only v118): parquet -> DISTRIBUTED
+    v119 write with a >2045-char strL column (exercising the 24+40 ref
+    re-basing across sections) -> our reader -> aggregate over the
+    decoded strL text vs DuckDB recomputing it on the parquet. pandas
+    cross-reads the same layout in tests."""
+    from ..api import _ensure_registered
+
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"readstat_r24_{tag}.dta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.rpad(
+            F.col("o_orderpriority"),
+            (F.lit(2500) + F.col("o_orderkey") % 50).cast("int"),
+            "x",
+        ).alias("blob"),
+    )
+    (
+        orders.write.format("readstat")
+        .mode("overwrite")
+        .option("dta_version", "119")
+        .save(path)
+    )
+    from ..formats.stata.parser import read_metadata
+
+    assert read_metadata(path).version == 119
+    df = spark.read.format("readstat").load(path)
+    return df.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("blob")).cast("bigint").alias("blob_chars"),
+        F.min(F.md5("blob")).alias("min_md5"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )

@@ -341,3 +341,31 @@ def test_write_dta_v117_pandas_crossread(tmp_path):
     assert len(ref) == 50 and abs(ref["v"].sum() - sum(i * 0.5 for i in range(50))) < 1e-9
     with pytest.raises(ValueError, match="strL"):
         W.write_dta(pa.table({"s": pa.array(["x" * 3000])}), p, version=117)
+
+
+def test_write_dta_v119_pandas_crossread(tmp_path):
+    """dta_version=119 (Stata 15/16 >32k-variable layout: u32 K, u32
+    sortlist entries, 24+40-bit strL refs): single-shot write with a
+    strL column, cross-validated by pandas AND our own reader."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.stata import writer as W
+
+    long = ["x" * (2500 + i) for i in range(30)]
+    t = pa.table(
+        {
+            "k": pa.array(range(30), type=pa.int32()),
+            "blob": pa.array(long),
+            "v": pa.array([i * 0.25 for i in range(30)], type=pa.float64()),
+        }
+    )
+    p = str(tmp_path / "v119.dta")
+    W.write_dta(t, p, version=119)
+    m = parser.read_metadata(p)
+    assert m.version == 119
+    out = parser.read_table(p)
+    assert out.column("blob").to_pylist() == long
+    ref = pd.read_stata(p, convert_categoricals=False)
+    assert list(ref["blob"]) == long
+    assert abs(ref["v"].sum() - sum(i * 0.25 for i in range(30))) < 1e-12
