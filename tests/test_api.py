@@ -751,3 +751,34 @@ def test_append_semantics(spark, tmp_path):
     df.write.format("readstat").mode("overwrite").option("multifile", "true").save(mp)
     df.write.format("readstat").mode("append").option("multifile", "true").save(mp)
     assert spark.read.format("readstat").load(mp).count() == 20
+
+
+def test_convert_tree_bulk(spark, tmp_path):
+    """tools/convert.py: a mixed .dta/.sav tree converts to parquet +
+    metadata sidecars with row counts preserved and labels exported in
+    the sidecar (codes stay raw by default)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import convert as C
+
+    import pyarrow as pa
+    from polars_readstat_rs_spark.formats.spss.writer import write_sav
+    from polars_readstat_rs_spark.formats.stata.writer import write_dta
+
+    src = tmp_path / "src" / "nested"
+    src.mkdir(parents=True)
+    t = pa.table({"k": pa.array(range(40), type=pa.int32()),
+                  "g": pa.array([i % 3 for i in range(40)], type=pa.int32())})
+    write_dta(t, str(src / "a.dta"), value_labels={"g": {0: "zero", 1: "one", 2: "two"}})
+    write_sav(t, str(src.parent / "b.sav"))
+    out = tmp_path / "out"
+    manifest = C.convert_tree(spark, str(tmp_path / "src"), str(out))
+    assert {m["rows"] for m in manifest} == {40} and len(manifest) == 2
+    got = spark.read.parquet(manifest[0]["parquet"])
+    assert got.count() == 40
+    meta = json.loads(open(next(m["meta"] for m in manifest if m["src"].endswith("a.dta"))).read())
+    blob = json.dumps(meta)
+    assert "zero" in blob and "two" in blob  # labels exported in the sidecar
