@@ -144,6 +144,7 @@ _R9_NEW = (
     "g05_label_propagation",
     "v16_matryoshka_recall",
     "r24_dta_v119_roundtrip",
+    "s10_stream_clean_pipeline",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -337,3 +337,77 @@ def s09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "s09_session_window"
     run_to_completion(agg, name)
     return spark.table(name)
+
+
+# ------------------------------------------- s10 streaming clean pipeline
+
+from .registry import ORACLES  # noqa: E402  (composes the t01/t09 oracles)
+
+
+@register(
+    "s10_stream_clean_pipeline",
+    oracle="""
+    WITH lid AS ({T01}),
+    gq AS ({T09}),
+    surv AS (
+      SELECT d.source, md5(d.text) AS fp,
+             len(string_split(lower(d.text), ' ')) AS toks
+      FROM documents d
+      JOIN lid ON lid.doc_id = d.doc_id AND lid.pred_lang = 'en'
+      JOIN gq ON gq.doc_id = d.doc_id AND gq.keep),
+    u AS (SELECT DISTINCT source, fp, toks FROM surv)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(toks) AS BIGINT) AS n_tokens
+    FROM u GROUP BY source
+    """,
+)
+def s10_stream_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p15 cleaning pipeline running in STREAMING mode — the
+    continuously-crawled-corpus ingest path: the same fused
+    langid_pred_expr / gopher_keep_expr predicates filter each
+    micro-batch (stateless map, identical expressions as batch p15),
+    then streaming dropDuplicates on (source, md5(text)) keeps the
+    first arrival of every distinct cleaned document. Key-level output
+    only (like s04: WHICH physical doc_id wins a within-batch tie is
+    execution-order dependent, its fingerprint is not), aggregated
+    per source after the drain. Production note: unbounded dedup
+    state — a real crawl bounds it with
+    dropDuplicatesWithinWatermark on ingest time (streaming/dedup.py);
+    the gate's bounded corpus needs no eviction."""
+    from ..operators.textstats import gopher_keep_expr, langid_pred_expr
+    from ..streaming.windows import docs_stream
+
+    name = "s10_clean"
+    cleaned = (
+        docs_stream(spark, sf_dir)
+        .filter((langid_pred_expr() == "en") & gopher_keep_expr())
+        .select(
+            "source",
+            F.md5("text").alias("fp"),
+            F.size(F.split(F.lower("text"), " ")).alias("toks"),
+        )
+        .dropDuplicates(["source", "fp"])
+    )
+    q = (
+        cleaned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+ORACLES["s10_stream_clean_pipeline"] = ORACLES["s10_stream_clean_pipeline"].format(
+    T01=ORACLES["t01_langid"], T09=ORACLES["t09_gopher_quality"]
+)

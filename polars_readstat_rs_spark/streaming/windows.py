@@ -192,3 +192,32 @@ def run_to_completion(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table — the ingest shape of
+    a continuously-crawled corpus. Same staging contract as
+    :func:`events_stream` (file stream sources need a directory; the
+    single parquet file is exposed through a symlinked staging dir,
+    schema from the parquet footer). Documents carry no event time, so
+    no ts normalization applies."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = sf_dir.strip("/").replace("/", "_") + "_" + _src_fingerprint(src)
+    stage = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # concurrent creator won the race — same target
+    batch_schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
