@@ -561,22 +561,27 @@ def priority_sample(
     Determinism across engines: both priority factors are exact IEEE
     ops (an exact small-int double product, then one correctly-rounded
     division), so Spark and DuckDB produce bit-identical doubles; ties
-    break on id. Scale: the only non-map work is TakeOrdered(k+1) — a
-    per-partition partial top-k whose shuffle carries k+1 rows per
-    partition, no global sort, no full shuffle (the same plan shape the
-    p12 rewrite established for ordered prefixes).
+    break on id. Scale: the ONLY pass over ``df`` is one
+    TakeOrdered(k+1) — a per-partition partial top-k whose shuffle
+    carries k+1 rows per partition, no global sort (the same plan
+    shape the p12 rewrite established for ordered prefixes). The k+1
+    survivors are eagerly localCheckpointed (bounded — k+1 rows), so
+    deriving tau and the final k-sample from them never re-scans the
+    input; tau itself is a single bounded driver value (the repo's
+    documented .collect() discipline).
     """
     w = weight.cast("double")
     u = (_bucket(id_col, seed) + F.lit(1)).cast("double")
     pri = w * F.lit(float(BUCKETS + 1)) / u
     ranked = df.withColumn("_w", w).withColumn("_pri", pri)
-    topk1 = ranked.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k + 1)
-    tau = topk1.agg(
-        F.when(F.count(F.lit(1)) > k, F.min("_pri")).otherwise(F.lit(0.0)).alias("_tau")
+    topk1 = ranked.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k + 1).localCheckpoint()
+    n1 = topk1.count()  # already materialized by the checkpoint
+    tau_val = (
+        float(topk1.agg(F.min("_pri")).collect()[0][0]) if n1 > k else 0.0
     )
-    sample = ranked.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k)
+    sample = topk1.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k)
     return (
-        sample.crossJoin(F.broadcast(tau))
+        sample.withColumn("_tau", F.lit(tau_val))
         .withColumn("est_w", F.greatest(F.col("_w"), F.col("_tau")))
         .drop("_w")
         .withColumnRenamed("_pri", "priority")
