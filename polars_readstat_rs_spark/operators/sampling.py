@@ -587,3 +587,53 @@ def priority_sample(
         .withColumnRenamed("_pri", "priority")
         .withColumnRenamed("_tau", "tau")
     )
+
+
+def pack_manifest(
+    df: DataFrame, id_col: str, n_tokens: Column, budget: int, group_span: int = 100_000
+) -> DataFrame:
+    """The dataloader-facing output of :func:`pack_sequences`: one row
+    per pack with its document manifest — each doc's byte/token offset
+    inside the context window — plus fill accounting. A training job
+    reads THIS table to materialize fixed-length sequences without
+    re-deriving the packing.
+
+    Emits (pack_id, n_docs, pack_tokens, overshoot, manifest) where
+    ``manifest`` is the ordered ``doc:offset:len`` list joined with
+    commas (a flat string rather than array<struct> so the result is
+    trivially portable/hashable across engines).
+
+    Scale: pack_sequences' window runs on the _grp partitioning; the
+    manifest adds ONE exchange on pack_id (hash-uniform — pack
+    populations are bounded by budget/min-doc-tokens), whose
+    partitioning the groupBy then reuses — no further shuffle.
+    """
+    packed = pack_sequences(df, id_col, n_tokens, budget, group_span)
+    wo = (
+        Window.partitionBy("pack_id")
+        .orderBy("pack_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_off = packed.withColumn(
+        "_off", F.sum("n_tokens").over(wo) - F.col("n_tokens")
+    ).withColumn(
+        "_entry",
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("_off").cast("string"),
+            F.col("n_tokens").cast("string"),
+        ),
+    )
+    return with_off.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.greatest(F.lit(0).cast("bigint"), F.sum("n_tokens") - F.lit(budget))
+        .cast("bigint")
+        .alias("overshoot"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pack_pos", "_entry"))),
+                lambda s: s["_entry"],
+            ),
+            ",",
+        ).alias("manifest"),
+    )

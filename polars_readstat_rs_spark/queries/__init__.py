@@ -145,6 +145,7 @@ _R9_NEW = (
     "v16_matryoshka_recall",
     "r24_dta_v119_roundtrip",
     "s10_stream_clean_pipeline",
+    "p16_pack_manifest",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -404,3 +404,52 @@ def r24_dta_v119_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+# ------------------------------------------------- p16 pack manifest
+
+_P16_BUDGET = 256
+_P16_SPAN = 100_000
+
+
+@register(
+    "p16_pack_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id // {_P16_SPAN} AS _grp
+      FROM documents),
+    cums AS (
+      SELECT doc_id, n_tokens, _grp,
+             sum(n_tokens) OVER (PARTITION BY _grp ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM toks),
+    packs AS (
+      SELECT doc_id, n_tokens,
+             CAST(_grp * {_P16_SPAN} + (_cum - n_tokens) // {_P16_BUDGET} AS BIGINT) AS pack_id
+      FROM cums),
+    offs AS (
+      SELECT doc_id, n_tokens, pack_id,
+             sum(n_tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS _off
+      FROM packs)
+    SELECT pack_id,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(greatest(0, sum(n_tokens) - {_P16_BUDGET}) AS BIGINT) AS overshoot,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(_off AS VARCHAR)
+                      || ':' || CAST(n_tokens AS VARCHAR), ',' ORDER BY doc_id) AS manifest
+    FROM offs GROUP BY pack_id
+    """,
+)
+def p16_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack manifests (operators/sampling.py:pack_manifest) — the
+    dataloader-facing table a training job reads to materialize fixed
+    context windows without re-deriving the packing: one row per pack
+    with the ordered doc:offset:len manifest string, exact token totals
+    and overshoot accounting. One exchange on pack_id beyond p04's
+    block-parallel cumsum; the groupBy reuses that partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return sampling.pack_manifest(docs, "doc_id", n_tokens, _P16_BUDGET, _P16_SPAN)
