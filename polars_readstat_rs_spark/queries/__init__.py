@@ -146,6 +146,7 @@ _R9_NEW = (
     "r24_dta_v119_roundtrip",
     "s10_stream_clean_pipeline",
     "p16_pack_manifest",
+    "m12_shot_segments",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

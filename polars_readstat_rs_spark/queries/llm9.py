@@ -453,3 +453,52 @@ def p16_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " "))
     return sampling.pack_manifest(docs, "doc_id", n_tokens, _P16_BUDGET, _P16_SPAN)
+
+
+# ------------------------------------------------- m12 shot segments
+
+
+@register(
+    "m12_shot_segments",
+    oracle="""
+    WITH kf AS ({M11})
+    SELECT doc_id, shot_id,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(min(frame_idx) AS INT) AS first_frame,
+           CAST(sum(sad) AS BIGINT) AS sad_total
+    FROM (
+      SELECT doc_id, frame_idx, sad,
+             CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY frame_idx
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS shot_id
+      FROM kf) s
+    GROUP BY doc_id, shot_id
+    """,
+)
+def m12_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation — group every frame run between keyframes into
+    one shot (shot_id = running keyframe count per video): the table a
+    captioning pipeline samples one frame per shot from. Pure
+    composition over m11's REAL decode+SAD output (the oracle nests the
+    m11 oracle); one window + one agg, both partitioned by doc_id, so
+    a single exchange serves both."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    kf = multimodal.keyframe_detect(multimodal.synth_video_payloads(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    shots = kf.withColumn(
+        "shot_id", F.sum(F.col("is_key").cast("int")).over(w).cast("int")
+    )
+    return shots.groupBy("doc_id", "shot_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.min("frame_idx").cast("int").alias("first_frame"),
+        F.sum("sad").cast("bigint").alias("sad_total"),
+    )
+
+
+ORACLES["m12_shot_segments"] = ORACLES["m12_shot_segments"].format(
+    M11=ORACLES["m11_keyframes"]
+)
