@@ -817,3 +817,54 @@ def gopher_keep_expr(text_col: str = "text") -> F.Column:
         f"AND cast(m.na as double) / cast(m.nw as double) >= {GOPHER_MIN_ALPHA_FRAC!r} "
         f"AND m.ns >= {GOPHER_MIN_STOP_HITS}), 1)"
     )
+
+
+def lm_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: float = 0.5,
+    seed: str = "t22",
+) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the corpus bigram LM (:func:`bigram_lm`), split
+    the corpus into head / middle / tail terciles of predictability,
+    and emit the bucket per document — head feeds training, tail gets
+    dropped, middle is the borderline pool.
+
+    Exactly CCNet's recipe, including the sampling: tercile THRESHOLDS
+    come from a bounded deterministic hash-sample (``sample_rate`` of
+    documents via the md5 bucket — identical on every engine/run), so
+    the single-group percentile sort window is bounded regardless of
+    corpus size; the per-document bucket is then a pure broadcast-
+    threshold comparison. Score = sum(bigram corpus count)/n_bigrams —
+    one exactly-rounded IEEE division per doc, so comparisons against
+    the round(6) thresholds are bit-identical cross-engine. Documents
+    with < 2 tokens emit a NULL bucket (no score exists).
+    """
+    from .profile import exact_percentiles
+    from .sampling import BUCKETS, _bucket
+
+    skel = bigram_lm(docs, id_col, text_col)
+    scored = skel.withColumn(
+        "score",
+        F.col("sum_bg_count").cast("double") / F.col("n_bigrams").cast("double"),
+    )
+    sampled = scored.filter(
+        F.col("score").isNotNull()
+        & (_bucket(id_col, seed) < F.lit(int(sample_rate * BUCKETS)))
+    ).withColumn("_g", F.lit(1))
+    thr = exact_percentiles(sampled, "_g", "score", (1 / 3, 2 / 3)).select(
+        F.col("p33").alias("t_low"), F.col("p67").alias("t_high")
+    )
+    out = scored.crossJoin(F.broadcast(thr))
+    bucket = (
+        F.when(F.col("score").isNull(), F.lit(None).cast("string"))
+        .when(F.col("score") >= F.col("t_high"), "head")
+        .when(F.col("score") >= F.col("t_low"), "middle")
+        .otherwise("tail")
+    )
+    return out.select(
+        id_col, "n_bigrams", "sum_bg_count", "score", "t_low", "t_high",
+        bucket.alias("bucket"),
+    )

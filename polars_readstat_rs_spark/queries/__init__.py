@@ -147,6 +147,7 @@ _R9_NEW = (
     "s10_stream_clean_pipeline",
     "p16_pack_manifest",
     "m12_shot_segments",
+    "t22_lm_buckets",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -502,3 +502,51 @@ def m12_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["m12_shot_segments"] = ORACLES["m12_shot_segments"].format(
     M11=ORACLES["m11_keyframes"]
 )
+
+
+# ------------------------------------------------- t22 CCNet LM buckets
+
+_T22_SAMPLE_THRESHOLD = int(0.5 * (1 << 32))
+
+
+@register(
+    "t22_lm_buckets",
+    oracle=f"""
+    WITH skel AS ({{T10}}),
+    scored AS (
+      SELECT doc_id, n_bigrams, sum_bg_count,
+             CAST(sum_bg_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS score
+      FROM skel),
+    samp AS (
+      SELECT score FROM scored
+      WHERE score IS NOT NULL
+        AND CAST(('0x' || substr(md5('t22:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < {_T22_SAMPLE_THRESHOLD}),
+    t AS (
+      SELECT round(quantile_cont(score, 1.0/3), 6) AS t_low,
+             round(quantile_cont(score, 2.0/3), 6) AS t_high
+      FROM samp)
+    SELECT doc_id, n_bigrams, sum_bg_count, score, t.t_low, t.t_high,
+      CASE WHEN score IS NULL THEN NULL
+           WHEN score >= t.t_high THEN 'head'
+           WHEN score >= t.t_low THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM scored, t
+    """,
+)
+def t22_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM bucketing (operators/textstats.py:
+    lm_buckets; Wenzek et al. 2020 §4.3): corpus bigram-LM score per
+    document, tercile thresholds from a bounded deterministic
+    hash-sample (the single-group percentile sort stays bounded at any
+    corpus size — the CCNet recipe itself thresholds on a sample),
+    bucket by broadcast-threshold comparison. Thresholds reuse the q84
+    exact-percentile machinery (bitwise-equal to DuckDB quantile_cont
+    after round(6)); the oracle nests the t10 oracle SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.lm_buckets(docs, "doc_id", "text", sample_rate=0.5, seed="t22")
+
+
+ORACLES["t22_lm_buckets"] = ORACLES["t22_lm_buckets"].format(
+    T10=ORACLES["t10_bigram_lm"]
+)
