@@ -1977,3 +1977,26 @@ def test_label_propagation_semantics(spark):
     # 2-cycle on a single edge): after odd iters each holds the other's
     # id — but both stay within {20, 21}, never the clique's labels
     assert {out[20], out[21]} <= {20, 21}
+
+
+def test_pack_manifest_offsets_and_overshoot(spark):
+    """Manifest entries are contiguous (offset = previous offset+len,
+    starting at 0) and a document larger than the budget overshoots its
+    own pack by exactly its excess."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    rows = [(0, 40), (1, 50), (2, 30), (3, 130), (4, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "nt"])
+    out = sampling.pack_manifest(df, "doc_id", F.col("nt"), budget=100).collect()
+    packs = {r["pack_id"]: r for r in out}
+    for r in out:
+        entries = [tuple(map(int, e.split(":"))) for e in r["manifest"].split(",")]
+        off = 0
+        for _doc, o, ln in entries:
+            assert o == off
+            off += ln
+        assert off == r["pack_tokens"]
+        assert r["overshoot"] == max(0, r["pack_tokens"] - 100)
+    # doc 3 (130 tokens) overshoots: its pack has exactly the excess
+    big = next(r for r in out if "3:" in r["manifest"] or r["manifest"].startswith("3:"))
+    assert big["overshoot"] > 0
