@@ -32,6 +32,13 @@ sys.path.insert(0, ".")
 
 from bench_multifile import ALL_TABLES, DEFAULT_QUERIES, stage  # noqa: E402
 
+# Optional focus list: SCALE_BENCH_QUERIES=q1,q2,... benches exactly
+# those registry queries instead of the headline set (used for the
+# per-wave new-operator checkpoints).
+_env_qs = os.environ.get("SCALE_BENCH_QUERIES")
+if _env_qs:
+    DEFAULT_QUERIES = [q.strip() for q in _env_qs.split(",") if q.strip()]
+
 DUCK_TIMEOUT = float(os.environ.get("SCALE_BENCH_DUCK_TIMEOUT", "600"))
 
 _DUCK_RUNNER = r"""
