@@ -991,6 +991,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 4,
     window: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every ``k``-word gram, slide a ``window``
@@ -1017,13 +1018,31 @@ def winnow_fingerprints(
     it is the small winnowed set, not the full gram set.
     """
     w = window
+    # hash="md5": 40-bit md5 prefix, replicable in DuckDB — the GATE
+    # hash (winnowing SELECTION depends on hash ORDER, so the oracle
+    # must derive identical values). hash="xxhash64": the production
+    # fast path — hashes the k word arguments directly (no gram string,
+    # no hex parse; HOF lambdas are interpreted, so the per-gram
+    # constant matters), masked to the same 40-bit range. Selection
+    # sets differ between the two (different hash order) but every
+    # winnowing property (density, the >= window+k-1 overlap
+    # guarantee) holds for either uniform hash.
+    if hash == "md5":
+        gram_hash = (
+            f"cast(conv(substring(md5(concat_ws(' ', slice(ws, p, {k}))), 1, 10), 16, 10) as bigint)"
+        )
+    elif hash == "xxhash64":
+        args = ", ".join(f"element_at(ws, p + {j})" for j in range(k))
+        gram_hash = f"(xxhash64({args}) & 1099511627775)"  # low 40 bits
+    else:
+        raise ValueError(f"winnow hash must be 'md5' or 'xxhash64', got {hash!r}")
     # let-bind words, then the packed gram-hash array (the
     # O(words^2) re-split trap — see text.py:shingles_expr)
     packed = F.expr(
         f"element_at(transform(array(split(lower({text_col}), ' ')), ws -> "
         f"CASE WHEN size(ws) >= {k} THEN "
         f"transform(sequence(1, size(ws) - {k - 1}), "
-        f"p -> cast(conv(substring(md5(concat_ws(' ', slice(ws, p, {k}))), 1, 10), 16, 10) as bigint)"
+        f"p -> {gram_hash}"
         f"     * cast(65536 as bigint) + (65536 - p)) "
         f"ELSE array() END), 1)"
     )
@@ -1050,6 +1069,7 @@ def winnow_pairs(
     k: int = 4,
     window: int = 4,
     min_shared: int = 2,
+    hash: str = "md5",
 ) -> DataFrame:
     """Candidate plagiarism/duplication pairs from winnowing
     fingerprints: documents sharing >= ``min_shared`` selected
@@ -1063,7 +1083,7 @@ def winnow_pairs(
     one shuffle on the 40-bit hash key.
     """
     fps = (
-        winnow_fingerprints(docs, id_col, text_col, k, window)
+        winnow_fingerprints(docs, id_col, text_col, k, window, hash=hash)
         .select(F.col(id_col), "fp_hash")
         .distinct()
     )

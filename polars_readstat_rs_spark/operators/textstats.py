@@ -306,37 +306,49 @@ def bigram_lm(
     partial aggregation; the scoring join shuffles on the bigram key
     (AQE splits residual hot-bigram skew). Everything else is map-only
     expression work — no UDFs, no driver materialization.
+
+    Key representation: bigrams never materialize as strings — the
+    join/count keys are xxhash64 over the two word arguments directly
+    (h_bg) and over the left word (h_w1), the same string-free keying
+    that cut p06/d02's shuffles (concat allocations were ~80% of the
+    explode cost at the sf10 checkpoint). Hashes are equality-only
+    here (counts, never ordering); a 64-bit collision merges two
+    bigram types with P ~ d^2/2^65 — the d02 collision-honesty note
+    applies verbatim.
     """
-    # let-bind the tokenized array (see text.py:shingles_expr): the
-    # split runs once per row, not once per bigram
-    bigrams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"element_at(transform(array(split(lower({text_col}), ' ')), w -> "
-                f"CASE WHEN size(w) >= 2 THEN "
-                f"transform(sequence(1, size(w) - 1), "
-                f"i -> concat_ws(' ', slice(w, i, 2))) "
-                f"ELSE array() END), 1)"
-            )
-        ).alias("bg"),
+    # Generate positions with a codegen explode and hash with ROW
+    # expressions: higher-order-function lambdas are INTERPRETED per
+    # element, so building per-bigram structs inside a transform costs
+    # ~4x the same xxhash64 calls as post-explode codegen expressions
+    # (measured at the sf1 checkpoint: 8.1 -> 2.3 s). The token array
+    # rides along inside the stage — never materialized or shuffled.
+    bigrams = (
+        docs.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w"))
+        .select(
+            F.col(id_col),
+            F.col("_w"),
+            F.explode(
+                F.expr("CASE WHEN size(_w) >= 2 THEN sequence(1, size(_w) - 1) "
+                       "ELSE array() END")
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            F.expr("xxhash64(element_at(_w, _i), element_at(_w, _i + 1))").alias("h_bg"),
+            F.expr("xxhash64(element_at(_w, _i))").alias("h_w1"),
+        )
     )
     # Partial reduction before the scoring join: a document's repeated
     # bigrams collapse to one (doc, bg, cnt) row map-side, so the join
     # moves distinct-bigrams-per-doc instead of every occurrence — the
     # difference between O(tokens) and O(distinct) rows through the
     # hot-bigram shuffle (Zipf corpora: the top bigrams ARE the bulk).
-    doc_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
-    bg_counts = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("bg_count"))
-    prefix_counts = (
-        bg_counts.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
-        .agg(F.sum("bg_count").alias("w1_count"))
-    )
-    scored = (
-        doc_bg.join(bg_counts, "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(prefix_counts, "w1")
-    )
+    doc_bg = bigrams.groupBy(id_col, "h_bg", "h_w1").agg(F.count("*").alias("cnt"))
+    bg_counts = doc_bg.groupBy("h_bg").agg(F.sum("cnt").alias("bg_count"))
+    # prefix totals = occurrences of bigrams sharing the left word —
+    # summing doc_bg.cnt by h_w1 equals the old sum of bg_count by w1
+    prefix_counts = doc_bg.groupBy("h_w1").agg(F.sum("cnt").alias("w1_count"))
+    scored = doc_bg.join(bg_counts, "h_bg").join(prefix_counts, "h_w1")
     per_doc = scored.groupBy(id_col).agg(
         F.sum("cnt").alias("n_bigrams"),
         F.sum(F.col("cnt") * F.col("bg_count")).alias("sum_bg_count"),

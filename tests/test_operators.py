@@ -2000,3 +2000,26 @@ def test_pack_manifest_offsets_and_overshoot(spark):
     # doc 3 (130 tokens) overshoots: its pack has exactly the excess
     big = next(r for r in out if "3:" in r["manifest"] or r["manifest"].startswith("3:"))
     assert big["overshoot"] > 0
+
+
+def test_winnowing_xxhash64_fast_path(spark):
+    """hash='xxhash64' (the production fast path — no gram strings, no
+    hex parsing) keeps the winnowing guarantee: the planted overlap
+    pair from the md5 test is still caught, fingerprints stay in the
+    40-bit range, and an unknown hash name raises."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight nine ten {shared} eleven"),
+        (3, "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dedup.winnow_pairs(df, "doc_id", "text", k=4, window=4, min_shared=1, hash="xxhash64")
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got and not any(3 in p for p in got)
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", hash="xxhash64").collect()
+    assert all(0 <= r["fp_hash"] < (1 << 40) for r in fps)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="winnow hash"):
+        dedup.winnow_fingerprints(df, "doc_id", "text", hash="sha1")
