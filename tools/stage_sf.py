@@ -103,9 +103,16 @@ def stage(src: str, out: str, factor: int = 10) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+    # row_group_size matters: a single giant row group makes every
+    # Spark byte-range split but one EMPTY (the row group belongs to the
+    # split containing its start), silently single-threading any
+    # per-row-expensive stage reading the staged file — the r9 sf10
+    # winnowing smoke measured 82 s for a stage that runs in ~6 s once
+    # the file carries real row groups. 64k rows per group gives the
+    # scheduler real splits at every staged SF.
     for name in DIMS:
         t = pq.read_table(f"{src}/{name}.parquet")
-        pq.write_table(t, f"{out}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet", row_group_size=65536)
     for name, keys in KEYS.items():
         t = pq.read_table(f"{src}/{name}.parquet")
         reps = []
@@ -128,7 +135,9 @@ def stage(src: str, out: str, factor: int = 10) -> str:
                     pc.add(r.column("ts"), pa.scalar(i, pa.duration("us"))),
                 )
             reps.append(r)
-        pq.write_table(pa.concat_tables(reps), f"{out}/{name}.parquet")
+        pq.write_table(
+            pa.concat_tables(reps), f"{out}/{name}.parquet", row_group_size=65536
+        )
     with open(done, "w") as fh:
         fh.write("ok")
     return out
