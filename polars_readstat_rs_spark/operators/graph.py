@@ -322,7 +322,13 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     from pyspark.sql import Window
 
     s, d = edges.columns[0], edges.columns[1]
-    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    # materialize the DIRECTED edge list once, BEFORE the undirected
+    # union references it twice: when `edges` is an expensive subtree
+    # (g05's near-dup candidate join) every further reference — the
+    # union's two branches, the label init, each vote round — would
+    # re-execute it (the sf10 smoke measured 93 s for what is a ~30 s
+    # pair job plus trivial vote rounds)
+    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst")).localCheckpoint()
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -339,4 +345,7 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "lbl")
         )
-    return labels.select("node", F.col("lbl").alias("label"))
+    # the localCheckpoint above drops edges' _readstat_cached chain —
+    # re-attach it so callers can release the upstream persisted
+    # intermediates (the near-dup inverted index in g05)
+    return _track(labels.select("node", F.col("lbl").alias("label")), edges)
