@@ -1098,3 +1098,82 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def bloom_membership(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter membership screening of an incoming batch against a
+    corpus history — the incremental-crawl primitive that answers "have
+    we already ingested this document?" WITHOUT joining the history:
+    the history collapses to a bounded bit-set (at most ``m_bits``
+    rows, typically broadcastable) that any number of incoming batches
+    probe.
+
+    Deterministic from end to end: bit position j of a document is
+    md5("{seed}{j}:" || md5(text)) reduced mod ``m_bits`` — the same
+    32-bit md5-bucket idiom as the samplers, so an external engine (the
+    DuckDB oracle) reproduces the filter bit-for-bit; no engine-internal
+    sketch state is ever exposed. Classic Bloom guarantees hold:
+    NO false negatives (every exact duplicate is flagged — the gate's
+    oracle enforces this structurally), false positives at the standard
+    (set_bits/m)^k rate, tunable via ``m_bits``/``k``.
+
+    Returns one row per incoming document: (id, bloom_hit, exact_dup,
+    false_positive). Scale shape: history explodes to k bit positions
+    and DISTINCTs down to <= m_bits rows (one shuffle, bounded output);
+    the probe is a BROADCAST join of that bounded bit table against the
+    incoming positions plus one groupBy(id) — incoming never shuffles
+    against the history itself. ``exact_dup`` (the audit column) is the
+    only part that touches history again; production screening drops it
+    and the history scan amortizes across every future batch via the
+    persisted bit table.
+    """
+    fp = F.md5(F.col(text_col))
+
+    def positions(fpc: Column) -> list[Column]:
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), fpc)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m_bits
+            for j in range(k)
+        ]
+
+    bits = (
+        history.select(F.explode(F.array(*positions(fp))).alias("bit")).distinct()
+    )
+    probe = incoming.select(
+        F.col(id_col), F.explode(F.array(*positions(fp))).alias("bit")
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(id_col)
+        .agg((F.count("_set") == k).alias("bloom_hit"))
+    )
+    exact = (
+        incoming.select(F.col(id_col), fp.alias("_fp"))
+        .join(
+            history.select(fp.alias("_fp")).distinct(),
+            "_fp",
+            "left_semi",
+        )
+        .select(F.col(id_col), F.lit(True).alias("exact_dup"))
+    )
+    return (
+        hits.join(exact, id_col, "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            (F.col("bloom_hit") & ~F.coalesce("exact_dup", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )

@@ -148,6 +148,7 @@ _R9_NEW = (
     "p16_pack_manifest",
     "m12_shot_segments",
     "t22_lm_buckets",
+    "d17_bloom_membership",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

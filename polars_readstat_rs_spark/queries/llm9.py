@@ -550,3 +550,55 @@ def t22_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["t22_lm_buckets"] = ORACLES["t22_lm_buckets"].format(
     T10=ORACLES["t10_bigram_lm"]
 )
+
+
+# ------------------------------------------------- d17 bloom membership
+
+_D17_M = 1 << 18
+_D17_K = 3
+
+
+def _d17_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bloom{j}:' || fp), 1, 8)) AS BIGINT) % {_D17_M}"
+    )
+
+
+@register(
+    "d17_bloom_membership",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    hist AS (SELECT * FROM fps WHERE doc_id % 3 != 0),
+    inc AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(f"SELECT {_d17_pos_sql(j)} AS bit FROM hist" for j in range(_D17_K))})),
+    probe AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {_d17_pos_sql(j)} AS bit FROM inc" for j in range(_D17_K))}),
+    hits AS (
+      SELECT p.doc_id, count(b.bit) = {_D17_K} AS bloom_hit
+      FROM probe p LEFT JOIN bits b USING (bit) GROUP BY p.doc_id),
+    exact AS (
+      SELECT DISTINCT i.doc_id, TRUE AS exact_dup
+      FROM inc i JOIN hist h ON i.fp = h.fp)
+    SELECT h.doc_id, h.bloom_hit,
+           coalesce(e.exact_dup, FALSE) AS exact_dup,
+           (h.bloom_hit AND NOT coalesce(e.exact_dup, FALSE)) AS false_positive
+    FROM hits h LEFT JOIN exact e USING (doc_id)
+    """,
+)
+def d17_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental-ingest screening (operators/dedup.py:
+    bloom_membership): the corpus history collapses to a bounded,
+    broadcastable bit table (md5-derived positions — the filter is
+    reproduced bit-for-bit by the DuckDB oracle, unlike engine-internal
+    sketches) and each incoming batch probes it without ever joining
+    the history. No false negatives by construction; the gate also
+    value-pins the false-positive column at this m/k/SF. History =
+    doc_id % 3 != 0, incoming = the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.bloom_membership(
+        history, incoming, "doc_id", "text", m_bits=_D17_M, k=_D17_K
+    )

@@ -2023,3 +2023,26 @@ def test_winnowing_xxhash64_fast_path(spark):
 
     with _pytest.raises(ValueError, match="winnow hash"):
         dedup.winnow_fingerprints(df, "doc_id", "text", hash="sha1")
+
+
+def test_bloom_membership_properties(spark):
+    """Bloom guarantees: every exact duplicate is flagged (no false
+    negatives — structural), and with a tiny filter (m=8 bits) saturation
+    forces false positives, which the false_positive column isolates."""
+    hist = spark.createDataFrame([(i, f"doc text {i}") for i in range(50)], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [(100 + i, f"doc text {i}") for i in range(10)]  # exact dups of history
+        + [(200 + i, f"fresh text {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.bloom_membership(hist, inc).collect()}
+    assert len(out) == 20
+    for i in range(10):
+        assert out[100 + i]["bloom_hit"] and out[100 + i]["exact_dup"]
+        assert not out[100 + i]["false_positive"]
+    # big filter, 50 docs: fresh docs should all miss (fp rate ~1e-10)
+    assert all(not out[200 + i]["bloom_hit"] for i in range(10))
+    # saturated 8-bit filter: everything hits, fresh docs are false positives
+    sat = {r["doc_id"]: r for r in dedup.bloom_membership(hist, inc, m_bits=8, k=2).collect()}
+    assert all(sat[100 + i]["bloom_hit"] for i in range(10))  # never a false negative
+    assert any(sat[200 + i]["false_positive"] for i in range(10))
