@@ -880,3 +880,91 @@ def lm_buckets(
         id_col, "n_bigrams", "sum_bg_count", "score", "t_low", "t_high",
         bucket.alias("bucket"),
     )
+
+
+def cms_token_freq(
+    docs: DataFrame,
+    text_col: str = "text",
+    m_buckets: int = 4096,
+    k_rows: int = 3,
+    top_n: int = 20,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch token frequency estimation, audited against
+    exact counts — the bounded-state alternative to a full token
+    groupBy when only heavy-hitter frequencies matter (vocabulary
+    pruning, stop-list discovery on a 100 TB corpus).
+
+    The sketch is ``k_rows`` x ``m_buckets`` counters; token t's bucket
+    in row j is the md5 bucket of "{seed}{j}:t" mod m — the same
+    deterministic idiom as the samplers/bloom filter, so an external
+    engine reproduces every counter exactly (no engine-internal sketch
+    state). Estimate = min over rows of the token's counters; CMS
+    guarantees estimate >= true count always (collisions only ADD), and
+    the overshoot is bounded by corpus_tokens/m per row w.h.p.
+
+    Returns the ``top_n`` exact heavy hitters with (tok, exact_n,
+    cms_est, overestimate_ok). Scale shape: building the sketch is one
+    groupBy over (row, bucket) with map-side partial aggregation into
+    at most k*m cells — bounded output no matter the corpus; the exact
+    side (the audit) is the usual token groupBy + TakeOrdered(top_n).
+    Production uses the sketch alone and skips the exact pass; sketches
+    from corpus shards merge by cell-wise addition.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+
+    def bucket(j: int, tok: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), tok)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m_buckets
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"), bucket(j, F.col("tok")).alias("bucket")
+                        )
+                        for j in range(k_rows)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(top_n)
+    )
+    probe = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("row"), bucket(j, F.col("tok")).alias("bucket"))
+                    for j in range(k_rows)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "exact_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimate_ok"),
+        )
+    )

@@ -149,6 +149,7 @@ _R9_NEW = (
     "m12_shot_segments",
     "t22_lm_buckets",
     "d17_bloom_membership",
+    "t23_cms_token_freq",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

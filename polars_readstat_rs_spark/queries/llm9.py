@@ -602,3 +602,49 @@ def d17_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_membership(
         history, incoming, "doc_id", "text", m_bits=_D17_M, k=_D17_K
     )
+
+
+# ------------------------------------------------- t23 count-min sketch
+
+_T23_M = 4096
+_T23_K = 3
+_T23_TOP = 20
+
+
+def _t23_bucket_sql(j: int) -> str:
+    return f"CAST(('0x' || substr(md5('cms{j}:' || tok), 1, 8)) AS BIGINT) % {_T23_M}"
+
+
+@register(
+    "t23_cms_token_freq",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    cells AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        {" UNION ALL ".join(f"SELECT {j} AS row, {_t23_bucket_sql(j)} AS bucket FROM toks" for j in range(_T23_K))}
+      ) GROUP BY row, bucket),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT {_T23_TOP}),
+    probe AS (
+      {" UNION ALL ".join(f"SELECT tok, exact_n, {j} AS row, {_t23_bucket_sql(j)} AS bucket FROM exact" for j in range(_T23_K))})
+    SELECT p.tok, p.exact_n, CAST(min(c.n) AS BIGINT) AS cms_est,
+           min(c.n) >= p.exact_n AS overestimate_ok
+    FROM probe p JOIN cells c USING (row, bucket)
+    GROUP BY p.tok, p.exact_n
+    """,
+)
+def t23_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter frequency estimation
+    (operators/textstats.py:cms_token_freq): a k x m counter table with
+    md5-derived buckets — like d17's Bloom filter, the sketch state
+    itself is reproduced exactly by the DuckDB oracle, so the gate
+    value-pins every estimate, not just companion columns. Building the
+    sketch is one bounded groupBy (<= k*m cells regardless of corpus
+    size, map-side partial agg); the exact heavy-hitter audit is the
+    usual TakeOrdered top-n. CMS structurally never underestimates —
+    overestimate_ok is pinned TRUE for every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.cms_token_freq(
+        docs, "text", m_buckets=_T23_M, k_rows=_T23_K, top_n=_T23_TOP
+    )
