@@ -968,3 +968,55 @@ def cms_token_freq(
             (F.col("cms_est") >= F.col("exact_n")).alias("overestimate_ok"),
         )
     )
+
+
+def kmv_ndv(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    for the corpus vocabulary, audited against the exact NDV — the
+    bounded-state cardinality estimator whose whole state (the k
+    smallest hashes) an external engine reproduces exactly, same
+    discipline as the d17 Bloom filter and t23 count-min sketch.
+
+    Tokens hash to the uniform 32-bit md5 bucket; the estimator is
+    (k-1) * 2^32 / h_k where h_k is the k-th smallest DISTINCT hash
+    (standard error ~ 1/sqrt(k)). Every arithmetic step is one exact
+    integer op or one correctly-rounded IEEE division, so the estimate
+    is bit-identical cross-engine. Scale shape: distinct hashes with
+    map-side partial agg, then TakeOrdered(k) — k rows per partition
+    survive; sketches merge by keeping the k smallest of a union.
+
+    Returns one row: (exact_ndv, kmv_est, rel_err, k).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("bigint")
+    toks = docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+    hashes = toks.select(h.alias("h")).distinct()
+    kth = hashes.orderBy(F.asc("h")).limit(k).agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("_n")
+    )
+    exact = toks.agg(F.countDistinct("tok").alias("exact_ndv"))
+    est = (
+        F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("h_k").cast("double")
+    )
+    return (
+        exact.crossJoin(F.broadcast(kth))
+        .select(
+            "exact_ndv",
+            # fewer than k distinct hashes: the sketch IS the exact set
+            F.when(F.col("_n") < k, F.col("exact_ndv").cast("double"))
+            .otherwise(est)
+            .alias("kmv_est"),
+            F.lit(k).alias("k"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("kmv_est") - F.col("exact_ndv").cast("double"))
+            / F.col("exact_ndv").cast("double"),
+        )
+    )

@@ -150,6 +150,7 @@ _R9_NEW = (
     "t22_lm_buckets",
     "d17_bloom_membership",
     "t23_cms_token_freq",
+    "t24_kmv_ndv",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

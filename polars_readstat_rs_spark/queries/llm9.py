@@ -648,3 +648,42 @@ def t23_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cms_token_freq(
         docs, "text", m_buckets=_T23_M, k_rows=_T23_K, top_n=_T23_TOP
     )
+
+
+# ------------------------------------------------- t24 KMV NDV sketch
+
+_T24_K = 256
+
+
+@register(
+    "t24_kmv_ndv",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    hashes AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || tok), 1, 8)) AS BIGINT) AS h
+      FROM toks),
+    kth AS (
+      SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS _n
+      FROM (SELECT h FROM hashes ORDER BY h LIMIT {_T24_K})),
+    exact AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_ndv FROM toks)
+    SELECT exact_ndv,
+           CASE WHEN kth._n < {_T24_K} THEN CAST(exact_ndv AS DOUBLE)
+                ELSE {float(_T24_K - 1)!r} * 4294967296.0 / CAST(kth.h_k AS DOUBLE)
+           END AS kmv_est,
+           CAST({_T24_K} AS INT) AS k,
+           abs(CASE WHEN kth._n < {_T24_K} THEN CAST(exact_ndv AS DOUBLE)
+                    ELSE {float(_T24_K - 1)!r} * 4294967296.0 / CAST(kth.h_k AS DOUBLE)
+               END - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE) AS rel_err
+    FROM exact, kth
+    """,
+)
+def t24_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values vocabulary-cardinality sketch (operators/
+    textstats.py:kmv_ndv): bounded mergeable state (the k smallest
+    distinct token hashes, TakeOrdered plan), estimate
+    (k-1)*2^32/h_k — one exact product + one correctly-rounded IEEE
+    division, so the DuckDB oracle value-pins the ESTIMATE itself
+    (q35's engine sketches can only pin exact companions). Completes
+    the replicable-sketch trio with d17 (Bloom) and t23 (count-min)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.kmv_ndv(docs, "text", k=_T24_K)
