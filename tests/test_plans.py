@@ -333,3 +333,36 @@ def test_v15_moments_aggregate_partially(spark, sf_dir):
     plan = _plan(QUERIES["v15_embedding_moments"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_d17_bloom_probe_broadcasts_bit_table(spark, sf_dir):
+    """The Bloom probe must broadcast the bounded bit table — incoming
+    batches never sort-merge against history-derived rows."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["d17_bloom_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_t24_kmv_uses_partial_topk(spark, sf_dir):
+    """The k-smallest-hashes pass must plan TakeOrderedAndProject (k
+    rows survive per partition), never a global sort of the distinct
+    hash set."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["t24_kmv_ndv"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_t23_cms_sketch_aggregates_partially(spark, sf_dir):
+    """Count-min cells must partial-aggregate map-side: a partial and a
+    final HashAggregate around the (row, bucket) exchange, so each task
+    ships at most k*m cells."""
+    from polars_readstat_rs_spark.operators import textstats
+    from polars_readstat_rs_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs  # cms_token_freq builds everything internally
+    plan = _plan(textstats.cms_token_freq(toks))
+    assert plan.count("HashAggregate") >= 2
