@@ -151,6 +151,7 @@ _R9_NEW = (
     "d17_bloom_membership",
     "t23_cms_token_freq",
     "t24_kmv_ndv",
+    "q88_variant_extract",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -687,3 +687,72 @@ def t24_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replicable-sketch trio with d17 (Bloom) and t23 (count-min)."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.kmv_ndv(docs, "text", k=_T24_K)
+
+
+# ------------------------------------------------- q88 VARIANT extraction
+
+
+@register(
+    "q88_variant_extract",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events),
+    j AS (
+      SELECT '{"ids": [' || CAST(user_id AS VARCHAR) || ', ' || CAST(event_id AS VARCHAR)
+             || '], "k": ' || CAST(k AS VARCHAR) || ', "t": "' || event_type || '"}' AS doc,
+             event_type
+      FROM ev),
+    x AS (
+      SELECT event_type,
+             CAST(json_extract(doc, '$.ids[0]') AS BIGINT) AS id0,
+             CAST(json_extract(doc, '$.ids[1]') AS BIGINT) AS id1,
+             CAST(json_extract(doc, '$.k') AS INTEGER) AS k,
+             json_extract_string(doc, '$.t') AS t,
+             json_extract(doc, '$.absent') IS NULL AS missing_is_null
+      FROM j)
+    SELECT t, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id0) AS BIGINT) AS sum_user,
+           CAST(sum(id1) AS BIGINT) AS sum_event,
+           CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k,
+           bool_and(t = event_type) AS t_roundtrips,
+           bool_and(missing_is_null) AS try_null_ok
+    FROM x GROUP BY t
+    """,
+)
+def q88_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured pipeline: deterministically
+    synthesized nested JSON (array + int + string fields from event
+    columns) goes through parse_json -> a true VariantType column ->
+    typed variant_get path extraction (array index, int, string) with
+    try_variant_get pinning missing-path null semantics. The oracle
+    reproduces every extraction with DuckDB's JSON functions on the
+    identical document text — so the gate proves VARIANT's binary
+    encode/decode is value-faithful end to end. Map-only + one
+    aggregation; the variant column never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    doc = F.concat(
+        F.lit('{"ids": ['), F.col("user_id").cast("string"), F.lit(", "),
+        F.col("event_id").cast("string"), F.lit('], "k": '), k.cast("string"),
+        F.lit(', "t": "'), F.col("event_type"), F.lit('"}'),
+    )
+    v = F.parse_json(doc)
+    x = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.ids[0]", "bigint").alias("id0"),
+        F.try_variant_get(v, "$.ids[1]", "bigint").alias("id1"),
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.t", "string").alias("t"),
+        F.try_variant_get(v, "$.absent", "int").isNull().alias("missing_is_null"),
+    )
+    return x.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id0").alias("sum_user"),
+        F.sum("id1").alias("sum_event"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.bool_and(F.col("t") == F.col("event_type")).alias("t_roundtrips"),
+        F.bool_and("missing_is_null").alias("try_null_ok"),
+    )
