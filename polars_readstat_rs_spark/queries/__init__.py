@@ -152,6 +152,7 @@ _R9_NEW = (
     "t23_cms_token_freq",
     "t24_kmv_ndv",
     "q88_variant_extract",
+    "q89_sql_udf",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -756,3 +756,54 @@ def q88_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("t") == F.col("event_type")).alias("t_roundtrips"),
         F.bool_and("missing_is_null").alias("try_null_ok"),
     )
+
+
+# ------------------------------------------------- q89 SQL UDFs
+
+
+@register(
+    "q89_sql_udf",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc
+      FROM lineitem),
+    x AS (SELECT l_returnflag, pc * (100 - dc) AS rev_c4 FROM c)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rev_c4) AS BIGINT) AS revenue_c4,
+           CAST(sum(rev_c4) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(min(rev_c4) AS BIGINT) AS min_c4, CAST(max(rev_c4) AS BIGINT) AS max_c4
+    FROM x GROUP BY l_returnflag
+    """,
+)
+def q89_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr —
+    declarative scalar functions Catalyst INLINES into the plan, unlike
+    Python UDFs): a cents-exact discounted-revenue UDF defined in SQL
+    and applied to lineitem, with the whole aggregation running on its
+    BIGINT outputs (the q01 integer-cents discipline — no float
+    accumulation through the UDF). The oracle replicates the inlined
+    expression; a hash match proves SQL-UDF resolution, inlining and
+    arithmetic agree with the declared body."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q89_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q89_rev_cents(pc BIGINT, dc BIGINT) "
+        "RETURNS BIGINT RETURN pc * (100 - dc)"
+    )
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                 CAST(round(l_discount * 100) AS BIGINT) AS dc
+          FROM q89_lineitem),
+        x AS (SELECT l_returnflag, q89_rev_cents(pc, dc) AS rev_c4 FROM c)
+        SELECT l_returnflag, count(*) AS n,
+               sum(rev_c4) AS revenue_c4,
+               CAST(sum(rev_c4) AS DOUBLE) / 10000.0 AS revenue,
+               min(rev_c4) AS min_c4, max(rev_c4) AS max_c4
+        FROM x GROUP BY l_returnflag
+        """
+    )
