@@ -366,3 +366,28 @@ def test_t23_cms_sketch_aggregates_partially(spark, sf_dir):
     toks = docs  # cms_token_freq builds everything internally
     plan = _plan(textstats.cms_token_freq(toks))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q89_sql_udf_inlines_no_python(spark, sf_dir):
+    """Declarative SQL UDFs must inline into codegen — the plan carries
+    no Python evaluation node and both aggregate stages stay starred
+    (whole-stage codegen)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q89_sql_udf"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_q88_variant_stays_map_side(spark, sf_dir):
+    """The VARIANT column must never shuffle: parse_json + variant_get
+    happen in the scan-side projection, and the only exchange carries
+    the extracted scalar columns."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q88_variant_extract"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # the exchange output must not contain a variant-typed attribute
+    for block in plan.split("Exchange")[1:]:
+        head = block.splitlines()[0]
+        assert "variant" not in head.lower()
