@@ -1177,3 +1177,49 @@ def bloom_membership(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    C(src ⊆ dst) = |src ∩ dst| / |src| — the relation Jaccard
+    structurally misses: a short document quoted inside a long one has
+    tiny Jaccard (the union is dominated by the long side) but
+    containment ~1. The screening pass for quote/excerpt/subset
+    relationships before attribution or dedup-by-inclusion.
+
+    Emits DIRECTED rows (src_id, dst_id, inter, src_sz, containment)
+    where containment >= ``threshold`` — both directions of every
+    co-shingling pair are tested. Same machinery and scale shape as
+    the Jaccard join: df-capped hashed shingle table (strings never
+    materialize), one co-shingle self-join on 8-byte keys, sizes
+    joined back; the d02 collision-honesty note applies.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, persist=True, hashed=True)
+    spark = sh.sparkSession
+    out = spark.sql(
+        f"""
+        WITH sz AS (SELECT doc, count(*) AS sz FROM {{sh}} GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter
+          FROM {{sh}} a JOIN {{sh}} b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY a.doc, b.doc),
+        directed AS (
+          SELECT i.a_id AS src_id, i.b_id AS dst_id, i.inter, sa.sz AS src_sz
+          FROM inter i JOIN sz sa ON i.a_id = sa.doc
+          UNION ALL
+          SELECT i.b_id, i.a_id, i.inter, sb.sz
+          FROM inter i JOIN sz sb ON i.b_id = sb.doc)
+        SELECT src_id, dst_id, inter, src_sz,
+               CAST(inter AS DOUBLE) / CAST(src_sz AS DOUBLE) AS containment
+        FROM directed
+        WHERE CAST(inter AS DOUBLE) / CAST(src_sz AS DOUBLE) >= {threshold!r}
+        """,
+        sh=sh,
+    )
+    return _track(out, sh)

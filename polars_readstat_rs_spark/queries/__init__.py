@@ -153,6 +153,7 @@ _R9_NEW = (
     "t24_kmv_ndv",
     "q88_variant_extract",
     "q89_sql_udf",
+    "d18_containment_pairs",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

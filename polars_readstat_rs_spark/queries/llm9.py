@@ -807,3 +807,38 @@ def q89_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x GROUP BY l_returnflag
         """
     )
+
+
+# ------------------------------------------------- d18 containment pairs
+
+from .llm import _sh_ctes as _sh_ctes_for_d18  # noqa: E402
+
+_D18_T = 0.6
+
+
+@register(
+    "d18_containment_pairs",
+    oracle=f"""
+    WITH {_sh_ctes_for_d18()},
+    directed AS (
+      SELECT i.a_id AS src_id, i.b_id AS dst_id, i.inter, sa.sz AS src_sz
+      FROM inter i JOIN sizes sa ON i.a_id = sa.doc
+      UNION ALL
+      SELECT i.b_id, i.a_id, i.inter, sb.sz
+      FROM inter i JOIN sizes sb ON i.b_id = sb.doc)
+    SELECT src_id, dst_id, CAST(inter AS BIGINT) AS inter,
+           CAST(src_sz AS BIGINT) AS src_sz,
+           CAST(inter AS DOUBLE) / CAST(src_sz AS DOUBLE) AS containment
+    FROM directed
+    WHERE CAST(inter AS DOUBLE) / CAST(src_sz AS DOUBLE) >= {_D18_T!r}
+    """,
+)
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment screening (operators/dedup.py:
+    containment_pairs): C(src in dst) = |intersection|/|src| — catches
+    quote/excerpt/subset relationships whose Jaccard is tiny. Same
+    df-capped hashed-shingle machinery as d02; the oracle reuses the
+    d02 shingle CTEs and tests both directions of every co-shingling
+    pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=_D18_T)

@@ -2046,3 +2046,20 @@ def test_bloom_membership_properties(spark):
     sat = {r["doc_id"]: r for r in dedup.bloom_membership(hist, inc, m_bits=8, k=2).collect()}
     assert all(sat[100 + i]["bloom_hit"] for i in range(10))  # never a false negative
     assert any(sat[200 + i]["false_positive"] for i in range(10))
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short document fully quoted inside a long one: containment of
+    the short side is 1.0 while Jaccard stays below any dedup
+    threshold — the asymmetric relation d18 exists for."""
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")], ["doc_id", "text"]
+    )
+    out = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    rows = {(r["src_id"], r["dst_id"]): r for r in out}
+    assert (1, 2) in rows and rows[(1, 2)]["containment"] == 1.0
+    assert (2, 1) not in rows  # the long side is NOT contained
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).collect()
+    assert jac == []  # jaccard misses the relation entirely
