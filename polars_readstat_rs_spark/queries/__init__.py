@@ -154,6 +154,7 @@ _R9_NEW = (
     "q88_variant_extract",
     "q89_sql_udf",
     "d18_containment_pairs",
+    "m13_audio_segments",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -842,3 +842,68 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=_D18_T)
+
+
+# ------------------------------------------------- m13 audio activity segments
+
+_M13_THRESHOLD = 347_000  # ~16 * E[s^2] for uniform 8-bit samples
+
+
+@register(
+    "m13_audio_segments",
+    oracle=f"""
+    WITH frames AS ({{M07}}),
+    marked AS (
+      SELECT doc_id, frame_idx, energy,
+             energy >= {_M13_THRESHOLD} AS active,
+             CASE WHEN lag(energy >= {_M13_THRESHOLD})
+                       OVER (PARTITION BY doc_id ORDER BY frame_idx) IS DISTINCT FROM
+                       (energy >= {_M13_THRESHOLD})
+                  THEN 1 ELSE 0 END AS chg
+      FROM frames),
+    seg AS (
+      SELECT doc_id, frame_idx, energy, active,
+             CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                 ROWS UNBOUNDED PRECEDING) AS INT) AS seg_id
+      FROM marked)
+    SELECT doc_id, seg_id, active AS is_active,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(min(frame_idx) AS INT) AS first_frame,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM seg GROUP BY doc_id, seg_id, active
+    """,
+)
+def m13_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold activity segmentation over the REAL audio
+    framing pass — the voice-activity-detection shape that turns a
+    frame table into speech/silence segments before transcription
+    sampling (the audio analogue of m12's video shots). Consecutive
+    frames with the same activity state group into one segment
+    (seg_id = running count of state changes); the oracle nests the
+    m07 oracle, so decode + framing + segmentation are all pinned.
+    Window and aggregation share one doc_id exchange."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.audio_frame_features(
+        multimodal.synth_media_payloads(docs, kind="wav"), frame=16, hop=8
+    )
+    active = F.col("energy") >= _M13_THRESHOLD
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    chg = F.when(
+        F.lag(active).over(w).isNull() | (F.lag(active).over(w) != active), 1
+    ).otherwise(0)
+    seg = frames.withColumn("active", active).withColumn(
+        "seg_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return seg.groupBy("doc_id", "seg_id", F.col("active").alias("is_active")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.min("frame_idx").cast("int").alias("first_frame"),
+        F.sum("energy").cast("bigint").alias("energy_sum"),
+    )
+
+
+ORACLES["m13_audio_segments"] = ORACLES["m13_audio_segments"].format(
+    M07=ORACLES["m07_audio_frames"]
+)
