@@ -186,9 +186,12 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # _R7_DEFER entries (completes the r1-r7 union at 164/164), then the
 # 14 _R8_NEW gates added this round (locally verified, see above),
 # then the previously-recorded rotation.
-# Round-9 rotation: the 6 never-recorded _R9_NEW gates lead, then the 8
-# _R9_TOUCHED rewrites, then the prior rotation (dedup'd) fills the
-# remaining recorded slots.
+# Round-9 rotation: the never-recorded _R9_NEW gates lead (grown each
+# session-3 wave; all check_oracle-verified at sf0.001+sf0.01+sf0.1
+# before graduating), then the 8 _R9_TOUCHED rewrites, then the prior
+# rotation (dedup'd) fills the remaining recorded slots. The driver
+# records the FIRST 50 — more than the new+touched set, so every r9
+# change gets a CORRECTNESS row.
 _PRIOR = _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
 HEAD = (
     _R9_NEW
