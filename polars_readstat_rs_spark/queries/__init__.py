@@ -155,6 +155,7 @@ _R9_NEW = (
     "q89_sql_udf",
     "d18_containment_pairs",
     "m13_audio_segments",
+    "q90_collation_group",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -907,3 +907,46 @@ def m13_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["m13_audio_segments"] = ORACLES["m13_audio_segments"].format(
     M07=ORACLES["m07_audio_frames"]
 )
+
+
+# ------------------------------------------------- q90 collations
+
+_Q90_KEY = """CASE WHEN doc_id % 3 = 0 THEN upper(source)
+       WHEN doc_id % 3 = 1 THEN concat(upper(substring(source, 1, 1)), substring(source, 2))
+       ELSE source END"""
+
+
+@register(
+    "q90_collation_group",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, source, {_Q90_KEY} AS k FROM documents)
+    SELECT lower(k) AS source_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_case_variants,
+           bool_and(lower(k) = lower(source)) AS all_ci_equal
+    FROM k GROUP BY lower(k)
+    """,
+)
+def q90_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: the mixed-case source key groups and
+    compares under COLLATE UTF8_LCASE — case-insensitive semantics
+    carried by the TYPE, not by wrapping every expression in lower()
+    (the post-4.0 way to make a whole pipeline case-insensitive). The
+    emitted group key is normalized via lower(min(k)) so the hash is
+    representative-independent; n_case_variants counts the exact-case
+    variants each collated group absorbed, and the collated equality
+    k = source (both sides collated) is pinned per group against the
+    lower()-based oracle. Map-only + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q90_docs")
+    return spark.sql(
+        f"""
+        WITH k AS (SELECT doc_id, source, {_Q90_KEY} AS k FROM q90_docs),
+        c AS (SELECT source, k, k COLLATE UTF8_LCASE AS kc FROM k)
+        SELECT lower(min(k)) AS source_ci,
+               count(*) AS n,
+               count(DISTINCT k) AS n_case_variants,
+               bool_and(kc = (source COLLATE UTF8_LCASE)) AS all_ci_equal
+        FROM c GROUP BY kc
+        """
+    )
