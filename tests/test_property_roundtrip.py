@@ -277,3 +277,61 @@ def test_bmp_stream_codec_property(w, h, seed, frames):
     for got, want in zip(out, imgs):
         assert (got["width"], got["height"]) == (w, h)
         assert np.array_equal(got["pixels"], want)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(t=_tables(), version=st.sampled_from([117, 118, 119]))
+def test_dta_roundtrip_property_all_versions(t, version, tmp_path_factory):
+    """The version knob must not change values: v117 (no strL), v118
+    (16+48 strL refs) and v119 (u32 K / u32 sortlist / 24+40 strL refs)
+    all roundtrip the same random tables bit-for-bit through our
+    reader."""
+    if version == 117:
+        # documented v117 contract (write_dta docstring): the pre-UTF-8
+        # format decodes text as cp1252, so only ASCII-safe content
+        # roundtrips byte-identically
+        from hypothesis import assume
+
+        assume(
+            all(
+                x is None or x.isascii()
+                for name in t.column_names
+                if name == "s"
+                for x in t.column(name).to_pylist()
+            )
+        )
+    p = str(tmp_path_factory.mktemp("prop") / f"x{version}.dta")
+    stata_writer.write_dta(t, p, version=version)
+    m = stata_parser.read_metadata(p)
+    assert m.version == version
+    rt = stata_parser.read_table(p)
+    assert rt.num_rows == t.num_rows and rt.column_names == t.column_names
+    for name in t.column_names:
+        _check_col(rt.column(name).to_pylist(), t.column(name).to_pylist(), name)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(_long_texts, min_size=1, max_size=8),
+    version=st.sampled_from([118, 119]),
+)
+def test_dta_strl_sections_property_v118_v119(texts, version, tmp_path_factory):
+    """Distributed multi-section writes with random widths across the
+    str#/strL boundary must re-base strL observation refs correctly
+    under BOTH ref splits (16+48 and 24+40) — pandas cross-reads the
+    assembled file."""
+    import pandas as pd
+    import pyarrow as pa
+
+    t = pa.table({"s": pa.array(texts, type=pa.string())})
+    base = tmp_path_factory.mktemp("prop")
+    blob = str(base / "blob")
+    secs = stata_writer.spill_partition(t.to_batches(max_chunksize=3), blob)
+    out = str(base / f"x{version}.dta")
+    stata_writer.assemble_dta(out, t.schema, [(blob, secs)], version=version)
+    rt = stata_parser.read_table(out)
+    want = ["" if x is None else x for x in texts]
+    got = ["" if x is None else x for x in rt.column("s").to_pylist()]
+    assert got == want
+    ref = pd.read_stata(out, convert_categoricals=False)
+    assert ["" if pd.isna(x) else x for x in ref["s"]] == want
