@@ -637,3 +637,56 @@ def pack_manifest(
             ",",
         ).alias("manifest"),
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    source_col: str,
+    target_total: int,
+) -> DataFrame:
+    """EXACT integer budget apportionment across sources by the
+    largest-remainder (Hamilton) method: each source gets
+    floor(target * n_s / N) rows, and the leftover
+    ``target - sum(floors)`` seats go to the sources with the largest
+    remainders ``(target * n_s) mod N`` (ties to the smaller source
+    name). Quotas sum to EXACTLY ``target_total`` — the property the
+    rate-based mixers (domain_mix/mix_budget) trade away for
+    shuffle-free Bernoulli filtering; use this when a downstream
+    contract needs the budget hit exactly (eval-set assembly, per-shard
+    row caps).
+
+    Everything is integer arithmetic on BIGINTs (floors and remainders
+    of target*n_s, never a float), so the allocation is bit-exact on
+    any engine. Shape: one tiny per-source count (rows = #sources),
+    remainder ranking by window over that tiny frame, output is the
+    per-source quota table a driver or a follow-up deterministic
+    sampler (sample_n_per_group with n per-source) consumes.
+    Overflow bound: target * n_s must fit in signed 64 bits.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("_N"))
+    t = F.lit(int(target_total))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_rows",
+        (t * F.col("n_rows") / F.col("_N")).cast("long").alias("_ignore"),
+        F.expr(f"CAST({target_total} AS BIGINT) * n_rows DIV _N").alias("floor_q"),
+        F.expr(f"CAST({target_total} AS BIGINT) * n_rows % _N").alias("rem"),
+        F.col("_N"),
+    ).drop("_ignore")
+    w = Window.orderBy(F.desc("rem"), F.asc(source_col))
+    leftover = F.lit(int(target_total)) - F.sum("floor_q").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = base.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_left", leftover
+    )
+    return ranked.select(
+        source_col,
+        "n_rows",
+        (F.col("floor_q") + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+        F.col("floor_q").cast("long").alias("floor_quota"),
+        F.col("rem").cast("long").alias("remainder"),
+    )

@@ -156,6 +156,7 @@ _R9_NEW = (
     "d18_containment_pairs",
     "m13_audio_segments",
     "q90_collation_group",
+    "p17_apportion_budget",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

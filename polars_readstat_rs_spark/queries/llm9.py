@@ -950,3 +950,42 @@ def q90_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c GROUP BY kc
         """
     )
+
+
+# ------------------------------------------------- p17 exact apportionment
+
+_P17_TARGET = 1000
+
+
+@register(
+    "p17_apportion_budget",
+    oracle=f"""
+    WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+                    FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS _N FROM counts),
+    base AS (
+      SELECT source, n_rows,
+             CAST({_P17_TARGET} AS BIGINT) * n_rows // _N AS floor_q,
+             CAST({_P17_TARGET} AS BIGINT) * n_rows % _N AS rem
+      FROM counts, tot),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS _rk,
+             CAST({_P17_TARGET} AS BIGINT) - sum(floor_q) OVER () AS _left
+      FROM base)
+    SELECT source, n_rows,
+           CAST(floor_q + CASE WHEN _rk <= _left THEN 1 ELSE 0 END AS BIGINT) AS quota,
+           CAST(floor_q AS BIGINT) AS floor_quota,
+           CAST(rem AS BIGINT) AS remainder
+    FROM ranked
+    """,
+)
+def p17_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder (Hamilton) budget apportionment
+    (operators/sampling.py:apportion_budget): per-source quotas that
+    sum to EXACTLY the target — the contract the rate-based Bernoulli
+    mixers trade away. Pure BIGINT floors/remainders of target*n_s, so
+    both engines allocate identically including the remainder
+    tiebreaks; the windowing runs over the per-source aggregate
+    (inherently tiny), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.apportion_budget(docs, "source", _P17_TARGET)

@@ -2063,3 +2063,18 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     assert (2, 1) not in rows  # the long side is NOT contained
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).collect()
     assert jac == []  # jaccard misses the relation entirely
+
+
+def test_apportionment_sums_exactly(spark):
+    """Hamilton quotas must sum to exactly the target for awkward
+    splits (the property rate-based mixing can't guarantee), and
+    leftover seats go to the largest remainders with name tiebreak."""
+    from polars_readstat_rs_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3] if i % 7 else "d") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    for target in (1, 7, 33, 99, 100):
+        out = sampling.apportion_budget(df, "source", target).collect()
+        assert sum(r["quota"] for r in out) == target
+        for r in out:
+            assert r["quota"] in (r["floor_quota"], r["floor_quota"] + 1)
