@@ -665,15 +665,13 @@ def apportion_budget(
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
     tot = counts.agg(F.sum("n_rows").alias("_N"))
-    t = F.lit(int(target_total))
     base = counts.crossJoin(F.broadcast(tot)).select(
         source_col,
         "n_rows",
-        (t * F.col("n_rows") / F.col("_N")).cast("long").alias("_ignore"),
         F.expr(f"CAST({target_total} AS BIGINT) * n_rows DIV _N").alias("floor_q"),
         F.expr(f"CAST({target_total} AS BIGINT) * n_rows % _N").alias("rem"),
         F.col("_N"),
-    ).drop("_ignore")
+    )
     w = Window.orderBy(F.desc("rem"), F.asc(source_col))
     leftover = F.lit(int(target_total)) - F.sum("floor_q").over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
