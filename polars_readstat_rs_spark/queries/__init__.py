@@ -157,6 +157,7 @@ _R9_NEW = (
     "m13_audio_segments",
     "q90_collation_group",
     "p17_apportion_budget",
+    "s11_stream_bloom_screen",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -989,3 +989,79 @@ def p17_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inherently tiny), never the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.apportion_budget(docs, "source", _P17_TARGET)
+
+
+# ------------------------------------------------- s11 streaming bloom screen
+
+_S11_M = 1 << 18
+_S11_K = 3
+
+
+def _s11_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bloom{j}:' || fp), 1, 8)) AS BIGINT) % {_S11_M}"
+    )
+
+
+@register(
+    "s11_stream_bloom_screen",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    hist AS (SELECT * FROM fps WHERE doc_id % 3 != 0),
+    inc AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(f"SELECT {_s11_pos_sql(j)} AS bit FROM hist" for j in range(_S11_K))})),
+    probe AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {_s11_pos_sql(j)} AS bit FROM inc" for j in range(_S11_K))})
+    SELECT p.doc_id, count(b.bit) = {_S11_K} AS bloom_hit
+    FROM probe p LEFT JOIN bits b USING (bit) GROUP BY p.doc_id
+    """,
+)
+def s11_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d17 Bloom ingest screen in its PRODUCTION shape: the history
+    bit table is a bounded STATIC frame built once, and the incoming
+    documents arrive as a STREAM — each micro-batch probes the
+    broadcast bit table (stateless stream-static join + per-doc count,
+    no stream state at all, unlike dropDuplicates' unbounded store).
+    The drained stream hash-matches the batch oracle; flags are
+    deterministic because the filter's bits are md5-derived (d17).
+    Scale: the stream side never joins the history — only the <= m_bits
+    bit rows ship to executors once."""
+    from ..streaming.windows import docs_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    fp = F.md5(F.col("text"))
+
+    def positions(fpc):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), fpc)), 1, 8), 16, 10
+            ).cast("bigint")
+            % _S11_M
+            for j in range(_S11_K)
+        ]
+
+    bits = history.select(F.explode(F.array(*positions(fp))).alias("bit")).distinct()
+    stream = docs_stream(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    probe = stream.select(
+        F.col("doc_id"), F.explode(F.array(*positions(fp))).alias("bit")
+    )
+    flagged = (
+        probe.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy("doc_id")
+        .agg((F.count("_set") == _S11_K).alias("bloom_hit"))
+    )
+    name = "s11_bloom"
+    q = (
+        flagged.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
