@@ -158,6 +158,7 @@ _R9_NEW = (
     "q90_collation_group",
     "p17_apportion_budget",
     "s11_stream_bloom_screen",
+    "v17_recall_nprobe_curve",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 9 (integer-

@@ -1065,3 +1065,85 @@ def s11_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ------------------------------------------------- v17 recall-vs-nprobe curve
+
+from .llm import _cosine_sql_raw  # noqa: E402
+
+_V17_PROBES = (1, 2, 3)
+_V17_K = 10
+
+
+def _v17_ivf_sql(nprobe: int) -> str:
+    """The v03 IVF oracle body at a given nprobe (same pivots/scoring)."""
+    return f"""
+    SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM (
+        SELECT pr.q_id, e.vec_id, {_cosine_sql('pr.q_vec', 'e.embedding')} AS sim
+        FROM embeddings e JOIN (
+          SELECT q_id, q_vec, cell FROM (
+            SELECT q.q_id, q.q_vec, p.cell,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY {_cosine_sql_raw('q.q_vec', 'p.pivot')} DESC, p.cell) AS prank
+            FROM (SELECT vec_id AS q_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 5) q
+            CROSS JOIN (
+              SELECT label AS cell, embedding AS pivot FROM (
+                SELECT label, embedding, vec_id,
+                       row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings) WHERE rn = 1) p
+          ) WHERE prank <= {nprobe}) pr
+        ON e.label = pr.cell AND e.vec_id <> pr.q_id)
+    ) WHERE rank <= {_V17_K}"""
+
+
+def _v17_branch(nprobe: int) -> str:
+    return f"""
+    SELECT {nprobe} AS nprobe, base.q_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+    FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM bf GROUP BY q_id) base
+    LEFT JOIN (
+      SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM bf JOIN ({_v17_ivf_sql(nprobe)}) iv
+        ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
+      GROUP BY bf.q_id) hits
+    ON base.q_id = hits.q_id"""
+
+
+@register(
+    "v17_recall_nprobe_curve",
+    oracle="PLACEHOLDER",  # assembled below from the v01 body + branches
+)
+def v17_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe curve for the IVF index — the measurement
+    that SIZES the capacity/recall tradeoff before committing a 100 TB
+    corpus to an nprobe setting (v06 pins one point; this gate pins the
+    curve at nprobe 1/2/3 in one result). Each branch reuses the v03
+    IVF shape and the v06 recall harness; brute-force ground truth is
+    computed once and broadcast across branches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(emb, queries, k=_V17_K)
+    truth = truth.localCheckpoint()  # tiny (5*k rows); computed once
+    parts = []
+    for p in _V17_PROBES:
+        approx = similarity.ivf_topk(emb, queries, k=_V17_K, nprobe=p)
+        parts.append(
+            similarity.ann_recall(truth, approx, k=_V17_K).withColumn(
+                "nprobe", F.lit(p)
+            )
+        )
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out.select("nprobe", "q_id", "n_truth", "n_hit", "recall")
+
+
+ORACLES["v17_recall_nprobe_curve"] = (
+    "WITH bf AS (" + ORACLES["v01_cosine_topk"] + ")\n"
+    + "\nUNION ALL\n".join(_v17_branch(p) for p in _V17_PROBES)
+)
