@@ -73,6 +73,21 @@ def _warn_lossy_i64(name: str, vmin: int, vmax: int) -> None:
         )
 
 
+def _has_trailing_space(arr) -> bool:
+    """True when any value ends with a space. The reference-faithful
+    read trim (``/root/reference/src/stata/data.rs:828-831`` trims
+    trailing spaces from fixed-width str# cells, mirrored at
+    ``formats/stata/parser.py``) makes such values lossy through str#;
+    they round-trip exactly only via strL (GSO payloads are
+    length-prefixed and never trimmed), so the writer routes them there."""
+    a = arr
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if len(a) == 0:
+        return False
+    return pa.compute.any(pa.compute.ends_with(a, pattern=" ")).as_py() is True
+
+
 def _fixed_width_bytes(arr: pa.Array) -> tuple[np.ndarray, int]:
     """Arrow string/binary array -> (numpy S{w} array, w) without per-row
     Python. Nulls become empty strings (Stata convention)."""
@@ -174,7 +189,7 @@ class _Col:
             self.data = v
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             sbytes, wmax = _fixed_width_bytes(self.arr)
-            if wmax > _MAX_STR:
+            if wmax > _MAX_STR or _has_trailing_space(self.arr):
                 self.typecode, self.width = _TYPE_STRL, 8
                 self.fmt = "%9s"
                 self.strl_values = [x or "" for x in self.arr.to_pylist()]
@@ -264,8 +279,13 @@ class DtaStreamWriter:
         if version == 117 and any(c.typecode == _TYPE_STRL for c in specs):
             # v117 GSO/(v,o) packing differs (u32+u32 vs 2+6); strL
             # columns stay a v118 feature here — declare string_widths
-            # <= 2045 or write v118
-            raise ValueError("strL (long string) columns require dta version 118")
+            # <= 2045 or write v118. Trailing-space values also route
+            # to strL (str# reads trim them), so they need v118 too.
+            raise ValueError(
+                "strL columns require dta version 118 (long strings, and "
+                "strings with trailing spaces — which are trimmed by str# "
+                "reads — are stored as strL)"
+            )
         self.version = version
         self.path = path
         self.specs = specs
@@ -527,7 +547,16 @@ def encode_section(
             datas.append(v)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             sbytes, wmax = _fixed_width_bytes(arr)
-            if wmax > _MAX_STR:
+            trailing = _has_trailing_space(arr)
+            if trailing and f.name in declared:
+                raise ValueError(
+                    f"column {f.name}: a value ends with a space, which cannot "
+                    f"round-trip through the declared fixed-width str# layout "
+                    f"(the reader trims trailing spaces, matching the reference); "
+                    f"drop the string_widths declaration so the column is "
+                    f"written as strL"
+                )
+            if wmax > _MAX_STR or trailing:
                 # strL: section-local o = row+1; assemble_dta adds the
                 # cumulative row base so (v, o) is globally unique.
                 vals = arr.to_pylist()
