@@ -1038,9 +1038,17 @@ def winnow_fingerprints(
         raise ValueError(f"winnow hash must be 'md5' or 'xxhash64', got {hash!r}")
     # let-bind words, then the packed gram-hash array (the
     # O(words^2) re-split trap — see text.py:shingles_expr)
+    # The position packing reserves 16 bits: gram position p must stay
+    # in [1, 65535] or (65536 - p) underflows into the hash bits and
+    # silently corrupts fp_hash/fp_pos. Enforce the documented cap
+    # loudly instead of relying on callers to chunk first.
     packed = F.expr(
         f"element_at(transform(array(split(lower({text_col}), ' ')), ws -> "
-        f"CASE WHEN size(ws) >= {k} THEN "
+        f"CASE WHEN size(ws) - {k - 1} > 65535 THEN "
+        f"raise_error('winnow_fingerprints: document exceeds 65535 {k}-grams "
+        f"(the 16-bit position packing cap); chunk longer documents first "
+        f"— chunk_documents composes') "
+        f"WHEN size(ws) >= {k} THEN "
         f"transform(sequence(1, size(ws) - {k - 1}), "
         f"p -> {gram_hash}"
         f"     * cast(65536 as bigint) + (65536 - p)) "

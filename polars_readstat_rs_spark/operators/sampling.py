@@ -569,7 +569,19 @@ def priority_sample(
     deriving tau and the final k-sample from them never re-scans the
     input; tau itself is a single bounded driver value (the repo's
     documented .collect() discipline).
+
+    Output adds ``priority``, ``tau``, ``est_w`` (with ``_w``/``_pri``/
+    ``_tau`` as working names); these are reserved — inputs already
+    carrying any of them raise rather than silently shadowing.
     """
+    reserved = {"_w", "_pri", "_tau", "priority", "tau", "est_w"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"priority_sample: input columns {sorted(clash)} collide with "
+            "reserved output/working names (_w, _pri, _tau, priority, tau, "
+            "est_w); rename them first"
+        )
     w = weight.cast("double")
     u = (_bucket(id_col, seed) + F.lit(1)).cast("double")
     pri = w * F.lit(float(BUCKETS + 1)) / u

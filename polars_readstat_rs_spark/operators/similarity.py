@@ -109,7 +109,10 @@ def brute_force_topk(
     centroid model in semantic_dedup — capped at 10k, use srp_ann_join
     beyond that); the corpus is scanned once by a mapInPandas kernel
     that scores each Arrow batch against the whole query matrix in
-    numpy and emits only (q_id, vec_id, sim) scalars. The previous
+    numpy and emits only the per-query batch-local top-(k+1) candidate
+    (q_id, vec_id, sim) scalars (rounding-safe margin — see the kernel
+    comment), so the JVM-side window ranks ~nq x (k+1) rows per batch
+    instead of the full m x nq pair stream. The previous
     broadcast-join shape materialized corpus x nq PAIR rows each
     carrying BOTH vectors through Arrow — a ~2d-floats-per-pair row
     blowup that dominates wall time long before the top-k. Fold-order
@@ -168,6 +171,20 @@ def brute_force_topk(
         ]
     )
 
+    # per-batch survivors: the final ranking orders by round(sim, 6)
+    # DESC then vec_id ASC after dropping the self pair, so a batch only
+    # needs to emit, per query, the rows that could still reach that
+    # top-k. Rounding to 6 decimals moves a value by < 5e-7, so any row
+    # more than 1e-6 of raw sim below the (k+1)-th best raw sim in its
+    # batch is beaten by >= k+1 rows even after rounding — of which at
+    # most one is the (later filtered) self pair — and provably cannot
+    # rank <= k. Emitted sims stay the raw fold-order values (rounding
+    # stays JVM-side), so cross-engine parity is untouched; this only
+    # prunes the m x nq pair stream (the Arrow transfer + shuffle that
+    # dominated at scale) down to ~nq x (k+1) rows per batch.
+    keep_k = k + 1
+    margin = 1.000001e-6
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if not len(b) or not len(q_rows):
@@ -185,13 +202,22 @@ def brute_force_topk(
             # reach this division with q_nrm == 0).
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = dot / (q_nrm[None, :] * np.sqrt(csq)[:, None])
-            sim[~np.isfinite(sim)] = np.nan
+            finite = np.isfinite(sim)
+            simf = np.where(finite, sim, -np.inf)
+            if m > keep_k:
+                thr = np.partition(simf, m - keep_k, axis=0)[m - keep_k, :]
+                keep = finite & (simf >= (thr - margin)[None, :])
+            else:
+                keep = finite
+            rows, cols = np.nonzero(keep)
+            if not len(rows):
+                continue
             ids = b["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "q_id": np.tile(q_ids, m),
-                    "vec_id": np.repeat(ids, len(q_rows)),
-                    "sim": sim.ravel(),
+                    "q_id": q_ids[cols],
+                    "vec_id": ids[rows],
+                    "sim": sim[rows, cols],
                 }
             )
 
@@ -1389,8 +1415,19 @@ def pca_whiten(
     import numpy as np
 
     rows = embedding_moments(emb, id_col, vec_col, scale).collect()
+    if not rows:
+        raise ValueError("pca_whiten: no embedding moments — input is empty or every vector is null")
     d = max(r["j"] for r in rows) + 1
-    n = rows[0]["n"]
+    # every (i, j) cell must have seen every vector: a ragged or
+    # null-element vector would silently skew mean/cov, so fail loudly.
+    counts = {r["n"] for r in rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "pca_whiten: ragged embeddings — moment cells disagree on the "
+            f"vector count ({sorted(counts)[:4]}...); fix the input width "
+            "or drop malformed vectors first"
+        )
+    n = counts.pop()
     s1 = np.zeros(d)
     s2 = np.zeros((d, d))
     for r in rows:

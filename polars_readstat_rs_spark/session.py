@@ -81,8 +81,20 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         # local harness: small single-file tables need small splits to use
         # the cores (a 25MB parquet is one task at the 128MB default);
         # cluster deployments keep the default for sane task counts.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # SPARK_GRAFT_MAXPART overrides for larger local runs (sf1/sf10
+        # checkpoints) where 16m splits mean hundreds of task setups per
+        # scan; SPARK_GRAFT_PARQUET_BATCH sizes the vectorized reader's
+        # columnar batch (rows per ColumnarBatch, default 4096) — larger
+        # batches amortize per-batch dispatch on scan-bound aggregations.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAXPART", "16m"),
+        )
         .config("spark.sql.files.openCostInBytes", "1m")
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_PARQUET_BATCH", "4096"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # allow Python DataSources (the readstat reader) to receive filters

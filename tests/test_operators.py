@@ -1917,6 +1917,42 @@ def test_winnowing_guarantee(spark):
     assert set(per_doc) == {1, 2, 3} and all(v >= 1 for v in per_doc.values())
 
 
+def test_winnowing_long_doc_cap_raises(spark):
+    """The 16-bit position packing caps documents at 65,535 k-grams;
+    beyond that (65536 - p) would underflow into the hash bits and
+    silently corrupt fingerprints, so the expression raises loudly."""
+    long_doc = " ".join(f"w{i}" for i in range(65_545))  # > 65535 + k - 1 words
+    df = spark.createDataFrame([(1, long_doc)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="65535"):
+        dedup.winnow_fingerprints(df, "doc_id", "text", k=4, window=4).collect()
+    # one gram under the cap still works
+    ok_doc = " ".join(f"w{i}" for i in range(65_538))  # exactly 65535 grams
+    okdf = spark.createDataFrame([(2, ok_doc)], ["doc_id", "text"])
+    fps = dedup.winnow_fingerprints(okdf, "doc_id", "text", k=4, window=4)
+    assert fps.agg(F.min("fp_pos"), F.max("fp_pos")).collect()[0][1] <= 65535
+
+
+def test_priority_sample_reserved_columns_raise(spark):
+    from polars_readstat_rs_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, 2.0)], ["doc_id", "priority"])
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.priority_sample(df, "doc_id", F.lit(1), k=1)
+
+
+def test_pca_whiten_empty_and_ragged_raise(spark):
+    import pyarrow as pa  # noqa: F401
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pca_whiten(empty, k=1)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.pca_whiten(ragged, k=1)
+
+
 def test_keyframe_detect_semantics(spark):
     """Frame 0 is always a keyframe with sad = 0; an identical repeated
     frame yields sad = 0 / not key; a hard scene cut yields a large sad

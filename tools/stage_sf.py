@@ -98,10 +98,21 @@ def _isometry_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     return tbl.set_column(idx, "embedding", out)
 
 
+# Layout version recorded in the done marker: bump whenever the staged
+# parquet layout changes so stale directories re-stage instead of
+# silently keeping an old layout (e.g. pre-row-group dirs single-thread
+# every byte-range split but one).
+_LAYOUT = "rg65536-v1"
+
+
 def stage(src: str, out: str, factor: int = 10) -> str:
     done = os.path.join(out, "_STAGED")
     if os.path.exists(done):
-        return out
+        with open(done) as fh:
+            if fh.read().strip() == _LAYOUT:
+                return out
+        # stale layout: rebuild in place
+        os.remove(done)
     os.makedirs(out, exist_ok=True)
     # row_group_size matters: a single giant row group makes every
     # Spark byte-range split but one EMPTY (the row group belongs to the
@@ -139,7 +150,7 @@ def stage(src: str, out: str, factor: int = 10) -> str:
             pa.concat_tables(reps), f"{out}/{name}.parquet", row_group_size=65536
         )
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(_LAYOUT)
     return out
 
 
