@@ -569,11 +569,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     lane_bits: int = 16,
     max_bucket: int | None = MAX_BAND_BUCKET,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs: 4x16-bit band-equality candidates, then Hamming
-    distance over the full 64-bit fingerprints (summed per band). Band
-    keys live in a 65,536-bucket space per band, so candidate volume
-    keeps subdividing as the corpus grows.
+    """Near-dup pairs: band-equality candidates, then Hamming distance
+    over the full 64-bit fingerprints (summed per band lane).
+
+    ``band_bits`` sizes the LSH bands over the 64-bit fingerprint:
+
+    - 16 (default): 4 bands in a 65,536-bucket space each. Pigeonhole
+      GUARANTEE for ``max_hamming <= 3`` (4 bands, <= 3 differing bits
+      -> one band is clean) — but fixed 2^16 buckets mean bucket
+      occupancy (hence candidate pairs) grows superlinearly once the
+      corpus passes ~10^6 docs per distinct-ish band value.
+    - 32: 2 bands in a 2^32-bucket space each — candidate volume keeps
+      subdividing ~65,536x longer, the corpus-scale shape. The
+      guarantee now only covers ``max_hamming <= 1``; pairs at Hamming
+      2..3 are caught iff all differing bits land in one band
+      (probabilistic recall, quantified by the d19 gate's
+      recall-vs-band_bits curve — size the trade before a 100 TB run).
 
     The full fingerprint rides along in the banded table, so the Hamming
     filter runs INSIDE the band-join stage — candidate pairs that fail
@@ -582,14 +595,24 @@ def simhash_pairs(
     (where one band bucket holds thousands of docs) this cuts the
     distinct() input by ~10x. ``max_bucket`` bounds each band bucket's
     population before the self-join (see :func:`_cap_buckets`)."""
-    fps = simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the 4 band views
-    stack_args = ", ".join(f"{k}, b{k}" for k in range(SIMHASH_BANDS))
+    fps = simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the band views
+    if band_bits == 16:
+        stack_args = ", ".join(f"{k}, cast(b{k} as bigint)" for k in range(SIMHASH_BANDS))
+        n_band_rows = SIMHASH_BANDS
+    elif band_bits == 32:
+        stack_args = (
+            "0, cast(b0 as bigint) + cast(b1 as bigint) * 65536, "
+            "1, cast(b2 as bigint) + cast(b3 as bigint) * 65536"
+        )
+        n_band_rows = 2
+    else:
+        raise ValueError(f"band_bits must be 16 or 32, got {band_bits}")
     bands_long = _cap_buckets(
         fps.select(
             "doc",
             "simhash",
             *[f"b{k}" for k in range(SIMHASH_BANDS)],
-            F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)"),
+            F.expr(f"stack({n_band_rows}, {stack_args}) AS (band_idx, band_val)"),
         ),
         ["band_idx", "band_val"],
         "doc",

@@ -1917,6 +1917,31 @@ def test_winnowing_guarantee(spark):
     assert set(per_doc) == {1, 2, 3} and all(v >= 1 for v in per_doc.values())
 
 
+def test_simhash_band_bits(spark):
+    """band_bits=32 (2 bands over 2^32 buckets — the corpus-scale key
+    space) still catches every Hamming<=1 pair by pigeonhole, and its
+    pair set is always a subset of the 16-bit-band ground truth."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup: hamming 0
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    wide = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.simhash_pairs(df, "doc_id", "text", band_bits=32).collect()
+    }
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.simhash_pairs(df, "doc_id", "text", band_bits=16).collect()
+    }
+    assert (1, 2) in wide  # hamming 0: guaranteed at any band width
+    assert wide <= truth
+    with pytest.raises(ValueError, match="band_bits"):
+        dedup.simhash_pairs(df, "doc_id", "text", band_bits=8)
+
+
 def test_winnowing_long_doc_cap_raises(spark):
     """The 16-bit position packing caps documents at 65,535 k-grams;
     beyond that (65536 - p) would underflow into the hash bits and
