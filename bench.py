@@ -76,6 +76,36 @@ def main() -> None:
     except Exception as exc:  # warmup failure must not zero the whole bench
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # Quiesce gate (r9 verdict item 4): the headline wall "regressed" two
+    # rounds running purely from machine load at driver-bench time. Wait
+    # (bounded) until the empty-job floor reaches its idle value (~0.055 s
+    # on this VM) before measuring, and record floor + loadavg so the
+    # artifact itself shows the conditions it was taken under.
+    def _empty_job_floor(runs: int = 3) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        return best
+
+    idle_floor = float(os.environ.get("SPARK_GRAFT_IDLE_FLOOR", "0.12"))
+    quiesce_tries = int(os.environ.get("SPARK_GRAFT_QUIESCE_TRIES", "12"))
+    floor = None
+    attempts = 0
+    for attempts in range(1, quiesce_tries + 1):
+        floor = _empty_job_floor()
+        if floor <= idle_floor:
+            break
+        print(
+            f"quiesce: empty-job floor {floor:.3f}s > {idle_floor}s "
+            f"(attempt {attempts}/{quiesce_tries}); machine busy, waiting",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     run_counts: dict[str, int] = {}
@@ -170,6 +200,13 @@ def main() -> None:
         # attributable to code, not noisy-neighbor VM jitter.
         "runs": min(run_counts.values()) if run_counts else 0,
         "runs_max": max(run_counts.values()) if run_counts else 0,
+        # machine-condition telemetry: the empty-job floor measured just
+        # before the headline loop (idle ~0.055 s on this VM), how many
+        # quiesce waits it took to get there, and the 1-minute loadavg —
+        # so a drifted wall number is attributable from the artifact.
+        "spark_empty_job_sec": round(floor, 4) if floor is not None else None,
+        "quiesce_attempts": attempts,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if duck_total is not None:
         # machine-drift-immune headline metric: both engines timed in

@@ -95,6 +95,17 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
             "spark.sql.parquet.columnarReaderBatchSize",
             os.environ.get("SPARK_GRAFT_PARQUET_BATCH", "4096"),
         )
+        # SPARK_GRAFT_SHJ=1 prefers ShuffledHashJoin over SortMergeJoin:
+        # at the sf10 checkpoint the q05 60M-row join spends ~35% of its
+        # wall sorting both sides (11.6 -> 7.3 s with SHJ, measured r10);
+        # at sf0.1 the sort is cheap and SHJ's per-task hash build slightly
+        # loses (d03 0.9 -> 1.3 s), so the default stays SMJ and the big
+        # local scale profiles opt in. On a cluster, AQE (enabled there)
+        # makes this call per-join from runtime sizes instead.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if os.environ.get("SPARK_GRAFT_SHJ", "0") == "1" else "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # allow Python DataSources (the readstat reader) to receive filters
