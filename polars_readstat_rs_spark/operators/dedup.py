@@ -266,13 +266,22 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     max_bucket: int | None = None,
+    bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """LSH-banded candidate pairs + exact Jaccard verification.
 
-    shingle -> 8 minhashes -> 4 bands of 2 -> bucket join on
-    (band_idx, band_key) -> verify candidates with exact Jaccard.
-    The shingle table is built once and shared between the signature
-    aggregation and the verification join.
+    shingle -> 8 minhashes -> ``bands`` bands of ``rows_per_band`` ->
+    bucket join on (band_idx, band_key) -> verify candidates with exact
+    Jaccard. The shingle table is built once and shared between the
+    signature aggregation and the verification join.
+
+    ``bands`` x ``rows_per_band`` must fit in the 8 available minhash
+    chunks. The (b, r) shape is THE LSH sizing lever: candidate
+    probability for a pair at Jaccard s is 1 - (1 - s^r)^b, so more
+    rows per band = sharper threshold (higher precision, lower recall)
+    — quantified per-config by the d20 gate before a corpus commits to
+    a shape.
 
     ``max_bucket`` bounds each band bucket's population before the
     self-join (see :func:`_cap_buckets`). Default None: unlike simhash,
@@ -298,6 +307,11 @@ def minhash_lsh_pairs(
     Zero-intersection band collisions (md5/chunk accidents) are dropped
     to match exact-Jaccard semantics.
     """
+    if bands * rows_per_band > NUM_HASHES:
+        raise ValueError(
+            f"bands ({bands}) x rows_per_band ({rows_per_band}) exceeds the "
+            f"{NUM_HASHES} available minhash chunks"
+        )
     sh_shared = _shingle_table(df, id_col, text_col, n, persist=False)
     spark = sh_shared.sparkSession
     # ONE groupBy(doc) computes the 8 band mins AND everything the
@@ -314,11 +328,11 @@ def minhash_lsh_pairs(
     ).persist()
     band_exprs = ", ".join(
         "md5(concat_ws('|', "
-        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
         + f")) AS b{b}"
-        for b in range(NUM_BANDS)
+        for b in range(bands)
     )
-    stack_args = ", ".join(f"{b}, b{b}" for b in range(NUM_BANDS))
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
     cap_cte = (
         """, capped AS (
           SELECT doc, band_idx, band_key FROM (
@@ -331,7 +345,7 @@ def minhash_lsh_pairs(
     cand = spark.sql(
         f"""
         WITH banded AS (SELECT doc, {band_exprs} FROM {{stats}}),
-        long AS (SELECT doc, stack({NUM_BANDS}, {stack_args}) AS (band_idx, band_key)
+        long AS (SELECT doc, stack({bands}, {stack_args}) AS (band_idx, band_key)
                  FROM banded){cap_cte}
         SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
         FROM capped x JOIN capped y

@@ -179,7 +179,12 @@ _R9_TOUCHED = (
 
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL: tuple[str, ...] = ("d19_band_width_recall",)
+_RISKY_TAIL: tuple[str, ...] = (
+    "d19_band_width_recall",
+    "q91_sql_pipe",
+    "s12_stream_cms",
+    "d20_lsh_band_curve",
+)
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the

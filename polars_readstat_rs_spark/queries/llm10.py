@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..tables import load_table
 from .llm import _simhash_ctes
-from .registry import register
+from .registry import ORACLES, register
 
 
 def _band_pairs_sql(bands_cte: str, tag: str) -> str:
@@ -101,3 +101,235 @@ def d19_band_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_wide").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
     )
     return row16.unionByName(row32)
+
+
+# ------------------------------------------------- q91 SQL pipe syntax
+
+
+@register(
+    "q91_sql_pipe",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc
+      FROM lineitem WHERE l_quantity < 25)
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(pc * (100 - dc)) AS BIGINT) AS rev_c4,
+           min(pc) AS min_pc, max(pc) AS max_pc
+    FROM c GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q91_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (FROM ... |> WHERE |> EXTEND
+    |> AGGREGATE ... GROUP BY): the pipeline form parses into the SAME
+    logical plan as the nested-CTE formulation — no new execution nodes
+    — so the gate pins that the pipe surface resolves, composes with
+    the integer-cents discipline (all BIGINT arithmetic, q89's
+    pattern), and aggregates bit-identically to the plain-SQL oracle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q91_lineitem")
+    return spark.sql(
+        """
+        FROM q91_lineitem
+        |> WHERE l_quantity < 25
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                  CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |> AGGREGATE count(*) AS n,
+                     sum(pc * (100 - dc)) AS rev_c4,
+                     min(pc) AS min_pc, max(pc) AS max_pc
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ------------------------------------------------- s12 streaming count-min
+
+_S12_TOP = 20
+
+
+@register("s12_stream_cms", oracle=None)
+def s12_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t23 count-min sketch in STREAMING form: documents arrive as
+    a file stream, each micro-batch explodes to (row, bucket) cell
+    increments, and a streaming aggregation maintains the k x m counter
+    table — the sketch's shard-mergeability IS Spark's partial-agg
+    merge, so stream state is bounded at k*m cells no matter how many
+    documents flow through (the production incremental-ingest shape;
+    contrast dropDuplicates' per-key unbounded store). After the drain,
+    the exact top-N heavy hitters probe the drained cell table and the
+    output hash-matches t23's batch oracle exactly (same md5-derived
+    buckets)."""
+    from ..streaming.windows import docs_stream
+
+    k_rows, m_buckets = 3, 4096
+    stream = docs_stream(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    toks = stream.select(tok)
+    cells = None
+    rows = []
+    for j in range(k_rows):
+        rows.append(
+            toks.select(
+                F.lit(j).alias("row"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col("tok"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % m_buckets
+                ).alias("bucket"),
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    agg = cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    name = "s12_cells"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = spark.table(name)
+
+    # batch-side audit: exact heavy hitters probe the DRAINED cells
+    docs = load_table(spark, sf_dir, "documents")
+    btoks = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    exact = (
+        btoks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(_S12_TOP)
+    )
+    probes = None
+    for j in range(k_rows):
+        p = exact.select(
+            "tok",
+            "exact_n",
+            F.lit(j).alias("row"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col("tok"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_buckets
+            ).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(drained, ["row", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(
+            F.min("n").cast("bigint").alias("cms_est"),
+            (F.min("n") >= F.col("exact_n")).alias("overestimate_ok"),
+        )
+    )
+
+
+# s12 drains the identical k x m md5-derived cell table t23 builds in
+# batch, so its oracle IS t23's (registered after both exist to avoid
+# import-order coupling).
+ORACLES["s12_stream_cms"] = ORACLES["t23_cms_token_freq"]
+
+
+# ------------------------------------------------- d20 LSH (b, r) curve
+
+_D20_CONFIGS = ((8, 1), (4, 2), (2, 4))
+_D20_T = 0.2
+
+
+def _d20_cand_count_sql(bands: int, rows: int, tag: str) -> str:
+    """Per-config DuckDB candidate set + found-count over the exact
+    truth pairs — the _minhash_oracle band CTE parameterized by shape."""
+    band_selects = []
+    for b in range(bands):
+        hs = [f"h{b * rows + r}" for r in range(rows)]
+        key = " || '|' || ".join(hs)
+        band_selects.append(f"SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    bands{tag} AS ({bands_sql}),
+    cand{tag} AS (
+      SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+      FROM bands{tag} x JOIN bands{tag} y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc),
+    found{tag} AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM ex JOIN cand{tag} c ON ex.a_id = c.a_id AND ex.b_id = c.b_id)
+    """
+
+
+def _d20_oracle() -> str:
+    from ..operators import dedup as _d
+
+    sig_cols = ", ".join(
+        f"min(substring(sha256(sh), {1 + 8 * i}, 8)) AS h{i}" for i in range(_d.NUM_HASHES)
+    )
+    cfg_ctes = ",".join(
+        _d20_cand_count_sql(b, r, f"_{b}x{r}") for b, r in _D20_CONFIGS
+    )
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, t.c AS n_truth, "
+        f"found_{b}x{r}.c AS n_found, "
+        f"CAST(found_{b}x{r}.c AS DOUBLE) / CAST(t.c AS DOUBLE) AS recall "
+        f"FROM found_{b}x{r}, t"
+        for b, r in _D20_CONFIGS
+    )
+    from .llm import _sh_ctes
+
+    return f"""
+    WITH {_sh_ctes()},
+    ex AS (SELECT a_id, b_id FROM (
+      SELECT i.a_id, i.b_id,
+             CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+      FROM inter i JOIN sizes sa ON i.a_id = sa.doc JOIN sizes sb ON i.b_id = sb.doc)
+      WHERE jaccard >= {_D20_T}),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ex),
+    sig AS (SELECT doc, {sig_cols} FROM (SELECT doc, sh FROM sh) GROUP BY doc),
+    {cfg_ctes}
+    {rows_sql}
+    """
+
+
+@register("d20_lsh_band_curve", oracle=_d20_oracle())
+def d20_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of each MinHash-LSH band shape (b bands x r rows over the
+    same 8 signature chunks) against exact n-gram-Jaccard >= 0.2 ground
+    truth — the (b, r) sizing curve (candidate probability at Jaccard s
+    is 1 - (1 - s^r)^b): (8,1) maximizes recall, (2,4) sharpens the
+    threshold. d14 pins the S-curve of the default shape per similarity
+    decile; this gate pins the shape FAMILY so a 100 TB dedup run picks
+    (b, r) from measured recall, not the formula alone. Counts are
+    exact BIGINTs; recall is one correctly-rounded division."""
+    from .llm import _SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=_SHINGLE_N, threshold=_D20_T)
+        .select("a_id", "b_id")
+        .localCheckpoint()  # bounded (exact >= 0.2 pairs); reused per config
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")).localCheckpoint()
+    out = None
+    for b, r in _D20_CONFIGS:
+        cand = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=_SHINGLE_N, bands=b, rows_per_band=r
+        ).select("a_id", "b_id")
+        nf = (
+            truth.join(cand, ["a_id", "b_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+            .localCheckpoint()
+        )
+        row = nf.crossJoin(t).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col("n_truth"),
+            F.col("n_found"),
+            (F.col("n_found").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

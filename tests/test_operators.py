@@ -1942,6 +1942,29 @@ def test_simhash_band_bits(spark):
         dedup.simhash_pairs(df, "doc_id", "text", band_bits=8)
 
 
+def test_minhash_band_shape(spark):
+    """(b, r) validation + the recall ordering the 1-(1-s^r)^b curve
+    implies: 8x1 candidates are a superset of 4x2's on any corpus
+    (every 2-row band match implies both 1-row bands match)."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    wide = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text", bands=8, rows_per_band=1).collect()
+    }
+    default = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert default <= wide
+    with pytest.raises(ValueError, match="chunks"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", bands=8, rows_per_band=2)
+
+
 def test_winnowing_long_doc_cap_raises(spark):
     """The 16-bit position packing caps documents at 65,535 k-grams;
     beyond that (65536 - p) would underflow into the hash bits and
