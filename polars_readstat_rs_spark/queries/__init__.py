@@ -177,14 +177,45 @@ _R9_TOUCHED = (
     "r12_pushdown_matrix",
 )
 
-# Brand-new, never-locally-verified queries go here until a full
-# tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL: tuple[str, ...] = (
+# Round-10 additions: each passed dedicated tools/check_oracle.py runs
+# at sf0.001 AND sf0.01 AND sf0.1 before graduating out of _RISKY_TAIL.
+_R10_NEW = (
     "d19_band_width_recall",
     "q91_sql_pipe",
     "s12_stream_cms",
     "d20_lsh_band_curve",
 )
+
+# Queries whose IMPLEMENTATION materially changed in round 10 — the
+# strL trailing-space writer fix (r24 + every .dta write gate), the
+# brute-force top-k in-kernel candidate pruning (v01 and everything
+# that derives ground truth from it), the q24 integer-bucket+cents
+# rewrite, the simhash band_bits / minhash (b, r) parameterizations,
+# and the winnow/priority-sample hardening — inside the recorded
+# window so CORRECTNESS_r10 re-proves exactly what changed.
+_R10_TOUCHED = (
+    "r24_dta_v119_roundtrip",
+    "r01_dta_roundtrip_agg",
+    "r08_distributed_write_roundtrip",
+    "r20_dta_v117_roundtrip",
+    "r23_multifile_write_roundtrip",
+    "v01_cosine_topk",
+    "v06_ann_recall",
+    "v14_quantized_recall",
+    "v16_matryoshka_recall",
+    "v17_recall_nprobe_curve",
+    "q24_windowed_agg",
+    "d04_simhash",
+    "d05_simhash_pairs",
+    "d03_dedup_minhash_lsh",
+    "d14_lsh_recall",
+    "d16_winnow_pairs",
+    "p14_priority_sample",
+)
+
+# Brand-new, never-locally-verified queries go here until a full
+# tools/check_oracle.py run has passed them (see module docstring).
+_RISKY_TAIL: tuple[str, ...] = ()
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
@@ -201,11 +232,15 @@ _RISKY_TAIL: tuple[str, ...] = (
 # rotation (dedup'd) fills the remaining recorded slots. The driver
 # records the FIRST 50 — more than the new+touched set, so every r9
 # change gets a CORRECTNESS row.
-_PRIOR = _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
+# Round-10 rotation (r9 verdict item 7): all 219 r9-registry queries
+# are ever-driver-green, so the head leads with what r10 CHANGED — the
+# 4 new gates, then the 17 materially-touched re-proof queries — and
+# the prior rotation fills the remaining recorded slots.
+_PRIOR = _R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
 HEAD = (
-    _R9_NEW
-    + _R9_TOUCHED
-    + tuple(n for n in _PRIOR if n not in _R9_NEW and n not in _R9_TOUCHED)
+    _R10_NEW
+    + _R10_TOUCHED
+    + tuple(n for n in _PRIOR if n not in _R10_NEW and n not in _R10_TOUCHED)
 )
 
 _ordered = (
