@@ -97,7 +97,7 @@ def main() -> None:
     attempts = 0
     for attempts in range(1, quiesce_tries + 1):
         floor = _empty_job_floor()
-        if floor <= idle_floor:
+        if floor <= idle_floor or attempts == quiesce_tries:
             break
         print(
             f"quiesce: empty-job floor {floor:.3f}s > {idle_floor}s "

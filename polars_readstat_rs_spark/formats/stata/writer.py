@@ -80,12 +80,10 @@ def _has_trailing_space(arr) -> bool:
     ``formats/stata/parser.py``) makes such values lossy through str#;
     they round-trip exactly only via strL (GSO payloads are
     length-prefixed and never trimmed), so the writer routes them there."""
-    a = arr
-    if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
-    if len(a) == 0:
+    if len(arr) == 0:
         return False
-    return pa.compute.any(pa.compute.ends_with(a, pattern=" ")).as_py() is True
+    # pa.compute works on ChunkedArray directly — no combine_chunks copy
+    return pa.compute.any(pa.compute.ends_with(arr, pattern=" ")).as_py() is True
 
 
 def _fixed_width_bytes(arr: pa.Array) -> tuple[np.ndarray, int]:

@@ -584,6 +584,7 @@ def simhash_pairs(
     lane_bits: int = 16,
     max_bucket: int | None = MAX_BAND_BUCKET,
     band_bits: int = 16,
+    _fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: band-equality candidates, then Hamming distance
     over the full 64-bit fingerprints (summed per band lane).
@@ -609,7 +610,6 @@ def simhash_pairs(
     (where one band bucket holds thousands of docs) this cuts the
     distinct() input by ~10x. ``max_bucket`` bounds each band bucket's
     population before the self-join (see :func:`_cap_buckets`)."""
-    fps = simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the band views
     if band_bits == 16:
         stack_args = ", ".join(f"{k}, cast(b{k} as bigint)" for k in range(SIMHASH_BANDS))
         n_band_rows = SIMHASH_BANDS
@@ -621,6 +621,14 @@ def simhash_pairs(
         n_band_rows = 2
     else:
         raise ValueError(f"band_bits must be 16 or 32, got {band_bits}")
+    # ``_fps`` shares one persisted fingerprint pass across several band
+    # shapes (d19 compares two shapes of the SAME corpus — the
+    # fingerprint computation dominates and need not run twice)
+    fps = (
+        _fps
+        if _fps is not None
+        else simhash(df, id_col, text_col, lane_bits=lane_bits).persist()  # feeds the band views
+    )
     bands_long = _cap_buckets(
         fps.select(
             "doc",

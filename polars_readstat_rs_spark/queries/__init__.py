@@ -235,8 +235,11 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # Round-10 rotation (r9 verdict item 7): all 219 r9-registry queries
 # are ever-driver-green, so the head leads with what r10 CHANGED — the
 # 4 new gates, then the 17 materially-touched re-proof queries — and
-# the prior rotation fills the remaining recorded slots.
-_PRIOR = _R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
+# the prior rotation fills the remaining recorded slots. _PRIOR is
+# dedup'd order-preserving (r9's touched set overlaps r7's head).
+_PRIOR = tuple(
+    dict.fromkeys(_R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD)
+)
 HEAD = (
     _R10_NEW
     + _R10_TOUCHED

@@ -76,11 +76,14 @@ def d19_band_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can enumerate identically; recall is one exact division of
     two BIGINT counts."""
     docs = load_table(spark, sf_dir, "documents")
+    # one fingerprint pass feeds both band shapes (the corpus-wide
+    # simhash computation dominates the gate; both calls share it)
+    fps = dedup.simhash(docs, "doc_id", "text").persist()
     truth = dedup.simhash_pairs(
-        docs, "doc_id", "text", max_hamming=3, max_bucket=None, band_bits=16
+        docs, "doc_id", "text", max_hamming=3, max_bucket=None, band_bits=16, _fps=fps
     )
     wide = dedup.simhash_pairs(
-        docs, "doc_id", "text", max_hamming=3, max_bucket=None, band_bits=32
+        docs, "doc_id", "text", max_hamming=3, max_bucket=None, band_bits=32, _fps=fps
     )
     # 1-row bounded aggs, eagerly cut so the union's two references
     # don't re-run the band joins (the v17/g05 lineage discipline)

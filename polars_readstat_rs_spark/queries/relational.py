@@ -759,7 +759,8 @@ def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_windowed_agg",
     oracle=f"""
     SELECT epoch_ms(ts) - epoch_ms(ts) % 21600000 AS window_start_ms, event_type,
-           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM {EVENTS_US} e
     GROUP BY 1, 2
     """,

@@ -80,22 +80,23 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r9 head: the never-driver-recorded r9 gates lead, then the 8
-    # queries whose implementation was materially rewritten in r9 (so
+    # r10 head: the never-driver-recorded r10 gates lead, then the
+    # queries whose implementation was materially rewritten in r10 (so
     # the driver window re-proves exactly what changed), then the prior
     # rotation dedup'd — the driver's 50-query window therefore records
     # every entry that lacks a CORRECTNESS row for its CURRENT code.
-    from polars_readstat_rs_spark.queries import _R9_NEW, _R9_TOUCHED
+    from polars_readstat_rs_spark.queries import _R10_NEW, _R10_TOUCHED
 
-    n_new, n_t = len(_R9_NEW), len(_R9_TOUCHED)
-    assert HEAD[:n_new] == _R9_NEW
-    assert HEAD[n_new : n_new + n_t] == _R9_TOUCHED
+    n_new, n_t = len(_R10_NEW), len(_R10_TOUCHED)
+    assert HEAD[:n_new] == _R10_NEW
+    assert HEAD[n_new : n_new + n_t] == _R10_TOUCHED
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
-    # prior rotation (80) + r9 additions, dedup'd against the touched
+    # prior rotation + r10 additions, dedup'd against the touched
     # queries already present in the prior rotation
     from polars_readstat_rs_spark.queries import _PRIOR
 
-    expected = n_new + n_t + len(set(_PRIOR) - set(_R9_NEW) - set(_R9_TOUCHED))
+    assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
+    expected = n_new + n_t + len(set(_PRIOR) - set(_R10_NEW) - set(_R10_TOUCHED))
     assert len(HEAD) == len(set(HEAD)) == expected
 
 

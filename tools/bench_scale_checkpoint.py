@@ -153,8 +153,26 @@ def main() -> None:
         out.write.format("noop").mode("overwrite").save()
         release_cached(out)
 
-    # warmup: JVM codegen + parquet footers
+    # warmup: JVM codegen + parquet footers, AND the Python worker pool —
+    # mapInPandas/pandas_udf queries otherwise pay every worker's
+    # numpy/pandas import inside their single timed run (measured ~12 s
+    # on a 32-worker pool for a query whose warm wall is 0.65 s); bench.py
+    # never sees this because its min-of-N reuses the workers.
     run_spark("q01_pricing_summary")
+    import pandas as _pd
+
+    def _warm_workers(batches):
+        for b in batches:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    (
+        spark.range(100_000)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .mapInPandas(_warm_workers, "n long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     t0 = time.time()
     state["spark_empty_job_sec"] = round(

@@ -168,7 +168,19 @@ def main() -> None:
             "exact_dedup": lambda: dedup.exact_dedup_groups(docs, "doc_id", "text"),
             "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text"),
             "minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text"),
+            # r10 band-shape variants: wide simhash bands (2^32 buckets)
+            # and the max-recall minhash shape
+            "simhash_b32": lambda: dedup.simhash_pairs(
+                docs, "doc_id", "text", band_bits=32
+            ),
+            "minhash_8x1": lambda: dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", bands=8, rows_per_band=1
+            ),
             "simhash_pairs": lambda: dedup.simhash_pairs(docs, "doc_id", "text"),
+            # r10 pruned-kernel brute-force top-k (bounded query side)
+            "brute_topk": lambda: similarity.brute_force_topk(
+                emb, emb.filter(F.col("vec_id") < 5), k=10
+            ),
             "blocked_neardup": lambda: similarity.blocked_neardup_pairs(
                 emb, threshold=0.9, max_block=2000
             ),
