@@ -184,6 +184,7 @@ _R10_NEW = (
     "q91_sql_pipe",
     "s12_stream_cms",
     "d20_lsh_band_curve",
+    "m14_media_probe",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 10 — the

@@ -296,6 +296,48 @@ def _d20_oracle() -> str:
     """
 
 
+# ------------------------------------------------- m14 media probe
+
+
+@register(
+    "m14_media_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END
+             AS detected_kind,
+           CASE doc_id % 3 WHEN 0 THEN CAST(64 + doc_id % 32 AS INT)
+                ELSE CAST(8 AS INT) END AS dim_a,
+           CASE doc_id % 3 WHEN 0 THEN CAST(8000 AS INT)
+                ELSE CAST(6 AS INT) END AS dim_b
+    FROM documents
+    """,
+)
+def m14_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free media triage (operators/multimodal.py:probe_media):
+    magic-byte format sniffing + header-field extraction over a MIXED
+    binary column (WAV/BMP/PNG payloads interleaved by doc_id % 3) as
+    pure whole-stage-codegen binary expressions — no Python worker, no
+    decompression; the O(header)-bytes-per-blob pass a 100 TB ingest
+    runs before deciding what to decode. The payloads are REAL encoder
+    output (RIFF chunks, BMP infoheader, PNG IHDR), and the oracle pins
+    every probed field against the synthesis closed form — so a wrong
+    endianness, offset, or magic test hash-mismatches immediately.
+    (PNG byte length is compression-defined, so n_bytes stays an
+    operator column, not a pinned one.)"""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = None
+    for m, kind in ((0, "wav"), (1, "bmp"), (2, "png")):
+        p = multimodal.synth_media_payloads(
+            docs.filter(F.col("doc_id") % 3 == m), kind=kind
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return multimodal.probe_media(parts).select(
+        "doc_id", "detected_kind", "dim_a", "dim_b"
+    )
+
+
 @register("d20_lsh_band_curve", oracle=_d20_oracle())
 def d20_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of each MinHash-LSH band shape (b bands x r rows over the

@@ -102,6 +102,10 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         # loses (d03 0.9 -> 1.3 s), so the default stays SMJ and the big
         # local scale profiles opt in. On a cluster, AQE (enabled there)
         # makes this call per-join from runtime sizes instead.
+        # BOUNDARY (measured r10): keep SMJ for band-explosion self-joins
+        # (v05's SRP pair join at sf10 exhausted ~70 GB of disk under SHJ
+        # — the hash build spills the whole build side per partition —
+        # while SMJ completed in 545 s).
         .config(
             "spark.sql.join.preferSortMergeJoin",
             "false" if os.environ.get("SPARK_GRAFT_SHJ", "0") == "1" else "true",

@@ -1942,6 +1942,30 @@ def test_simhash_band_bits(spark):
         dedup.simhash_pairs(df, "doc_id", "text", band_bits=8)
 
 
+def test_probe_media_headers(spark):
+    """probe_media parses REAL encoder headers without decoding: WAV
+    8/16-bit (data length + sample rate), BMP and PNG dimensions from
+    their native endiannesses, and junk bytes report 'unknown'."""
+    import numpy as np
+
+    wav8 = multimodal.encode_wav(np.arange(70, dtype=np.uint8))
+    wav16 = multimodal.encode_wav(
+        np.arange(33, dtype=np.int16), sample_rate=16000
+    )
+    bmp = multimodal.encode_bmp(np.zeros((6, 8, 3), dtype=np.uint8))
+    png = multimodal.encode_png(np.zeros((600, 800, 3), dtype=np.uint8))
+    rows = [(1, wav8), (2, wav16), (3, bmp), (4, png), (5, b"not-a-media-file")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.probe_media(df).collect()}
+    assert (got[1]["detected_kind"], got[1]["dim_a"], got[1]["dim_b"]) == ("wav", 70, 8000)
+    # 16-bit: data chunk is 2 bytes per sample
+    assert (got[2]["detected_kind"], got[2]["dim_a"], got[2]["dim_b"]) == ("wav", 66, 16000)
+    assert (got[3]["detected_kind"], got[3]["dim_a"], got[3]["dim_b"]) == ("bmp", 8, 6)
+    assert (got[4]["detected_kind"], got[4]["dim_a"], got[4]["dim_b"]) == ("png", 800, 600)
+    assert got[5]["detected_kind"] == "unknown" and got[5]["dim_a"] is None
+    assert all(r["n_bytes"] > 0 for r in got.values())
+
+
 def test_minhash_band_shape(spark):
     """(b, r) validation + the recall ordering the 1-(1-s^r)^b curve
     implies: 8x1 candidates are a superset of 4x2's on any corpus
