@@ -185,6 +185,7 @@ _R10_NEW = (
     "s12_stream_cms",
     "d20_lsh_band_curve",
     "m14_media_probe",
+    "v18_pq_m_curve",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 10 — the

@@ -296,6 +296,130 @@ def _d20_oracle() -> str:
     """
 
 
+# ------------------------------------------------- v18 PQ m-curve
+
+_V18_MS = (2, 4, 8)
+_V18_KSUB = 8
+_V18_K = 10
+
+
+def _v18_pq_ctes(m: int) -> tuple[str, str]:
+    """Per-m PQ ADC candidate CTEs (the llm4 v07 oracle chain with a
+    tag suffix): returns (ctes_sql, scored_cte_name)."""
+    from .llm import _DOTD
+    from .llm4 import _assign, _update
+
+    t = f"m{m}"
+    sub = 64 // m
+    ctes = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"v_{t}_{j} AS MATERIALIZED (SELECT vec_id, list_transform(embedding[{lo}:{hi}], "
+            f"x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)"
+        )
+        ctes.append(
+            f"c0_{t}_{j} AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, "
+            f"vec AS centroid FROM (SELECT * FROM v_{t}_{j} ORDER BY vec_id LIMIT {_V18_KSUB}))"
+        )
+        ctes.append(f"a1_{t}_{j} AS MATERIALIZED ({_assign(f'v_{t}_{j}', f'c0_{t}_{j}')})")
+        ctes.append(f"c1_{t}_{j} AS MATERIALIZED ({_update(f'a1_{t}_{j}')})")
+        ctes.append(f"a2_{t}_{j} AS MATERIALIZED ({_assign(f'v_{t}_{j}', f'c1_{t}_{j}')})")
+        ctes.append(f"c2_{t}_{j} AS MATERIALIZED ({_update(f'a2_{t}_{j}')})")
+        ctes.append(f"af_{t}_{j} AS MATERIALIZED ({_assign(f'v_{t}_{j}', f'c2_{t}_{j}')})")
+        dot = _DOTD.format(a="q.vec", b="c.centroid")
+        ctes.append(
+            f"lut_{t}_{j} AS MATERIALIZED (SELECT q.vec_id AS q_id, c.cell, {dot} AS part "
+            f"FROM (SELECT vec_id, vec FROM v_{t}_{j} WHERE vec_id < 5) q CROSS JOIN c2_{t}_{j} c)"
+        )
+    code_joins = " ".join(
+        f"JOIN af_{t}_{j} a{j} ON a0.vec_id = a{j}.vec_id" for j in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut_{t}_{j} l{j} ON l{j}.q_id = l0.q_id AND l{j}.cell = a{j}.cell"
+        for j in range(1, m)
+    )
+    parts = " + ".join(f"l{j}.part" for j in range(m))
+    ctes.append(
+        f"""scored_{t} AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT l0.q_id, a0.vec_id,
+               CAST(row_number() OVER (PARTITION BY l0.q_id
+                 ORDER BY {parts} DESC, a0.vec_id) AS INT) AS rank
+        FROM af_{t}_0 a0 {code_joins}
+        JOIN lut_{t}_0 l0 ON l0.cell = a0.cell {lut_joins}
+        WHERE a0.vec_id <> l0.q_id) WHERE rank <= {_V18_K})"""
+    )
+    return ",\n    ".join(ctes), f"scored_{t}"
+
+
+def _v18_oracle() -> str:
+    from .registry import ORACLES as _O
+
+    blocks, rows = [], []
+    for m in _V18_MS:
+        ctes, scored = _v18_pq_ctes(m)
+        blocks.append(ctes)
+        blocks.append(
+            f"found_m{m} AS (SELECT CAST(count(*) AS BIGINT) AS c "
+            f"FROM bf JOIN {scored} s ON bf.q_id = s.q_id AND bf.vec_id = s.vec_id)"
+        )
+        rows.append(
+            f"SELECT {m} AS m, t.c AS n_truth, found_m{m}.c AS n_found, "
+            f"CAST(found_m{m}.c AS DOUBLE) / CAST(t.c AS DOUBLE) AS recall "
+            f"FROM found_m{m}, t"
+        )
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT q_id, vec_id FROM ({_O['v01_cosine_topk']})),\n"
+        "    t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf),\n    "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("v18_pq_m_curve", oracle=_v18_oracle())
+def v18_pq_m_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of product-quantization ADC search per code size m
+    (2/4/8 subquantizers over the 64-dim embeddings, m bytes per
+    vector) against brute-force ground truth — the compression/recall
+    sizing curve that completes the family: v17 sizes IVF's nprobe,
+    d19/d20 size the LSH band shapes, this sizes PQ's m before a corpus
+    commits to an ADC index. Ground truth is computed ONCE and
+    localCheckpointed (the v17 discipline); each m reuses it. Counts
+    are exact BIGINTs; recall is one correctly-rounded division."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    truth = (
+        similarity.brute_force_topk(emb, queries_df, k=_V18_K)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")).localCheckpoint()
+    out = None
+    for m in _V18_MS:
+        approx = similarity.pq_topk(
+            emb, queries_df, k=_V18_K, m=m, ksub=_V18_KSUB
+        ).select("q_id", "vec_id")
+        nf = (
+            truth.join(approx, ["q_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+            .localCheckpoint()
+        )
+        row = nf.crossJoin(t).select(
+            F.lit(m).alias("m"),
+            F.col("n_truth"),
+            F.col("n_found"),
+            (F.col("n_found").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ------------------------------------------------- m14 media probe
 
 
