@@ -391,3 +391,40 @@ def test_q88_variant_stays_map_side(spark, sf_dir):
     for block in plan.split("Exchange")[1:]:
         head = block.splitlines()[0]
         assert "variant" not in head.lower()
+
+
+def test_m14_probe_is_pure_codegen(spark, sf_dir):
+    """probe_media must stay a map-only codegen projection: no Python
+    eval node for the probe itself (payload SYNTHESIS is mapInPandas —
+    a fixture concern) and no exchange anywhere (header probing is
+    embarrassingly parallel)."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["m14_media_probe"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # exactly the synthesis mapInPandas stages (one per format), no more:
+    # the probe adds zero Python nodes on top of the fixture generators
+    assert plan.count("MapInPandas") == 3
+
+
+def test_q24_integer_bucket_no_window_struct(spark, sf_dir):
+    """q24's tumbling-window agg must group on the integer bucket, not
+    the per-row window struct: two-phase hash aggregate around one
+    exchange, no 'window(' expression or expand node in the plan."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q24_windowed_agg"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "window(" not in plan and "Expand" not in plan
+
+
+def test_v01_kernel_prunes_pair_stream(spark, sf_dir):
+    """brute_force_topk's plan: one mapInPandas scoring pass feeding the
+    rank window through ONE exchange — the kernel's per-batch top-(k+1)
+    pre-selection means no blow-up stage exists between them."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["v01_cosine_topk"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1
