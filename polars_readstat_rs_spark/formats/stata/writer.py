@@ -86,6 +86,16 @@ def _has_trailing_space(arr) -> bool:
     return pa.compute.any(pa.compute.ends_with(arr, pattern=" ")).as_py() is True
 
 
+def _max_byte_width(arr) -> int:
+    """Max UTF-8 byte width of a string column via one pa.compute pass —
+    lets the strL-routing decision run BEFORE the (expensive) fixed-width
+    byte materialization, so columns routed to strL never pay for it."""
+    if len(arr) == 0:
+        return 0
+    w = pa.compute.max(pa.compute.binary_length(arr)).as_py()
+    return int(w) if w is not None else 0
+
+
 def _fixed_width_bytes(arr: pa.Array) -> tuple[np.ndarray, int]:
     """Arrow string/binary array -> (numpy S{w} array, w) without per-row
     Python. Nulls become empty strings (Stata convention)."""
@@ -186,13 +196,17 @@ class _Col:
             v.view(np.uint64)[mask] = _MISS_F64
             self.data = v
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            sbytes, wmax = _fixed_width_bytes(self.arr)
+            # route BEFORE materializing fixed-width bytes: strL columns
+            # (long or trailing-space — exactly the expensive ones) skip
+            # the full S{w} encode entirely
+            wmax = _max_byte_width(self.arr)
             if wmax > _MAX_STR or _has_trailing_space(self.arr):
                 self.typecode, self.width = _TYPE_STRL, 8
                 self.fmt = "%9s"
                 self.strl_values = [x or "" for x in self.arr.to_pylist()]
                 self.data = None
             else:
+                sbytes, wmax = _fixed_width_bytes(self.arr)
                 w = max(1, wmax)
                 self.typecode, self.width = w, w
                 self.fmt = f"%{min(w, 99)}s"
@@ -544,7 +558,10 @@ def encode_section(
             col_metas.append(cm)
             datas.append(v)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            sbytes, wmax = _fixed_width_bytes(arr)
+            # same early routing as _Col: decide strL from the cheap
+            # width/trailing-space passes, materialize S{w} only on the
+            # confirmed fixed-width path
+            wmax = _max_byte_width(arr)
             trailing = _has_trailing_space(arr)
             if trailing and f.name in declared:
                 raise ValueError(
@@ -569,6 +586,7 @@ def encode_section(
                 col_metas.append({"kind": "strl", "np": "V8", "width": 8})
                 datas.append(refs.view("V8"))
             else:
+                sbytes, wmax = _fixed_width_bytes(arr)
                 w = max(1, wmax)
                 dw = declared.get(f.name)
                 if dw is not None:

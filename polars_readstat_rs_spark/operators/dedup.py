@@ -307,6 +307,11 @@ def minhash_lsh_pairs(
     Zero-intersection band collisions (md5/chunk accidents) are dropped
     to match exact-Jaccard semantics.
     """
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands ({bands}) and rows_per_band ({rows_per_band}) must both be "
+            ">= 1 (zero would build malformed band SQL)"
+        )
     if bands * rows_per_band > NUM_HASHES:
         raise ValueError(
             f"bands ({bands}) x rows_per_band ({rows_per_band}) exceeds the "

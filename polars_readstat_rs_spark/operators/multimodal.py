@@ -631,6 +631,23 @@ def _le_u32_expr(payload: str, pos: int) -> str:
     )
 
 
+def _le_i32_abs_expr(payload: str, pos: int) -> str:
+    """|little-endian i32| at 1-based byte ``pos``: the unsigned decode
+    re-signed via two's complement (subtract 2^32 when the high bit is
+    set), then abs. BMP BITMAPINFOHEADER dims are SIGNED i32 — a valid
+    top-down BMP stores biHeight as a negative value, and the unsigned
+    read would report a garbage ~4.29e9 dimension."""
+    h = f"hex(substring({payload}, {pos}, 4))"
+    u = (
+        f"conv(concat(substr({h}, 7, 2), substr({h}, 5, 2), "
+        f"substr({h}, 3, 2), substr({h}, 1, 2)), 16, 10)"
+    )
+    return (
+        f"cast(abs(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 "
+        f"ELSE cast({u} as bigint) END) as int)"
+    )
+
+
 def probe_media(multimodal: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode-FREE media metadata probe: magic-byte format sniffing plus
     header-field extraction (dimensions / sample counts / sample rate)
@@ -641,7 +658,9 @@ def probe_media(multimodal: DataFrame, payload_col: str = "payload") -> DataFram
 
     Emits (doc_id, detected_kind, dim_a, dim_b, n_bytes):
 
-    - bmp:  dim_a = width  (LE i32 @ byte 19), dim_b = height (@ 23)
+    - bmp:  dim_a = |width| (LE i32 @ byte 19), dim_b = |height| (@ 23)
+      — decoded SIGNED then abs'd, so a top-down BMP (negative
+      biHeight) reports its true pixel height, not ~4.29e9
     - png:  dim_a = width  (BE u32 @ byte 17), dim_b = height (@ 21)
     - wav:  dim_a = data-chunk byte length (LE u32 @ byte 41 for the
       canonical 44-byte-header layout our encoder and most writers
@@ -657,12 +676,12 @@ def probe_media(multimodal: DataFrame, payload_col: str = "payload") -> DataFram
         "THEN 'wav' ELSE 'unknown' END"
     )
     dim_a = (
-        f"CASE _kind WHEN 'bmp' THEN {_le_u32_expr('_p', 19)} "
+        f"CASE _kind WHEN 'bmp' THEN {_le_i32_abs_expr('_p', 19)} "
         "WHEN 'png' THEN cast(conv(hex(substring(_p, 17, 4)), 16, 10) as int) "
         f"WHEN 'wav' THEN {_le_u32_expr('_p', 41)} END"
     )
     dim_b = (
-        f"CASE _kind WHEN 'bmp' THEN {_le_u32_expr('_p', 23)} "
+        f"CASE _kind WHEN 'bmp' THEN {_le_i32_abs_expr('_p', 23)} "
         "WHEN 'png' THEN cast(conv(hex(substring(_p, 21, 4)), 16, 10) as int) "
         f"WHEN 'wav' THEN {_le_u32_expr('_p', 25)} END"
     )

@@ -236,7 +236,7 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # change gets a CORRECTNESS row.
 # Round-10 rotation (r9 verdict item 7): all 219 r9-registry queries
 # are ever-driver-green, so the head leads with what r10 CHANGED — the
-# 4 new gates, then the 17 materially-touched re-proof queries — and
+# 6 new gates, then the 17 materially-touched re-proof queries — and
 # the prior rotation fills the remaining recorded slots. _PRIOR is
 # dedup'd order-preserving (r9's touched set overlaps r7's head).
 _PRIOR = tuple(

@@ -60,10 +60,14 @@ def _band_pairs_sql(bands_cte: str, tag: str) -> str:
     {_band_pairs_sql('bands16', '16')},
     {_band_pairs_sql('bands32', '32')}
     SELECT 16 AS band_bits, 4 AS n_bands, n16.c AS n_pairs, n16.c AS n_truth,
-           CAST(n16.c AS DOUBLE) / CAST(n16.c AS DOUBLE) AS recall FROM n16
+           CASE WHEN n16.c = 0 THEN NULL
+                ELSE CAST(n16.c AS DOUBLE) / CAST(n16.c AS DOUBLE) END AS recall
+    FROM n16
     UNION ALL
     SELECT 32, 2, n32.c, n16.c,
-           CAST(n32.c AS DOUBLE) / CAST(n16.c AS DOUBLE) FROM n32, n16
+           CASE WHEN n16.c = 0 THEN NULL
+                ELSE CAST(n32.c AS DOUBLE) / CAST(n16.c AS DOUBLE) END
+    FROM n32, n16
     """,
 )
 def d19_band_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,19 +93,27 @@ def d19_band_width_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # don't re-run the band joins (the v17/g05 lineage discipline)
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")).localCheckpoint()
     w = wide.agg(F.count(F.lit(1)).cast("bigint").alias("n_wide")).localCheckpoint()
+    # zero-truth guard: NULL (both engines) instead of Spark-NULL-vs-
+    # DuckDB-NaN on x/0 — degenerate fixtures fail informatively
     row16 = t.select(
         F.lit(16).alias("band_bits"),
         F.lit(4).alias("n_bands"),
         F.col("n_truth").alias("n_pairs"),
         F.col("n_truth"),
-        (F.col("n_truth").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_truth").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
     )
     row32 = w.crossJoin(t).select(
         F.lit(32).alias("band_bits"),
         F.lit(2).alias("n_bands"),
         F.col("n_wide").alias("n_pairs"),
         F.col("n_truth"),
-        (F.col("n_wide").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_wide").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
     )
     return row16.unionByName(row32)
 
@@ -276,7 +288,8 @@ def _d20_oracle() -> str:
     rows_sql = " UNION ALL ".join(
         f"SELECT {b} AS bands, {r} AS rows_per_band, t.c AS n_truth, "
         f"found_{b}x{r}.c AS n_found, "
-        f"CAST(found_{b}x{r}.c AS DOUBLE) / CAST(t.c AS DOUBLE) AS recall "
+        f"CASE WHEN t.c = 0 THEN NULL "
+        f"ELSE CAST(found_{b}x{r}.c AS DOUBLE) / CAST(t.c AS DOUBLE) END AS recall "
         f"FROM found_{b}x{r}, t"
         for b, r in _D20_CONFIGS
     )
@@ -366,7 +379,8 @@ def _v18_oracle() -> str:
         )
         rows.append(
             f"SELECT {m} AS m, t.c AS n_truth, found_m{m}.c AS n_found, "
-            f"CAST(found_m{m}.c AS DOUBLE) / CAST(t.c AS DOUBLE) AS recall "
+            f"CASE WHEN t.c = 0 THEN NULL "
+            f"ELSE CAST(found_m{m}.c AS DOUBLE) / CAST(t.c AS DOUBLE) END AS recall "
             f"FROM found_m{m}, t"
         )
     return (
@@ -412,9 +426,10 @@ def v18_pq_m_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).alias("m"),
             F.col("n_truth"),
             F.col("n_found"),
-            (F.col("n_found").cast("double") / F.col("n_truth").cast("double")).alias(
-                "recall"
-            ),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+            ).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -496,9 +511,10 @@ def d20_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(r).alias("rows_per_band"),
             F.col("n_truth"),
             F.col("n_found"),
-            (F.col("n_found").cast("double") / F.col("n_truth").cast("double")).alias(
-                "recall"
-            ),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+            ).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out

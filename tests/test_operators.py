@@ -1966,6 +1966,23 @@ def test_probe_media_headers(spark):
     assert all(r["n_bytes"] > 0 for r in got.values())
 
 
+def test_probe_media_topdown_bmp(spark):
+    """BMP BITMAPINFOHEADER dims are SIGNED i32: a top-down BMP stores
+    biHeight negative, and the probe must report |height|, not the
+    ~4.29e9 unsigned reinterpretation. Built by patching the repo
+    encoder's (bottom-up) header bytes to the two's-complement height."""
+    import numpy as np
+    import struct
+
+    bmp = bytearray(multimodal.encode_bmp(np.zeros((6, 8, 3), dtype=np.uint8)))
+    # biHeight lives at file offset 22 (1-based byte 23), LE i32
+    assert struct.unpack_from("<i", bmp, 22)[0] == 6
+    struct.pack_into("<i", bmp, 22, -6)
+    df = spark.createDataFrame([(1, bytes(bmp))], "doc_id long, payload binary")
+    row = multimodal.probe_media(df).collect()[0]
+    assert (row["detected_kind"], row["dim_a"], row["dim_b"]) == ("bmp", 8, 6)
+
+
 def test_minhash_band_shape(spark):
     """(b, r) validation + the recall ordering the 1-(1-s^r)^b curve
     implies: 8x1 candidates are a superset of 4x2's on any corpus
@@ -1987,6 +2004,11 @@ def test_minhash_band_shape(spark):
     assert default <= wide
     with pytest.raises(ValueError, match="chunks"):
         dedup.minhash_lsh_pairs(df, "doc_id", "text", bands=8, rows_per_band=2)
+    # zero/negative shapes fail loudly, not with an opaque SQL parse error
+    with pytest.raises(ValueError, match=">= 1"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", bands=0, rows_per_band=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", bands=4, rows_per_band=0)
 
 
 def test_winnowing_long_doc_cap_raises(spark):
