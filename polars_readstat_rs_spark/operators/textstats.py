@@ -535,7 +535,9 @@ def tfidf_top_terms(
     )
 
 
-def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> DataFrame:
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 4, batch_k: int = 64
+) -> DataFrame:
     """Iterative BPE VOCABULARY TRAINING — the full merge loop, not just
     the first iteration's statistic (:func:`bpe_pair_counts`): learn
     ``n_merges`` merges over the corpus' word-frequency table exactly as
@@ -549,14 +551,35 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> Dat
     ``'>a<>b<' -> '>ab<'``, whose left-to-right non-overlapping
     semantics (Spark ``replace`` == DuckDB ``replace``) IS the greedy
     BPE merge rule, including the '>a<>a<>a<' -> '>aa<>a<' repeat case.
-    The per-iteration argmax is a bounded-model collect (ONE row:
-    count DESC, a ASC, b ASC tie-break); merges apply as a pure map
-    stage over the word table. Words containing the sentinel characters
-    are excluded (none exist in the fixtures; a production tokenizer
-    would escape them).
+    Words containing the sentinel characters are excluded (none exist
+    in the fixtures; a production tokenizer would escape them).
+
+    Scheduling shape: a naive loop is one Spark job + one-row collect
+    PER merge — 32k jobs for a real vocabulary.  Each pass here instead
+    collects the top-``batch_k`` pairs (ONE bounded job) and applies the
+    longest prefix of that list that is PROVABLY the exact sequential
+    result, driver-side:
+
+    - a candidate must share no token with an earlier selection (its
+      count is then untouched by those merges — replacements are
+      token-disjoint), and
+    - its count must strictly exceed every count a merge-created pair
+      could reach.  A new pair (x, ab) needs the original pair (x, a)
+      at each occurrence (and (ab, y) needs (b, y); (ab, ab) needs
+      (b, a)), so adjacency counts from the collected list — with the
+      K-th count bounding anything uncollected — upper-bound all of
+      them.
+
+    The first unsafe candidate ends the pass (sequential order beyond
+    it is unknowable without recounting), so exact equivalence to the
+    one-merge-per-job loop holds for ANY batch_k (pinned by
+    tests/test_operators.py::test_bpe_train_batch_equivalence); jobs
+    scheduled drop from O(n_merges) toward O(n_merges / batch).
 
     Output: one row per learned merge — rank, left, right, merged,
     pair_count (the argmax count at learn time)."""
+    if batch_k < 1:
+        raise ValueError(f"batch_k ({batch_k}) must be >= 1")
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
@@ -575,7 +598,7 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> Dat
         .localCheckpoint()  # the loop below rewrites s n_merges times
     )
     merges = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         toks = words.select(
             "cnt", F.expr("regexp_extract_all(s, '>([^<>]+)<', 1)").alias("t")
         )
@@ -589,20 +612,42 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 4) -> Dat
                 )
             ).alias("p"),
         )
-        best = (
+        top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(batch_k)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b, n = best[0].a, best[0].b, best[0].n
-        merges.append((rank, a, b, a + b, int(n)))
-        words = words.withColumn(
-            "s", F.expr(f"replace(s, '>{a}<>{b}<', '>{a}{b}<')")
-        ).localCheckpoint()
+        # anything NOT collected has count <= the K-th collected count
+        # (0 when the list is complete) — the bound for adjacency pairs
+        # we can't see
+        unseen = int(top[-1].n) if len(top) == batch_k else 0
+        used: set[str] = set()
+        bound = 0  # max count any pair created by this pass' merges can reach
+        selected = []
+        for r in top:
+            if len(merges) + len(selected) >= n_merges:
+                break
+            a, b, n = r.a, r.b, int(r.n)
+            if selected and (a in used or b in used or n <= bound):
+                break  # first unsafe candidate ends the pass
+            selected.append((a, b, n))
+            used.update((a, b))
+            # pairs created by merging (a, b) — (x, ab), (ab, y),
+            # (ab, ab) — each need an original (x, a) / (b, y) / (b, a)
+            # occurrence, so their counts are bounded by those originals
+            adj = max(
+                (int(p.n) for p in top if p.b == a or p.a == b), default=0
+            )
+            bound = max(bound, adj, unseen)
+        expr = "s"
+        for a, b, n in selected:
+            merges.append((len(merges) + 1, a, b, a + b, n))
+            expr = f"replace({expr}, '>{a}<>{b}<', '>{a}{b}<')"
+        words = words.withColumn("s", F.expr(expr)).localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

@@ -1688,6 +1688,35 @@ def test_bpe_train_planted_merges(spark):
     assert out[2] == ("a", "b", "ab", 15)
 
 
+def test_bpe_train_batch_equivalence(spark):
+    """Batched passes (batch_k>1) must learn the EXACT sequential merge
+    list (batch_k=1 runs one merge per job — the reference loop).
+
+    The first corpus is adversarial for naive batching: 'xaby' x100
+    makes merge-created pairs ((x,ab) then (x,aby)) outrank the
+    still-untouched (c,d)=90, so a batcher that takes the top-2
+    disjoint ORIGINAL pairs would wrongly schedule (c,d) second; the
+    adjacency bound must defer it until pass 3. The second corpus
+    exercises ties, repeats, and shared-token chains."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    corpora = [
+        [(i, "xaby") for i in range(100)] + [(1000 + i, "cd") for i in range(90)],
+        [(i, "aaab banana bandana") for i in range(7)]
+        + [(100 + i, "na na batman") for i in range(5)]
+        + [(200 + i, "xy xy zw") for i in range(6)],
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        seq = [tuple(r) for r in textstats.bpe_train(df, n_merges=6, batch_k=1).collect()]
+        bat = [tuple(r) for r in textstats.bpe_train(df, n_merges=6, batch_k=64).collect()]
+        assert bat == seq
+    # the adversarial corpus really defers (c,d) behind the merge chain
+    df = spark.createDataFrame(corpora[0], "doc_id long, text string")
+    got = [(r.left, r.right) for r in textstats.bpe_train(df, n_merges=4).collect()]
+    assert got == [("a", "b"), ("ab", "y"), ("x", "aby"), ("c", "d")]
+
+
 def test_c4_line_filters_rules(spark):
     from polars_readstat_rs_spark.operators.textstats import c4_line_filters
 
