@@ -13,6 +13,48 @@ from polars_readstat_rs_spark import api
 from polars_readstat_rs_spark.tables import load_table
 
 
+def test_readstat_select_prunes_reader_side(spark, tmp_path, monkeypatch):
+    """api.readstat_select is the documented projection-pushdown path
+    (pyspark 4.1 Python DataSources have no column-pruning hook, so a
+    bare .select() after .load() does NOT prune reader-side).  Asserts
+    the byte plan: the Stata parser's per-column decode runs ONLY for
+    the selected columns — non-selected bytes are skipped by the strided
+    numpy record view, never decoded."""
+    pd.DataFrame(
+        {
+            "a": np.arange(50, dtype=np.int32),
+            "b": np.arange(50, dtype=np.float64) * 1.5,
+            "c": [f"s{i}" for i in range(50)],
+            "d": np.arange(50, dtype=np.int32) * 7,
+        }
+    ).to_stata(str(tmp_path / "t.dta"), version=118, write_index=False)
+    p = str(tmp_path / "t.dta")
+
+    from polars_readstat_rs_spark.formats.stata import parser as sp
+
+    decoded: list[str] = []
+    orig = sp._decode_column
+
+    def spy(rec, v, meta, strl_map, opts):
+        decoded.append(v.name)
+        return orig(rec, v, meta, strl_map, opts)
+
+    monkeypatch.setattr(sp, "_decode_column", spy)
+    t = sp.read_table(p, columns=["d", "b"])
+    assert t.column_names == ["b", "d"] or t.column_names == ["d", "b"]
+    assert sorted(decoded) == ["b", "d"]  # a and c never parsed
+
+    # Spark-side helper: schema is exactly the selection, values match
+    sel = api.readstat_select(spark, p, ["d", "b"])
+    assert sel.columns == ["b", "d"] or sel.columns == ["d", "b"]
+    rows = sel.orderBy("d").collect()
+    assert rows[3]["d"] == 21 and rows[3]["b"] == 4.5
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        api.readstat_select(spark, p, [])
+
+
 def test_batch_iter_dta(tmp_path):
     n = 5000
     df = pd.DataFrame({"a": np.arange(n, dtype="int32"), "b": np.random.default_rng(1).normal(size=n)})
