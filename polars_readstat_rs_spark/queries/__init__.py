@@ -218,7 +218,7 @@ _R10_TOUCHED = (
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 # r11 additions stay here until the 3-SF check_oracle run passes them
-_RISKY_TAIL: tuple[str, ...] = ("v19_capped_neardup_recall",)
+_RISKY_TAIL: tuple[str, ...] = ("v19_capped_neardup_recall", "t25_bpe_batched_train")
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the

@@ -19,9 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
+from ..operators import similarity, textstats
 from ..tables import load_table
-from .llm import _cosine_sql
+from .llm import _bpe_train_oracle, _cosine_sql
 from .registry import register
 
 # truncation curve against the testdata label cells (sf0.01 max cell 59,
@@ -58,6 +58,18 @@ def _v19_oracle() -> str:
     {cap_ctes}
     {rows}
     """
+
+
+@register("t25_bpe_batched_train", oracle=_bpe_train_oracle(8))
+def t25_bpe_batched_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-merge BPE training through the BATCHED pass scheduler
+    (operators/textstats.py:bpe_train, r11 rewrite): multiple merges
+    apply per Spark job when the driver-side safety proof holds, and
+    the learned vocabulary must STILL match DuckDB running all 8
+    iterations unrolled one-at-a-time — the cross-engine re-statement
+    of the batch-equals-sequential equivalence the unit test pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_train(docs, n_merges=8)
 
 
 @register("v19_capped_neardup_recall", oracle=_v19_oracle())
