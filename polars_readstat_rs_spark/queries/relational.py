@@ -241,20 +241,47 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     price, disc = _money("l_extendedprice"), _rate("l_discount")
+    # Derived semi-filter pruning (r11, measured 7.37 -> 3.91 s at sf10,
+    # outputs identical): the region predicate implies three filters the
+    # optimizer cannot derive across the equi-join chain —
+    #   s_nationkey IN eligible  (suppliers in ASIA/EUROPE nations)
+    #   c_nationkey IN eligible  (customers must share the supplier's
+    #                             nation, so ineligible ones never match)
+    #   l_suppkey   IN eligible-supplier keys, o_custkey IN
+    #                             eligible-customer keys (PK semi-joins)
+    # Pushing them cuts ~60% of lineitem/orders BEFORE the big shuffle
+    # joins — the manual form of the runtime bloom-filter join pruning a
+    # cluster's optimizer injects. The nation-eligibility semis broadcast
+    # a <=25-row set at any scale; the key-set semis auto-broadcast here
+    # (100k/600k keys at sf10) and become shuffle/bloom semi joins under
+    # a cluster's AQE when the key sets outgrow the broadcast threshold.
+    elig = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp_e = supp.join(
+        F.broadcast(elig), supp.s_nationkey == F.col("n_nationkey"), "left_semi"
+    )
+    cust_e = cust.join(
+        F.broadcast(elig), cust.c_nationkey == F.col("n_nationkey"), "left_semi"
+    )
+    sk = supp_e.select(F.col("s_suppkey").alias("_sk"))
+    ck = cust_e.select(F.col("c_custkey").alias("_ck"))
+    li_e = li.join(sk, li.l_suppkey == F.col("_sk"), "left_semi")
+    ord_e = orders.join(ck, orders.o_custkey == F.col("_ck"), "left_semi")
     # lineitem is the join ROOT (probe side): every other table hash-builds
     # against it, so the biggest table is never the build/broadcast side.
     # (The cust-first ordering made Catalyst broadcast-build LINEITEM —
     # a 600k-entry single-threaded hash build locally, and exactly the
     # plan that dies at 100 TB.)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, cust.c_custkey == orders.o_custkey)
+        li_e.join(ord_e, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_e, F.col("c_custkey") == F.col("o_custkey"))
         .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            F.broadcast(supp_e),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         # two-level integer-cents revenue (q01's trick adapted to an
         # unbounded group): level 1 sums long cents per (nation, disc) —
         # <= 25 x 11 cells, each bounded by total_revenue/275 so the long

@@ -55,7 +55,7 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE") or (
         str(max(8, int(cpus) // 2)) if cpus.isdigit() else cpus
     )
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
@@ -119,5 +119,18 @@ def get_spark(app_name: str = "polars_readstat_rs_spark", cpus: str | int | None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_OFFHEAP=<size> (e.g. "8g") moves execution memory and
+    # the parquet reader's ColumnVectors off-heap — a static conf, so it
+    # is a session-build knob, not runtime. Part of the scale-knob
+    # matrix (r11): measured NEUTRAL on the sf10 short-query hash-agg
+    # constant locally; on a real cluster it trades GC pressure for
+    # explicit memory, so the knob stays available.
+    offheap = os.environ.get("SPARK_GRAFT_OFFHEAP")
+    if offheap:
+        builder = (
+            builder.config("spark.memory.offHeap.enabled", "true")
+            .config("spark.memory.offHeap.size", offheap)
+            .config("spark.sql.columnVector.offheap.enabled", "true")
+        )
+    return builder.getOrCreate()

@@ -53,6 +53,19 @@ def test_q05_lineitem_probes_never_builds(spark, sf_dir):
         assert "l_extendedprice" not in head and "l_orderkey" not in head, head
 
 
+def test_q05_semi_filters_prune_facts_before_shuffle(spark, sf_dir):
+    """r11 rewrite pin: the region predicate's derived semi-filters
+    (eligible suppliers -> lineitem, eligible customers -> orders) must
+    appear as LeftSemi joins so ~60% of both fact tables is cut BEFORE
+    the big equi-joins (measured 7.37 -> 3.91 s at sf10). Losing them
+    (e.g. a refactor that re-roots the join) silently restores the
+    unpruned shuffle volume."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q05_nation_revenue"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 4  # s/c nation semis + suppkey/custkey semis
+
+
 def test_q01_whole_stage_codegen_covers_agg(spark, sf_dir):
     from polars_readstat_rs_spark.queries import QUERIES
 
