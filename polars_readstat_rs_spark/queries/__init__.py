@@ -215,10 +215,39 @@ _R10_TOUCHED = (
     "p14_priority_sample",
 )
 
+# Round-11 additions: both passed dedicated tools/check_oracle.py runs
+# at sf0.001 AND sf0.01 AND sf0.1 before graduating out of _RISKY_TAIL.
+_R11_NEW = (
+    "v19_capped_neardup_recall",
+    "t25_bpe_batched_train",
+)
+
+# Queries whose IMPLEMENTATION materially changed in round 11 — the q05
+# derived-semi-filter pruning rewrite, the d19/d20/v18 zero-truth recall
+# guards (oracle AND query sides), the m14 signed-BMP-dims probe fix,
+# the batched bpe_train scheduler (t16/t17 run through it), the Stata
+# writer's early strL routing (every .dta write gate), and the
+# minhash_lsh_pairs (b, r) >= 1 validation (d03's operator) — inside
+# the recorded window so CORRECTNESS_r11 re-proves exactly what changed.
+_R11_TOUCHED = (
+    "q05_nation_revenue",
+    "d19_band_width_recall",
+    "d20_lsh_band_curve",
+    "v18_pq_m_curve",
+    "m14_media_probe",
+    "t16_bpe_train",
+    "t17_bpe_encode",
+    "r01_dta_roundtrip_agg",
+    "r08_distributed_write_roundtrip",
+    "r20_dta_v117_roundtrip",
+    "r23_multifile_write_roundtrip",
+    "r24_dta_v119_roundtrip",
+    "d03_dedup_minhash_lsh",
+)
+
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
-# r11 additions stay here until the 3-SF check_oracle run passes them
-_RISKY_TAIL: tuple[str, ...] = ("v19_capped_neardup_recall", "t25_bpe_batched_train")
+_RISKY_TAIL: tuple[str, ...] = ()
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
@@ -240,13 +269,21 @@ _RISKY_TAIL: tuple[str, ...] = ("v19_capped_neardup_recall", "t25_bpe_batched_tr
 # 6 new gates, then the 17 materially-touched re-proof queries — and
 # the prior rotation fills the remaining recorded slots. _PRIOR is
 # dedup'd order-preserving (r9's touched set overlaps r7's head).
+# Round-11 rotation (r10 verdict item 7): all 225 r10-registry queries
+# are ever-driver-green, so the head leads with what r11 CHANGED — the
+# 2 new gates, then the 13 materially-touched re-proof queries — and
+# the prior rotation fills the remaining recorded slots. _PRIOR is
+# dedup'd order-preserving across every earlier head.
 _PRIOR = tuple(
-    dict.fromkeys(_R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD)
+    dict.fromkeys(
+        _R10_NEW + _R10_TOUCHED + _R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
+    )
 )
+_R11_HEAD_SET = frozenset(_R11_NEW + _R11_TOUCHED)
 HEAD = (
-    _R10_NEW
-    + _R10_TOUCHED
-    + tuple(n for n in _PRIOR if n not in _R10_NEW and n not in _R10_TOUCHED)
+    _R11_NEW
+    + _R11_TOUCHED
+    + tuple(n for n in _PRIOR if n not in _R11_HEAD_SET)
 )
 
 _ordered = (

@@ -41,6 +41,14 @@ if _env_qs:
 
 DUCK_TIMEOUT = float(os.environ.get("SCALE_BENCH_DUCK_TIMEOUT", "600"))
 
+# SCALE_BENCH_RUNS=N times each query N times in BOTH engines and
+# records the min. Default 1 (single-shot) — right for minutes-long
+# walls where per-run noise is a rounding error; set 3 for short-query
+# re-records where Spark's first run carries ~1 s of codegen compile
+# that any steady-state deployment amortizes (and DuckDB's first run
+# carries its own buffer-pool fill).
+RUNS = max(1, int(os.environ.get("SCALE_BENCH_RUNS", "1")))
+
 _DUCK_RUNNER = r"""
 import json, os, sys, time
 import duckdb
@@ -51,9 +59,13 @@ con.execute("SET enable_progress_bar=false")  # progress bar would pollute stdou
 for name, glob in spec["views"].items():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
 con.execute(spec["warmup"]).fetchall()
-t = time.time()
-con.execute(spec["sql"]).fetchall()
-out = json.dumps({"sec": round(time.time() - t, 3)})
+best = None
+for _ in range(spec.get("runs", 1)):
+    t = time.time()
+    con.execute(spec["sql"]).fetchall()
+    dt = time.time() - t
+    best = dt if best is None or dt < best else best
+out = json.dumps({"sec": round(best, 3)})
 with open(spec["result_path"], "w") as fh:  # result via file: stdout is unreliable
     fh.write(out)
 print(out)
@@ -68,7 +80,8 @@ def run_duck_subprocess(views: dict, warmup: str, sql: str) -> dict:
     result_path = tempfile.mktemp(suffix=".result.json")
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
         json.dump(
-            {"views": views, "warmup": warmup, "sql": sql, "result_path": result_path},
+            {"views": views, "warmup": warmup, "sql": sql,
+             "result_path": result_path, "runs": RUNS},
             fh,
         )
         spec_path = fh.name
@@ -238,12 +251,17 @@ def main() -> None:
     state["quiesce_attempts"] = attempts0
     state["spark_floor"] = dict(state.get("spark_floor", {}))
 
+    state["runs"] = RUNS
     for q in DEFAULT_QUERIES:
         if q not in state["spark"]:
             f, _ = quiesce()
-            t = time.time()
-            run_spark(q)
-            state["spark"][q] = round(time.time() - t, 3)
+            best = None
+            for _i in range(RUNS):
+                t = time.time()
+                run_spark(q)
+                dt = time.time() - t
+                best = dt if best is None or dt < best else best
+            state["spark"][q] = round(best, 3)
             state["spark_floor"][q] = round(f, 4)
             print(json.dumps({"engine": "spark", "q": q, "sec": state["spark"][q], "floor": round(f, 4)}), flush=True)
             save()
