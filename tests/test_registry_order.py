@@ -80,23 +80,23 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r10 head: the never-driver-recorded r10 gates lead, then the
-    # queries whose implementation was materially rewritten in r10 (so
+    # r11 head: the never-driver-recorded r11 gates lead, then the
+    # queries whose implementation was materially rewritten in r11 (so
     # the driver window re-proves exactly what changed), then the prior
     # rotation dedup'd — the driver's 50-query window therefore records
     # every entry that lacks a CORRECTNESS row for its CURRENT code.
-    from polars_readstat_rs_spark.queries import _R10_NEW, _R10_TOUCHED
+    from polars_readstat_rs_spark.queries import _R11_NEW, _R11_TOUCHED
 
-    n_new, n_t = len(_R10_NEW), len(_R10_TOUCHED)
-    assert HEAD[:n_new] == _R10_NEW
-    assert HEAD[n_new : n_new + n_t] == _R10_TOUCHED
+    n_new, n_t = len(_R11_NEW), len(_R11_TOUCHED)
+    assert HEAD[:n_new] == _R11_NEW
+    assert HEAD[n_new : n_new + n_t] == _R11_TOUCHED
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
-    # prior rotation + r10 additions, dedup'd against the touched
+    # prior rotation + r11 additions, dedup'd against the touched
     # queries already present in the prior rotation
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    expected = n_new + n_t + len(set(_PRIOR) - set(_R10_NEW) - set(_R10_TOUCHED))
+    expected = n_new + n_t + len(set(_PRIOR) - set(_R11_NEW) - set(_R11_TOUCHED))
     assert len(HEAD) == len(set(HEAD)) == expected
 
 
