@@ -643,11 +643,16 @@ def bpe_train(
                 (int(p.n) for p in top if p.b == a or p.a == b), default=0
             )
             bound = max(bound, adj, unseen)
-        expr = "s"
+        col = F.col("s")
         for a, b, n in selected:
             merges.append((len(merges) + 1, a, b, a + b, n))
-            expr = f"replace({expr}, '>{a}<>{b}<', '>{a}{b}<')"
-        words = words.withColumn("s", F.expr(expr)).localCheckpoint()
+            # F.lit carries token text natively through py4j — tokens
+            # containing quotes/backslashes (don't, it's) never touch
+            # SQL literal syntax
+            col = F.call_function(
+                "replace", col, F.lit(f">{a}<>{b}<"), F.lit(f">{a}{b}<")
+            )
+        words = words.withColumn("s", col).localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
@@ -671,12 +676,13 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
     ).filter((F.col("w") != "") & ~F.col("w").rlike("[<>]")).withColumn("s", s)
-    # nested replace expression built as SQL text (one py4j trip)
-    expr = "s"
+    # nested replace expression built from Column ops: F.lit carries
+    # token text natively, so quote/backslash tokens can't break parsing
+    enc = F.col("s")
     for a, b in merges:
-        expr = f"replace({expr}, '>{a}<>{b}<', '>{a}{b}<')"
+        enc = F.call_function("replace", enc, F.lit(f">{a}<>{b}<"), F.lit(f">{a}{b}<"))
     return (
-        words.withColumn("enc", F.expr(expr))
+        words.withColumn("enc", enc)
         .select(
             "doc_id",
             F.size(F.expr("regexp_extract_all(s, '>([^<>]+)<', 1)")).alias("nc"),

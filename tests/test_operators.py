@@ -1717,6 +1717,26 @@ def test_bpe_train_batch_equivalence(spark):
     assert got == [("a", "b"), ("ab", "y"), ("x", "aby"), ("c", "d")]
 
 
+def test_bpe_train_quote_tokens(spark):
+    """Tokens containing SQL-literal metacharacters (apostrophes,
+    backslashes) must ride through the merge replacements as data —
+    the merge expression is built from Column ops with F.lit, never
+    interpolated into SQL text. 'don't'-family corpora make an
+    apostrophe pair the argmax."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    rows = [(i, "don't can't won't isn't") for i in range(6)] + [
+        (100, r"back\slash qu'ote")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = textstats.bpe_train(df, n_merges=3).collect()
+    assert any("'" in r.left or "'" in r.right for r in merges)
+    enc = textstats.bpe_encode(
+        df, [(r.left, r.right) for r in merges]
+    ).collect()
+    assert len(enc) == 7 and all(r.n_tokens <= r.n_chars for r in enc)
+
+
 def test_c4_line_filters_rules(spark):
     from polars_readstat_rs_spark.operators.textstats import c4_line_filters
 

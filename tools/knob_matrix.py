@@ -4,14 +4,16 @@ aggregation/scan knob at the staged scale factor and record a matrix
 artifact, so the residual vs DuckDB is either closed or conclusively
 bounded as engine-irreducible.
 
-Runtime-settable knobs (one session, min-until-stable per cell):
+Runtime-settable knobs (one session, min-until-stable per cell,
+empty-job-floor re-gated before every cell):
   twolevel  spark.sql.codegen.aggregate.map.twolevel.enabled
   vectorized spark.sql.codegen.aggregate.map.vectorized.enable
   sortagg   spark.sql.codegen.aggregate.sortAggregate.enabled
-  batch     spark.sql.parquet.columnarReaderBatchSize (via re-read)
 
-Static knobs (child process each, because the conf is JVM-build time):
+Static knobs (child process each — these take effect at session build
+via the SPARK_GRAFT_* env path in session.py, NOT via spark.conf.set):
   offheap   SPARK_GRAFT_OFFHEAP=8g (execution memory + ColumnVectors)
+  batch     SPARK_GRAFT_PARQUET_BATCH (columnarReaderBatchSize)
   maxpart   SPARK_GRAFT_MAXPART
 
 Also records the scan/agg decomposition: scan+count floor and
@@ -74,25 +76,30 @@ def run_variant(staged: str, out_path: str, variant: str) -> None:
     def run_q(q: str) -> None:
         QUERIES[q](spark, staged).write.format("noop").mode("overwrite").save()
 
-    # warm codegen + footers, then quiesce on the empty-job floor
+    # warm codegen + footers once
     run_q("q01_pricing_summary")
     idle_floor = float(os.environ.get("SPARK_GRAFT_IDLE_FLOOR", "0.12"))
-    floor = None
-    for _ in range(12):
-        floor = min(
-            time_min(
+
+    def quiesce() -> float:
+        floor = None
+        for _ in range(12):
+            floor = time_min(
                 lambda: spark.range(1).write.format("noop").mode("overwrite").save(),
                 runs=3,
             )
-            for _ in range(1)
-        )
-        if floor <= idle_floor:
-            break
-        print(f"quiesce: floor {floor:.3f}s, waiting", file=sys.stderr, flush=True)
-        time.sleep(10)
+            if floor <= idle_floor:
+                break
+            print(f"quiesce: floor {floor:.3f}s, waiting", file=sys.stderr, flush=True)
+            time.sleep(10)
+        return floor
 
     todo = RUNTIME_VARIANTS if variant == "__runtime__" else {variant: {}}
     for name, confs in todo.items():
+        # re-gate before EVERY matrix cell: a host contention wave
+        # arriving mid-matrix would otherwise inflate later variants'
+        # walls against a stale pre-wave floor (the exact artifact this
+        # round's bench_scale_checkpoint fix addresses)
+        floor = quiesce()
         for k, v in confs.items():
             spark.conf.set(k, v)
         rec: dict = {"variant": name, "floor": round(floor, 4)}
@@ -126,6 +133,7 @@ def run_variant(staged: str, out_path: str, variant: str) -> None:
             .write.format("noop").mode("overwrite").save()
         )
 
+    floor = quiesce()
     _append(
         out_path,
         {
