@@ -215,11 +215,12 @@ _R10_TOUCHED = (
     "p14_priority_sample",
 )
 
-# Round-11 additions: both passed dedicated tools/check_oracle.py runs
+# Round-11 additions: each passed dedicated tools/check_oracle.py runs
 # at sf0.001 AND sf0.01 AND sf0.1 before graduating out of _RISKY_TAIL.
 _R11_NEW = (
     "v19_capped_neardup_recall",
     "t25_bpe_batched_train",
+    "v20_semdedup_keep",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05
@@ -271,7 +272,7 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # dedup'd order-preserving (r9's touched set overlaps r7's head).
 # Round-11 rotation (r10 verdict item 7): all 225 r10-registry queries
 # are ever-driver-green, so the head leads with what r11 CHANGED — the
-# 2 new gates, then the 13 materially-touched re-proof queries — and
+# 3 new gates, then the 13 materially-touched re-proof queries — and
 # the prior rotation fills the remaining recorded slots. _PRIOR is
 # dedup'd order-preserving across every earlier head.
 _PRIOR = tuple(

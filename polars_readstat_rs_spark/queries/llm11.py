@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity, textstats
+from ..operators import dedup, similarity, textstats
 from ..tables import load_table
 from .llm import _bpe_train_oracle, _cosine_sql
 from .registry import register
@@ -58,6 +58,50 @@ def _v19_oracle() -> str:
     {cap_ctes}
     {rows}
     """
+
+
+@register(
+    "v20_semdedup_keep",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE sim >= 0.4),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+      ) SELECT node, comp FROM r),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY comp
+    """,
+)
+def v20_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped SEMANTIC dedup end to end (Abbas et al. 2023's
+    cluster -> within-cluster cosine near-dup -> keep-one pipeline, the
+    embedding-space sibling of the text-side d06/d12 compositions):
+    blocked cosine pairs within each label cell
+    (operators/similarity.py:blocked_neardup_pairs — one shuffle +
+    per-cell numpy Gram), distributed min-label connected components
+    (operators/dedup.py:neardup_components — localCheckpoint'd
+    propagation, O(diameter) iterations), then one row per duplicate
+    cluster: the kept representative (smallest reachable id — the
+    component label itself) and the cluster size.  The oracle walks the
+    same graph with recursive SQL over the v02 pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_neardup_pairs(emb, threshold=0.4)
+    comp = dedup.neardup_components(pairs.select("a_id", "b_id"))
+    return comp.groupBy(F.col("comp").alias("keep_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
 
 
 @register("t25_bpe_batched_train", oracle=_bpe_train_oracle(8))
