@@ -72,8 +72,27 @@ def _norm_str(x: str | None) -> str | None:
     return x or None
 
 
+def _dta_string_want(vals: list) -> list:
+    """Expected read-back of a .dta string COLUMN: any trailing-space or
+    >2045-byte value routes the whole column to strL (writer routing in
+    formats/stata/writer.py — GSO payloads are length-prefixed, never
+    trimmed), so every value round-trips exactly except empty strings,
+    which read back as null (missing_string_as_null). A pure fixed-width
+    str# column trims trailing spaces and nulls empties (_norm_str)."""
+    strl = any(
+        v is not None and (v.endswith(" ") or len(v.encode("utf-8")) > 2045)
+        for v in vals
+    )
+    if strl:
+        return [v if v else None for v in vals]
+    return [_norm_str(v) for v in vals]
+
+
 def _check_col(got: list, want: list, kind: str) -> None:
     assert len(got) == len(want)
+    if kind == "s_dta":  # caller pre-applied _dta_string_want
+        assert got == want, (got, want)
+        return
     for g, w in zip(got, want):
         if kind == "s":
             w = _norm_str(w)
@@ -95,7 +114,11 @@ def test_dta_roundtrip_property(t, tmp_path_factory):
     assert rt.num_rows == t.num_rows
     assert rt.column_names == t.column_names
     for name in t.column_names:
-        _check_col(rt.column(name).to_pylist(), t.column(name).to_pylist(), name)
+        want = t.column(name).to_pylist()
+        if name == "s":
+            _check_col(rt.column(name).to_pylist(), _dta_string_want(want), "s_dta")
+        else:
+            _check_col(rt.column(name).to_pylist(), want, name)
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -112,6 +135,28 @@ def test_sav_roundtrip_property(t, tmp_path_factory):
         if name == "i":  # sav stores numerics as doubles
             got = [None if g is None else int(g) for g in got]
         _check_col(got, want, name)
+
+
+def test_dta_trailing_space_strl_exact_roundtrip(tmp_path_factory):
+    """Deterministic pin of the trailing-space routing (not left to the
+    hypothesis seed): a column containing any trailing-space value is
+    written as strL and every value round-trips EXACTLY (spaces kept),
+    with empty strings reading back as null — verified through our
+    parser AND pandas."""
+    import math
+
+    import pandas as pd
+
+    texts = [" ", "a ", "", None, "b", "  c  "]
+    t = pa.table({"s": pa.array(texts, type=pa.string())})
+    p = str(tmp_path_factory.mktemp("prop") / "trail.dta")
+    stata_writer.write_dta(t, p)
+    got = stata_parser.read_table(p).column("s").to_pylist()
+    assert got == [" ", "a ", None, None, "b", "  c  "]
+    pdf = pd.read_stata(p, convert_categoricals=False)
+    pgot = [None if (isinstance(v, float) and math.isnan(v)) else v for v in pdf["s"]]
+    pgot = [g if g != "" else None for g in pgot]
+    assert pgot == [" ", "a ", None, None, "b", "  c  "]
 
 
 # ------------------------------------------- writer option/width fuzzing
@@ -152,13 +197,13 @@ def test_dta_wide_string_and_labels_property(texts, use_labels, tmp_path_factory
     rt = stata_parser.read_table(
         p, opts=stata_parser.ReadOptions(value_labels_as_strings=False)
     )
-    _check_col(rt.column("s").to_pylist(), texts, "s")
+    _check_col(rt.column("s").to_pylist(), _dta_string_want(texts), "s_dta")
     assert rt.column("k").to_pylist() == list(range(n))
     # independent reader: pandas (strL + labels supported in v118)
     pdf = pd.read_stata(p, convert_categoricals=False)
     got = [None if (isinstance(v, float) and math.isnan(v)) else v for v in pdf["s"]]
     got = [g if g != "" else None for g in got]
-    want = [_norm_str(x) for x in texts]
+    want = _dta_string_want(texts)
     # pandas reads fixed-width str# as str, strL as str — compare direct
     assert got == want, (got, want)
     if use_labels:
@@ -300,6 +345,17 @@ def test_dta_roundtrip_property_all_versions(t, version, tmp_path_factory):
                 for x in t.column(name).to_pylist()
             )
         )
+    if version == 117 and "s" in t.column_names:
+        # v117 has no strL, so trailing-space values (strL-routed by the
+        # writer) raise by documented contract — out of roundtrip scope
+        from hypothesis import assume
+
+        assume(
+            not any(
+                x is not None and x.endswith(" ")
+                for x in t.column("s").to_pylist()
+            )
+        )
     p = str(tmp_path_factory.mktemp("prop") / f"x{version}.dta")
     stata_writer.write_dta(t, p, version=version)
     m = stata_parser.read_metadata(p)
@@ -307,7 +363,11 @@ def test_dta_roundtrip_property_all_versions(t, version, tmp_path_factory):
     rt = stata_parser.read_table(p)
     assert rt.num_rows == t.num_rows and rt.column_names == t.column_names
     for name in t.column_names:
-        _check_col(rt.column(name).to_pylist(), t.column(name).to_pylist(), name)
+        want = t.column(name).to_pylist()
+        if name == "s":
+            _check_col(rt.column(name).to_pylist(), _dta_string_want(want), "s_dta")
+        else:
+            _check_col(rt.column(name).to_pylist(), want, name)
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
