@@ -57,11 +57,19 @@ def bucketed_join(
     right_table: str,
     on: Sequence[str],
     how: str = "inner",
+    force_merge: bool = False,
 ) -> DataFrame:
     """Join two identically-bucketed catalog tables on their bucket
     columns. With matching bucket counts this plans as a shuffle-free
-    sort-merge join; tests assert the absence of Exchange nodes."""
-    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+    sort-merge join; tests assert the absence of Exchange nodes.
+    ``force_merge`` adds a MERGE hint so the co-located SMJ survives
+    even when one side is small enough to broadcast — at test scale the
+    dims fit the broadcast threshold, but the plan being pinned is the
+    100 TB fact-fact shape where neither side broadcasts."""
+    lt = spark.table(left_table)
+    if force_merge:
+        lt = lt.hint("merge")
+    return lt.join(spark.table(right_table), list(on), how)
 
 
 def write_partitioned(

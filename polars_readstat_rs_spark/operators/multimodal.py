@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 # Output schema of the (stub) feature extractor. A real image decoder
 # would emit e.g. width/height/channels + a float feature vector; the
@@ -691,6 +692,69 @@ def probe_media(multimodal: DataFrame, payload_col: str = "payload") -> DataFram
         f"{dim_a} AS dim_a",
         f"{dim_b} AS dim_b",
         "cast(length(_p) as bigint) AS n_bytes",
+    )
+
+
+def collate_batches(
+    media: DataFrame,
+    len_col: str = "dim_a",
+    bucket: int = 16,
+    batch_size: int = 8,
+    shard_rows: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Size-bucketed batch collation manifest — the GPU-inference
+    "collate" step: items are padded to a common length per batch, so
+    the scheduler buckets by ceil(len / bucket) * bucket, fills fixed
+    ``batch_size`` batches in deterministic ``id_col`` order, and the
+    manifest quantifies the padding waste each bucket granularity buys.
+    Emits one row per batch: (bucket_len, shard, batch_id, n_items,
+    max_len, sum_len, pad_frac) with pad_frac = 1 - sum_len /
+    (n_items * bucket_len) — the fraction of padded tensor cells.
+
+    100 TB shape: a bare row_number over each bucket would funnel the
+    whole corpus through ~n_buckets sort tasks (length buckets are FEW
+    — that's their point). Batching is therefore local to a ``shard``
+    (id_col div shard_rows): the window partitions on (bucket_len,
+    shard), so the sort parallelism is n_buckets x n_shards, batches
+    never cross shard boundaries (at most one ragged batch per
+    (bucket, shard) cell — bounded waste), and shard assignment is a
+    pure projection. Batch ids are deterministic, so the manifest is
+    reproducible across runs and engines — the p04/p16 packing
+    discipline."""
+    b = media.select(
+        F.col(id_col).alias("_id"), F.col(len_col).cast("long").alias("_len")
+    ).withColumn(
+        "bucket_len",
+        (F.floor((F.col("_len") + F.lit(bucket - 1)) / F.lit(bucket)) * bucket).cast(
+            "long"
+        ),
+    ).withColumn("shard", (F.col("_id") - F.pmod(F.col("_id"), F.lit(shard_rows))) / F.lit(shard_rows))
+    b = b.withColumn("shard", F.col("shard").cast("long"))
+    w = W.partitionBy("bucket_len", "shard").orderBy("_id")
+    b = b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long"),
+    )
+    return (
+        b.groupBy("bucket_len", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("_len").alias("max_len"),
+            F.sum("_len").alias("sum_len"),
+        )
+        .select(
+            "bucket_len",
+            "shard",
+            "batch_id",
+            "n_items",
+            "max_len",
+            "sum_len",
+            (
+                F.lit(1.0)
+                - F.col("sum_len") / (F.col("n_items") * F.col("bucket_len"))
+            ).alias("pad_frac"),
+        )
     )
 
 

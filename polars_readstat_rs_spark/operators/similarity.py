@@ -1133,6 +1133,61 @@ def pq_topk(
     )
 
 
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-rank of an ANN candidate set — the refinement
+    stage of a two-stage index (coarse ADC/IVF scan -> top-c candidates
+    -> exact top-k). ``candidates`` is (q_id, vec_id) pairs from the
+    coarse stage; each is joined back to its RAW vectors and ranked by
+    the exact fold-order cosine (round-6, vec_id tie-break — the
+    brute_force_topk / v01-oracle convention, so a re-rank at depth c
+    over a candidate superset reproduces the brute-force top-k rows
+    bitwise).
+
+    100 TB shape: the candidate set is n_queries x c rows — tiny next
+    to the corpus at any depth worth running — so it broadcasts into
+    the corpus scan (no shuffle of the corpus), the query matrix
+    broadcasts likewise, and full-precision vectors are touched ONLY
+    for candidate rows: the re-rank costs O(nq * c * d) regardless of
+    corpus size, which is exactly why PQ/IVF codes can serve the scan
+    stage from RAM while raw vectors stay on cold storage.
+    """
+    cand = candidates.select("q_id", "vec_id")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    qv = qv.withColumn("_qn", F.sqrt(dot_expr("_qv", "_qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot_expr("_qv", "_cv")
+                / (F.col("_qn") * F.sqrt(dot_expr("_cv", "_cv"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_append_topk(
     base: DataFrame,
     new: DataFrame,

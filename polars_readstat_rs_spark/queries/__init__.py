@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -221,6 +221,12 @@ _R11_NEW = (
     "v19_capped_neardup_recall",
     "t25_bpe_batched_train",
     "v20_semdedup_keep",
+    # second wave: verified by dedicated tools/check_oracle.py runs at
+    # sf0.001 AND sf0.01 AND sf0.1 before graduating out of _RISKY_TAIL
+    "v21_rerank_depth_curve",
+    "q92_partition_pruned_join",
+    "m15_collate_manifest",
+    "q93_bucketed_colocated_join",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

@@ -316,13 +316,18 @@ _V18_KSUB = 8
 _V18_K = 10
 
 
-def _v18_pq_ctes(m: int) -> tuple[str, str]:
+def _v18_pq_ctes(
+    m: int, k: int = _V18_K, tag: str | None = None, keep_rank: bool = False
+) -> tuple[str, str]:
     """Per-m PQ ADC candidate CTEs (the llm4 v07 oracle chain with a
-    tag suffix): returns (ctes_sql, scored_cte_name)."""
+    tag suffix): returns (ctes_sql, scored_cte_name). ``k`` is the ADC
+    rank cutoff; ``keep_rank`` keeps the coarse rank column so a caller
+    (v21's re-rank depth curve) can slice the SAME candidate chain at
+    several depths without rebuilding the PQ CTEs per depth."""
     from .llm import _DOTD
     from .llm4 import _assign, _update
 
-    t = f"m{m}"
+    t = tag or f"m{m}"
     sub = 64 // m
     ctes = []
     for j in range(m):
@@ -353,15 +358,16 @@ def _v18_pq_ctes(m: int) -> tuple[str, str]:
         for j in range(1, m)
     )
     parts = " + ".join(f"l{j}.part" for j in range(m))
+    out_cols = "q_id, vec_id, rank" if keep_rank else "q_id, vec_id"
     ctes.append(
         f"""scored_{t} AS MATERIALIZED (
-      SELECT q_id, vec_id FROM (
+      SELECT {out_cols} FROM (
         SELECT l0.q_id, a0.vec_id,
                CAST(row_number() OVER (PARTITION BY l0.q_id
                  ORDER BY {parts} DESC, a0.vec_id) AS INT) AS rank
         FROM af_{t}_0 a0 {code_joins}
         JOIN lut_{t}_0 l0 ON l0.cell = a0.cell {lut_joins}
-        WHERE a0.vec_id <> l0.q_id) WHERE rank <= {_V18_K})"""
+        WHERE a0.vec_id <> l0.q_id) WHERE rank <= {k})"""
     )
     return ",\n    ".join(ctes), f"scored_{t}"
 

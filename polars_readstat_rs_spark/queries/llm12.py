@@ -1,0 +1,299 @@
+"""Round-11 second wave.
+
+v21 completes the two-stage ANN deployment story: v17 sizes IVF's
+nprobe, v18 sizes PQ's m, and this gate sizes the third knob — the
+EXACT-RERANK DEPTH c.  A production PQ index never serves its ADC
+ranking directly; it scans codes to top-c candidates and re-ranks them
+with full-precision vectors (operators/similarity.py:exact_rerank), so
+the number that matters is recall@k as a function of c.  The curve is
+measured at the deliberately-lossy m=2 code size where the coarse
+ranking alone recalls ~0.1 — the regime where re-rank depth does the
+work.
+
+q92 pins dynamic partition pruning — the Catalyst mechanism that makes
+a partitioned 100 TB fact table readable in O(selected partitions)
+when the selective predicate lives on a joined dimension rather than
+the fact itself.  The gate stages a priority-partitioned copy of
+orders, joins it to a filtered dim derived at runtime, and the plan pin
+(tests/test_plans.py) asserts the fact scan carries a dynamicpruning
+partition filter, so a regression that silently reverts to a full scan
+fails the suite even though the VALUES would still match.
+
+m15 is the multimodal sibling of the p04/p16 packing manifests: the
+GPU-inference collate step (bucket by padded length, fill fixed-size
+batches, measure padding waste), computed from REAL probed header
+fields (probe_media over synthesized WAV payloads), with the
+shard-local batching shape that keeps the per-bucket sort parallel at
+corpus scale.
+
+Determinism: counts are exact BIGINTs; recalls and pad fractions are
+single correctly-rounded IEEE divisions with identical operand shapes
+on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, similarity
+from ..tables import load_table
+from .registry import ORACLES, register
+
+# ---------------------------------------------------------------- v21
+
+_V21_M = 2  # deliberately lossy codes: the re-rank has work to do
+_V21_K = 10
+_V21_DEPTHS = (10, 40, 160)
+
+
+def _v21_oracle() -> str:
+    from .llm import _DOTD
+    from .llm10 import _v18_pq_ctes
+
+    ctes, scored = _v18_pq_ctes(
+        _V21_M, k=max(_V21_DEPTHS), tag="rr", keep_rank=True
+    )
+    dot = _DOTD.format(a="q.vec", b="c.vec")
+    depth_blocks, rows = [], []
+    for d in _V21_DEPTHS:
+        depth_blocks.append(
+            f"""rr{d} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT s.q_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.q_id
+                 ORDER BY round({dot} / (q.nrm * c.nrm), 6) DESC, s.vec_id) AS rk
+        FROM {scored} s
+        JOIN ve q ON q.vec_id = s.q_id
+        JOIN ve c ON c.vec_id = s.vec_id
+        WHERE s.rank <= {d}) WHERE rk <= {_V21_K})"""
+        )
+        depth_blocks.append(
+            f"fd{d} AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf "
+            f"JOIN rr{d} r ON bf.q_id = r.q_id AND bf.vec_id = r.vec_id)"
+        )
+        rows.append(
+            f"SELECT {d} AS depth, t.c AS n_truth, fd{d}.c AS n_found, "
+            f"CASE WHEN t.c = 0 THEN NULL "
+            f"ELSE CAST(fd{d}.c AS DOUBLE) / CAST(t.c AS DOUBLE) END AS recall "
+            f"FROM fd{d}, t"
+        )
+    nrm = _DOTD.format(a="vec", b="vec")
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT q_id, vec_id FROM ({ORACLES['v01_cosine_topk']})),\n"
+        "    t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf),\n"
+        "    ve AS MATERIALIZED (SELECT vec_id, vec, sqrt(" + nrm + ") AS nrm FROM ("
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "FROM embeddings)),\n    "
+        + ",\n    ".join([ctes] + depth_blocks)
+        + "\n    "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("v21_rerank_depth_curve", oracle=_v21_oracle())
+def v21_rerank_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ-ADC top-c + exact re-rank, per re-rank depth c
+    (10/40/160) at the lossy m=2 code size — the sizing curve for the
+    third knob of a deployed two-stage index (v17: nprobe, v18: m,
+    here: how many candidates the full-precision refinement must
+    touch).  The coarse candidate chain is built ONCE at the deepest
+    cutoff and sliced per depth (rank <= c), exactly like the oracle
+    slices one scored CTE — no per-depth re-quantization.  Ground truth
+    and candidates are localCheckpointed and reused (the v17/v18
+    discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    truth = (
+        similarity.brute_force_topk(emb, queries_df, k=_V21_K)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")).localCheckpoint()
+    cand = (
+        similarity.pq_topk(
+            emb, queries_df, k=max(_V21_DEPTHS), m=_V21_M, ksub=8
+        )
+        .select("q_id", "vec_id", "rank")
+        .localCheckpoint()
+    )
+    out = None
+    for d in _V21_DEPTHS:
+        rer = similarity.exact_rerank(
+            emb,
+            queries_df,
+            cand.filter(F.col("rank") <= d).select("q_id", "vec_id"),
+            k=_V21_K,
+        ).select("q_id", "vec_id")
+        nf = (
+            truth.join(rer, ["q_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+            .localCheckpoint()
+        )
+        row = nf.crossJoin(t).select(
+            F.lit(d).alias("depth"),
+            F.col("n_truth"),
+            F.col("n_found"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------- q92
+
+
+def _dpp_fact_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"dpp_orders_{tag}")
+
+
+@register(
+    "q92_partition_pruned_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+    GROUP BY 1
+    """,
+)
+def q92_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end: stage orders PARTITIONED BY
+    o_orderpriority (hive-style directory layout — the 100 TB fact-table
+    idiom), then join it to a dimension whose selective predicate
+    (urgency rank <= 2, a derived attribute) is only known at runtime.
+    Catalyst turns the broadcast dim into a dynamicpruning partition
+    filter on the fact scan, so 3 of the 5 partition directories are
+    never opened — the mechanism that makes date-partitioned petabyte
+    scans cost O(selected partitions).  The plan shape is pinned in
+    tests/test_plans.py::test_q92_fact_scan_is_dynamically_pruned; this
+    gate pins the VALUES through the partitioned write + pruned read."""
+    path = _dpp_fact_path(sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("urgency", F.substring("o_orderpriority", 1, 1).cast("int"))
+        .filter(F.col("urgency") <= 2)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q93
+
+
+@register(
+    "q93_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q93_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end to end (operators/bucketing.py): both
+    sides are written bucketBy(8, custkey) + sortBy into external catalog
+    tables — the write-once pre-shuffle that makes every subsequent
+    equi-join on the key shuffle-free — then joined (MERGE-hinted: at
+    test scale customer would broadcast, but the shape under test is the
+    100 TB fact-fact case) and aggregated.  The plan pin
+    (tests/test_plans.py::test_q93_join_has_no_key_exchange) asserts no
+    exchange on custkey exists; this gate pins the VALUES through the
+    bucketed write + catalog read + join, so a bucketing-layout bug
+    (wrong hash space, dropped rows at bucket boundaries) is caught by
+    hash, not just by plan shape."""
+    from ..operators import bucketing
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, rt = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    base = os.path.join(tempfile.gettempdir(), f"bkt_{tag}")
+    bucketing.write_bucketed(
+        load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        lt,
+        os.path.join(base, "orders"),
+        ["custkey"],
+        8,
+    )
+    bucketing.write_bucketed(
+        load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        rt,
+        os.path.join(base, "customer"),
+        ["custkey"],
+        8,
+    )
+    j = bucketing.bucketed_join(spark, lt, rt, ["custkey"], force_merge=True)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------- m15
+
+_M15_BUCKET = 16
+_M15_BATCH = 8
+_M15_SHARD_ROWS = 200
+
+
+@register(
+    "m15_collate_manifest",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, CAST(64 + doc_id % 32 AS BIGINT) AS len,
+             CAST(((64 + doc_id % 32) + {_M15_BUCKET - 1}) // {_M15_BUCKET}
+                  * {_M15_BUCKET} AS BIGINT) AS bucket_len,
+             CAST(doc_id // {_M15_SHARD_ROWS} AS BIGINT) AS shard
+      FROM documents),
+    b AS (
+      SELECT bucket_len, shard, len,
+             CAST((row_number() OVER (PARTITION BY bucket_len, shard
+               ORDER BY doc_id) - 1) // {_M15_BATCH} AS BIGINT) AS batch_id
+      FROM m)
+    SELECT bucket_len, shard, batch_id,
+           count(*) AS n_items, max(len) AS max_len, sum(len) AS sum_len,
+           1.0 - CAST(sum(len) AS DOUBLE) / (count(*) * bucket_len) AS pad_frac
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def m15_collate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPU-inference collate manifest over REAL media headers: WAV
+    payloads are synthesized per doc (closed-form sample counts, so the
+    oracle recomputes them independently), probe_media extracts the
+    data-chunk length from the RIFF header as whole-stage-codegen byte
+    expressions (never decoding audio), and collate_batches buckets by
+    padded length, fills deterministic fixed-size batches shard-locally,
+    and reports the padding-waste fraction per batch — the multimodal
+    sibling of the p04/p16 packing manifests.  A wrong header offset,
+    bucket rounding, or batch boundary hash-mismatches immediately."""
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.synth_media_payloads(docs, kind="wav")
+    probed = multimodal.probe_media(wavs)
+    return multimodal.collate_batches(
+        probed,
+        len_col="dim_a",
+        bucket=_M15_BUCKET,
+        batch_size=_M15_BATCH,
+        shard_rows=_M15_SHARD_ROWS,
+    )

@@ -2257,3 +2257,62 @@ def test_apportionment_sums_exactly(spark):
         assert sum(r["quota"] for r in out) == target
         for r in out:
             assert r["quota"] in (r["floor_quota"], r["floor_quota"] + 1)
+
+
+def test_exact_rerank_full_candidates_reproduce_brute_force(spark):
+    """The superset property the v21 gate relies on: re-ranking ALL
+    (query, corpus) pairs must reproduce brute_force_topk's rows exactly
+    (same round-6 cosine, same vec_id tie-break)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    truth = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    all_pairs = (
+        queries.select(F.col("vec_id").alias("q_id"))
+        .crossJoin(emb.select("vec_id"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    rer = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.exact_rerank(emb, queries, all_pairs, k=5).collect()
+    }
+    assert rer == truth
+
+
+def test_collate_batches_shapes(spark):
+    """Batch invariants: every batch holds <= batch_size items, items
+    never cross (bucket, shard) cells, lengths never exceed bucket_len,
+    pad_frac in [0, 1), and per-cell batch ids are dense from 0."""
+    from collections import defaultdict
+
+    from polars_readstat_rs_spark.operators import multimodal
+
+    rows = [(i, 64 + (i * 13) % 40) for i in range(123)]
+    media = spark.createDataFrame(rows, "doc_id long, dim_a int")
+    out = multimodal.collate_batches(
+        media, len_col="dim_a", bucket=16, batch_size=8, shard_rows=50
+    ).collect()
+    assert sum(r["n_items"] for r in out) == 123
+    cells = defaultdict(list)
+    for r in out:
+        assert 1 <= r["n_items"] <= 8
+        assert r["max_len"] <= r["bucket_len"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+        assert r["shard"] == min(r["shard"], 2)  # 123 ids / 50 -> shards 0..2
+        cells[(r["bucket_len"], r["shard"])].append(r)
+    for cell_rows in cells.values():
+        ids = sorted(r["batch_id"] for r in cell_rows)
+        assert ids == list(range(len(ids)))
+        # only the LAST batch of a cell may be ragged
+        for r in cell_rows:
+            if r["batch_id"] < len(ids) - 1:
+                assert r["n_items"] == 8

@@ -441,3 +441,66 @@ def test_v01_kernel_prunes_pair_stream(spark, sf_dir):
     plan = _plan(QUERIES["v01_cosine_topk"](spark, sf_dir))
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_q92_fact_scan_is_dynamically_pruned(spark, sf_dir):
+    """q92 pin: the partitioned fact scan must carry a dynamicpruning
+    partition filter fed by the broadcast dim (DPP — the mechanism that
+    reads O(selected partitions) of a partitioned 100 TB fact). A
+    regression to a full 5-partition scan keeps the values right, so
+    only this plan pin catches it."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    df = QUERIES["q92_partition_pruned_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\n]*)", plan)
+    assert m, plan
+    assert "dynamicpruning" in m.group(1), m.group(1)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_rerank_is_broadcast_only(spark, sf_dir):
+    """exact_rerank pin: both the candidate set and the query matrix
+    broadcast into the corpus scan — the only shuffle is the per-query
+    rank window. A plan that shuffles the corpus on vec_id would stop
+    scaling with corpus size."""
+    from polars_readstat_rs_spark.operators import similarity
+    from polars_readstat_rs_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    cand = similarity.pq_topk(emb, queries_df, k=40, m=2, ksub=8).select(
+        "q_id", "vec_id"
+    ).localCheckpoint()
+    plan = _plan(similarity.exact_rerank(emb, queries_df, cand, k=10))
+    assert plan.count("BroadcastHashJoin") == 2, plan.count("BroadcastHashJoin")
+    # one shuffle total: the rank window's partition on q_id
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_m15_collate_window_partitions_on_bucket_and_shard(spark, sf_dir):
+    """collate_batches pin: the batching window must partition on
+    (bucket_len, shard) — not bucket_len alone — so the per-bucket sort
+    parallelism scales with the shard count instead of funnelling the
+    corpus through ~n_buckets tasks."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["m15_collate_manifest"](spark, sf_dir))
+    m = re.search(r"hashpartitioning\(bucket_len[^\)]*\)", plan)
+    assert m, plan
+    assert "shard" in m.group(0), m.group(0)
+
+
+def test_q93_join_has_no_key_exchange(spark, sf_dir):
+    """q93 pin: the bucketed layout must satisfy both sides' hash
+    distribution — the SortMergeJoin runs with NO exchange on custkey
+    (the only shuffle left is the tiny mktsegment agg). An exchange on
+    custkey means the write-time pre-shuffle stopped being recognized
+    and every downstream join pays the full fact shuffle again."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q93_bucketed_colocated_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(custkey" not in plan, plan
