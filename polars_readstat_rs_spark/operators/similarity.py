@@ -1060,31 +1060,20 @@ def semantic_dedup(
     return _track(out, assigned, comps)
 
 
-def pq_topk(
+def _pq_codes_and_luts(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    m: int = 4,
-    ksub: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ADC search: split the vector into ``m``
-    subspaces, k-means each (the deterministic Lloyd of kmeans_cells),
-    encode every corpus vector as m small codes, and score queries by
-    ASYMMETRIC DISTANCE COMPUTATION — a per-(query, subspace, code)
-    lookup table of partial dot products, summed across subspaces in a
-    fixed order. Returns (q_id, vec_id, approx_dot, rank<=k).
-
-    This is the memory-compressed ANN path for corpora whose raw
-    vectors don't fit the cluster: codes are m bytes/vector (vs 4*dim),
-    and scoring never touches the original embeddings — only the m
-    broadcast-sized LUT joins. All per-subspace folds are left-to-right
-    (engine-exact), the cross-subspace sum has an explicit association,
-    and code assignment inherits kmeans_cells' tie-breaking, so a SQL
-    oracle reproduces every ranked double bitwise.
-    """
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared PQ machinery for :func:`pq_topk` and :func:`ivf_pq_topk`:
+    per-subspace deterministic k-means codebooks, corpus codes (one
+    small int per subspace) and per-(query, subspace, code) partial-dot
+    lookup tables. Returns (codes, luts): codes has vec_id + k0..k{m-1};
+    luts[j] has (q_id, kj, partj)."""
     head = corpus.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError("pq_topk: corpus is empty or its first vector is NULL")
@@ -1116,6 +1105,35 @@ def pq_topk(
                 ).alias(f"part{j}"),
             )
         )
+    return codes, luts
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC search: split the vector into ``m``
+    subspaces, k-means each (the deterministic Lloyd of kmeans_cells),
+    encode every corpus vector as m small codes, and score queries by
+    ASYMMETRIC DISTANCE COMPUTATION — a per-(query, subspace, code)
+    lookup table of partial dot products, summed across subspaces in a
+    fixed order. Returns (q_id, vec_id, approx_dot, rank<=k).
+
+    This is the memory-compressed ANN path for corpora whose raw
+    vectors don't fit the cluster: codes are m bytes/vector (vs 4*dim),
+    and scoring never touches the original embeddings — only the m
+    broadcast-sized LUT joins. All per-subspace folds are left-to-right
+    (engine-exact), the cross-subspace sum has an explicit association,
+    and code assignment inherits kmeans_cells' tie-breaking, so a SQL
+    oracle reproduces every ranked double bitwise.
+    """
+    codes, luts = _pq_codes_and_luts(corpus, queries, m, ksub, iters, id_col, vec_col)
     scored = codes.join(F.broadcast(luts[0]), "k0")
     for j in range(1, m):
         scored = scored.join(F.broadcast(luts[j]), ["q_id", f"k{j}"])
@@ -1131,6 +1149,76 @@ def pq_topk(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    depth: int = 40,
+    nprobe: int = 2,
+    ncells: int = 8,
+    iters: int = 2,
+    m: int = 2,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed production index — IVF coarse probe + PQ ADC scan +
+    exact re-rank, each stage the already-gated operator:
+
+    1. k-means cells over the FULL vectors (kmeans_cells, the v04
+       machinery); each query probes its ``nprobe`` nearest centroids,
+       restricting the scan to ~nprobe/ncells of the corpus;
+    2. PQ ADC scores ONLY the probed rows (global subspace codebooks —
+       the IVFFlat+PQ variant, not per-cell residual books; codes are m
+       small ints per vector, scoring is m broadcast LUT joins) down to
+       the top-``depth`` candidates per query;
+    3. exact_rerank refines those candidates with full-precision
+       cosine to the final top-k.
+
+    100 TB shape: stage 1's centroid model and stage 2's LUTs are
+    broadcast-sized at any corpus scale; the only corpus-wide work is
+    the code scan of the probed cells; stage 3 touches raw vectors for
+    depth rows per query.  Every stage is deterministic (seeded k-means,
+    fold-order ADC sums, vec_id tie-breaks), so a SQL oracle reproduces
+    the whole pipeline bitwise."""
+    assigned, cents = kmeans_cells(corpus, id_col, vec_col, ncells=ncells, iters=iters)
+    assigned = assigned.persist()
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    w_q = W.partitionBy("q_id").orderBy(F.asc("pd"), F.asc("cell"))
+    probed = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("pd", _sqdist_expr("q_vec", "centroid"))
+        .withColumn("prank", F.row_number().over(w_q))
+        .filter(F.col("prank") <= nprobe)
+        .select("q_id", F.col("cell").alias("_ivf_cell"))
+    )
+    codes, luts = _pq_codes_and_luts(corpus, queries, m, ksub, iters, id_col, vec_col)
+    restricted = codes.join(
+        assigned.select("vec_id", F.col("cell").alias("_ivf_cell")), "vec_id"
+    ).join(F.broadcast(probed), "_ivf_cell")
+    scored = restricted.join(F.broadcast(luts[0]), ["q_id", "k0"])
+    for j in range(1, m):
+        scored = scored.join(F.broadcast(luts[j]), ["q_id", f"k{j}"])
+    approx = F.col("part0")
+    for j in range(1, m):
+        approx = approx + F.col(f"part{j}")
+    cand = (
+        scored.select("q_id", "vec_id", approx.alias("approx_dot"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "vec_id")
+    cand = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .select("q_id", "vec_id")
+    )
+    out = exact_rerank(corpus, queries, cand, k=k, id_col=id_col, vec_col=vec_col)
+    return _track(out, assigned)
 
 
 def exact_rerank(

@@ -227,6 +227,7 @@ _R11_NEW = (
     "q92_partition_pruned_join",
     "m15_collate_manifest",
     "q93_bucketed_colocated_join",
+    "v22_ivf_pq_rerank_recall",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

@@ -317,13 +317,20 @@ _V18_K = 10
 
 
 def _v18_pq_ctes(
-    m: int, k: int = _V18_K, tag: str | None = None, keep_rank: bool = False
+    m: int,
+    k: int = _V18_K,
+    tag: str | None = None,
+    keep_rank: bool = False,
+    restrict_joins: str = "",
 ) -> tuple[str, str]:
     """Per-m PQ ADC candidate CTEs (the llm4 v07 oracle chain with a
     tag suffix): returns (ctes_sql, scored_cte_name). ``k`` is the ADC
     rank cutoff; ``keep_rank`` keeps the coarse rank column so a caller
     (v21's re-rank depth curve) can slice the SAME candidate chain at
-    several depths without rebuilding the PQ CTEs per depth."""
+    several depths without rebuilding the PQ CTEs per depth;
+    ``restrict_joins`` appends extra JOIN clauses to the scoring FROM
+    (v22's IVF probed-cell restriction) — they may reference a0
+    (corpus codes, a0.vec_id) and l0 (query LUT, l0.q_id)."""
     from .llm import _DOTD
     from .llm4 import _assign, _update
 
@@ -366,7 +373,7 @@ def _v18_pq_ctes(
                CAST(row_number() OVER (PARTITION BY l0.q_id
                  ORDER BY {parts} DESC, a0.vec_id) AS INT) AS rank
         FROM af_{t}_0 a0 {code_joins}
-        JOIN lut_{t}_0 l0 ON l0.cell = a0.cell {lut_joins}
+        JOIN lut_{t}_0 l0 ON l0.cell = a0.cell {lut_joins} {restrict_joins}
         WHERE a0.vec_id <> l0.q_id) WHERE rank <= {k})"""
     )
     return ",\n    ".join(ctes), f"scored_{t}"

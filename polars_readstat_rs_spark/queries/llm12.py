@@ -198,6 +198,117 @@ def q92_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- v22
+
+_V22_NPROBE = 2
+_V22_DEPTH = 40
+_V22_M = 2
+_V22_NCELLS = 8
+
+
+def _v22_oracle() -> str:
+    from .llm import _DOTD, _SQD, _km_assign, _km_update
+    from .llm10 import _v18_pq_ctes
+
+    restrict = (
+        "JOIN ivaf ca ON ca.vec_id = a0.vec_id "
+        "JOIN pr pb ON pb.q_id = l0.q_id AND pb.cell = ca.cell"
+    )
+    pq_ctes, scored = _v18_pq_ctes(
+        _V22_M, k=_V22_DEPTH, tag="ip", restrict_joins=restrict
+    )
+    sqd = _SQD.format(a="q.vec", b="c.centroid")
+    dot = _DOTD.format(a="q.vec", b="c.vec")
+    nrm = _DOTD.format(a="vec", b="vec")
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    ivc0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_V22_NCELLS})),
+    iva1 AS ({_km_assign('ivc0')}),
+    ivc1 AS ({_km_update('iva1')}),
+    iva2 AS ({_km_assign('ivc1')}),
+    ivc2 AS ({_km_update('iva2')}),
+    ivaf AS MATERIALIZED ({_km_assign('ivc2')}),
+    qq AS (SELECT vec_id AS q_id, vec FROM v WHERE vec_id < 5),
+    pr AS MATERIALIZED (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {sqd} ASC, c.cell ASC) AS prank
+        FROM qq q CROSS JOIN ivc2 c) WHERE prank <= {_V22_NPROBE}),
+    {pq_ctes},
+    ve AS MATERIALIZED (SELECT vec_id, vec, sqrt({nrm}) AS nrm FROM v),
+    rr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT s.q_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.q_id
+                 ORDER BY round({dot} / (q.nrm * c.nrm), 6) DESC, s.vec_id) AS rk
+        FROM {scored} s
+        JOIN ve q ON q.vec_id = s.q_id
+        JOIN ve c ON c.vec_id = s.vec_id) WHERE rk <= 10),
+    bf AS MATERIALIZED (SELECT q_id, vec_id FROM ({ORACLES['v01_cosine_topk']})),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf),
+    fd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf
+           JOIN rr r ON bf.q_id = r.q_id AND bf.vec_id = r.vec_id)
+    SELECT {_V22_NPROBE} AS nprobe, {_V22_DEPTH} AS depth,
+           t.c AS n_truth, fd.c AS n_found,
+           CASE WHEN t.c = 0 THEN NULL
+           ELSE CAST(fd.c AS DOUBLE) / CAST(t.c AS DOUBLE) END AS recall
+    FROM fd, t
+    """
+
+
+@register("v22_ivf_pq_rerank_recall", oracle=_v22_oracle())
+def v22_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production index, end to end (operators/similarity.py:
+    ivf_pq_topk): IVF coarse probe (nprobe=2 of 8 learned cells) restricts
+    the corpus, PQ ADC (m=2 codes, the lossy regime) scores only probed
+    rows to top-40 candidates, exact cosine re-ranks to top-10 — recall
+    measured against the brute-force truth.  v04/v17 gate the IVF stage,
+    v07/v18 the PQ stage, v21 the re-rank stage; this gate pins their
+    COMPOSITION (the stage boundaries: probed-cell restriction feeding
+    the code scan feeding the refinement), so a drift in any interface —
+    cell ids, code spaces, candidate cutoffs — hash-mismatches even when
+    each stage is individually correct."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    truth = (
+        similarity.brute_force_topk(emb, queries_df, k=10)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")).localCheckpoint()
+    approx = similarity.ivf_pq_topk(
+        emb,
+        queries_df,
+        k=10,
+        depth=_V22_DEPTH,
+        nprobe=_V22_NPROBE,
+        ncells=_V22_NCELLS,
+        m=_V22_M,
+        ksub=8,
+    ).select("q_id", "vec_id")
+    nf = (
+        truth.join(approx, ["q_id", "vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        .localCheckpoint()
+    )
+    return nf.crossJoin(t).select(
+        F.lit(_V22_NPROBE).alias("nprobe"),
+        F.lit(_V22_DEPTH).alias("depth"),
+        F.col("n_truth"),
+        F.col("n_found"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------- q93
 
 

@@ -2316,3 +2316,30 @@ def test_collate_batches_shapes(spark):
         for r in cell_rows:
             if r["batch_id"] < len(ids) - 1:
                 assert r["n_items"] == 8
+
+
+def test_ivf_pq_topk_full_probe_full_depth_is_brute_force(spark):
+    """Degeneracy pin for the composed index: probing EVERY cell at a
+    re-rank depth covering the whole corpus must reproduce
+    brute_force_topk exactly — the approximation comes only from the
+    probe/depth knobs, never from the stage plumbing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    truth = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.ivf_pq_topk(
+            emb, queries, k=5, depth=40, nprobe=4, ncells=4, m=2, ksub=4
+        ).collect()
+    }
+    assert got == truth
