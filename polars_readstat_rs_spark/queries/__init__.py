@@ -228,6 +228,7 @@ _R11_NEW = (
     "m15_collate_manifest",
     "q93_bucketed_colocated_join",
     "v22_ivf_pq_rerank_recall",
+    "s13_stream_media_probe",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

@@ -361,6 +361,55 @@ def q93_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- s13
+
+
+@register(
+    "s13_stream_media_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END
+             AS detected_kind,
+           CASE doc_id % 3 WHEN 0 THEN CAST(64 + doc_id % 32 AS INT)
+                ELSE CAST(8 AS INT) END AS dim_a,
+           CASE doc_id % 3 WHEN 0 THEN CAST(8000 AS INT)
+                ELSE CAST(6 AS INT) END AS dim_b
+    FROM documents
+    """,
+)
+def s13_stream_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m14's decode-free media triage in its INGEST shape: documents
+    arrive as a file-source stream, each micro-batch synthesizes its
+    payloads (the mapInPandas encoder stands in for the crawler's fetch)
+    and probes format + header dimensions with the same pure
+    whole-stage-codegen byte expressions — completely STATELESS (no
+    watermark, no state store), which is the point: triage belongs
+    before any stateful operator in a streaming ingest, so misrouted or
+    corrupt media never enters windows or dedup state.  Append mode,
+    drained rows hash-match m14's closed-form batch oracle."""
+    from ..operators import multimodal as mm
+    from ..streaming.windows import docs_stream
+
+    stream = docs_stream(spark, sf_dir)
+    parts = None
+    for m, kind in ((0, "wav"), (1, "bmp"), (2, "png")):
+        p = mm.synth_media_payloads(stream.filter(F.col("doc_id") % 3 == m), kind=kind)
+        parts = p if parts is None else parts.unionByName(p)
+    probed = mm.probe_media(parts).select("doc_id", "detected_kind", "dim_a", "dim_b")
+    name = "s13_media_probe"
+    q = (
+        probed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------- m15
 
 _M15_BUCKET = 16
