@@ -729,8 +729,12 @@ def collate_batches(
         (F.floor((F.col("_len") + F.lit(bucket - 1)) / F.lit(bucket)) * bucket).cast(
             "long"
         ),
-    ).withColumn("shard", (F.col("_id") - F.pmod(F.col("_id"), F.lit(shard_rows))) / F.lit(shard_rows))
-    b = b.withColumn("shard", F.col("shard").cast("long"))
+    ).withColumn(
+        # integer floor-division (`div`), exact for every long id — the
+        # oracle's doc_id // shard_rows
+        "shard",
+        F.expr(f"_id div {int(shard_rows)}"),
+    )
     w = W.partitionBy("bucket_len", "shard").orderBy("_id")
     b = b.withColumn(
         "batch_id",

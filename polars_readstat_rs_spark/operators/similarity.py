@@ -1134,7 +1134,19 @@ def pq_topk(
     oracle reproduces every ranked double bitwise.
     """
     codes, luts = _pq_codes_and_luts(corpus, queries, m, ksub, iters, id_col, vec_col)
-    scored = codes.join(F.broadcast(luts[0]), "k0")
+    return _adc_rank(codes, luts, m, k)
+
+
+def _adc_rank(base: DataFrame, luts: list[DataFrame], m: int, k: int) -> DataFrame:
+    """Shared ADC scoring/ranking tail of :func:`pq_topk` and
+    :func:`ivf_pq_topk`: join the m broadcast LUTs onto ``base`` (corpus
+    codes, optionally pre-restricted to per-query rows — when ``base``
+    already carries q_id the first LUT join keys on it too), sum the
+    partial dots left-to-right, drop self pairs, and rank per query with
+    the vec_id tie-break. One place owns the fold order and tie-break,
+    so the two gated operators cannot drift apart."""
+    keys0 = ["q_id", "k0"] if "q_id" in base.columns else ["k0"]
+    scored = base.join(F.broadcast(luts[0]), keys0)
     for j in range(1, m):
         scored = scored.join(F.broadcast(luts[j]), ["q_id", f"k{j}"])
     approx = F.col("part0")
@@ -1201,22 +1213,7 @@ def ivf_pq_topk(
     restricted = codes.join(
         assigned.select("vec_id", F.col("cell").alias("_ivf_cell")), "vec_id"
     ).join(F.broadcast(probed), "_ivf_cell")
-    scored = restricted.join(F.broadcast(luts[0]), ["q_id", "k0"])
-    for j in range(1, m):
-        scored = scored.join(F.broadcast(luts[j]), ["q_id", f"k{j}"])
-    approx = F.col("part0")
-    for j in range(1, m):
-        approx = approx + F.col(f"part{j}")
-    cand = (
-        scored.select("q_id", "vec_id", approx.alias("approx_dot"))
-        .filter(F.col("vec_id") != F.col("q_id"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "vec_id")
-    cand = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= depth)
-        .select("q_id", "vec_id")
-    )
+    cand = _adc_rank(restricted, luts, m, depth).select("q_id", "vec_id")
     out = exact_rerank(corpus, queries, cand, k=k, id_col=id_col, vec_col=vec_col)
     return _track(out, assigned)
 
@@ -1259,12 +1256,16 @@ def exact_rerank(
     scored = (
         cv.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qv), "q_id")
+        .withColumn("_cn", F.sqrt(dot_expr("_cv", "_cv")))
+        # zero-norm guard (brute_force_topk parity): cosine is undefined
+        # there and a 0/0 NaN would sort FIRST under desc on both
+        # engines; the oracles carry the same nrm > 0 predicate
+        .filter((F.col("_qn") > 0) & (F.col("_cn") > 0))
         .select(
             "q_id",
             "vec_id",
             F.round(
-                dot_expr("_qv", "_cv")
-                / (F.col("_qn") * F.sqrt(dot_expr("_cv", "_cv"))),
+                dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
                 6,
             ).alias("sim"),
         )

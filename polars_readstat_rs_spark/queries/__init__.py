@@ -235,10 +235,13 @@ _R11_NEW = (
 # derived-semi-filter pruning rewrite, the d19/d20/v18 zero-truth recall
 # guards (oracle AND query sides), the m14 signed-BMP-dims probe fix,
 # the batched bpe_train scheduler (t16/t17 run through it), the Stata
-# writer's early strL routing (every .dta write gate), and the
-# minhash_lsh_pairs (b, r) >= 1 validation (d03's operator) — inside
-# the recorded window so CORRECTNESS_r11 re-proves exactly what changed.
+# writer's early strL routing (every .dta write gate), the
+# minhash_lsh_pairs (b, r) >= 1 validation (d03's operator), and the
+# second wave's pq_topk refactor through _pq_codes_and_luts (v07) —
+# inside the recorded window so CORRECTNESS_r11 re-proves exactly what
+# changed.
 _R11_TOUCHED = (
+    "v07_pq_topk",
     "q05_nation_revenue",
     "d19_band_width_recall",
     "d20_lsh_band_curve",
@@ -280,9 +283,10 @@ _RISKY_TAIL: tuple[str, ...] = ()
 # dedup'd order-preserving (r9's touched set overlaps r7's head).
 # Round-11 rotation (r10 verdict item 7): all 225 r10-registry queries
 # are ever-driver-green, so the head leads with what r11 CHANGED — the
-# 3 new gates, then the 13 materially-touched re-proof queries — and
-# the prior rotation fills the remaining recorded slots. _PRIOR is
-# dedup'd order-preserving across every earlier head.
+# 9 new gates (3 first-wave + 6 second-wave), then the 14
+# materially-touched re-proof queries — and the prior rotation fills
+# the remaining recorded slots. _PRIOR is dedup'd order-preserving
+# across every earlier head.
 _PRIOR = tuple(
     dict.fromkeys(
         _R10_NEW + _R10_TOUCHED + _R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD

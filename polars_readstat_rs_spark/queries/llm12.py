@@ -69,7 +69,7 @@ def _v21_oracle() -> str:
         FROM {scored} s
         JOIN ve q ON q.vec_id = s.q_id
         JOIN ve c ON c.vec_id = s.vec_id
-        WHERE s.rank <= {d}) WHERE rk <= {_V21_K})"""
+        WHERE s.rank <= {d} AND q.nrm > 0 AND c.nrm > 0) WHERE rk <= {_V21_K})"""
         )
         depth_blocks.append(
             f"fd{d} AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf "
@@ -249,7 +249,8 @@ def _v22_oracle() -> str:
                  ORDER BY round({dot} / (q.nrm * c.nrm), 6) DESC, s.vec_id) AS rk
         FROM {scored} s
         JOIN ve q ON q.vec_id = s.q_id
-        JOIN ve c ON c.vec_id = s.vec_id) WHERE rk <= 10),
+        JOIN ve c ON c.vec_id = s.vec_id
+        WHERE q.nrm > 0 AND c.nrm > 0) WHERE rk <= 10),
     bf AS MATERIALIZED (SELECT q_id, vec_id FROM ({ORACLES['v01_cosine_topk']})),
     t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf),
     fd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bf
@@ -387,15 +388,18 @@ def s13_stream_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any stateful operator in a streaming ingest, so misrouted or
     corrupt media never enters windows or dedup state.  Append mode,
     drained rows hash-match m14's closed-form batch oracle."""
-    from ..operators import multimodal as mm
     from ..streaming.windows import docs_stream
 
     stream = docs_stream(spark, sf_dir)
     parts = None
     for m, kind in ((0, "wav"), (1, "bmp"), (2, "png")):
-        p = mm.synth_media_payloads(stream.filter(F.col("doc_id") % 3 == m), kind=kind)
+        p = multimodal.synth_media_payloads(
+            stream.filter(F.col("doc_id") % 3 == m), kind=kind
+        )
         parts = p if parts is None else parts.unionByName(p)
-    probed = mm.probe_media(parts).select("doc_id", "detected_kind", "dim_a", "dim_b")
+    probed = multimodal.probe_media(parts).select(
+        "doc_id", "detected_kind", "dim_a", "dim_b"
+    )
     name = "s13_media_probe"
     q = (
         probed.writeStream.outputMode("append")
@@ -432,7 +436,8 @@ _M15_SHARD_ROWS = 200
                ORDER BY doc_id) - 1) // {_M15_BATCH} AS BIGINT) AS batch_id
       FROM m)
     SELECT bucket_len, shard, batch_id,
-           count(*) AS n_items, max(len) AS max_len, sum(len) AS sum_len,
+           count(*) AS n_items, max(len) AS max_len,
+           CAST(sum(len) AS BIGINT) AS sum_len,
            1.0 - CAST(sum(len) AS DOUBLE) / (count(*) * bucket_len) AS pad_frac
     FROM b GROUP BY 1, 2, 3
     """,
