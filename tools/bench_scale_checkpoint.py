@@ -134,11 +134,14 @@ def main() -> None:
     # sf10, measured r10). It's the call a cluster's AQE would make
     # per-join from runtime sizes. Env vars still override.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "96")
-    # r11 knob matrix (KNOB_MATRIX_SF10_r11.jsonl): 64m splits beat the
-    # sf0.1-tuned 16m default by ~15% on the scan-bound aggregates at
-    # sf10 (q01 1.747 vs 2.064 s — fewer task setups on the 1.8 GB
-    # scan); at sf1 the 16-file staging makes splits moot either way.
-    os.environ.setdefault("SPARK_GRAFT_MAXPART", "64m")
+    # NOTE on splits: the r11 knob matrix (KNOB_MATRIX_SF10_r11.jsonl)
+    # measured SPARK_GRAFT_MAXPART=64m ~15% faster than the 16m default
+    # on the sf10 scan-bound aggregates (q01 1.747 vs 2.064 s) in a
+    # controlled same-session A/B. It stays OPT-IN here: a continuation
+    # attempt to re-record the weak set under 64m hit sustained host
+    # load waves (min-of-3 walls swung 2-6x in BOTH engines across BOTH
+    # profiles — q01 9.25 s at 16m, DuckDB q05 17.9 s), so no clean
+    # artifact validates flipping the recorded default.
 
     from polars_readstat_rs_spark.operators.dedup import release_cached
     from polars_readstat_rs_spark.queries import ORACLES, QUERIES
