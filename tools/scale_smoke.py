@@ -105,6 +105,7 @@ def main() -> None:
         fuzzy,
         graph,
         merge,
+        multimodal,
         sampling,
         similarity,
         textstats,
@@ -391,6 +392,29 @@ def main() -> None:
             ),
             "embedding_moments": lambda: similarity.embedding_moments(emb),
             "pca_whiten": lambda: similarity.pca_whiten(emb, k=8)[0],
+            # r11 continuation: the composed index (ncells grows with
+            # the corpus so probed-cell population stays ~constant — the
+            # IVF scaling contract; LUTs/centroids stay broadcast-sized)
+            # and the collate manifest (constant shard_rows -> shard
+            # count grows linearly, per-shard sort stays constant)
+            "ivf_pq_rerank": lambda: similarity.ivf_pq_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 5),
+                k=10,
+                depth=40,
+                nprobe=2,
+                ncells=max(8, n // 600),
+                m=2,
+                ksub=8,
+            ),
+            "collate_batches": lambda: multimodal.collate_batches(
+                docs.select(
+                    "doc_id",
+                    (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(32)))
+                    .cast("int")
+                    .alias("dim_a"),
+                ),
+            ),
         }
         for name, mk in ops.items():
             if only and name not in only:
