@@ -229,6 +229,7 @@ _R11_NEW = (
     "q93_bucketed_colocated_join",
     "v22_ivf_pq_rerank_recall",
     "s13_stream_media_probe",
+    "r25_union_by_name_read",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

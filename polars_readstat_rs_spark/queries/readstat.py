@@ -984,3 +984,57 @@ def r23_multifile_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# r25 — union_by_name directory READ over an evolving-schema corpus.
+_UNION_MID = 2500  # wave boundary: wave2 adds the l_suppkey column
+
+@register(
+    "r25_union_by_name_read",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      count(CASE WHEN l_orderkey >= {_UNION_MID} THEN l_suppkey END) AS n_with_supp,
+      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r25_union_by_name_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survey-wave evolving-schema shape, value-gated end to end
+    (datasource.py `_union_schema` — the READ side of what r23 gates as
+    a sink): wave 1 is written WITHOUT l_suppkey, wave 2 WITH it, and
+    `option("union_by_name","true")` reads the directory as the by-name
+    union with null-fill — so the aggregate's count(l_suppkey) counts
+    exactly the wave-2 rows. A null-fill bug, a wave mis-assignment, or
+    a dropped row at the schema merge breaks the hash against DuckDB
+    aggregating the source parquet directly."""
+    from ..api import _ensure_registered, write_dta
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"readstat_union_{tag}")
+    os.makedirs(d, exist_ok=True)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < _FILTER_KEY)
+    w1 = li.filter(F.col("l_orderkey") < _UNION_MID).select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        "l_quantity",
+        "l_returnflag",
+    )
+    w2 = li.filter(F.col("l_orderkey") >= _UNION_MID).select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_suppkey").cast("int").alias("l_suppkey"),
+    )
+    write_dta(w1, os.path.join(d, "wave1.dta"))
+    write_dta(w2, os.path.join(d, "wave2.dta"))
+    _ensure_registered(spark)
+    df = spark.read.format("readstat").option("union_by_name", "true").load(d)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.count("l_suppkey").alias("n_with_supp"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+    )
