@@ -230,6 +230,7 @@ _R11_NEW = (
     "v22_ivf_pq_rerank_recall",
     "s13_stream_media_probe",
     "r25_union_by_name_read",
+    "r26_sql_ddl_view",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

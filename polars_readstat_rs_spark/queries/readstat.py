@@ -1038,3 +1038,46 @@ def r25_union_by_name_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").cast("long").alias("min_key"),
         F.max("l_orderkey").cast("long").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# r26 — the pure-SQL DDL surface: CREATE TEMPORARY VIEW ... USING readstat,
+# then plain spark.sql over the view (no DataFrame API in the query path).
+@register(
+    "r26_sql_ddl_view",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(CASE WHEN l_quantity > 30 THEN l_quantity END
+               AS DECIMAL(12,2))) AS DOUBLE) AS heavy_qty,
+      count(DISTINCT l_linenumber) AS n_lines
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r26_sql_ddl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-only user's path, value-gated end to end: a .dta file
+    exposed with `CREATE OR REPLACE TEMPORARY VIEW ... USING readstat
+    OPTIONS (path ...)` and aggregated with plain spark.sql — no
+    DataFrame API anywhere in the query. This is how a BI tool or a
+    notebook user with only a SQL cell consumes the format layer; the
+    DDL registration, the options round-trip through the catalog, and
+    Catalyst planning over the Python DataSource all sit on the gated
+    path (pytest covers the DDL mechanics; this pins the VALUES)."""
+    from ..api import _ensure_registered
+
+    path = _roundtrip_path(spark, sf_dir)
+    _ensure_registered(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    view = f"r26_lineitem_{tag}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING readstat OPTIONS (path '{path}')"
+    )
+    return spark.sql(f"""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(CASE WHEN l_quantity > 30 THEN l_quantity END
+                   AS DECIMAL(12,2))) AS DOUBLE) AS heavy_qty,
+          count(DISTINCT l_linenumber) AS n_lines
+        FROM {view} GROUP BY l_returnflag
+    """)
