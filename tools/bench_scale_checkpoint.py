@@ -164,8 +164,27 @@ def main() -> None:
 
     staged = stage(sf_dir, n_files)
 
+    # Warm the page cache over every staged parquet before any timing
+    # (SCALE_BENCH_WARM_CACHE=0 to skip). Root cause from the r11
+    # continuation: a re-record attempt read the 1.8 GB sf10 lineitem
+    # COLD at ~115 MB/s every run (q01 9-16 s vs the artifact's 2.1 s)
+    # because the staged files had been evicted — while the small q24
+    # table stayed cached and matched. Warm-cache is the recorded
+    # condition of every BENCH_SF10 artifact, so make it explicit and
+    # note it in the artifact instead of inheriting whatever the last
+    # job left in the cache.
+    warm = os.environ.get("SCALE_BENCH_WARM_CACHE", "1") == "1"
+    if warm:
+        for root, _dirs, files in os.walk(staged):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(root, fn), "rb") as fh:
+                        while fh.read(1 << 24):
+                            pass
+
     state: dict = {
         "metric": "scale_checkpoint",
+        "page_cache_warmed": warm,
         "sf_dir": sf_dir,
         "n_files": n_files,
         # record the profile: at sf>=10 the sf0.1-tuned local default
