@@ -231,6 +231,7 @@ _R11_NEW = (
     "s13_stream_media_probe",
     "r25_union_by_name_read",
     "r26_sql_ddl_view",
+    "q94_fuzzy_dim_join",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

@@ -175,9 +175,11 @@ def q92_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans cost O(selected partitions).  The plan shape is pinned in
     tests/test_plans.py::test_q92_fact_scan_is_dynamically_pruned; this
     gate pins the VALUES through the partitioned write + pruned read."""
+    from ..operators import bucketing
+
     path = _dpp_fact_path(sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    bucketing.write_partitioned(orders, path, ["o_orderpriority"])
     fact = spark.read.parquet(path)
     dim = (
         orders.select("o_orderpriority")
@@ -360,6 +362,77 @@ def q93_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------- q94
+
+_Q94_MAXDIST = 2
+
+
+@register(
+    "q94_fuzzy_dim_join",
+    oracle=f"""
+    WITH dimb AS (
+      SELECT p_name AS dname, string_split(p_name, ' ')[1] AS blk
+      FROM (SELECT DISTINCT p_name FROM part)),
+    factb AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 4 = 0
+                  THEN substr(p_name, 1, length(p_name) - 1)
+                  ELSE p_name END AS fact_name
+      FROM part),
+    cand AS (
+      SELECT f.p_partkey, f.fact_name, d.dname,
+             CASE WHEN levenshtein(f.fact_name, d.dname) <= {_Q94_MAXDIST}
+                  THEN CAST(levenshtein(f.fact_name, d.dname) AS INT) END AS dist
+      FROM (SELECT p_partkey, fact_name,
+                   string_split(fact_name, ' ')[1] AS blk FROM factb) f
+      LEFT JOIN dimb d ON f.blk = d.blk),
+    best AS (
+      SELECT p_partkey, fact_name, dname, dist,
+             row_number() OVER (PARTITION BY p_partkey
+               ORDER BY dist ASC, dname ASC) AS rn
+      FROM cand)
+    SELECT p_partkey, fact_name,
+           CASE WHEN dist IS NOT NULL THEN dname END AS matched_name,
+           dist AS match_dist
+    FROM best WHERE rn = 1
+    """,
+)
+def q94_fuzzy_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join end to end (operators/fuzzy.py — q44 gates the PAIR
+    finder; this gates the best-match DIM JOIN wrapper a pipeline
+    actually calls): fact names carry a deterministic typo (last char
+    dropped on every 4th key), the dim side is the distinct clean
+    vocabulary, and each fact row keeps its single best
+    (lowest-distance, then lowest-name) match or null when nothing is
+    within distance. Blocks on the first name token (stable under the
+    suffix typo), dim deduped + broadcast, the only wide shuffle is the
+    per-fact best-match window on the fact's own unique key."""
+    from ..operators import fuzzy
+
+    part = load_table(spark, sf_dir, "part")
+    facts = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("fact_name"),
+    )
+    dim = part.select("p_name").distinct()
+    out = fuzzy.fuzzy_join(
+        facts,
+        dim,
+        fact_id="p_partkey",
+        fact_name="fact_name",
+        dim_name="p_name",
+        block_fact=F.element_at(F.split(F.col("fact_name"), " "), 1),
+        block_dim=F.element_at(F.split(F.col("p_name"), " "), 1),
+        max_dist=_Q94_MAXDIST,
+    )
+    return out.withColumn("match_dist", F.col("match_dist").cast("int"))
 
 
 # ---------------------------------------------------------------- s13
