@@ -232,6 +232,7 @@ _R11_NEW = (
     "r25_union_by_name_read",
     "r26_sql_ddl_view",
     "q94_fuzzy_dim_join",
+    "r27_format_chain",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

@@ -1081,3 +1081,58 @@ def r26_sql_ddl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
           count(DISTINCT l_linenumber) AS n_lines
         FROM {view} GROUP BY l_returnflag
     """)
+
+
+# --------------------------------------------------------------------------
+# r27 — cross-format conversion CHAIN: one table flows parquet -> .dta ->
+# .sav -> .sas7bdat -> .xpt, each hop through OUR writer then OUR reader,
+# and only then aggregates. Any value drift at ANY of the six format
+# boundaries (epochs, widths, trims, double packing — incl. the XPORT
+# IBM-360 float bit-math) breaks the hash against DuckDB on the source
+# parquet. The per-format roundtrip gates (r01/r04/r13/r15) isolate one
+# writer+reader pair; this pins the INTEROP a migration pipeline
+# (tools/convert.py) actually performs.
+_CHAIN_KEY = 2000
+
+@register(
+    "r27_format_chain",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem WHERE l_orderkey < {_CHAIN_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r27_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import write_sas7bdat, write_sav, write_xpt
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"readstat_chain_{tag}")
+    os.makedirs(base, exist_ok=True)
+    # XPORT v5 caps variable names at 8 chars, so the chain carries
+    # short names and the final aggregate aliases back to the oracle's
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < _CHAIN_KEY)
+        .select(
+            F.col("l_orderkey").cast("int").alias("okey"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("rflag"),
+        )
+    )
+    p_dta = os.path.join(base, "chain.dta")
+    p_sav = os.path.join(base, "chain.sav")
+    p_sas = os.path.join(base, "chain.sas7bdat")
+    p_xpt = os.path.join(base, "chain.xpt")
+    write_dta(li, p_dta)
+    write_sav(readstat_scan(spark, p_dta), p_sav)
+    write_sas7bdat(readstat_scan(spark, p_sav), p_sas)
+    write_xpt(readstat_scan(spark, p_sas), p_xpt)
+    df = readstat_scan(spark, p_xpt)
+    return df.groupBy(F.col("rflag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qty").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.min("okey").cast("long").alias("min_key"),
+        F.max("okey").cast("long").alias("max_key"),
+    )
