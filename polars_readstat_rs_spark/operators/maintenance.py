@@ -1,0 +1,103 @@
+"""Table-maintenance planners for very large partitioned tables.
+
+At 100 TB a table's health problem is rarely the data — it is the FILE
+LAYOUT: ingest leaves thousands of sub-target files per partition, and
+every downstream scan pays task-scheduling + footer overhead per file.
+The fix (what Delta's OPTIMIZE / Iceberg's rewrite_data_files do) is a
+periodic compaction pass, and the expensive part to get right at scale
+is the PLANNER: deciding which files to rewrite and how to group them,
+over a manifest of millions of file entries, without funnelling the
+manifest through the driver.
+
+``compaction_plan`` is that planner as a pure DataFrame computation:
+
+- one exchange on the partition key (manifests shard naturally by it;
+  planning is embarrassingly parallel across partitions),
+- a per-partition window for the size-descending first-fit bin packing
+  (bounded by files-per-partition, never by table size),
+- output is one row per compaction JOB — the tiny table an executor
+  fleet consumes — not per file.
+
+The reference engine has no table-maintenance surface (it is a file
+reader); this is part of the beyond-reference pipeline suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Plan small-file compaction jobs over a file manifest.
+
+    Deterministic semantics (so any engine reproduces the same plan):
+
+    - a partition is ELIGIBLE only if it holds >= 2 files smaller than
+      ``small_threshold`` (one small file alone cannot be compacted
+      into fewer files; files at or above the threshold pass through
+      untouched and never appear in the plan),
+    - within an eligible partition, candidate files are packed in
+      (size DESC, file_id ASC) order — first-fit over a running fill,
+      opening a new job each time the cumulative size crosses a
+      ``target_bytes`` boundary (the sorted-first-fit shape OPTIMIZE
+      uses: big candidates seed bins, small ones top them up),
+    - one output row per (partition, job_idx) with exact byte totals,
+      the expected output-file count ``ceil(input_bytes / target)``,
+      the net file-count reduction, and the ordered input manifest.
+
+    Shuffle budget: ONE exchange on the partition key serves the
+    eligibility aggregate, the packing window, and the job aggregate.
+    """
+    f = files.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).cast("long").alias("file_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    small = f.filter(F.col("size_bytes") < F.lit(int(small_threshold)))
+    eligible = (
+        small.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("_n_small"))
+        .filter(F.col("_n_small") >= 2)
+        .select("part")
+    )
+    # partition keys are a bounded set (even a 100 TB table has ~1e4-1e5
+    # partitions); broadcasting the eligibility filter keeps the
+    # candidate selection map-side.
+    cand = small.join(F.broadcast(eligible), "part")
+    w = W.partitionBy("part").orderBy(F.desc("size_bytes"), F.asc("file_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = cand.withColumn("_cum", F.sum("size_bytes").over(w)).withColumn(
+        "job_idx",
+        F.expr(f"(_cum - size_bytes) div {int(target_bytes)}").cast("int"),
+    )
+    manifest = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("size_bytes")).alias("_neg"),
+                        F.col("file_id").alias("f"),
+                    )
+                )
+            ),
+            lambda s: s["f"].cast("string"),
+        ),
+        ",",
+    )
+    est_out = F.ceil(F.sum("size_bytes") / F.lit(float(target_bytes))).cast("int")
+    return packed.groupBy("part", "job_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("input_bytes"),
+        est_out.alias("est_output_files"),
+        (F.count(F.lit(1)) - est_out).cast("int").alias("files_removed"),
+        manifest.alias("file_manifest"),
+    )

@@ -980,6 +980,53 @@ def kmeans_ivf_topk(
     return _track(out, assigned, q)
 
 
+def ivf_cell_stats(
+    assigned: DataFrame,
+    cell_col: str = "cell",
+    split_factor: float = 1.5,
+    merge_factor: float = 0.5,
+) -> DataFrame:
+    """Index-health report over an IVF assignment — the maintenance
+    signal a serving fleet watches to decide when to re-train or
+    re-shard cells. Per cell: population, corpus share, the global
+    imbalance factor (max cell / mean cell — probe latency is bounded
+    by the LARGEST probed cell, so imbalance is the tail-latency
+    multiplier), and split/merge triggers against the mean population.
+
+    Plan shape: one exchange on the cell key for the per-cell count;
+    the global (total, n_cells, max) roll-up is a one-row aggregate
+    broadcast back — O(ncells) state regardless of corpus size, so the
+    report costs one corpus scan at any scale.
+
+    Determinism: counts are exact; share/imbalance are single
+    correctly-rounded IEEE divisions; the trigger comparisons use the
+    same double mean both engines compute from the same integers.
+    """
+    cells = assigned.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    g = cells.agg(
+        F.sum("n_vecs").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+        F.max("n_vecs").cast("long").alias("_max_n"),
+    )
+    mean = F.col("_total").cast("double") / F.col("_ncells").cast("double")
+    return cells.crossJoin(F.broadcast(g)).select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs").cast("double") / F.col("_total").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(F.col("_max_n").cast("double") / mean, 6).alias("imbalance"),
+        (F.col("n_vecs").cast("double") > F.lit(float(split_factor)) * mean).alias(
+            "needs_split"
+        ),
+        (F.col("n_vecs").cast("double") < F.lit(float(merge_factor)) * mean).alias(
+            "needs_merge"
+        ),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -233,6 +233,10 @@ _R11_NEW = (
     "r26_sql_ddl_view",
     "q94_fuzzy_dim_join",
     "r27_format_chain",
+    # third wave: table-maintenance planner + IVF index-health gates,
+    # verified at sf0.001 AND sf0.01 AND sf0.1 before graduating
+    "p18_compaction_plan",
+    "v23_ivf_balance",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the q05

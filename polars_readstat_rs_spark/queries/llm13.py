@@ -1,0 +1,153 @@
+"""Round-11 third wave: table-maintenance and index-maintenance gates.
+
+p18 gates the small-file COMPACTION PLANNER
+(operators/maintenance.py:compaction_plan) — the OPTIMIZE-shaped pass
+a 100 TB partitioned table needs periodically.  The manifest is
+synthesized deterministically from the part table (a Knuth-hash pseudo
+size per file), so both engines plan over identical inputs; the plan
+itself — eligibility, size-descending first-fit bin packing, per-job
+byte totals and manifests — is the value under test.  A wrong pack
+order, boundary, or eligibility rule changes the manifest string and
+hash-mismatches immediately.
+
+v23 gates the IVF INDEX-HEALTH report
+(operators/similarity.py:ivf_cell_stats) over the PRODUCTION k-means
+assignment (the same deterministic two-Lloyd-iteration clustering v04
+gates, so the oracle reuses v04's CTE chain verbatim): per-cell
+population/share, the global imbalance factor (the probe tail-latency
+multiplier), and split/merge triggers.  v08 gates appending to an IVF
+index; this gates knowing WHEN the index needs rebuilding — together
+they close the index-maintenance loop.
+
+Determinism: counts and byte sums are exact integers; shares and
+imbalance are single correctly-rounded IEEE divisions with identical
+operand shapes on both engines; trigger comparisons use the same
+double mean both engines derive from the same integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import maintenance, similarity
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------- p18
+
+_P18_MULT = 2654435761  # Knuth multiplicative hash — spreads sizes uniformly
+_P18_MOD = 67108864  # 64 MiB size range
+_P18_SMALL = 16777216  # 16 MiB small-file threshold
+_P18_TARGET = 33554432  # 32 MiB compaction target
+
+
+@register(
+    "p18_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT p_brand AS part, CAST(p_partkey AS BIGINT) AS file_id,
+             CAST((p_partkey * {_P18_MULT}) % {_P18_MOD} + 1024 AS BIGINT) AS size_bytes
+      FROM part),
+    small AS (SELECT * FROM files WHERE size_bytes < {_P18_SMALL}),
+    eligible AS (SELECT part FROM small GROUP BY part HAVING count(*) >= 2),
+    cand AS (SELECT s.* FROM small s JOIN eligible e USING (part)),
+    packed AS (
+      SELECT part, file_id, size_bytes,
+             sum(size_bytes) OVER (PARTITION BY part
+               ORDER BY size_bytes DESC, file_id
+               ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM cand),
+    jobs AS (
+      SELECT part, file_id, size_bytes,
+             CAST((_cum - size_bytes) // {_P18_TARGET} AS INT) AS job_idx
+      FROM packed)
+    SELECT part, job_idx,
+           CAST(count(*) AS INT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS input_bytes,
+           CAST(ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) AS INT)
+             AS est_output_files,
+           CAST(count(*) - ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) AS INT)
+             AS files_removed,
+           string_agg(CAST(file_id AS VARCHAR), ',' ORDER BY size_bytes DESC, file_id)
+             AS file_manifest
+    FROM jobs GROUP BY part, job_idx
+    """,
+)
+def p18_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over a synthesized-but-shared
+    file manifest: partitions with >= 2 sub-16 MiB files get their small
+    files bin-packed (size DESC first-fit) into 32 MiB jobs; one row per
+    job with exact byte totals, the expected output-file count, the net
+    file reduction, and the ordered input manifest. One exchange on the
+    partition key serves eligibility, packing window, and job aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    files = part.select(
+        F.col("p_brand").alias("part"),
+        F.col("p_partkey").cast("long").alias("file_id"),
+        (
+            (F.col("p_partkey").cast("long") * F.lit(_P18_MULT)) % F.lit(_P18_MOD)
+            + F.lit(1024)
+        ).alias("size_bytes"),
+    )
+    return maintenance.compaction_plan(
+        files,
+        part_col="part",
+        file_col="file_id",
+        size_col="size_bytes",
+        target_bytes=_P18_TARGET,
+        small_threshold=_P18_SMALL,
+    )
+
+
+# ---------------------------------------------------------------- v23
+
+
+def _v23_oracle() -> str:
+    from .llm import _km_assign, _km_update
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    a1 AS ({_km_assign('c0')}),
+    c1 AS ({_km_update('a1')}),
+    a2 AS ({_km_assign('c1')}),
+    c2 AS ({_km_update('a2')}),
+    af AS ({_km_assign('c2')}),
+    cells AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM af GROUP BY cell),
+    g AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ncells,
+             CAST(max(n_vecs) AS BIGINT) AS max_n
+      FROM cells)
+    SELECT c.cell, c.n_vecs,
+           round(CAST(c.n_vecs AS DOUBLE) / CAST(g.total AS DOUBLE), 6) AS share,
+           round(CAST(g.max_n AS DOUBLE)
+                 / (CAST(g.total AS DOUBLE) / CAST(g.ncells AS DOUBLE)), 6) AS imbalance,
+           CAST(c.n_vecs AS DOUBLE)
+             > 1.5 * (CAST(g.total AS DOUBLE) / CAST(g.ncells AS DOUBLE)) AS needs_split,
+           CAST(c.n_vecs AS DOUBLE)
+             < 0.5 * (CAST(g.total AS DOUBLE) / CAST(g.ncells AS DOUBLE)) AS needs_merge
+    FROM cells c CROSS JOIN g
+    """
+
+
+@register("v23_ivf_balance", oracle=_v23_oracle())
+def v23_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report over the deterministic k-means
+    assignment v04 gates (same init, same two Lloyd iterations, same
+    fold order — the oracle nests v04's CTE chain): per-cell population
+    and corpus share, the global max/mean imbalance factor, and
+    split/merge triggers at 1.5x / 0.5x the mean cell population. The
+    roll-up is O(ncells) state broadcast back over the per-cell counts,
+    so the report costs one corpus scan at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cents = similarity.kmeans_cells(emb, ncells=8, iters=2)
+    return similarity.ivf_cell_stats(
+        assigned, cell_col="cell", split_factor=1.5, merge_factor=0.5
+    )

@@ -2343,3 +2343,61 @@ def test_ivf_pq_topk_full_probe_full_depth_is_brute_force(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_compaction_plan_invariants(spark):
+    """Planner invariants: files >= small_threshold never appear in the
+    plan; partitions with < 2 small files are skipped; every candidate
+    file appears in exactly one job's manifest; each job overshoots the
+    target by less than the size of one member (first-fit over a
+    running fill); manifests are size-DESC ordered; files_removed =
+    n_files - est_output_files."""
+    from polars_readstat_rs_spark.operators import maintenance
+
+    rows = [
+        # partition a: four small files + one big passthrough
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 50), ("a", 5, 500),
+        # partition b: a single small file -> ineligible
+        ("b", 6, 10),
+        # partition c: two small files that span a bin boundary
+        ("c", 7, 90), ("c", 8, 90),
+    ]
+    files = spark.createDataFrame(rows, "part string, file_id long, size_bytes long")
+    out = maintenance.compaction_plan(
+        files, target_bytes=100, small_threshold=100
+    ).collect()
+    by_part = {}
+    seen = []
+    for r in out:
+        assert r["input_bytes"] < 100 + 90  # target + largest candidate
+        assert r["files_removed"] == r["n_files"] - r["est_output_files"]
+        members = [int(x) for x in r["file_manifest"].split(",")]
+        assert len(members) == r["n_files"]
+        sizes = [s for (_, f, s) in [rows[m - 1] for m in members]]
+        assert sizes == sorted(sizes, reverse=True)
+        seen.extend(members)
+        by_part.setdefault(r["part"], []).append(r)
+    assert sorted(seen) == [1, 2, 3, 4, 7, 8]  # 5 passes through, 6 ineligible
+    assert set(by_part) == {"a", "c"}
+    # partition a packs 50+30+30 then wraps 10 into job 1
+    a_jobs = {r["job_idx"]: r for r in by_part["a"]}
+    assert a_jobs[0]["input_bytes"] == 110 and a_jobs[1]["input_bytes"] == 10
+    # partition c: 90 + 90 crosses the boundary only after the second file
+    c_jobs = {r["job_idx"]: r for r in by_part["c"]}
+    assert c_jobs[0]["input_bytes"] == 180 and c_jobs[0]["est_output_files"] == 2
+
+
+def test_ivf_cell_stats_exact(spark):
+    """Exact stats on a hand-computable assignment: populations 6/3/1,
+    mean 10/3, imbalance 6/(10/3) = 1.8, cell 0 splits (6 > 5.0),
+    cell 2 merges (1 < 5/3)."""
+    from polars_readstat_rs_spark.operators import similarity
+
+    rows = [(i, 0) for i in range(6)] + [(i, 1) for i in range(6, 9)] + [(9, 2)]
+    assigned = spark.createDataFrame(rows, "vec_id long, cell int")
+    out = {r["cell"]: r for r in similarity.ivf_cell_stats(assigned).collect()}
+    assert out[0]["n_vecs"] == 6 and out[1]["n_vecs"] == 3 and out[2]["n_vecs"] == 1
+    assert out[0]["share"] == 0.6 and out[2]["share"] == 0.1
+    assert all(r["imbalance"] == 1.8 for r in out.values())
+    assert [out[c]["needs_split"] for c in (0, 1, 2)] == [True, False, False]
+    assert [out[c]["needs_merge"] for c in (0, 1, 2)] == [False, False, True]
