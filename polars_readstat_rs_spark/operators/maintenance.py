@@ -54,7 +54,10 @@ def compaction_plan(
       the net file-count reduction, and the ordered input manifest.
 
     Shuffle budget: ONE exchange on the partition key serves the
-    eligibility aggregate, the packing window, and the job aggregate.
+    eligibility count (an unordered window over the same partitioning),
+    the packing window, and the job aggregate (whose (part, job_idx)
+    clustering the part-hash partitioning already satisfies) — the plan
+    pin in tests/test_plans.py holds it there.
     """
     f = files.select(
         F.col(part_col).alias("part"),
@@ -62,16 +65,9 @@ def compaction_plan(
         F.col(size_col).cast("long").alias("size_bytes"),
     )
     small = f.filter(F.col("size_bytes") < F.lit(int(small_threshold)))
-    eligible = (
-        small.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("_n_small"))
-        .filter(F.col("_n_small") >= 2)
-        .select("part")
-    )
-    # partition keys are a bounded set (even a 100 TB table has ~1e4-1e5
-    # partitions); broadcasting the eligibility filter keeps the
-    # candidate selection map-side.
-    cand = small.join(F.broadcast(eligible), "part")
+    cand = small.withColumn(
+        "_n_small", F.count(F.lit(1)).over(W.partitionBy("part"))
+    ).filter(F.col("_n_small") >= 2)
     w = W.partitionBy("part").orderBy(F.desc("size_bytes"), F.asc("file_id")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -504,3 +504,17 @@ def test_q93_join_has_no_key_exchange(spark, sf_dir):
     plan = _plan(QUERIES["q93_bucketed_colocated_join"](spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(custkey" not in plan, plan
+
+
+def test_p18_compaction_planner_single_exchange(spark, sf_dir):
+    """The compaction planner must plan over ONE exchange on the
+    partition key: the eligibility count (unordered window), the
+    size-DESC packing window, and the (part, job_idx) job aggregate all
+    reuse the part-hash partitioning. A second exchange means the
+    manifest is being reshuffled per planning step — wrong at 1e6+
+    manifest entries."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["p18_compaction_plan"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "Cartesian" not in plan
