@@ -104,6 +104,7 @@ def main() -> None:
         dedup,
         fuzzy,
         graph,
+        maintenance,
         merge,
         multimodal,
         sampling,
@@ -414,6 +415,27 @@ def main() -> None:
                     .cast("int")
                     .alias("dim_a"),
                 ),
+            ),
+            # r11 third wave: the compaction planner over a manifest
+            # whose partition count grows with n (files-per-partition
+            # stays ~constant, so the packing window never grows) and
+            # the index-health report (per-cell count + one-row roll-up)
+            "compaction_plan": lambda: maintenance.compaction_plan(
+                docs.select(
+                    F.pmod(F.col("doc_id"), F.lit(max(25, n // 2000))).alias("part"),
+                    F.col("doc_id").alias("file_id"),
+                    (
+                        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(67108864))
+                        + F.lit(1024)
+                    ).alias("size_bytes"),
+                ),
+                target_bytes=33554432,
+                small_threshold=16777216,
+            ),
+            "ivf_cell_stats": lambda: similarity.ivf_cell_stats(
+                emb.select(
+                    "vec_id", F.pmod(F.col("vec_id"), F.lit(max(8, n // 600))).alias("cell")
+                )
             ),
         }
         for name, mk in ops.items():
