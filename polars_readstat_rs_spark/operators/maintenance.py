@@ -24,7 +24,7 @@ reader); this is part of the beyond-reference pipeline suite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -45,10 +45,14 @@ def compaction_plan(
       into fewer files; files at or above the threshold pass through
       untouched and never appear in the plan),
     - within an eligible partition, candidate files are packed in
-      (size DESC, file_id ASC) order — first-fit over a running fill,
-      opening a new job each time the cumulative size crosses a
-      ``target_bytes`` boundary (the sorted-first-fit shape OPTIMIZE
-      uses: big candidates seed bins, small ones top them up),
+      (size DESC, file_id ASC) order by cumulative-sum BOUNDARY packing
+      (next-fit over a running fill: a new job opens each time the
+      running total crosses a ``target_bytes`` boundary — NOT classic
+      first-fit, which would revisit earlier bins; big candidates seed
+      bins, small ones top up the current one),
+    - jobs that would not reduce the file count (a lone trailing file,
+      or a bin whose members already average the target) are DROPPED —
+      scheduling them would rewrite bytes for zero layout benefit,
     - one output row per (partition, job_idx) with exact byte totals,
       the expected output-file count ``ceil(input_bytes / target)``,
       the net file-count reduction, and the ordered input manifest.
@@ -59,6 +63,13 @@ def compaction_plan(
     clustering the part-hash partitioning already satisfies) — the plan
     pin in tests/test_plans.py holds it there.
     """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if small_threshold <= 0 or small_threshold > target_bytes:
+        raise ValueError(
+            "small_threshold must be in (0, target_bytes]: "
+            f"got {small_threshold} with target_bytes={target_bytes}"
+        )
     f = files.select(
         F.col(part_col).alias("part"),
         F.col(file_col).cast("long").alias("file_id"),
@@ -90,10 +101,14 @@ def compaction_plan(
         ",",
     )
     est_out = F.ceil(F.sum("size_bytes") / F.lit(float(target_bytes))).cast("int")
-    return packed.groupBy("part", "job_idx").agg(
-        F.count(F.lit(1)).cast("int").alias("n_files"),
-        F.sum("size_bytes").cast("long").alias("input_bytes"),
-        est_out.alias("est_output_files"),
-        (F.count(F.lit(1)) - est_out).cast("int").alias("files_removed"),
-        manifest.alias("file_manifest"),
+    return (
+        packed.groupBy("part", "job_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("size_bytes").cast("long").alias("input_bytes"),
+            est_out.alias("est_output_files"),
+            (F.count(F.lit(1)) - est_out).cast("int").alias("files_removed"),
+            manifest.alias("file_manifest"),
+        )
+        .filter(F.col("files_removed") >= 1)
     )

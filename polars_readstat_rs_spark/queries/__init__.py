@@ -239,7 +239,9 @@ _R11_NEW = (
     "v23_ivf_balance",
 )
 
-# Queries whose IMPLEMENTATION materially changed in round 11 — the q05
+# Queries whose IMPLEMENTATION materially changed in round 11 — the
+# v04/d08 oracle refactor through the shared _km_chain() prelude (same
+# SQL semantics, new string — re-proved), the q05
 # derived-semi-filter pruning rewrite, the d19/d20/v18 zero-truth recall
 # guards (oracle AND query sides), the m14 signed-BMP-dims probe fix,
 # the batched bpe_train scheduler (t16/t17 run through it), the Stata
@@ -249,6 +251,8 @@ _R11_NEW = (
 # inside the recorded window so CORRECTNESS_r11 re-proves exactly what
 # changed.
 _R11_TOUCHED = (
+    "v04_kmeans_ivf_topk",
+    "d08_semantic_dedup",
     "v07_pq_topk",
     "q05_nation_revenue",
     "d19_band_width_recall",

@@ -465,19 +465,29 @@ def _km_update(assign_cte: str) -> str:
             FROM {assign_cte} GROUP BY cell)"""
 
 
-@register(
-    "v04_kmeans_ivf_topk",
-    oracle=f"""
-    WITH v AS (
+def _km_chain(ncells: int = 8) -> str:
+    """The deterministic two-Lloyd-iteration k-means CTE prelude
+    (v/c0/a1/c1/a2/c2/af) every kmeans_cells-verifying oracle shares —
+    one definition so the clustering contract (init = lowest-id
+    vectors, lowest-cell tie break, vec_id fold order) cannot drift
+    between the v04/d08/v23 gates. Interpolate after WITH; downstream
+    CTEs read ``af`` (final assignment) and ``c2`` (final centroids)."""
+    return f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
-      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {ncells})),
     a1 AS ({_km_assign('c0')}),
     c1 AS ({_km_update('a1')}),
     a2 AS ({_km_assign('c1')}),
     c2 AS ({_km_update('a2')}),
-    af AS ({_km_assign('c2')}),
+    af AS ({_km_assign('c2')})"""
+
+
+@register(
+    "v04_kmeans_ivf_topk",
+    oracle=f"""
+    WITH {_km_chain(8)},
     q AS (
       SELECT vec_id AS q_id, vec AS q_vec, sqrt({_DOTD.format(a='vec', b='vec')}) AS q_norm
       FROM v WHERE vec_id < 5),

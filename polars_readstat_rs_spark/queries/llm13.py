@@ -5,10 +5,10 @@ p18 gates the small-file COMPACTION PLANNER
 a 100 TB partitioned table needs periodically.  The manifest is
 synthesized deterministically from the part table (a Knuth-hash pseudo
 size per file), so both engines plan over identical inputs; the plan
-itself — eligibility, size-descending first-fit bin packing, per-job
-byte totals and manifests — is the value under test.  A wrong pack
-order, boundary, or eligibility rule changes the manifest string and
-hash-mismatches immediately.
+itself — eligibility, size-descending boundary (next-fit) bin packing,
+zero-benefit-job suppression, per-job byte totals and manifests — is
+the value under test.  A wrong pack order, boundary, eligibility, or
+benefit rule changes the output and hash-mismatches immediately.
 
 v23 gates the IVF INDEX-HEALTH report
 (operators/similarity.py:ivf_cell_stats) over the PRODUCTION k-means
@@ -72,15 +72,18 @@ _P18_TARGET = 33554432  # 32 MiB compaction target
            string_agg(CAST(file_id AS VARCHAR), ',' ORDER BY size_bytes DESC, file_id)
              AS file_manifest
     FROM jobs GROUP BY part, job_idx
+    HAVING count(*) - ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) >= 1
     """,
 )
 def p18_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthesized-but-shared
     file manifest: partitions with >= 2 sub-16 MiB files get their small
-    files bin-packed (size DESC first-fit) into 32 MiB jobs; one row per
-    job with exact byte totals, the expected output-file count, the net
-    file reduction, and the ordered input manifest. One exchange on the
-    partition key serves eligibility, packing window, and job aggregate."""
+    files packed (size DESC, cumulative-sum boundary bins) into 32 MiB
+    jobs, and jobs that would not shrink the file count are suppressed;
+    one row per job with exact byte totals, the expected output-file
+    count, the net file reduction, and the ordered input manifest. One
+    exchange on the partition key serves eligibility count, packing
+    window, and job aggregate."""
     part = load_table(spark, sf_dir, "part")
     files = part.select(
         F.col("p_brand").alias("part"),
@@ -104,20 +107,10 @@ def p18_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _v23_oracle() -> str:
-    from .llm import _km_assign, _km_update
+    from .llm import _km_chain
 
     return f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
-      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
-    a1 AS ({_km_assign('c0')}),
-    c1 AS ({_km_update('a1')}),
-    a2 AS ({_km_assign('c1')}),
-    c2 AS ({_km_update('a2')}),
-    af AS ({_km_assign('c2')}),
+    WITH {_km_chain(8)},
     cells AS (
       SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM af GROUP BY cell),
     g AS (

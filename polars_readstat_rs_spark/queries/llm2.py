@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, search, similarity, textstats
 from ..tables import load_table
-from .llm import _DOTD, _km_assign, _km_update
+from .llm import _DOTD, _km_chain
 from .registry import register
 
 # ------------------------------------------------- t07 unigram LM scoring
@@ -106,16 +106,7 @@ _SEM_NCELLS = 8
 @register(
     "d08_semantic_dedup",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec AS centroid
-      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_SEM_NCELLS})),
-    a1 AS ({_km_assign('c0')}),
-    c1 AS ({_km_update('a1')}),
-    a2 AS ({_km_assign('c1')}),
-    c2 AS ({_km_update('a2')}),
-    af AS ({_km_assign('c2')}),
+    WITH {_km_chain(_SEM_NCELLS)},
     n AS (
       SELECT vec_id, vec, cell, sqrt({_DOTD.format(a='vec', b='vec')}) AS norm FROM af),
     pairs AS (

@@ -2347,11 +2347,14 @@ def test_ivf_pq_topk_full_probe_full_depth_is_brute_force(spark):
 
 def test_compaction_plan_invariants(spark):
     """Planner invariants: files >= small_threshold never appear in the
-    plan; partitions with < 2 small files are skipped; every candidate
-    file appears in exactly one job's manifest; each job overshoots the
-    target by less than the size of one member (first-fit over a
-    running fill); manifests are size-DESC ordered; files_removed =
-    n_files - est_output_files."""
+    plan; partitions with < 2 small files are skipped; jobs that would
+    not reduce the file count (a lone trailing file, a 90+90 bin whose
+    2 inputs become 2 outputs) are suppressed; each surviving job
+    overshoots the target by less than the size of one member
+    (boundary packing over a running fill); manifests are size-DESC
+    ordered; files_removed = n_files - est_output_files >= 1."""
+    import pytest
+
     from polars_readstat_rs_spark.operators import maintenance
 
     rows = [
@@ -2359,32 +2362,32 @@ def test_compaction_plan_invariants(spark):
         ("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 50), ("a", 5, 500),
         # partition b: a single small file -> ineligible
         ("b", 6, 10),
-        # partition c: two small files that span a bin boundary
+        # partition c: two small files whose bin saves nothing (2 -> 2)
         ("c", 7, 90), ("c", 8, 90),
     ]
     files = spark.createDataFrame(rows, "part string, file_id long, size_bytes long")
     out = maintenance.compaction_plan(
         files, target_bytes=100, small_threshold=100
     ).collect()
-    by_part = {}
-    seen = []
     for r in out:
         assert r["input_bytes"] < 100 + 90  # target + largest candidate
-        assert r["files_removed"] == r["n_files"] - r["est_output_files"]
+        assert r["files_removed"] == r["n_files"] - r["est_output_files"] >= 1
         members = [int(x) for x in r["file_manifest"].split(",")]
         assert len(members) == r["n_files"]
         sizes = [s for (_, f, s) in [rows[m - 1] for m in members]]
         assert sizes == sorted(sizes, reverse=True)
-        seen.extend(members)
-        by_part.setdefault(r["part"], []).append(r)
-    assert sorted(seen) == [1, 2, 3, 4, 7, 8]  # 5 passes through, 6 ineligible
-    assert set(by_part) == {"a", "c"}
-    # partition a packs 50+30+30 then wraps 10 into job 1
-    a_jobs = {r["job_idx"]: r for r in by_part["a"]}
-    assert a_jobs[0]["input_bytes"] == 110 and a_jobs[1]["input_bytes"] == 10
-    # partition c: 90 + 90 crosses the boundary only after the second file
-    c_jobs = {r["job_idx"]: r for r in by_part["c"]}
-    assert c_jobs[0]["input_bytes"] == 180 and c_jobs[0]["est_output_files"] == 2
+    # only partition a's first bin survives: 50+30+30 = 110 bytes,
+    # 3 files -> 2 outputs. The trailing lone 10 (job 1, 1 -> 1), the
+    # 90+90 bin (2 -> 2), the passthrough 500, and ineligible b are out.
+    assert len(out) == 1
+    job = out[0]
+    assert (job["part"], job["job_idx"]) == ("a", 0)
+    assert job["input_bytes"] == 110 and job["file_manifest"] == "4,2,3"
+    # parameter validation: zero/negative target, threshold above target
+    with pytest.raises(ValueError):
+        maintenance.compaction_plan(files, target_bytes=0)
+    with pytest.raises(ValueError):
+        maintenance.compaction_plan(files, target_bytes=100, small_threshold=200)
 
 
 def test_ivf_cell_stats_exact(spark):

@@ -422,7 +422,7 @@ def main() -> None:
             # the index-health report (per-cell count + one-row roll-up)
             "compaction_plan": lambda: maintenance.compaction_plan(
                 docs.select(
-                    F.pmod(F.col("doc_id"), F.lit(max(25, n // 2000))).alias("part"),
+                    F.pmod(F.col("doc_id"), F.lit(max(25, n // 200))).alias("part"),
                     F.col("doc_id").alias("file_id"),
                     (
                         F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(67108864))
