@@ -2404,3 +2404,76 @@ def test_ivf_cell_stats_exact(spark):
     assert all(r["imbalance"] == 1.8 for r in out.values())
     assert [out[c]["needs_split"] for c in (0, 1, 2)] == [True, False, False]
     assert [out[c]["needs_merge"] for c in (0, 1, 2)] == [False, False, True]
+
+
+def test_compaction_plan_matches_python_reference(spark):
+    """Differential test: a seeded 5000-file manifest (sizes spanning
+    zero, exact-threshold, exact-boundary, and passthrough values)
+    planned by Spark must match an independent pure-Python
+    implementation of the spec row for row."""
+    import math
+
+    import numpy as np
+
+    from polars_readstat_rs_spark.operators import maintenance
+
+    rng = np.random.default_rng(42)
+    tgt, thr = 1000, 400
+    rows = []
+    for fid in range(5000):
+        part = f"p{int(rng.integers(0, 80)):02d}"
+        # mix: mostly uniform, plus adversarial exact values
+        size = int(rng.integers(0, 1600))
+        if fid % 97 == 0:
+            size = thr  # exactly at threshold -> passthrough
+        if fid % 131 == 0:
+            size = tgt  # larger than threshold -> passthrough
+        if fid % 53 == 0:
+            size = 0  # zero-byte file is a valid candidate
+        rows.append((part, fid, size))
+
+    # independent reference: eligibility, size-DESC next-fit boundary
+    # packing, zero-benefit suppression
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for part, fid, size in rows:
+        if size < thr:
+            by_part[part].append((fid, size))
+    expected = {}
+    for part, cand in by_part.items():
+        if len(cand) < 2:
+            continue
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        cum = 0
+        jobs = defaultdict(list)
+        for fid, size in cand:
+            jobs[cum // tgt].append((fid, size))
+            cum += size
+        for job_idx, members in jobs.items():
+            total = sum(s for _, s in members)
+            est = math.ceil(total / tgt)
+            if len(members) - est < 1:
+                continue
+            expected[(part, job_idx)] = (
+                len(members),
+                total,
+                est,
+                len(members) - est,
+                ",".join(str(f) for f, _ in members),
+            )
+
+    files = spark.createDataFrame(rows, "part string, file_id long, size_bytes long")
+    got = {
+        (r["part"], r["job_idx"]): (
+            r["n_files"],
+            r["input_bytes"],
+            r["est_output_files"],
+            r["files_removed"],
+            r["file_manifest"],
+        )
+        for r in maintenance.compaction_plan(
+            files, target_bytes=tgt, small_threshold=thr
+        ).collect()
+    }
+    assert got == expected
