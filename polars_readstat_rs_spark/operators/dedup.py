@@ -1158,6 +1158,19 @@ def winnow_pairs(
     return pairs
 
 
+def _bloom_positions(fpc: Column, m_bits: int, k: int, seed: str) -> list[Column]:
+    """The k md5-derived bit positions of a document fingerprint — the
+    deterministic hash family bloom_membership and bloom_fp_curve share
+    (and the DuckDB oracles reproduce bit-for-bit)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), fpc)), 1, 8), 16, 10
+        ).cast("bigint")
+        % m_bits
+        for j in range(k)
+    ]
+
+
 def bloom_membership(
     history: DataFrame,
     incoming: DataFrame,
@@ -1196,13 +1209,7 @@ def bloom_membership(
     fp = F.md5(F.col(text_col))
 
     def positions(fpc: Column) -> list[Column]:
-        return [
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), fpc)), 1, 8), 16, 10
-            ).cast("bigint")
-            % m_bits
-            for j in range(k)
-        ]
+        return _bloom_positions(fpc, m_bits, k, seed)
 
     bits = (
         history.select(F.explode(F.array(*positions(fp))).alias("bit")).distinct()
@@ -1235,6 +1242,82 @@ def bloom_membership(
             ),
         )
     )
+
+
+def bloom_fp_curve(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_list: tuple[int, ...] = (1024, 4096, 16384),
+    k: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom filter SIZING curve: one row per filter width ``m`` with
+    the bit-table fill, the closed-form expected false-positive rate
+    fill^k, and the MEASURED rate on the incoming batch — the table
+    that answers "how many bits does the ingest screen need before
+    false positives stop polluting the skip decision" with numbers
+    instead of the textbook formula (the sizing sibling of d19/d20's
+    LSH band curves and v17/v18/v21's index knobs).
+
+    Each width reuses bloom_membership unchanged (no false negatives by
+    construction); bits_set comes from the same deterministic position
+    family, so the oracle reproduces every cell. fp_rate is NULL when
+    the incoming batch has no non-duplicates to mismeasure (zero-truth
+    guard). theo_fp is a left-to-right fill product (k exact IEEE
+    multiplies), never pow() — libm pow differs across engines.
+
+    Scale shape per width: the history collapses once to <= m bits (one
+    shuffle, bounded output) and every aggregate is a one-row roll-up;
+    widths are independent branches unioned at the end, so the curve
+    costs len(m_list) bounded passes regardless of corpus size.
+    """
+    fp = F.md5(F.col(text_col))
+    out = None
+    for m in m_list:
+        bm = bloom_membership(
+            history, incoming, id_col, text_col, m_bits=m, k=k, seed=seed
+        )
+        stats = bm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum(F.col("exact_dup").cast("long")).cast("long").alias("n_exact_dup"),
+            F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom_hit"),
+            F.sum(F.col("false_positive").cast("long")).cast("long").alias(
+                "n_false_pos"
+            ),
+        )
+        nbits = (
+            history.select(
+                F.explode(F.array(*_bloom_positions(fp, m, k, seed))).alias("bit")
+            )
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+        )
+        fill = F.col("bits_set").cast("double") / F.lit(float(m))
+        theo = fill
+        for _ in range(k - 1):
+            theo = theo * fill
+        nondup = F.col("n_incoming") - F.col("n_exact_dup")
+        row = stats.crossJoin(F.broadcast(nbits)).select(
+            F.lit(m).cast("int").alias("m_bits"),
+            "bits_set",
+            F.round(fill, 6).alias("fill"),
+            F.round(theo, 6).alias("theo_fp"),
+            "n_incoming",
+            "n_exact_dup",
+            "n_bloom_hit",
+            "n_false_pos",
+            F.round(
+                F.when(
+                    nondup > 0,
+                    F.col("n_false_pos").cast("double") / nondup.cast("double"),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def containment_pairs(

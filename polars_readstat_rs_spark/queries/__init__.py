@@ -237,6 +237,7 @@ _R11_NEW = (
     # verified at sf0.001 AND sf0.01 AND sf0.1 before graduating
     "p18_compaction_plan",
     "v23_ivf_balance",
+    "d21_bloom_fp_curve",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the
@@ -253,6 +254,7 @@ _R11_NEW = (
 _R11_TOUCHED = (
     "v04_kmeans_ivf_topk",
     "d08_semantic_dedup",
+    "d17_bloom_membership",  # positions factored into _bloom_positions (d21 shares them)
     "v07_pq_topk",
     "q05_nation_revenue",
     "d19_band_width_recall",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import maintenance, similarity
+from ..operators import dedup, maintenance, similarity
 from ..tables import load_table
 from .registry import register
 
@@ -143,4 +143,81 @@ def v23_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _cents = similarity.kmeans_cells(emb, ncells=8, iters=2)
     return similarity.ivf_cell_stats(
         assigned, cell_col="cell", split_factor=1.5, merge_factor=0.5
+    )
+
+
+# ---------------------------------------------------------------- d21
+
+_D21_MS = (1024, 4096, 16384)
+_D21_K = 3
+
+
+def _d21_pos_sql(j: int, m: int) -> str:
+    return f"CAST(('0x' || substr(md5('bloom{j}:' || fp), 1, 8)) AS BIGINT) % {m}"
+
+
+def _d21_m_sql(m: int) -> str:
+    """One curve row: bit-table size + measured/theoretical FP at width m."""
+    bits_union = " UNION ALL ".join(
+        f"SELECT {_d21_pos_sql(j, m)} AS bit FROM hist" for j in range(_D21_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, {_d21_pos_sql(j, m)} AS bit FROM inc" for j in range(_D21_K)
+    )
+    fill = f"(CAST(b.bits_set AS DOUBLE) / {m})"
+    return f"""
+    SELECT CAST({m} AS INT) AS m_bits,
+           CAST(b.bits_set AS BIGINT) AS bits_set,
+           round({fill}, 6) AS fill,
+           round(({fill} * {fill}) * {fill}, 6) AS theo_fp,
+           s.n_incoming, s.n_exact_dup, s.n_bloom_hit, s.n_false_pos,
+           round(CASE WHEN s.n_incoming - s.n_exact_dup > 0
+                 THEN CAST(s.n_false_pos AS DOUBLE)
+                      / (s.n_incoming - s.n_exact_dup) END, 6) AS fp_rate
+    FROM
+      (SELECT count(*) AS bits_set
+       FROM (SELECT DISTINCT bit FROM ({bits_union}))) b
+    CROSS JOIN
+      (SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+              CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+              CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+              CAST(sum(CASE WHEN false_positive THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       FROM (
+         SELECT h.bloom_hit,
+                coalesce(e.exact_dup, FALSE) AS exact_dup,
+                (h.bloom_hit AND NOT coalesce(e.exact_dup, FALSE)) AS false_positive
+         FROM (
+           SELECT p.doc_id, count(bt.bit) = {_D21_K} AS bloom_hit
+           FROM ({probe_union}) p
+           LEFT JOIN (SELECT DISTINCT bit FROM ({bits_union})) bt USING (bit)
+           GROUP BY p.doc_id) h
+         LEFT JOIN exactset e USING (doc_id))) s
+    """
+
+
+@register(
+    "d21_bloom_fp_curve",
+    oracle=f"""
+    WITH fps AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents),
+    hist AS MATERIALIZED (SELECT * FROM fps WHERE doc_id % 3 != 0),
+    inc AS MATERIALIZED (SELECT * FROM fps WHERE doc_id % 3 = 0),
+    exactset AS MATERIALIZED (
+      SELECT DISTINCT i.doc_id, TRUE AS exact_dup
+      FROM inc i JOIN hist h ON i.fp = h.fp)
+    {" UNION ALL ".join(_d21_m_sql(m) for m in _D21_MS)}
+    """,
+)
+def d21_bloom_fp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SIZING curve (operators/dedup.py:bloom_fp_curve):
+    measured vs closed-form false-positive rate per filter width m —
+    the memory-vs-pollution table that sizes d17's ingest screen, the
+    sketch sibling of the LSH band curves (d19/d20) and the ANN index
+    knobs (v17/v18/v21). Same history/incoming split as d17; bits_set,
+    fill, theo_fp = fill^k (exact IEEE multiplies, never libm pow),
+    and the NULL-guarded measured rate are all value-pinned per width."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.bloom_fp_curve(
+        history, incoming, "doc_id", "text", m_list=_D21_MS, k=_D21_K
     )

@@ -2477,3 +2477,26 @@ def test_compaction_plan_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_bloom_fp_curve_zero_truth_guard(spark):
+    """When every incoming document is an exact duplicate there are no
+    non-duplicates to mismeasure: fp_rate must be NULL (not a 0/0
+    crash or engine-specific NaN), false positives zero, and every
+    duplicate still hits (no false negatives at any width)."""
+    from polars_readstat_rs_spark.operators import dedup
+
+    history = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    rows = dedup.bloom_fp_curve(history, incoming, m_list=(256, 1024), k=3).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_incoming"] == 10 and r["n_exact_dup"] == 10
+        assert r["n_bloom_hit"] == 10  # no false negatives, ever
+        assert r["n_false_pos"] == 0
+        assert r["fp_rate"] is None  # zero-truth guard
+        assert 0 < r["bits_set"] <= min(90, r["m_bits"])
