@@ -24,7 +24,10 @@ reader); this is part of the beyond-reference pipeline suite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -112,3 +115,90 @@ def compaction_plan(
         )
         .filter(F.col("files_removed") >= 1)
     )
+
+
+def fs_file_manifest(
+    spark: SparkSession, base: str, suffix: str = ".parquet"
+) -> tuple[DataFrame, dict[int, str]]:
+    """Manifest of a hive-partitioned directory as (part, file_id,
+    size_bytes) rows plus the file_id -> absolute-path map that
+    execute_compaction resolves jobs through.
+
+    File ids are dense longs assigned over the SORTED path list, so the
+    same directory always yields the same manifest (and therefore the
+    same plan). Listing is driver-side: a manifest is metadata —
+    millions of entries, not billions — which is exactly what
+    table-format transaction logs hand to OPTIMIZE too; the PLANNING
+    over it stays distributed (compaction_plan).
+    """
+    entries = []
+    for root, _dirs, names in os.walk(base):
+        for name in sorted(names):
+            if not name.endswith(suffix) or name.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, name)
+            part = os.path.relpath(root, base)
+            entries.append((part, p, os.stat(p).st_size))
+    entries.sort()
+    id_to_path = {i: p for i, (_part, p, _sz) in enumerate(entries)}
+    rows = [(part, i, sz) for i, (part, _p, sz) in enumerate(entries)]
+    manifest = spark.createDataFrame(
+        rows, "part string, file_id long, size_bytes long"
+    )
+    return manifest, id_to_path
+
+
+def execute_compaction(
+    spark: SparkSession,
+    plan: DataFrame,
+    id_to_path: dict[int, str],
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Execute a compaction plan against real files: per job, read the
+    member files, rewrite them as ``est_output_files`` coalesced files
+    alongside the originals, then swap (publish new, delete inputs).
+
+    The driver loop iterates JOBS (the plan is the bounded output of
+    compaction_plan — one row per rewrite, never per file); each job's
+    read+coalesce+write is a distributed Spark job, which is the
+    production OPTIMIZE shape. Publication order is crash-safe for
+    readers that list the directory once: new files land under fresh
+    names before any input is removed, so a concurrent listing sees
+    duplicates at worst, never missing rows — the same
+    write-then-delete discipline as the multifile sink's rename commit.
+
+    Returns {"jobs": n, "files_in": n, "files_out": n}.
+    """
+    jobs = plan.collect()
+    files_in = files_out = 0
+    for job in jobs:
+        paths = [id_to_path[int(f)] for f in job["file_manifest"].split(",")]
+        part_dir = os.path.dirname(paths[0])
+        est = int(job["est_output_files"])
+        tmp = os.path.join(part_dir, f"_compact_{uuid.uuid4().hex}")
+        (
+            spark.read.format(fmt)
+            .load(paths)
+            .coalesce(est)
+            .write.format(fmt)
+            .mode("overwrite")
+            .save(tmp)
+        )
+        new_names = [
+            n
+            for n in sorted(os.listdir(tmp))
+            if not n.startswith(("_", ".")) and not n.endswith(".crc")
+        ]
+        for n in new_names:
+            os.replace(
+                os.path.join(tmp, n),
+                os.path.join(part_dir, f"compact-{uuid.uuid4().hex}-{n}"),
+            )
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        for p in paths:
+            os.remove(p)
+        files_in += len(paths)
+        files_out += len(new_names)
+    return {"jobs": len(jobs), "files_in": files_in, "files_out": files_out}

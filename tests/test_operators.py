@@ -2500,3 +2500,49 @@ def test_bloom_fp_curve_zero_truth_guard(spark):
         assert r["n_false_pos"] == 0
         assert r["fp_rate"] is None  # zero-truth guard
         assert 0 < r["bits_set"] <= min(90, r["m_bits"])
+
+
+def test_compaction_execute_end_to_end(spark, tmp_path):
+    """Plan -> execute -> verify on REAL files: a hive-partitioned
+    table written as many small parquet files is listed, planned, and
+    compacted in place. Data must be row-identical afterwards, the
+    file count strictly reduced, and a re-plan over the compacted
+    directory empty (each partition collapses to one file)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import maintenance
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 113).alias("v"),
+    )
+    # 8 files per partition, all tiny
+    df.repartition(32, "k").write.partitionBy("part").parquet(base)
+
+    manifest, id_to_path = maintenance.fs_file_manifest(spark, base)
+    n_before = len(id_to_path)
+    assert n_before >= 16
+    before = sorted(
+        (r["part"], r["k"], r["v"]) for r in spark.read.parquet(base).collect()
+    )
+
+    plan = maintenance.compaction_plan(
+        manifest, target_bytes=1 << 30, small_threshold=1 << 30
+    )
+    stats = maintenance.execute_compaction(spark, plan, id_to_path)
+    assert stats["jobs"] == 4  # one bin per partition at a 1 GiB target
+    assert stats["files_in"] == n_before and stats["files_out"] == 4
+
+    after_manifest, after_paths = maintenance.fs_file_manifest(spark, base)
+    assert len(after_paths) == 4
+    after = sorted(
+        (r["part"], r["k"], r["v"]) for r in spark.read.parquet(base).collect()
+    )
+    assert after == before
+    # idempotence: one file per partition leaves nothing to compact
+    replan = maintenance.compaction_plan(
+        after_manifest, target_bytes=1 << 30, small_threshold=1 << 30
+    )
+    assert replan.count() == 0
