@@ -13,7 +13,7 @@ manifest through the driver.
 
 - one exchange on the partition key (manifests shard naturally by it;
   planning is embarrassingly parallel across partitions),
-- a per-partition window for the size-descending first-fit bin packing
+- a per-partition window for the size-descending boundary bin packing
   (bounded by files-per-partition, never by table size),
 - output is one row per compaction JOB — the tiny table an executor
   fleet consumes — not per file.
