@@ -2546,3 +2546,60 @@ def test_compaction_execute_end_to_end(spark, tmp_path):
         after_manifest, target_bytes=1 << 30, small_threshold=1 << 30
     )
     assert replan.count() == 0
+
+
+def test_zorder_compact_clusters_output_files(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacting 16 grid-spanning scattered files
+    must leave output files whose (x, y) bounding boxes shrink enough
+    for stats-based pruning — before the rewrite EVERY file intersects
+    EVERY query box; after it, a corner query box must skip at least
+    half the files on min/max stats alone, and the summed bounding-box
+    area must drop below half the unclustered total. Data stays
+    row-identical."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import maintenance
+
+    base = str(tmp_path / "ztbl")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(16).write.parquet(base)  # every file spans the grid
+
+    manifest, id_to_path = maintenance.fs_file_manifest(spark, base)
+    total = sum(r["size_bytes"] for r in manifest.collect())
+    target = total // 4 + 1
+    plan = maintenance.compaction_plan(
+        manifest, target_bytes=target, small_threshold=target
+    )
+    before = sorted(
+        (r["x"], r["y"], r["payload"]) for r in spark.read.parquet(base).collect()
+    )
+    stats = maintenance.zorder_compact(
+        spark, plan, id_to_path, zorder_cols=["x", "y"], zorder_bits=6
+    )
+    assert stats["partitions"] == 1 and stats["files_in"] == 16
+    n_out = stats["files_out"]
+    assert 2 <= n_out <= 8
+
+    _m2, paths2 = maintenance.fs_file_manifest(spark, base)
+    assert len(paths2) == n_out
+    after = sorted(
+        (r["x"], r["y"], r["payload"]) for r in spark.read.parquet(base).collect()
+    )
+    assert after == before
+    boxes = [
+        spark.read.parquet(p)
+        .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+        .collect()[0]
+        for p in paths2.values()
+    ]
+    area = sum(
+        (b[1] - b[0] + 1) * (b[3] - b[2] + 1) for b in boxes
+    )
+    assert area < n_out * 64 * 64 / 2  # bounding boxes actually shrank
+    # a 16x16 corner query must be prunable on file stats alone
+    hit = sum(1 for b in boxes if b[0] < 16 and b[2] < 16)
+    assert hit <= n_out // 2
