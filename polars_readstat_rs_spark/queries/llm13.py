@@ -13,11 +13,18 @@ benefit rule changes the output and hash-mismatches immediately.
 v23 gates the IVF INDEX-HEALTH report
 (operators/similarity.py:ivf_cell_stats) over the PRODUCTION k-means
 assignment (the same deterministic two-Lloyd-iteration clustering v04
-gates, so the oracle reuses v04's CTE chain verbatim): per-cell
+gates, so the oracle shares v04's _km_chain CTE prelude): per-cell
 population/share, the global imbalance factor (the probe tail-latency
 multiplier), and split/merge triggers.  v08 gates appending to an IVF
 index; this gates knowing WHEN the index needs rebuilding — together
 they close the index-maintenance loop.
+
+d21 gates the Bloom-filter SIZING curve
+(operators/dedup.py:bloom_fp_curve): measured vs closed-form
+false-positive rate per filter width, the memory-vs-pollution table
+that sizes d17's ingest screen — completing the sketch-sizing family
+next to the LSH band curves (d19/d20) and the ANN index knobs
+(v17/v18/v21).
 
 Determinism: counts and byte sums are exact integers; shares and
 imbalance are single correctly-rounded IEEE divisions with identical
