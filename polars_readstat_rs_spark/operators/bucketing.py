@@ -120,16 +120,28 @@ def zvalue(cols: list, bits: int = 16):
 
 
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], files: int = 8, bits: int = 16
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    files: int = 8,
+    bits: int = 16,
+    fmt: str = "parquet",
 ) -> None:
-    """Write ``df`` as ``files`` parquet files range-partitioned by the
-    Morton key of ``cols`` — multi-dimensional clustering for stats-based
-    pruning. One range shuffle (sampled boundaries), no global sort."""
-    keyed = df.withColumn("_z", zvalue([F.col(c) for c in cols], bits))
+    """Write ``df`` as ``files`` files range-partitioned by the Morton
+    key of ``cols`` — multi-dimensional clustering for stats-based
+    pruning. One range shuffle (sampled boundaries), no global sort.
+    The key column name dodges collisions so a table that already has a
+    ``_z`` column round-trips untouched (zorder_compact rewrites
+    arbitrary on-disk tables through this)."""
+    zcol = "_z"
+    while zcol in df.columns:
+        zcol += "_"
+    keyed = df.withColumn(zcol, zvalue([F.col(c) for c in cols], bits))
     (
-        keyed.repartitionByRange(files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
+        keyed.repartitionByRange(files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
     )

@@ -1268,18 +1268,51 @@ def bloom_fp_curve(
     guard). theo_fp is a left-to-right fill product (k exact IEEE
     multiplies), never pow() — libm pow differs across engines.
 
-    Scale shape per width: the history collapses once to <= m bits (one
-    shuffle, bounded output) and every aggregate is a one-row roll-up;
-    widths are independent branches unioned at the end, so the curve
-    costs len(m_list) bounded passes regardless of corpus size.
+    Scale shape per width: the history collapses ONCE to <= m bits (one
+    shuffle, bounded output, persisted so the probe join and bits_set
+    share it) and every aggregate is a one-row roll-up; the
+    width-independent exact-duplicate flags are computed once outside
+    the loop. The curve costs one history bit pass per width + one
+    exact join total, regardless of corpus size; call release_cached on
+    the result after consuming it.
     """
+    if not m_list:
+        raise ValueError("m_list must be non-empty")
     fp = F.md5(F.col(text_col))
+    exact = (
+        incoming.select(F.col(id_col), fp.alias("_fp"))
+        .join(history.select(fp.alias("_fp")).distinct(), "_fp", "left_semi")
+        .select(F.col(id_col), F.lit(True).alias("exact_dup"))
+        .persist()
+    )
     out = None
+    cached = [exact]
     for m in m_list:
-        bm = bloom_membership(
-            history, incoming, id_col, text_col, m_bits=m, k=k, seed=seed
+        bits = (
+            history.select(
+                F.explode(F.array(*_bloom_positions(fp, m, k, seed))).alias("bit")
+            )
+            .distinct()
+            .persist()
         )
-        stats = bm.agg(
+        cached.append(bits)
+        probe = incoming.select(
+            F.col(id_col), F.explode(F.array(*_bloom_positions(fp, m, k, seed))).alias("bit")
+        )
+        perdoc = (
+            probe.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+            .groupBy(id_col)
+            .agg((F.count("_set") == k).alias("bloom_hit"))
+            .join(exact, id_col, "left")
+            .select(
+                "bloom_hit",
+                F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                (
+                    F.col("bloom_hit") & ~F.coalesce("exact_dup", F.lit(False))
+                ).alias("false_positive"),
+            )
+        )
+        stats = perdoc.agg(
             F.count(F.lit(1)).cast("long").alias("n_incoming"),
             F.sum(F.col("exact_dup").cast("long")).cast("long").alias("n_exact_dup"),
             F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom_hit"),
@@ -1287,13 +1320,7 @@ def bloom_fp_curve(
                 "n_false_pos"
             ),
         )
-        nbits = (
-            history.select(
-                F.explode(F.array(*_bloom_positions(fp, m, k, seed))).alias("bit")
-            )
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
-        )
+        nbits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
         fill = F.col("bits_set").cast("double") / F.lit(float(m))
         theo = fill
         for _ in range(k - 1):
@@ -1317,7 +1344,7 @@ def bloom_fp_curve(
             ).alias("fp_rate"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    return _track(out, *cached)
 
 
 def containment_pairs(

@@ -103,7 +103,12 @@ def compaction_plan(
         ),
         ",",
     )
-    est_out = F.ceil(F.sum("size_bytes") / F.lit(float(target_bytes))).cast("int")
+    # greatest(1, ...): a bin of zero-byte files still writes ONE file
+    # (ceil(0/target) = 0 would otherwise survive the benefit filter and
+    # hand coalesce(0) to the executor)
+    est_out = F.greatest(
+        F.lit(1), F.ceil(F.sum("size_bytes") / F.lit(float(target_bytes)))
+    ).cast("int")
     return (
         packed.groupBy("part", "job_idx")
         .agg(
@@ -148,6 +153,34 @@ def fs_file_manifest(
     return manifest, id_to_path
 
 
+def _publish_and_swap(tmp: str, part_dir: str, prefix: str, input_paths: list[str]) -> int:
+    """Publish a rewrite: move the new data files out of ``tmp`` under
+    fresh names, clean the tmp dir, then delete the inputs (and their
+    Hadoop ``.name.crc`` checksum siblings — otherwise every compaction
+    run leaves one orphaned dotfile per input behind). Write-then-delete
+    order: a concurrent listing sees duplicates at worst, never missing
+    rows. Returns the published file count."""
+    new_names = [
+        n
+        for n in sorted(os.listdir(tmp))
+        if not n.startswith(("_", ".")) and not n.endswith(".crc")
+    ]
+    for n in new_names:
+        os.replace(
+            os.path.join(tmp, n),
+            os.path.join(part_dir, f"{prefix}-{uuid.uuid4().hex}-{n}"),
+        )
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    for p in input_paths:
+        os.remove(p)
+        crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    return len(new_names)
+
+
 def execute_compaction(
     spark: SparkSession,
     plan: DataFrame,
@@ -161,11 +194,8 @@ def execute_compaction(
     The driver loop iterates JOBS (the plan is the bounded output of
     compaction_plan — one row per rewrite, never per file); each job's
     read+coalesce+write is a distributed Spark job, which is the
-    production OPTIMIZE shape. Publication order is crash-safe for
-    readers that list the directory once: new files land under fresh
-    names before any input is removed, so a concurrent listing sees
-    duplicates at worst, never missing rows — the same
-    write-then-delete discipline as the multifile sink's rename commit.
+    production OPTIMIZE shape. Publication is crash-safe for readers
+    that list the directory once (_publish_and_swap).
 
     Returns {"jobs": n, "files_in": n, "files_out": n}.
     """
@@ -184,23 +214,8 @@ def execute_compaction(
             .mode("overwrite")
             .save(tmp)
         )
-        new_names = [
-            n
-            for n in sorted(os.listdir(tmp))
-            if not n.startswith(("_", ".")) and not n.endswith(".crc")
-        ]
-        for n in new_names:
-            os.replace(
-                os.path.join(tmp, n),
-                os.path.join(part_dir, f"compact-{uuid.uuid4().hex}-{n}"),
-            )
-        for leftover in os.listdir(tmp):
-            os.remove(os.path.join(tmp, leftover))
-        os.rmdir(tmp)
-        for p in paths:
-            os.remove(p)
         files_in += len(paths)
-        files_out += len(new_names)
+        files_out += _publish_and_swap(tmp, part_dir, "compact", paths)
     return {"jobs": len(jobs), "files_in": files_in, "files_out": files_out}
 
 
@@ -231,7 +246,7 @@ def zorder_compact(
 
     Returns {"partitions": n, "files_in": n, "files_out": n}.
     """
-    from .bucketing import zvalue
+    from .bucketing import write_zordered
 
     groups: dict[str, list] = {}
     for job in plan.collect():
@@ -246,32 +261,14 @@ def zorder_compact(
         n_out = sum(int(job["est_output_files"]) for job in jobs)
         part_dir = os.path.dirname(paths[0])
         tmp = os.path.join(part_dir, f"_zorder_{uuid.uuid4().hex}")
-        (
-            spark.read.format(fmt)
-            .load(paths)
-            .withColumn("_z", zvalue([F.col(c) for c in zorder_cols], zorder_bits))
-            .repartitionByRange(n_out, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-            .write.format(fmt)
-            .mode("overwrite")
-            .save(tmp)
+        write_zordered(
+            spark.read.format(fmt).load(paths),
+            tmp,
+            zorder_cols,
+            files=n_out,
+            bits=zorder_bits,
+            fmt=fmt,
         )
-        new_names = [
-            n
-            for n in sorted(os.listdir(tmp))
-            if not n.startswith(("_", ".")) and not n.endswith(".crc")
-        ]
-        for n in new_names:
-            os.replace(
-                os.path.join(tmp, n),
-                os.path.join(part_dir, f"zorder-{uuid.uuid4().hex}-{n}"),
-            )
-        for leftover in os.listdir(tmp):
-            os.remove(os.path.join(tmp, leftover))
-        os.rmdir(tmp)
-        for p in paths:
-            os.remove(p)
         files_in += len(paths)
-        files_out += len(new_names)
+        files_out += _publish_and_swap(tmp, part_dir, "zorder", paths)
     return {"partitions": len(groups), "files_in": files_in, "files_out": files_out}

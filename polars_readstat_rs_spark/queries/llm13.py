@@ -72,14 +72,14 @@ _P18_TARGET = 33554432  # 32 MiB compaction target
     SELECT part, job_idx,
            CAST(count(*) AS INT) AS n_files,
            CAST(sum(size_bytes) AS BIGINT) AS input_bytes,
-           CAST(ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) AS INT)
+           CAST(greatest(1, ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE))) AS INT)
              AS est_output_files,
-           CAST(count(*) - ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) AS INT)
+           CAST(count(*) - greatest(1, ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE))) AS INT)
              AS files_removed,
            string_agg(CAST(file_id AS VARCHAR), ',' ORDER BY size_bytes DESC, file_id)
              AS file_manifest
     FROM jobs GROUP BY part, job_idx
-    HAVING count(*) - ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE)) >= 1
+    HAVING count(*) - greatest(1, ceil(sum(size_bytes) / CAST({_P18_TARGET} AS DOUBLE))) >= 1
     """,
 )
 def p18_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,11 +172,16 @@ def _d21_m_sql(m: int) -> str:
         f"SELECT doc_id, {_d21_pos_sql(j, m)} AS bit FROM inc" for j in range(_D21_K)
     )
     fill = f"(CAST(b.bits_set AS DOUBLE) / {m})"
+    # left-to-right multiply chain generated from _D21_K, mirroring the
+    # Spark loop in dedup.bloom_fp_curve — retuning k cannot desync it
+    theo = fill
+    for _ in range(_D21_K - 1):
+        theo = f"({theo} * {fill})"
     return f"""
     SELECT CAST({m} AS INT) AS m_bits,
            CAST(b.bits_set AS BIGINT) AS bits_set,
            round({fill}, 6) AS fill,
-           round(({fill} * {fill}) * {fill}, 6) AS theo_fp,
+           round({theo}, 6) AS theo_fp,
            s.n_incoming, s.n_exact_dup, s.n_bloom_hit, s.n_false_pos,
            round(CASE WHEN s.n_incoming - s.n_exact_dup > 0
                  THEN CAST(s.n_false_pos AS DOUBLE)

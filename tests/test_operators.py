@@ -2452,7 +2452,7 @@ def test_compaction_plan_matches_python_reference(spark):
             cum += size
         for job_idx, members in jobs.items():
             total = sum(s for _, s in members)
-            est = math.ceil(total / tgt)
+            est = max(1, math.ceil(total / tgt))  # zero-byte bins still write one file
             if len(members) - est < 1:
                 continue
             expected[(part, job_idx)] = (
