@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
 from .text import shingles_expr, words_expr
 
 # n-gram-heuristic language ID: marker-token hit counts per language.
@@ -933,6 +934,42 @@ def lm_buckets(
     )
 
 
+def _cms_bucket(j: int, tok: Column, m_buckets: int, seed: str) -> Column:
+    """Row-j counter bucket of a token — the deterministic md5 family
+    cms_token_freq and cms_width_curve share (and the DuckDB oracles
+    reproduce counter-for-counter)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), tok)), 1, 8), 16, 10
+        ).cast("bigint")
+        % m_buckets
+    )
+
+
+def _cms_cells(toks: DataFrame, m_buckets: int, k_rows: int, seed: str) -> DataFrame:
+    """The k x m counter table: one groupBy over (row, bucket) with
+    map-side partial aggregation into at most k*m cells."""
+    return (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            _cms_bucket(j, F.col("tok"), m_buckets, seed).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(k_rows)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def cms_token_freq(
     docs: DataFrame,
     text_col: str = "text",
@@ -967,29 +1004,9 @@ def cms_token_freq(
     )
 
     def bucket(j: int, tok: Column) -> Column:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}{j}:"), tok)), 1, 8), 16, 10
-            ).cast("bigint")
-            % m_buckets
-        )
+        return _cms_bucket(j, tok, m_buckets, seed)
 
-    cells = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("row"), bucket(j, F.col("tok")).alias("bucket")
-                        )
-                        for j in range(k_rows)
-                    ]
-                )
-            ).alias("c")
-        )
-        .groupBy("c.row", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    cells = _cms_cells(toks, m_buckets, k_rows, seed)
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -1019,6 +1036,102 @@ def cms_token_freq(
             (F.col("cms_est") >= F.col("exact_n")).alias("overestimate_ok"),
         )
     )
+
+
+def cms_width_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    widths: tuple[int, ...] = (256, 1024, 4096),
+    k_rows: int = 3,
+    top_n: int = 20,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch SIZING curve: one row per counter width with
+    the measured overcount on the exact heavy hitters (sum, max, mean)
+    next to the classic N/m bound — the memory-vs-error table that
+    sizes the sketch (and therefore s12's bounded stream state), the
+    CMS sibling of the Bloom curve (d21) and the LSH band curves
+    (d19/d20).
+
+    ``within_2bound_frac`` is the fraction of probed tokens whose
+    overcount stays within 2N/m, compared in EXACT integers
+    ((est - exact) * m <= 2N — never a float compare); CMS theory puts
+    each row's overcount under 2N/m with probability >= 1/2, so the
+    min over k rows should land inside almost always. The exact heavy
+    hitters and the token total are width-independent and computed
+    once; each width adds one bounded k x m cell aggregate over a fresh
+    corpus scan (persisting the token stream at corpus scale would cost
+    more than the rescan). Call release_cached on the result after
+    consuming it.
+    """
+    if not widths:
+        raise ValueError("widths must be non-empty")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(top_n)
+        .persist()
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("total_tokens")).persist()
+    out = None
+    for m in widths:
+        cells = _cms_cells(toks, m, k_rows, seed)
+        probe = exact.select(
+            "tok",
+            "exact_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            _cms_bucket(j, F.col("tok"), m, seed).alias("bucket"),
+                        )
+                        for j in range(k_rows)
+                    ]
+                )
+            ).alias("c"),
+        ).select("tok", "exact_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        per_tok = (
+            probe.join(F.broadcast(cells), ["row", "bucket"])
+            .groupBy("tok", "exact_n")
+            .agg(F.min("n").alias("est"))
+            .crossJoin(F.broadcast(tot))
+        )
+        over = F.col("est") - F.col("exact_n")
+        row = per_tok.groupBy("total_tokens").agg(
+            F.count(F.lit(1)).cast("int").alias("n_probed"),
+            F.sum("exact_n").cast("long").alias("sum_exact"),
+            F.sum("est").cast("long").alias("sum_est"),
+            F.max(over).cast("long").alias("max_overcount"),
+            F.round(
+                F.sum(over).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_overcount"),
+            F.round(
+                F.sum(
+                    (over * F.lit(m) <= 2 * F.col("total_tokens")).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("within_2bound_frac"),
+        ).select(
+            F.lit(m).cast("int").alias("m_buckets"),
+            F.col("total_tokens"),
+            "n_probed",
+            "sum_exact",
+            "sum_est",
+            "max_overcount",
+            "mean_overcount",
+            F.round(
+                F.col("total_tokens").cast("double") / F.lit(float(m)), 6
+            ).alias("bound_n_over_m"),
+            "within_2bound_frac",
+        )
+        out = row if out is None else out.unionByName(row)
+    return _track(out, exact, tot)
 
 
 def kmv_ndv(

@@ -238,6 +238,7 @@ _R11_NEW = (
     "p18_compaction_plan",
     "v23_ivf_balance",
     "d21_bloom_fp_curve",
+    "t26_cms_width_curve",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the
@@ -255,6 +256,7 @@ _R11_TOUCHED = (
     "v04_kmeans_ivf_topk",
     "d08_semantic_dedup",
     "d17_bloom_membership",  # positions factored into _bloom_positions (d21 shares them)
+    "t23_cms_token_freq",  # cells factored into _cms_cells (t26 shares them)
     "v07_pq_topk",
     "q05_nation_revenue",
     "d19_band_width_recall",

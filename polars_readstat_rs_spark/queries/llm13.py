@@ -19,12 +19,13 @@ multiplier), and split/merge triggers.  v08 gates appending to an IVF
 index; this gates knowing WHEN the index needs rebuilding — together
 they close the index-maintenance loop.
 
-d21 gates the Bloom-filter SIZING curve
-(operators/dedup.py:bloom_fp_curve): measured vs closed-form
-false-positive rate per filter width, the memory-vs-pollution table
-that sizes d17's ingest screen — completing the sketch-sizing family
-next to the LSH band curves (d19/d20) and the ANN index knobs
-(v17/v18/v21).
+d21 and t26 gate the sketch SIZING curves — Bloom measured vs
+closed-form false-positive rate per filter width
+(operators/dedup.py:bloom_fp_curve, sizing d17's ingest screen) and
+count-min measured overcount vs the N/m bound per counter width
+(operators/textstats.py:cms_width_curve, sizing t23's sketch and s12's
+bounded stream state) — completing the sizing family next to the LSH
+band curves (d19/d20) and the ANN index knobs (v17/v18/v21).
 
 Determinism: counts and byte sums are exact integers; shares and
 imbalance are single correctly-rounded IEEE divisions with identical
@@ -37,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, maintenance, similarity
+from ..operators import dedup, maintenance, similarity, textstats
 from ..tables import load_table
 from .registry import register
 
@@ -232,4 +233,76 @@ def d21_bloom_fp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 3 == 0)
     return dedup.bloom_fp_curve(
         history, incoming, "doc_id", "text", m_list=_D21_MS, k=_D21_K
+    )
+
+
+# ---------------------------------------------------------------- t26
+
+_T26_WS = (256, 1024, 4096)
+_T26_K = 3
+_T26_TOP = 20
+
+
+def _t26_bucket_sql(j: int, m: int) -> str:
+    return f"CAST(('0x' || substr(md5('cms{j}:' || tok), 1, 8)) AS BIGINT) % {m}"
+
+
+def _t26_w_sql(m: int) -> str:
+    """One curve row: measured vs N/m-bound overcount at width m."""
+    cells_union = " UNION ALL ".join(
+        f"SELECT {j} AS row, {_t26_bucket_sql(j, m)} AS bucket FROM toks"
+        for j in range(_T26_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT tok, exact_n, {j} AS row, {_t26_bucket_sql(j, m)} AS bucket FROM exact"
+        for j in range(_T26_K)
+    )
+    return f"""
+    SELECT CAST({m} AS INT) AS m_buckets,
+           t.total_tokens,
+           CAST(count(*) AS INT) AS n_probed,
+           CAST(sum(p.exact_n) AS BIGINT) AS sum_exact,
+           CAST(sum(p.est) AS BIGINT) AS sum_est,
+           CAST(max(p.est - p.exact_n) AS BIGINT) AS max_overcount,
+           round(CAST(sum(p.est - p.exact_n) AS DOUBLE) / count(*), 6) AS mean_overcount,
+           round(CAST(t.total_tokens AS DOUBLE) / {m}, 6) AS bound_n_over_m,
+           round(CAST(sum(CASE WHEN (p.est - p.exact_n) * {m} <= 2 * t.total_tokens
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS within_2bound_frac
+    FROM (
+      SELECT pr.tok, pr.exact_n, CAST(min(c.n) AS BIGINT) AS est
+      FROM ({probe_union}) pr
+      JOIN (SELECT row, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM ({cells_union}) GROUP BY row, bucket) c
+      USING (row, bucket)
+      GROUP BY pr.tok, pr.exact_n) p
+    CROSS JOIN tot t
+    GROUP BY t.total_tokens
+    """
+
+
+@register(
+    "t26_cms_width_curve",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    exact AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT {_T26_TOP}),
+    tot AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks)
+    {" UNION ALL ".join(_t26_w_sql(m) for m in _T26_WS)}
+    """,
+)
+def t26_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch SIZING curve (operators/textstats.py:
+    cms_width_curve): measured heavy-hitter overcount (sum/max/mean)
+    per counter width next to the classic N/m bound, with the
+    within-2N/m fraction compared in EXACT integers — the
+    memory-vs-error table that sizes t23's sketch and s12's bounded
+    stream state, completing the sketch-sizing family (Bloom d21, LSH
+    d19/d20, ANN v17/v18/v21)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.cms_width_curve(
+        docs, "text", widths=_T26_WS, k_rows=_T26_K, top_n=_T26_TOP
     )

@@ -2603,3 +2603,30 @@ def test_zorder_compact_clusters_output_files(spark, tmp_path):
     # a 16x16 corner query must be prunable on file stats alone
     hit = sum(1 for b in boxes if b[0] < 16 and b[2] < 16)
     assert hit <= n_out // 2
+
+
+def test_cms_width_curve_guards_and_monotonicity(spark):
+    """Curve sanity on a small corpus: wider sketches never overcount
+    MORE (mean_overcount non-increasing in m), estimates are always
+    >= exact (sum_est >= sum_exact), and an empty widths tuple raises
+    instead of returning None."""
+    import pytest
+
+    from polars_readstat_rs_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d alpha beta gamma" % (i % 7)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["m_buckets"]: r
+        for r in textstats.cms_width_curve(docs, widths=(16, 256, 4096)).collect()
+    }
+    assert list(sorted(rows)) == [16, 256, 4096]
+    means = [rows[m]["mean_overcount"] for m in (16, 256, 4096)]
+    assert means[0] >= means[1] >= means[2]
+    for r in rows.values():
+        assert r["sum_est"] >= r["sum_exact"]  # CMS never underestimates
+        assert r["total_tokens"] == 1200
+    with pytest.raises(ValueError):
+        textstats.cms_width_curve(docs, widths=())
