@@ -1134,6 +1134,55 @@ def cms_width_curve(
     return _track(out, exact, tot)
 
 
+def kmv_k_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (16, 64, 256, 1024),
+    seed: str = "kmv",
+) -> DataFrame:
+    """KMV SIZING curve: the NDV estimate and its relative error per
+    sketch size k — the state-vs-accuracy table (theory: std err ~
+    1/sqrt(k)) that picks the k for a corpus-scale cardinality pass,
+    completing the sketch-sizing family next to Bloom (d21) and CMS
+    (t26). The distinct hash set is computed ONCE and persisted; each k
+    re-reads only its k smallest rows (TakeOrdered), so the curve costs
+    one corpus pass + len(ks) bounded top-k reads. A k at or above the
+    true NDV degenerates to the exact set (rel_err 0) — the saturation
+    row that tells you the sketch is oversized. Call release_cached on
+    the result after consuming it."""
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("bigint")
+    toks = docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+    hashes = toks.select(h.alias("h")).distinct().persist()
+    exact = toks.agg(F.countDistinct("tok").alias("exact_ndv")).persist()
+    out = None
+    for k in ks:
+        kth = hashes.orderBy(F.asc("h")).limit(k).agg(
+            F.max("h").alias("h_k"), F.count(F.lit(1)).alias("_n")
+        )
+        est = F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("h_k").cast("double")
+        row = (
+            exact.crossJoin(F.broadcast(kth))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "exact_ndv",
+                F.when(F.col("_n") < k, F.col("exact_ndv").cast("double"))
+                .otherwise(est)
+                .alias("kmv_est"),
+            )
+            .withColumn(
+                "rel_err",
+                F.abs(F.col("kmv_est") - F.col("exact_ndv").cast("double"))
+                / F.col("exact_ndv").cast("double"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return _track(out, hashes, exact)
+
+
 def kmv_ndv(
     docs: DataFrame,
     text_col: str = "text",

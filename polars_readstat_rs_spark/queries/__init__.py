@@ -239,6 +239,7 @@ _R11_NEW = (
     "v23_ivf_balance",
     "d21_bloom_fp_curve",
     "t26_cms_width_curve",
+    "t27_kmv_k_curve",
 )
 
 # Queries whose IMPLEMENTATION materially changed in round 11 — the

@@ -306,3 +306,48 @@ def t26_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cms_width_curve(
         docs, "text", widths=_T26_WS, k_rows=_T26_K, top_n=_T26_TOP
     )
+
+
+# ---------------------------------------------------------------- t27
+
+_T27_KS = (16, 64, 256, 1024)
+
+
+def _t27_k_sql(k: int) -> str:
+    """One curve row: the KMV estimate and relative error at sketch size k."""
+    est = f"{float(k - 1)!r} * 4294967296.0 / CAST(kth.h_k AS DOUBLE)"
+    val = f"CASE WHEN kth._n < {k} THEN CAST(exact_ndv AS DOUBLE) ELSE {est} END"
+    return f"""
+    SELECT CAST({k} AS INT) AS k, exact_ndv,
+           {val} AS kmv_est,
+           abs({val} - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE)
+             AS rel_err
+    FROM exact, (
+      SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS _n
+      FROM (SELECT h FROM hashes ORDER BY h LIMIT {k})) kth
+    """
+
+
+@register(
+    "t27_kmv_k_curve",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    hashes AS MATERIALIZED (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || tok), 1, 8)) AS BIGINT) AS h
+      FROM toks),
+    exact AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_ndv FROM toks)
+    {" UNION ALL ".join(_t27_k_sql(k) for k in _T27_KS)}
+    """,
+)
+def t27_kmv_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sizing curve (operators/textstats.py:kmv_k_curve): the NDV
+    estimate and relative error per sketch size k, value-pinning the
+    1/sqrt(k) accuracy trade the sketch theory promises — including the
+    saturation row where k >= true NDV degenerates to the exact set.
+    One distinct-hash pass serves every k; with d21 (Bloom), t26 (CMS),
+    d19/d20 (LSH), and v17/v18/v21 (ANN), every sketch and index in the
+    engine now ships with a measured sizing curve."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.kmv_k_curve(docs, "text", ks=_T27_KS)
