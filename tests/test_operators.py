@@ -2630,3 +2630,57 @@ def test_cms_width_curve_guards_and_monotonicity(spark):
         assert r["total_tokens"] == 1200
     with pytest.raises(ValueError):
         textstats.cms_width_curve(docs, widths=())
+
+
+def test_zorder_compact_multi_partition_grouping(spark, tmp_path):
+    """zorder_compact must group jobs per PARTITION: with two hive
+    partitions of scattered small files, each partition is rewritten
+    independently (no cross-partition reads), data stays row-identical,
+    and no orphaned Hadoop .crc siblings of the deleted inputs remain
+    anywhere under the table root."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_rs_spark.operators import maintenance
+
+    base = str(tmp_path / "mz")
+    df = spark.range(2048).select(
+        (F.col("id") % 2).cast("string").alias("part"),
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") % 32).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(8).write.partitionBy("part").parquet(base)
+
+    manifest, id_to_path = maintenance.fs_file_manifest(spark, base)
+    n_in = len(id_to_path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(base).select("part", "x", "y", "payload").collect()
+    )
+    plan = maintenance.compaction_plan(
+        manifest, target_bytes=1 << 30, small_threshold=1 << 30
+    )
+    stats = maintenance.zorder_compact(
+        spark, plan, id_to_path, zorder_cols=["x", "y"], zorder_bits=5
+    )
+    assert stats["partitions"] == 2 and stats["files_in"] == n_in
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(base).select("part", "x", "y", "payload").collect()
+    )
+    assert after == before
+    # every output file holds exactly one hive partition's rows (the
+    # rewrite never mixed partitions)
+    _m2, paths2 = maintenance.fs_file_manifest(spark, base)
+    for p in paths2.values():
+        parts = {os.path.basename(os.path.dirname(p))}
+        assert len(parts) == 1 and next(iter(parts)).startswith("part=")
+    # no orphaned .crc checksum siblings anywhere under the root
+    stray_crc = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(base)
+        for n in ns
+        if n.endswith(".crc")
+        and not os.path.exists(os.path.join(r, n[1:-4]))  # .X.crc without X
+    ]
+    assert stray_crc == []
