@@ -4,7 +4,7 @@ document fingerprinting. All pure built-in-function expressions (no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
@@ -946,6 +946,29 @@ def _cms_bucket(j: int, tok: Column, m_buckets: int, seed: str) -> Column:
     )
 
 
+def _cms_probe(exact: DataFrame, m_buckets: int, k_rows: int, seed: str) -> DataFrame:
+    """(tok, exact_n, row, bucket) probe rows for the exact heavy
+    hitters — the lookup side both cms_token_freq and cms_width_curve
+    aim at the counter table."""
+    return exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(j, F.col("tok"), m_buckets, seed).alias("bucket"),
+                    )
+                    for j in range(k_rows)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "tok", "exact_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+
+
 def _cms_cells(toks: DataFrame, m_buckets: int, k_rows: int, seed: str) -> DataFrame:
     """The k x m counter table: one groupBy over (row, bucket) with
     map-side partial aggregation into at most k*m cells."""
@@ -1003,9 +1026,6 @@ def cms_token_freq(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     )
 
-    def bucket(j: int, tok: Column) -> Column:
-        return _cms_bucket(j, tok, m_buckets, seed)
-
     cells = _cms_cells(toks, m_buckets, k_rows, seed)
     exact = (
         toks.groupBy("tok")
@@ -1013,18 +1033,7 @@ def cms_token_freq(
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(top_n)
     )
-    probe = exact.select(
-        "tok",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("row"), bucket(j, F.col("tok")).alias("bucket"))
-                    for j in range(k_rows)
-                ]
-            )
-        ).alias("c"),
-    ).select("tok", "exact_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    probe = _cms_probe(exact, m_buckets, k_rows, seed)
     return (
         probe.join(F.broadcast(cells), ["row", "bucket"])
         .groupBy("tok", "exact_n")
@@ -1080,21 +1089,7 @@ def cms_width_curve(
     out = None
     for m in widths:
         cells = _cms_cells(toks, m, k_rows, seed)
-        probe = exact.select(
-            "tok",
-            "exact_n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("row"),
-                            _cms_bucket(j, F.col("tok"), m, seed).alias("bucket"),
-                        )
-                        for j in range(k_rows)
-                    ]
-                )
-            ).alias("c"),
-        ).select("tok", "exact_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        probe = _cms_probe(exact, m, k_rows, seed)
         per_tok = (
             probe.join(F.broadcast(cells), ["row", "bucket"])
             .groupBy("tok", "exact_n")
@@ -1134,6 +1129,32 @@ def cms_width_curve(
     return _track(out, exact, tot)
 
 
+def _kmv_hash(seed: str) -> Column:
+    """Uniform 32-bit md5 hash of a token — the family kmv_ndv and
+    kmv_k_curve share (and the DuckDB oracles reproduce)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _kmv_point(hashes: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(exact_ndv, kmv_est) at one sketch size: estimate
+    (k-1) * 2^32 / h_k from the k-th smallest distinct hash, falling
+    back to the exact count when FEWER than k distinct hashes exist
+    (the sketch then IS the exact set). Shared by kmv_ndv and
+    kmv_k_curve so the estimator/saturation rule has one definition."""
+    kth = hashes.orderBy(F.asc("h")).limit(k).agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("_n")
+    )
+    est = F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("h_k").cast("double")
+    return exact.crossJoin(F.broadcast(kth)).select(
+        "exact_ndv",
+        F.when(F.col("_n") < k, F.col("exact_ndv").cast("double"))
+        .otherwise(est)
+        .alias("kmv_est"),
+    )
+
+
 def kmv_k_curve(
     docs: DataFrame,
     text_col: str = "text",
@@ -1144,34 +1165,25 @@ def kmv_k_curve(
     sketch size k — the state-vs-accuracy table (theory: std err ~
     1/sqrt(k)) that picks the k for a corpus-scale cardinality pass,
     completing the sketch-sizing family next to Bloom (d21) and CMS
-    (t26). The distinct hash set is computed ONCE and persisted; each k
-    re-reads only its k smallest rows (TakeOrdered), so the curve costs
-    one corpus pass + len(ks) bounded top-k reads. A k at or above the
-    true NDV degenerates to the exact set (rel_err 0) — the saturation
-    row that tells you the sketch is oversized. Call release_cached on
-    the result after consuming it."""
+    (t26). Two corpus passes total — the persisted distinct-hash set
+    and the exact-NDV AUDIT (production uses the sketch alone and
+    skips the audit) — plus len(ks) bounded top-k reads. When fewer
+    than k distinct hashes exist the sketch degenerates to the exact
+    set (rel_err 0) — the saturation row that tells you the sketch is
+    oversized. Call release_cached on the result after consuming it."""
     if not ks:
         raise ValueError("ks must be non-empty")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 8), 16, 10
-    ).cast("bigint")
     toks = docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
-    hashes = toks.select(h.alias("h")).distinct().persist()
+    hashes = toks.select(_kmv_hash(seed).alias("h")).distinct().persist()
     exact = toks.agg(F.countDistinct("tok").alias("exact_ndv")).persist()
     out = None
     for k in ks:
-        kth = hashes.orderBy(F.asc("h")).limit(k).agg(
-            F.max("h").alias("h_k"), F.count(F.lit(1)).alias("_n")
-        )
-        est = F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("h_k").cast("double")
         row = (
-            exact.crossJoin(F.broadcast(kth))
+            _kmv_point(hashes, exact, k)
             .select(
                 F.lit(k).cast("int").alias("k"),
                 "exact_ndv",
-                F.when(F.col("_n") < k, F.col("exact_ndv").cast("double"))
-                .otherwise(est)
-                .alias("kmv_est"),
+                "kmv_est",
             )
             .withColumn(
                 "rel_err",
@@ -1205,28 +1217,12 @@ def kmv_ndv(
 
     Returns one row: (exact_ndv, kmv_est, rel_err, k).
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 8), 16, 10
-    ).cast("bigint")
     toks = docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
-    hashes = toks.select(h.alias("h")).distinct()
-    kth = hashes.orderBy(F.asc("h")).limit(k).agg(
-        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("_n")
-    )
+    hashes = toks.select(_kmv_hash(seed).alias("h")).distinct()
     exact = toks.agg(F.countDistinct("tok").alias("exact_ndv"))
-    est = (
-        F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("h_k").cast("double")
-    )
     return (
-        exact.crossJoin(F.broadcast(kth))
-        .select(
-            "exact_ndv",
-            # fewer than k distinct hashes: the sketch IS the exact set
-            F.when(F.col("_n") < k, F.col("exact_ndv").cast("double"))
-            .otherwise(est)
-            .alias("kmv_est"),
-            F.lit(k).alias("k"),
-        )
+        _kmv_point(hashes, exact, k)
+        .select("exact_ndv", "kmv_est", F.lit(k).alias("k"))
         .withColumn(
             "rel_err",
             F.abs(F.col("kmv_est") - F.col("exact_ndv").cast("double"))

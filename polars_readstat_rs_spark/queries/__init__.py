@@ -257,7 +257,8 @@ _R11_TOUCHED = (
     "v04_kmeans_ivf_topk",
     "d08_semantic_dedup",
     "d17_bloom_membership",  # positions factored into _bloom_positions (d21 shares them)
-    "t23_cms_token_freq",  # cells factored into _cms_cells (t26 shares them)
+    "t23_cms_token_freq",  # cells/probe factored into _cms_cells/_cms_probe (t26 shares them)
+    "t24_kmv_ndv",  # estimator factored into _kmv_point (t27 shares it)
     "v07_pq_topk",
     "q05_nation_revenue",
     "d19_band_width_recall",

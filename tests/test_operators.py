@@ -2492,7 +2492,9 @@ def test_bloom_fp_curve_zero_truth_guard(spark):
     incoming = spark.createDataFrame(
         [(100 + i, f"text {i}") for i in range(10)], "doc_id long, text string"
     )
-    rows = dedup.bloom_fp_curve(history, incoming, m_list=(256, 1024), k=3).collect()
+    curve = dedup.bloom_fp_curve(history, incoming, m_list=(256, 1024), k=3)
+    rows = curve.collect()
+    dedup.release_cached(curve)
     assert len(rows) == 2
     for r in rows:
         assert r["n_incoming"] == 10 and r["n_exact_dup"] == 10
@@ -2618,10 +2620,9 @@ def test_cms_width_curve_guards_and_monotonicity(spark):
         [(i, "tok%d alpha beta gamma" % (i % 7)) for i in range(300)],
         "doc_id long, text string",
     )
-    rows = {
-        r["m_buckets"]: r
-        for r in textstats.cms_width_curve(docs, widths=(16, 256, 4096)).collect()
-    }
+    curve = textstats.cms_width_curve(docs, widths=(16, 256, 4096))
+    rows = {r["m_buckets"]: r for r in curve.collect()}
+    textstats.release_cached(curve)
     assert list(sorted(rows)) == [16, 256, 4096]
     means = [rows[m]["mean_overcount"] for m in (16, 256, 4096)]
     assert means[0] >= means[1] >= means[2]
@@ -2670,11 +2671,15 @@ def test_zorder_compact_multi_partition_grouping(spark, tmp_path):
     )
     assert after == before
     # every output file holds exactly one hive partition's rows (the
-    # rewrite never mixed partitions)
+    # rewrite never mixed partitions): part = id % 2 by construction,
+    # so every payload in a part=P file must satisfy payload % 2 == P
     _m2, paths2 = maintenance.fs_file_manifest(spark, base)
     for p in paths2.values():
-        parts = {os.path.basename(os.path.dirname(p))}
-        assert len(parts) == 1 and next(iter(parts)).startswith("part=")
+        dirname = os.path.basename(os.path.dirname(p))
+        assert dirname.startswith("part=")
+        want = int(dirname.split("=")[1])
+        got = {r["payload"] % 2 for r in spark.read.parquet(p).collect()}
+        assert got == {want}
     # no orphaned .crc checksum siblings anywhere under the root
     stray_crc = [
         os.path.join(r, n)
