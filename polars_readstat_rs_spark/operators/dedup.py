@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._lifecycle import release_cached, track as _track  # noqa: F401  (shared lifecycle)
 from .text import shingles_expr
 
 NUM_HASHES = 8  # 8 x 32-bit chunks carved from ONE sha256 per shingle
@@ -55,26 +56,6 @@ MAX_BAND_BUCKET = 10_000  # skew guard: per-(band, key) population cap in LSH jo
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
-
-
-def _track(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Record persisted upstream frames on the result for later release."""
-    deps = list(getattr(result, "_readstat_cached", []))
-    for c in cached:
-        deps.extend(getattr(c, "_readstat_cached", []))
-        if c.storageLevel.useMemory or c.storageLevel.useDisk:
-            deps.append(c)
-    result._readstat_cached = deps
-    return result
-
-
-def release_cached(df: DataFrame) -> None:
-    """Unpersist every intermediate a dedup/similarity operator cached
-    while building ``df``. Call after the result has been consumed —
-    otherwise long pipelines accumulate executor storage."""
-    for c in getattr(df, "_readstat_cached", []):
-        c.unpersist()
-    df._readstat_cached = []
 
 
 def _cap_buckets(

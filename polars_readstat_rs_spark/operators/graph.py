@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
+from ._lifecycle import release_cached, track as _track  # noqa: F401  (shared lifecycle)
 
 
 def cooccurrence_edges(

@@ -25,6 +25,7 @@ reader); this is part of the beyond-reference pipeline suite.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -38,6 +39,7 @@ def compaction_plan(
     size_col: str = "size_bytes",
     target_bytes: int = 128 * 1024 * 1024,
     small_threshold: int = 32 * 1024 * 1024,
+    keep_zero_benefit: bool = False,
 ) -> DataFrame:
     """Plan small-file compaction jobs over a file manifest.
 
@@ -55,7 +57,12 @@ def compaction_plan(
       bins, small ones top up the current one),
     - jobs that would not reduce the file count (a lone trailing file,
       or a bin whose members already average the target) are DROPPED —
-      scheduling them would rewrite bytes for zero layout benefit,
+      scheduling them would rewrite bytes for zero layout benefit —
+      unless ``keep_zero_benefit=True``: a CLUSTERING rewrite
+      (zorder_compact) re-sorts the whole partition group anyway, so
+      suppressing zero-benefit bins there would leave those files
+      outside the z-order and their ranges overlapping the clustered
+      output,
     - one output row per (partition, job_idx) with exact byte totals,
       the expected output-file count ``ceil(input_bytes / target)``,
       the net file-count reduction, and the ordered input manifest.
@@ -118,7 +125,7 @@ def compaction_plan(
             (F.count(F.lit(1)) - est_out).cast("int").alias("files_removed"),
             manifest.alias("file_manifest"),
         )
-        .filter(F.col("files_removed") >= 1)
+        .filter(F.lit(True) if keep_zero_benefit else (F.col("files_removed") >= 1))
     )
 
 
@@ -138,6 +145,11 @@ def fs_file_manifest(
     """
     entries = []
     for root, _dirs, names in os.walk(base):
+        # prune hidden/temp DIRECTORIES in place, not just hidden file
+        # names: crash leftovers under _compact_*/_zorder_*/_temporary
+        # would otherwise be manifested as phantom partitions and fed
+        # back into planning even though Spark readers ignore them
+        _dirs[:] = [d for d in _dirs if not d.startswith(("_", "."))]
         for name in sorted(names):
             if not name.endswith(suffix) or name.startswith(("_", ".")):
                 continue
@@ -155,11 +167,16 @@ def fs_file_manifest(
 
 def _publish_and_swap(tmp: str, part_dir: str, prefix: str, input_paths: list[str]) -> int:
     """Publish a rewrite: move the new data files out of ``tmp`` under
-    fresh names, clean the tmp dir, then delete the inputs (and their
-    Hadoop ``.name.crc`` checksum siblings — otherwise every compaction
-    run leaves one orphaned dotfile per input behind). Write-then-delete
-    order: a concurrent listing sees duplicates at worst, never missing
-    rows. Returns the published file count."""
+    fresh names, delete the inputs (and their Hadoop ``.name.crc``
+    checksum siblings — otherwise every compaction run leaves one
+    orphaned dotfile per input behind), then clean the tmp dir.
+    Write-then-delete order: a concurrent listing sees duplicates at
+    worst, never missing rows. Input deletion runs BEFORE tmp cleanup
+    and cleanup is rmtree inside try/finally, so a ``_temporary/``
+    subdirectory left by an aborted/retried Spark task can never abort
+    the swap between publish and delete (which would leave persistent
+    duplicate rows, not a transient window). Returns the published
+    file count."""
     new_names = [
         n
         for n in sorted(os.listdir(tmp))
@@ -170,15 +187,35 @@ def _publish_and_swap(tmp: str, part_dir: str, prefix: str, input_paths: list[st
             os.path.join(tmp, n),
             os.path.join(part_dir, f"{prefix}-{uuid.uuid4().hex}-{n}"),
         )
-    for leftover in os.listdir(tmp):
-        os.remove(os.path.join(tmp, leftover))
-    os.rmdir(tmp)
-    for p in input_paths:
-        os.remove(p)
-        crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+    try:
+        for p in input_paths:
+            os.remove(p)
+            crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return len(new_names)
+
+
+def _run_jobs(work: list, runner, max_concurrency: int) -> tuple[int, int]:
+    """Submit rewrite jobs with bounded concurrency. The Spark scheduler
+    is thread-safe and each job rewrites a DISJOINT file set, so
+    concurrent submission is safe; serial submission would make driver
+    job-submission latency the wall at planner scale (a 130k-job
+    manifest at ~50 ms/job would spend ~2 h just queueing). Each worker
+    thread completes its own publish-swap, preserving per-job
+    write-then-delete crash semantics. Returns (files_in, files_out)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if max_concurrency <= 1 or len(work) <= 1:
+        results = [runner(j) for j in work]
+    else:
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrency, len(work))
+        ) as pool:
+            results = list(pool.map(runner, work))
+    return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
 def execute_compaction(
@@ -186,22 +223,26 @@ def execute_compaction(
     plan: DataFrame,
     id_to_path: dict[int, str],
     fmt: str = "parquet",
+    max_concurrency: int = 8,
 ) -> dict[str, int]:
     """Execute a compaction plan against real files: per job, read the
     member files, rewrite them as ``est_output_files`` coalesced files
     alongside the originals, then swap (publish new, delete inputs).
 
-    The driver loop iterates JOBS (the plan is the bounded output of
+    The driver iterates JOBS (the plan is the bounded output of
     compaction_plan — one row per rewrite, never per file); each job's
     read+coalesce+write is a distributed Spark job, which is the
-    production OPTIMIZE shape. Publication is crash-safe for readers
-    that list the directory once (_publish_and_swap).
+    production OPTIMIZE shape. Jobs are submitted through a bounded
+    thread pool (``max_concurrency``) so small rewrites overlap instead
+    of serializing on driver submission latency; each thread still
+    publishes its own job crash-safely (_publish_and_swap), and jobs
+    never share files, so the concurrency is contention-free.
 
     Returns {"jobs": n, "files_in": n, "files_out": n}.
     """
     jobs = plan.collect()
-    files_in = files_out = 0
-    for job in jobs:
+
+    def _run(job) -> tuple[int, int]:
         paths = [id_to_path[int(f)] for f in job["file_manifest"].split(",")]
         part_dir = os.path.dirname(paths[0])
         est = int(job["est_output_files"])
@@ -214,8 +255,9 @@ def execute_compaction(
             .mode("overwrite")
             .save(tmp)
         )
-        files_in += len(paths)
-        files_out += _publish_and_swap(tmp, part_dir, "compact", paths)
+        return len(paths), _publish_and_swap(tmp, part_dir, "compact", paths)
+
+    files_in, files_out = _run_jobs(jobs, _run, max_concurrency)
     return {"jobs": len(jobs), "files_in": files_in, "files_out": files_out}
 
 
@@ -226,6 +268,7 @@ def zorder_compact(
     zorder_cols: list[str],
     zorder_bits: int = 16,
     fmt: str = "parquet",
+    max_concurrency: int = 8,
 ) -> dict[str, int]:
     """OPTIMIZE ZORDER BY: execute a compaction plan with
     multi-dimensional clustering. Unlike execute_compaction's per-bin
@@ -244,6 +287,14 @@ def zorder_compact(
     more than coalesce, which is why plain compaction stays the default
     and clustering is the opt-in rewrite.
 
+    Scope caveat: only the PLANNED files of each partition are
+    clustered. Build the plan with
+    ``compaction_plan(..., keep_zero_benefit=True)`` so zero-benefit
+    bins are not suppressed (clustering rewrites them anyway); files at
+    or above ``small_threshold`` still stay outside the plan, so their
+    z-ranges can overlap the clustered output until a full-partition
+    rewrite (raise small_threshold to target_bytes to pull them in).
+
     Returns {"partitions": n, "files_in": n, "files_out": n}.
     """
     from .bucketing import write_zordered
@@ -251,8 +302,8 @@ def zorder_compact(
     groups: dict[str, list] = {}
     for job in plan.collect():
         groups.setdefault(job["part"], []).append(job)
-    files_in = files_out = 0
-    for part, jobs in groups.items():
+
+    def _run(jobs) -> tuple[int, int]:
         paths = [
             id_to_path[int(f)]
             for job in jobs
@@ -269,6 +320,7 @@ def zorder_compact(
             bits=zorder_bits,
             fmt=fmt,
         )
-        files_in += len(paths)
-        files_out += _publish_and_swap(tmp, part_dir, "zorder", paths)
+        return len(paths), _publish_and_swap(tmp, part_dir, "zorder", paths)
+
+    files_in, files_out = _run_jobs(list(groups.values()), _run, max_concurrency)
     return {"partitions": len(groups), "files_in": files_in, "files_out": files_out}

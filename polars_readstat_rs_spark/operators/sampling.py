@@ -383,7 +383,8 @@ def leakage_free_split(
     expression — no additional shuffles.
 
     Output: doc (id), cluster (representative id), split ('train'/'val')."""
-    from .dedup import _track, minhash_lsh_pairs, neardup_components, ngram_jaccard_pairs
+    from ._lifecycle import track as _track
+    from .dedup import minhash_lsh_pairs, neardup_components, ngram_jaccard_pairs
 
     if method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, n=n).filter(

@@ -21,7 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .dedup import MAX_BAND_BUCKET, _cap_buckets, _track, release_cached  # noqa: F401  (re-exported lifecycle)
+from ._lifecycle import release_cached, track as _track  # noqa: F401  (shared lifecycle)
+from .dedup import MAX_BAND_BUCKET, _cap_buckets
 
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _track, release_cached  # noqa: F401  (re-exported lifecycle)
+from ._lifecycle import release_cached, track as _track  # noqa: F401  (shared lifecycle)
 from .text import shingles_expr, words_expr
 
 # n-gram-heuristic language ID: marker-token hit counts per language.

@@ -2689,3 +2689,87 @@ def test_zorder_compact_multi_partition_grouping(spark, tmp_path):
         and not os.path.exists(os.path.join(r, n[1:-4]))  # .X.crc without X
     ]
     assert stray_crc == []
+
+
+def test_fs_file_manifest_prunes_hidden_dirs(spark, tmp_path):
+    """Crash leftovers under _compact_*/_temporary/.hidden directories
+    must NOT be manifested as phantom partitions — Spark readers skip
+    those paths, so planning over them would schedule rewrites of files
+    no scan can see."""
+    import os
+
+    from polars_readstat_rs_spark.operators import maintenance
+
+    base = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(base, "part=a"))
+    with open(os.path.join(base, "part=a", "f0.parquet"), "wb") as fh:
+        fh.write(b"x" * 10)
+    # crash leftovers: a tmp compaction dir and a Spark _temporary tree
+    for hidden in ("_compact_deadbeef", "_temporary/0/task", ".stage"):
+        d = os.path.join(base, "part=a", hidden)
+        os.makedirs(d)
+        with open(os.path.join(d, "phantom.parquet"), "wb") as fh:
+            fh.write(b"y" * 10)
+
+    manifest, id_to_path = maintenance.fs_file_manifest(spark, base)
+    assert len(id_to_path) == 1
+    assert list(id_to_path.values())[0].endswith("part=a/f0.parquet")
+    rows = manifest.collect()
+    assert len(rows) == 1 and rows[0]["part"] == "part=a"
+
+
+def test_publish_and_swap_survives_temporary_dir(tmp_path):
+    """A _temporary/ subdirectory left in the staging dir by an
+    aborted/retried Spark task must not abort the swap: inputs are
+    still deleted (no persistent duplicate rows) and tmp is fully
+    removed."""
+    import os
+
+    from polars_readstat_rs_spark.operators.maintenance import _publish_and_swap
+
+    part_dir = str(tmp_path / "part=a")
+    tmp = os.path.join(part_dir, "_compact_x")
+    os.makedirs(os.path.join(tmp, "_temporary", "0"))  # aborted-task leftover
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"new")
+    with open(os.path.join(tmp, "._SUCCESS.crc"), "wb") as fh:
+        fh.write(b"c")
+    inp = os.path.join(part_dir, "old.parquet")
+    with open(inp, "wb") as fh:
+        fh.write(b"old")
+
+    n = _publish_and_swap(tmp, part_dir, "compact", [inp])
+    assert n == 1
+    assert not os.path.exists(inp)  # inputs gone -> no duplicates
+    assert not os.path.exists(tmp)  # staging dir fully cleaned
+    published = [
+        f for f in os.listdir(part_dir) if f.startswith("compact-")
+    ]
+    assert len(published) == 1
+
+
+def test_compaction_plan_keep_zero_benefit(spark):
+    """keep_zero_benefit=True (the clustering-plan mode) must retain
+    bins the default plan drops for zero file-count reduction, so
+    zorder_compact rewrites the WHOLE partition group into the
+    z-order."""
+    from polars_readstat_rs_spark.operators import maintenance
+
+    # two files whose bin already averages the target: est_output_files
+    # = ceil(194/98) = 2 = n_files, files_removed = 0 -> dropped by the
+    # default benefit filter
+    files = spark.createDataFrame(
+        [("p", 0, 97), ("p", 1, 97)],
+        "part string, file_id long, size_bytes long",
+    )
+    default = maintenance.compaction_plan(
+        files, target_bytes=98, small_threshold=98
+    ).collect()
+    assert default == []
+    kept = maintenance.compaction_plan(
+        files, target_bytes=98, small_threshold=98, keep_zero_benefit=True
+    ).collect()
+    assert len(kept) == 1
+    (r,) = kept
+    assert r["n_files"] == 2 and r["est_output_files"] == 2
+    assert r["files_removed"] == 0
