@@ -340,9 +340,10 @@ def blocked_neardup_pairs(
     block_col: str = "label",
     threshold: float = 0.4,
     max_block: int | None = None,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
     """Near-duplicate vector pairs within a blocking cell (IVF-style):
-    only same-block pairs are compared, so the join shuffles once on the
+    only same-block pairs are compared, so the join shuffles on the
     block key instead of building the full cross product.
 
     Each cell costs O(block^2); at 100 TB a runaway hot cell (one label
@@ -352,22 +353,31 @@ def blocked_neardup_pairs(
     detection within a huge homogeneous cell saturates well below the
     full pair set). Default None compares everything.
 
-    Kernel shape (r5 rewrite): one applyInPandas per cell computing the
-    chunked Gram matrix in numpy — the previous self-join materialized
-    every vector PAIR through Arrow (two 64-float arrays per row; the
-    10x scale smoke spent 9 minutes just shipping ~40M pair rows),
-    where the Gram accumulation moves each cell's vectors ONCE and does
-    the m^2 x d multiply in C (same smoke point: seconds). Fold-order
-    parity with the SQL oracles is preserved exactly: the accumulation
-    loops dimensions in ascending order, so every pair performs
-    ((0 + a0*b0) + a1*b1) + ... — pair_dot_udf's (and list_reduce's)
-    IEEE addition sequence — and the 6-decimal rounding happens JVM-side
-    (Spark HALF_UP; numpy rounds half-to-even). Chunking bounds memory
-    at ~chunk x m doubles regardless of cell size."""
+    Task shape (r12 rewrite): the r5 kernel ran ONE applyInPandas task
+    per cell, so parallelism was capped at the number of blocks — the
+    sf10 embeddings table has 10 labels of ~20k vectors each, and the
+    whole stage ran 10-wide on 32 cores with each task doing the full
+    m^2 Gram. Cells are now split into ``chunk_rows``-sized chunks by
+    id rank and every CHUNK PAIR (ci <= cj) becomes its own task (the
+    classic triangle self-join decomposition): identical output, but
+    parallelism scales as (cell/chunk_rows)^2 and no task ever holds
+    more than 2*chunk_rows vectors. Replication cost: each vector is
+    shipped to ~cell/chunk_rows tasks — the standard trade for an
+    exact all-pairs operator. Cells at or below chunk_rows degenerate
+    to the old one-task-per-cell shape.
+
+    Fold-order parity with the SQL oracles is preserved exactly: the
+    Gram accumulation loops dimensions in ascending order, so every
+    pair performs ((0 + a0*b0) + a1*b1) + ... — pair_dot_udf's (and
+    list_reduce's) IEEE addition sequence — and the 6-decimal rounding
+    happens JVM-side (Spark HALF_UP; numpy rounds half-to-even). The
+    inner chunking bounds each task's accumulator at ~2^22 doubles."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    if chunk_rows < 2:
+        raise ValueError(f"chunk_rows must be >= 2, got {chunk_rows}")
     in_fields = {f.name: f.dataType for f in df.schema.fields}
     out_schema = T.StructType(
         [
@@ -382,45 +392,71 @@ def blocked_neardup_pairs(
     # rounding up to it) are never lost
     margin = float(threshold) - 1e-6
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"blk": [], "a_id": [], "b_id": [], "sim": []})
-        pdf = pdf.sort_values("vid")
-        if max_block is not None:
-            pdf = pdf.head(max_block)
-        m = len(pdf)
-        if m < 2:
-            return empty
-        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-        d = X.shape[1]
-        # norms: left-fold sum of squares, dimensions ascending (matches
-        # dot_expr / the oracle's list_reduce), then correctly-rounded sqrt
-        sq = np.zeros(m, dtype=np.float64)
-        for j in range(d):
+    def _norms(X: "np.ndarray") -> "np.ndarray":
+        # left-fold sum of squares, dimensions ascending (matches
+        # dot_expr / the oracle's list_reduce), then rounded sqrt
+        sq = np.zeros(X.shape[0], dtype=np.float64)
+        for j in range(X.shape[1]):
             sq += X[:, j] * X[:, j]
-        nrm = np.sqrt(sq)
-        ids = pdf["vid"].to_numpy()
-        blk = pdf["blk"].iloc[0]
+        return np.sqrt(sq)
+
+    def _gram_pairs(XA, idsA, XB, idsB, strict_upper_from=None):
+        """Row-chunked Gram between XA and XB; emits (a, b, sim) where
+        sim >= margin. strict_upper_from: positional offset of XA's
+        rows inside XB (diagonal task) — keep only col > row pairs;
+        None (cross task) keeps every (a, b) cell, ids already ordered
+        a < b by rank construction."""
+        nA = _norms(XA)
+        nB = _norms(XB)
+        d = XA.shape[1]
+        mB = XB.shape[0]
         out_a, out_b, out_s = [], [], []
-        chunk = max(1, (1 << 22) // m)
-        col_idx = np.arange(m)
-        for s in range(0, m, chunk):
-            A = X[s : s + chunk]
-            acc = np.zeros((A.shape[0], m), dtype=np.float64)
+        chunk = max(1, (1 << 22) // max(mB, 1))
+        col_idx = np.arange(mB)
+        for s in range(0, XA.shape[0], chunk):
+            A = XA[s : s + chunk]
+            acc = np.zeros((A.shape[0], mB), dtype=np.float64)
             for j in range(d):
-                acc += A[:, j : j + 1] * X[:, j][None, :]
-            sim_raw = acc / (nrm[s : s + chunk, None] * nrm[None, :])
-            mask = (col_idx[None, :] > (s + np.arange(A.shape[0]))[:, None]) & (
-                sim_raw >= margin
-            )
+                acc += A[:, j : j + 1] * XB[:, j][None, :]
+            sim_raw = acc / (nA[s : s + chunk, None] * nB[None, :])
+            mask = sim_raw >= margin
+            if strict_upper_from is not None:
+                mask &= col_idx[None, :] > (
+                    strict_upper_from + s + np.arange(A.shape[0])
+                )[:, None]
             pi, qi = np.nonzero(mask)
-            out_a.append(ids[s + pi])
-            out_b.append(ids[qi])
+            out_a.append(idsA[s + pi])
+            out_b.append(idsB[qi])
             out_s.append(sim_raw[pi, qi])
-        if not out_a:
+        return out_a, out_b, out_s
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"blk": [], "a_id": [], "b_id": [], "sim": []})
+        blk, ti, tj = key
+        if len(pdf) < 2:
+            return empty
+        if ti == tj:
+            sub = pdf.sort_values("vid")
+            X = np.array(sub["vec"].tolist(), dtype=np.float64)
+            ids = sub["vid"].to_numpy()
+            out_a, out_b, out_s = _gram_pairs(X, ids, X, ids, strict_upper_from=0)
+        else:
+            a = pdf[pdf["side"] == "a"].sort_values("vid")
+            b = pdf[pdf["side"] == "b"].sort_values("vid")
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            out_a, out_b, out_s = _gram_pairs(
+                np.array(a["vec"].tolist(), dtype=np.float64),
+                a["vid"].to_numpy(),
+                np.array(b["vec"].tolist(), dtype=np.float64),
+                b["vid"].to_numpy(),
+            )
+        n = sum(len(x) for x in out_a)
+        if n == 0:
             return empty
         return pd.DataFrame(
             {
-                "blk": np.repeat(blk, sum(len(a) for a in out_a)),
+                "blk": np.repeat(blk, n),
                 "a_id": np.concatenate(out_a),
                 "b_id": np.concatenate(out_b),
                 "sim": np.concatenate(out_s),
@@ -432,8 +468,38 @@ def blocked_neardup_pairs(
     ).filter(
         F.col(block_col).isNotNull() & F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     )
+    # rank within block (ascending id — max_block keeps the lowest-id
+    # members, the same truncation the one-task kernel applied), then
+    # chunk index; mx over the SAME partitioning adds no exchange
+    ranked = sel.withColumn(
+        "rk", F.row_number().over(W.partitionBy("blk").orderBy("vid")) - 1
+    )
+    if max_block is not None:
+        ranked = ranked.filter(F.col("rk") < int(max_block))
+    ranked = ranked.withColumn(
+        "ci", (F.col("rk") / F.lit(int(chunk_rows))).cast("int")
+    ).withColumn("mx", F.max("ci").over(W.partitionBy("blk")))
+    # triangle fan-out: chunk c is side A of tasks (c, c..mx) and side
+    # B of tasks (0..c-1, c)
+    a_side = ranked.select(
+        "blk",
+        F.col("ci").alias("ti"),
+        F.explode(F.sequence(F.col("ci"), F.col("mx"))).alias("tj"),
+        "vid",
+        "vec",
+        F.lit("a").alias("side"),
+    )
+    b_side = ranked.filter(F.col("ci") > 0).select(
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.col("ci") - 1)).alias("ti"),
+        F.col("ci").alias("tj"),
+        "vid",
+        "vec",
+        F.lit("b").alias("side"),
+    )
     out = (
-        sel.groupBy("blk")
+        a_side.unionByName(b_side)
+        .groupBy("blk", "ti", "tj")
         .applyInPandas(fn, out_schema)
         .withColumn("sim", F.round("sim", 6))
         .filter(F.col("sim") >= threshold)

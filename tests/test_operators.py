@@ -382,6 +382,40 @@ def test_blocked_neardup_block_cap(spark, sf_dir):
     assert capped.join(full, ["blk", "a_id", "b_id", "sim"], "left_anti").count() == 0
 
 
+def test_blocked_neardup_chunk_decomposition_exact(spark, sf_dir):
+    """The r12 triangle chunk-pair decomposition must be EXACTLY the
+    one-task-per-cell result — same pair set, bitwise-same sims — for a
+    chunk size that forces every cell through multiple diagonal AND
+    cross chunk-pair tasks, and must compose with max_block."""
+    from polars_readstat_rs_spark.operators.similarity import blocked_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted(
+            (r["blk"], r["a_id"], r["b_id"], r["sim"]) for r in df.collect()
+        )
+
+    # chunk_rows >= cell size: degenerates to one task per cell (the
+    # pre-r12 shape) = the truth
+    truth = rows(blocked_neardup_pairs(emb, threshold=0.3, chunk_rows=1 << 20))
+    assert truth
+    # chunk_rows=7 forces multi-chunk cells at every SF (cells are 50+)
+    chunked = rows(blocked_neardup_pairs(emb, threshold=0.3, chunk_rows=7))
+    assert chunked == truth
+    capped_truth = rows(
+        blocked_neardup_pairs(emb, threshold=-1.0, max_block=13, chunk_rows=1 << 20)
+    )
+    capped_chunked = rows(
+        blocked_neardup_pairs(emb, threshold=-1.0, max_block=13, chunk_rows=5)
+    )
+    assert capped_chunked == capped_truth
+    import pytest
+
+    with pytest.raises(ValueError):
+        blocked_neardup_pairs(emb, chunk_rows=1)
+
+
 def test_kmeans_ivf_recall(spark, sf_dir):
     """k-means IVF: assignment is a total partition, every cell is
     nearest-centroid-consistent, and probed top-k recalls a reasonable
