@@ -392,12 +392,13 @@ def blocked_neardup_pairs(
     # rounding up to it) are never lost
     margin = float(threshold) - 1e-6
 
-    def _norms(X: "np.ndarray") -> "np.ndarray":
+    def _norms(Xt: "np.ndarray") -> "np.ndarray":
         # left-fold sum of squares, dimensions ascending (matches
-        # dot_expr / the oracle's list_reduce), then rounded sqrt
-        sq = np.zeros(X.shape[0], dtype=np.float64)
-        for j in range(X.shape[1]):
-            sq += X[:, j] * X[:, j]
+        # dot_expr / the oracle's list_reduce), then rounded sqrt.
+        # Xt is the (d, m) transpose: row slices are contiguous.
+        sq = np.zeros(Xt.shape[1], dtype=np.float64)
+        for j in range(Xt.shape[0]):
+            sq += Xt[j] * Xt[j]
         return np.sqrt(sq)
 
     def _gram_pairs(XA, idsA, XB, idsB, strict_upper_from=None):
@@ -405,24 +406,39 @@ def blocked_neardup_pairs(
         sim >= margin. strict_upper_from: positional offset of XA's
         rows inside XB (diagonal task) — keep only col > row pairs;
         None (cross task) keeps every (a, b) cell, ids already ordered
-        a < b by rank construction."""
-        nA = _norms(XA)
-        nB = _norms(XB)
-        d = XA.shape[1]
+        a < b by rank construction.
+
+        IEEE parity note: the accumulation is the same ascending-dims
+        left fold as ever — the r12 change is pure MEMORY LAYOUT
+        ((d, m) contiguous transposes so every slice the inner loop
+        touches is sequential, plus a reused product buffer instead of
+        a fresh 33 MB temp per dimension). Elementwise IEEE multiply/
+        add don't depend on operand layout, so results are bitwise
+        identical to the strided version; measured ~3x on the sf10
+        kernel, where the (m, d) column gathers were the wall."""
+        XAt = np.ascontiguousarray(XA.T)
+        XBt = np.ascontiguousarray(XB.T)
+        nA = _norms(XAt)
+        nB = _norms(XBt)
+        d = XAt.shape[0]
         mB = XB.shape[0]
         out_a, out_b, out_s = [], [], []
         chunk = max(1, (1 << 22) // max(mB, 1))
         col_idx = np.arange(mB)
+        tmp = None
         for s in range(0, XA.shape[0], chunk):
-            A = XA[s : s + chunk]
-            acc = np.zeros((A.shape[0], mB), dtype=np.float64)
+            rows = min(chunk, XA.shape[0] - s)
+            acc = np.zeros((rows, mB), dtype=np.float64)
+            if tmp is None or tmp.shape[0] != rows:
+                tmp = np.empty((rows, mB), dtype=np.float64)
             for j in range(d):
-                acc += A[:, j : j + 1] * XB[:, j][None, :]
-            sim_raw = acc / (nA[s : s + chunk, None] * nB[None, :])
+                np.multiply(XAt[j, s : s + rows, None], XBt[j][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
+            sim_raw = acc / (nA[s : s + rows, None] * nB[None, :])
             mask = sim_raw >= margin
             if strict_upper_from is not None:
                 mask &= col_idx[None, :] > (
-                    strict_upper_from + s + np.arange(A.shape[0])
+                    strict_upper_from + s + np.arange(rows)
                 )[:, None]
             pi, qi = np.nonzero(mask)
             out_a.append(idsA[s + pi])

@@ -275,6 +275,75 @@ _R11_TOUCHED = (
     "d03_dedup_minhash_lsh",
 )
 
+# Queries whose IMPLEMENTATION materially changed in round 12 — the
+# blocked_neardup_pairs chunk-pair (triangle) decomposition rewrite
+# (v02 directly; v19/v20 call it for truth/capped legs) and the
+# compaction planner's keep_zero_benefit parameter (p18's operator) —
+# inside the recorded window so CORRECTNESS_r12 re-proves exactly what
+# changed.
+_R12_TOUCHED = (
+    "v02_embedding_neardup",
+    "v19_capped_neardup_recall",
+    "v20_semdedup_keep",
+    "p18_compaction_plan",
+)
+
+# Round-12 rotation (r11 verdict item 8): every registry query is
+# ever-driver-green, so after the touched set the head cycles in the
+# OLDEST-driver-recorded families (last CORRECTNESS row r1 or r4 —
+# computed from the r1-r11 artifact union) so driver-verified recency
+# keeps advancing instead of re-recording the same recent head.
+_R12_ROTATE = (
+    "q02_filter_project",
+    "q06_revenue_forecast",
+    "q08_semi_join_broadcast",
+    "q09_distinct",
+    "q10_count_distinct",
+    "q12_window_running",
+    "q14_rollup",
+    "q15_cube",
+    "q18_string_funcs",
+    "q23_sessionization",
+    "t03_token_stats",
+    "v03_ivf_topk",
+    "d06_dedup_components",
+    "d07_passage_dedup",
+    "d09_incremental_dedup",
+    "m01_multimodal_bytes",
+    "q04_semi_join_exists",
+    "q07_anti_join",
+    "q11_topk_per_group",
+    "q13_set_ops",
+    "q16_grouping_sets",
+    "q17_date_arith",
+    "q19_value_label_decode",
+    "q20_informative_nulls",
+    "q21_full_outer",
+    "q22_asof_join",
+    "q25_median",
+    "q26_type_narrowing",
+    "q27_pivot",
+    "q32_json_extract",
+    "q33_pandas_udf",
+    "q34_session_window",
+    "q35_approx_sketches",
+    "q36_correlated_subquery",
+    "q37_narrow_full_rules",
+    "q38_funnel",
+    "r02_dta_projection_pushdown",
+    "r03_dta_metadata_probe",
+    "r04_sav_roundtrip_agg",
+    "r05_sas_corpus_read",
+    "r06_informative_nulls_struct",
+    "t02_quality_score",
+    "t04_fingerprints",
+    "t05_pii_redaction",
+    "t06_repetition",
+    "t07_unigram_lm",
+    "t08_bm25_topk",
+    "v05_srp_neardup",
+)
+
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 _RISKY_TAIL: tuple[str, ...] = ()
@@ -310,11 +379,17 @@ _PRIOR = tuple(
         _R10_NEW + _R10_TOUCHED + _R9_NEW + _R9_TOUCHED + _R7_DEFER + _R8_NEW + _R8_THIRD + _R7_HEAD
     )
 )
-_R11_HEAD_SET = frozenset(_R11_NEW + _R11_TOUCHED)
+# Round-12 rotation: touched re-proofs lead (the neardup decomposition
+# + planner param), then the oldest-driver-recorded families cycle
+# through the 50-slot recorded window, then the prior rotation.
+_PRIOR = tuple(
+    dict.fromkeys(_R11_NEW + _R11_TOUCHED + _PRIOR)
+)
+_R12_HEAD_SET = frozenset(_R12_TOUCHED + _R12_ROTATE)
 HEAD = (
-    _R11_NEW
-    + _R11_TOUCHED
-    + tuple(n for n in _PRIOR if n not in _R11_HEAD_SET)
+    _R12_TOUCHED
+    + tuple(n for n in _R12_ROTATE if n not in _R12_TOUCHED)
+    + tuple(n for n in _PRIOR if n not in _R12_HEAD_SET)
 )
 
 _ordered = (

@@ -298,11 +298,18 @@ def main() -> None:
         if q not in state["spark"]:
             f, _ = quiesce()
             best = None
+            spent = 0.0
             for _i in range(RUNS):
                 t = time.time()
                 run_spark(q)
                 dt = time.time() - t
                 best = dt if best is None or dt < best else best
+                spent += dt
+                # same cumulative budget rule as the DuckDB child: min
+                # of completed runs, stop early rather than triple a
+                # minutes-long wall (noise there is a rounding error)
+                if spent + best > DUCK_TIMEOUT:
+                    break
             state["spark"][q] = round(best, 3)
             state["spark_floor"][q] = round(f, 4)
             print(json.dumps({"engine": "spark", "q": q, "sec": state["spark"][q], "floor": round(f, 4)}), flush=True)
