@@ -275,6 +275,14 @@ _R11_TOUCHED = (
     "d03_dedup_minhash_lsh",
 )
 
+# Round-12 additions: each passed a dedicated tools/check_oracle.py
+# run at sf0.001 AND sf0.01 AND sf0.1 before graduating out of
+# _RISKY_TAIL.
+_R12_NEW = (
+    "v24_chunked_neardup_parity",
+    "p19_clustering_plan",
+)
+
 # Queries whose IMPLEMENTATION materially changed in round 12 — the
 # blocked_neardup_pairs chunk-pair (triangle) decomposition rewrite
 # (v02 directly; v19/v20 call it for truth/capped legs) and the
@@ -346,10 +354,7 @@ _R12_ROTATE = (
 
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
-_RISKY_TAIL: tuple[str, ...] = (
-    "v24_chunked_neardup_parity",
-    "p19_clustering_plan",
-)
+_RISKY_TAIL: tuple[str, ...] = ()
 
 # Single source of truth for the driver-recorded head — __spark_entry__
 # imports HEAD (r6 lesson: the rotation lived in TWO places and the
@@ -388,9 +393,10 @@ _PRIOR = tuple(
 _PRIOR = tuple(
     dict.fromkeys(_R11_NEW + _R11_TOUCHED + _PRIOR)
 )
-_R12_HEAD_SET = frozenset(_R12_TOUCHED + _R12_ROTATE)
+_R12_HEAD_SET = frozenset(_R12_NEW + _R12_TOUCHED + _R12_ROTATE)
 HEAD = (
-    _R12_TOUCHED
+    _R12_NEW
+    + _R12_TOUCHED
     + tuple(n for n in _R12_ROTATE if n not in _R12_TOUCHED)
     + tuple(n for n in _PRIOR if n not in _R12_HEAD_SET)
 )
