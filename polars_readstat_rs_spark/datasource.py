@@ -61,15 +61,84 @@ import pyarrow as pa_lib
 from .formats.stata import parser as stata_parser
 
 
+def _arrow_type_to_spark(t):
+    """Hand-rolled Arrow -> Spark type mapping for the types these
+    readers emit. pyspark.sql.pandas.types.from_arrow_schema drags the
+    full pandas import chain (~0.2 s) into every PLANNING worker — and
+    Spark 4 spawns a fresh planning worker per query, so that import
+    was a per-query tax on every readstat scan (measured 0.247 s
+    schema-only planning on a warm session; ~0.05 s with this).
+    Returns None for types outside the emitted set (caller falls back
+    to the pandas-chain conversion for exotica)."""
+    import pyarrow.types as pt
+    from pyspark.sql import types as T
+
+    if pt.is_int8(t):
+        return T.ByteType()
+    if pt.is_int16(t):
+        return T.ShortType()
+    if pt.is_int32(t):
+        return T.IntegerType()
+    if pt.is_int64(t):
+        return T.LongType()
+    if pt.is_float32(t):
+        return T.FloatType()
+    if pt.is_float64(t):
+        return T.DoubleType()
+    if pt.is_boolean(t):
+        return T.BooleanType()
+    if pt.is_string(t) or pt.is_large_string(t):
+        return T.StringType()
+    if pt.is_binary(t) or pt.is_large_binary(t) or pt.is_fixed_size_binary(t):
+        return T.BinaryType()
+    if pt.is_date(t):
+        return T.DateType()
+    if pt.is_timestamp(t):
+        # same policy as from_arrow_schema(prefer_timestamp_ntz=True)
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    if pt.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
+    if pt.is_list(t) or pt.is_large_list(t):
+        inner = _arrow_type_to_spark(t.value_type)
+        return T.ArrayType(inner, True) if inner is not None else None
+    if pt.is_struct(t):
+        fields = []
+        for f in t:
+            ft = _arrow_type_to_spark(f.type)
+            if ft is None:
+                return None
+            fields.append(T.StructField(f.name, ft, f.nullable))
+        return T.StructType(fields)
+    return None
+
+
 def _from_arrow_schema(schema):
-    # lazy: pyspark.sql.pandas.types drags the full pandas import chain
-    # (~0.3 s) into every cold executor Python worker, but only the
-    # DRIVER (schema planning) needs this conversion
-    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql import types as T
 
-    return from_arrow_schema(schema, prefer_timestamp_ntz=True)
+    fields = []
+    for f in schema:
+        ft = _arrow_type_to_spark(f.type)
+        if ft is None:
+            # exotic type: pay the pandas-chain import for correctness
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-TARGET_PARTITION_BYTES = 48 << 20
+            return from_arrow_schema(schema, prefer_timestamp_ntz=True)
+        fields.append(T.StructField(f.name, ft, f.nullable))
+    return T.StructType(fields)
+
+# Default split target for row-range/page-range partition planning.
+# Sized to the PYTHON decode rate, not the JVM's: these readers decode
+# ~100-150 MB/s per core (numpy structured-view + Arrow build), so a
+# 16 MB split is ~0.1-0.15 s of task work — the same duration a 128 MB
+# parquet split costs whole-stage codegen at ~1 GB/s. The r9 default
+# (48 MB) left a 62 MB single file running 2-wide on a 32-core
+# executor; splits here are O(1)-seek byte ranges (no footer/stripe
+# overhead per split), so the finer default costs only task-scheduling
+# floor, which multi-file 100 TB scans amortize by the file axis
+# anyway. SPARK_GRAFT_READSTAT_TARGET overrides for deployments.
+TARGET_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_READSTAT_TARGET", str(16 << 20))
+)
 
 
 @dataclass

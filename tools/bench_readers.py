@@ -177,6 +177,61 @@ def main() -> None:
                     case["pandas_full"] / case["spark_subset"], 2
                 )
         out["cases"][key] = case
+
+    # Stata at MATERIAL sizes (r12 verdict item 4): the 100k case above
+    # measures constants (Spark ~0.6-0.7 s/query planning+job floor vs
+    # pandas' ~0 ms), not decode. 600k x 16 is the README's reference
+    # row; 2.4M x 16 shows where the floor amortizes and the marginal
+    # rate — the number that scales to a directory of big files —
+    # takes over.
+    import numpy as np
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.stata.writer import write_dta
+
+    def _stata16(n: int, path: str) -> str:
+        if os.path.exists(path):
+            return path
+        rng = np.random.default_rng(7)
+        cols = {}
+        for j in range(8):
+            cols[f"num{j}"] = rng.normal(size=n)
+        for j in range(4):
+            cols[f"int{j}"] = pa.array((np.arange(n) * (j + 3) % 10007).astype(np.int32))
+        cols["cat"] = pa.array([f"cat_{i % 50}" for i in range(n)])
+        cols["name"] = pa.array([f"name_{i:07d}" for i in range(n)])
+        cols["code"] = pa.array([f"C{i % 997:03d}" for i in range(n)])
+        cols["flag"] = pa.array((np.arange(n) % 2).astype(np.int8))
+        write_dta(pa.table(cols), path)
+        return path
+
+    s600 = _stata16(600_000, os.path.join(base, "readers_stata_600k.dta"))
+    s2m4 = _stata16(2_400_000, os.path.join(base, "readers_stata_2m4.dta"))
+
+    def stata_full(path):
+        (
+            spark.read.format("readstat")
+            .load(path)
+            .agg(F.count("*"), F.sum("num0"))
+            .collect()
+        )
+
+    t600_sp = _tmin(lambda: stata_full(s600))
+    t600_pd = _tmin(lambda: pd.read_stata(s600))
+    t2m4_sp = _tmin(lambda: stata_full(s2m4))
+    t2m4_pd = _tmin(lambda: pd.read_stata(s2m4))
+    out["cases"]["stata_600k"] = {
+        "spark_full": t600_sp,
+        "pandas_full": t600_pd,
+        "ratio_vs_pandas": round(t600_pd / t600_sp, 2),
+    }
+    out["cases"]["stata_2m4"] = {
+        "spark_full": t2m4_sp,
+        "pandas_full": t2m4_pd,
+        "ratio_vs_pandas": round(t2m4_pd / t2m4_sp, 2),
+        "marginal_spark_us_per_row": round((t2m4_sp - t600_sp) / 1.8, 2),
+        "marginal_pandas_us_per_row": round((t2m4_pd - t600_pd) / 1.8, 2),
+    }
     print(json.dumps(out))
 
 
