@@ -136,9 +136,21 @@ def _from_arrow_schema(schema):
 # overhead per split), so the finer default costs only task-scheduling
 # floor, which multi-file 100 TB scans amortize by the file axis
 # anyway. SPARK_GRAFT_READSTAT_TARGET overrides for deployments.
-TARGET_PARTITION_BYTES = int(
-    os.environ.get("SPARK_GRAFT_READSTAT_TARGET", str(16 << 20))
-)
+def _partition_target_bytes() -> int:
+    raw = os.environ.get("SPARK_GRAFT_READSTAT_TARGET", str(16 << 20))
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_READSTAT_TARGET must be an integer byte count, got {raw!r} "
+            "(suffixes like '64m' are not supported — use 67108864)"
+        ) from None
+    if v <= 0:
+        raise ValueError(f"SPARK_GRAFT_READSTAT_TARGET must be positive, got {v}")
+    return v
+
+
+TARGET_PARTITION_BYTES = _partition_target_bytes()
 
 
 @dataclass

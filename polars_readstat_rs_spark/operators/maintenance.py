@@ -206,16 +206,34 @@ def _run_jobs(work: list, runner, max_concurrency: int) -> tuple[int, int]:
     manifest at ~50 ms/job would spend ~2 h just queueing). Each worker
     thread completes its own publish-swap, preserving per-job
     write-then-delete crash semantics. Returns (files_in, files_out)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     if max_concurrency <= 1 or len(work) <= 1:
         results = [runner(j) for j in work]
-    else:
-        with ThreadPoolExecutor(
-            max_workers=min(max_concurrency, len(work))
-        ) as pool:
-            results = list(pool.map(runner, work))
-    return sum(r[0] for r in results), sum(r[1] for r in results)
+        return sum(r[0] for r in results), sum(r[1] for r in results)
+    results = []
+    errors = []
+    with ThreadPoolExecutor(max_workers=min(max_concurrency, len(work))) as pool:
+        futures = [pool.submit(runner, j) for j in work]
+        for f in as_completed(futures):
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below with accounting
+                errors.append(e)
+    files_in = sum(r[0] for r in results)
+    files_out = sum(r[1] for r in results)
+    if errors:
+        # completed jobs DID publish-and-swap; surface that accounting
+        # with the failure instead of discarding it (the caller can
+        # reconcile without a fresh manifest listing)
+        err = RuntimeError(
+            f"{len(errors)}/{len(work)} compaction jobs failed; "
+            f"{len(results)} completed (files_in={files_in}, "
+            f"files_out={files_out}); first failure: {errors[0]!r}"
+        )
+        err.partial = {"jobs": len(results), "files_in": files_in, "files_out": files_out}
+        raise err from errors[0]
+    return files_in, files_out
 
 
 def execute_compaction(

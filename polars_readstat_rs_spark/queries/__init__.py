@@ -301,6 +301,12 @@ _R12_TOUCHED = (
 # OLDEST-driver-recorded families (last CORRECTNESS row r1 or r4 —
 # computed from the r1-r11 artifact union) so driver-verified recency
 # keeps advancing instead of re-recording the same recent head.
+# Budgeted to the 50-slot window: len(_R12_NEW) + len(_R12_TOUCHED) +
+# len(_R12_ROTATE) == 50 exactly (the r12 code-review caught the first
+# cut overflowing by 4, which would have silently left the 4 oldest
+# families unrecorded while the list claimed they cycled in); the
+# remaining r4-recorded families (t06, t07, t08, v05) lead the r13
+# rotation.
 _R12_ROTATE = (
     "q02_filter_project",
     "q06_revenue_forecast",
@@ -346,10 +352,6 @@ _R12_ROTATE = (
     "t02_quality_score",
     "t04_fingerprints",
     "t05_pii_redaction",
-    "t06_repetition",
-    "t07_unigram_lm",
-    "t08_bm25_topk",
-    "v05_srp_neardup",
 )
 
 # Brand-new, never-locally-verified queries go here until a full

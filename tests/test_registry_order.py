@@ -80,23 +80,26 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r11 head: the never-driver-recorded r11 gates lead, then the
-    # queries whose implementation was materially rewritten in r11 (so
-    # the driver window re-proves exactly what changed), then the prior
-    # rotation dedup'd — the driver's 50-query window therefore records
-    # every entry that lacks a CORRECTNESS row for its CURRENT code.
-    from polars_readstat_rs_spark.queries import _R11_NEW, _R11_TOUCHED
+    # r12 head: the round's new gates lead, then the queries whose
+    # implementation materially changed in r12 (so the driver window
+    # re-proves exactly what changed), then the oldest-driver-recorded
+    # rotation, then the prior rotation dedup'd.
+    from polars_readstat_rs_spark.queries import _R12_NEW, _R12_ROTATE, _R12_TOUCHED
 
-    n_new, n_t = len(_R11_NEW), len(_R11_TOUCHED)
-    assert HEAD[:n_new] == _R11_NEW
-    assert HEAD[n_new : n_new + n_t] == _R11_TOUCHED
+    n_new, n_t = len(_R12_NEW), len(_R12_TOUCHED)
+    assert HEAD[:n_new] == _R12_NEW
+    assert HEAD[n_new : n_new + n_t] == _R12_TOUCHED
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
-    # prior rotation + r11 additions, dedup'd against the touched
-    # queries already present in the prior rotation
+    # the rotation is budgeted to the driver's 50-slot recorded window
+    # EXACTLY — an overflowing rotation silently drops its tail from
+    # the round's CORRECTNESS artifact (r12 code-review finding)
+    assert n_new + n_t + len(_R12_ROTATE) == 50
+    assert HEAD[n_new + n_t : 50] == _R12_ROTATE
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    expected = n_new + n_t + len(set(_PRIOR) - set(_R11_NEW) - set(_R11_TOUCHED))
+    head_set = set(_R12_NEW) | set(_R12_TOUCHED) | set(_R12_ROTATE)
+    expected = n_new + n_t + len(_R12_ROTATE) + len(set(_PRIOR) - head_set)
     assert len(HEAD) == len(set(HEAD)) == expected
 
 
