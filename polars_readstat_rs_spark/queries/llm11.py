@@ -63,21 +63,31 @@ def _v19_oracle() -> str:
 @register(
     "v20_semdedup_keep",
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT a_id, b_id FROM (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                {_cosine_sql('a.embedding', 'b.embedding')} AS sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
       ) WHERE sim >= 0.4),
-    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
               UNION SELECT b_id, a_id FROM pairs),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
+    -- label propagation, NOT full transitive closure: only labels
+    -- SMALLER than the receiving node travel (r.comp < e.dst). Exact:
+    -- the component minimum m reaches every member along any path,
+    -- because every other member's id exceeds m, so each hop's
+    -- condition holds; labels >= dst can never win dst's min. The r11
+    -- closure variant kept ALL k^2 (node, label) pairs per component
+    -- and degenerated at sf1 (big cells -> dense near-dup clusters),
+    -- which is exactly the fixture-degeneration this round's sf1
+    -- sweep existed to catch.
     reach AS (
       WITH RECURSIVE r(node, comp) AS (
         SELECT node, node FROM nodes
         UNION
-        SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node
+        SELECT e.dst, r.comp FROM r JOIN edges e
+          ON e.src = r.node AND r.comp < e.dst
       ) SELECT node, comp FROM r),
     comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
     SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS n_members
