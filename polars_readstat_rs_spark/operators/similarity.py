@@ -826,8 +826,18 @@ def mmr_rerank(
         # round the complement so the literal equals what an oracle
         # writes as e.g. 0.3 (1.0 - 0.7 is 0.30000000000000004 in IEEE)
         mu = round(1.0 - lam, 12)
+        # cross-engine-stable 6-dp rounding (r12 sf1 finding): Spark's
+        # round(x, 6) rounds x's SHORTEST DECIMAL REPR half-up, DuckDB's
+        # computes round(x*1e6)/1e6 in doubles — they disagree exactly
+        # when x*1e6 lands a hair under a .5 boundary whose shortest
+        # repr reads at it. round(x*1e6, 0)/1e6 is identical in both
+        # engines: the product doubles match, integer rounding of a
+        # double agrees between half-up-on-repr and half-away (a
+        # shortest repr of "X.5" implies the double IS X.5), and the
+        # exact-power division matches.
+        raw = F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("maxsim")
         scored = upd.withColumn(
-            "score", F.round(F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("maxsim"), 6)
+            "score", F.round(raw * F.lit(1_000_000.0), 0) / F.lit(1_000_000.0)
         )
         ws = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
         pick = (

@@ -294,6 +294,16 @@ _R12_TOUCHED = (
     "v19_capped_neardup_recall",
     "v20_semdedup_keep",
     "p18_compaction_plan",
+    # sf1-sweep fixes (each re-verified at sf0.001/0.01/0.1 AND sf1):
+    # cast-then-divide double reconstruction (q01/q03/q05/q24), the
+    # round(x*1e6)/1e6 cross-engine rounding form (v11, both sides),
+    # and the materialized graph CTE chain (g03 oracle)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q24_windowed_agg",
+    "v11_mmr_rerank",
+    "g03_pagerank",
 )
 
 # Round-12 rotation (r11 verdict item 8): every registry query is
@@ -346,12 +356,6 @@ _R12_ROTATE = (
     "q38_funnel",
     "r02_dta_projection_pushdown",
     "r03_dta_metadata_probe",
-    "r04_sav_roundtrip_agg",
-    "r05_sas_corpus_read",
-    "r06_informative_nulls_struct",
-    "t02_quality_score",
-    "t04_fingerprints",
-    "t05_pii_redaction",
 )
 
 # Brand-new, never-locally-verified queries go here until a full

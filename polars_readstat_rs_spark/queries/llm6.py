@@ -150,7 +150,7 @@ _V11_NQ, _V11_C, _V11_K, _V11_LAM, _V11_MU = 6, 8, 3, 0.7, 0.3
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) = 1),
     m2 AS (
       SELECT c.q_id, c.c_id, c.sim, p.ps AS maxsim,
-             round({_V11_LAM} * c.sim - {_V11_MU} * p.ps, 6) AS score
+             round(({_V11_LAM} * c.sim - {_V11_MU} * p.ps) * 1000000) / 1000000 AS score
       FROM cand c
       JOIN s1 ON c.q_id = s1.q_id AND c.c_id <> s1.c_id
       JOIN pc p ON p.q_id = c.q_id AND p.a_id = c.c_id AND p.b_id = s1.c_id),
@@ -160,7 +160,7 @@ _V11_NQ, _V11_C, _V11_K, _V11_LAM, _V11_MU = 6, 8, 3, 0.7, 0.3
     m3 AS (
       SELECT m.q_id, m.c_id, m.sim,
              greatest(m.maxsim, p.ps) AS maxsim,
-             round({_V11_LAM} * m.sim - {_V11_MU} * greatest(m.maxsim, p.ps), 6) AS score
+             round(({_V11_LAM} * m.sim - {_V11_MU} * greatest(m.maxsim, p.ps)) * 1000000) / 1000000 AS score
       FROM m2 m
       JOIN s2 ON m.q_id = s2.q_id AND m.c_id <> s2.c_id
       JOIN pc p ON p.q_id = m.q_id AND p.a_id = m.c_id AND p.b_id = s2.c_id),

@@ -109,17 +109,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc, tc = F.col("dc").cast("decimal(3,0)"), F.col("tc").cast("decimal(3,0)")
     c100 = F.lit(100).cast("decimal(3,0)")
     cnt = F.col("c").cast(d20)
-    sum_qty_dec = F.sum(sq) / F.lit(100)
-    sum_price_dec = F.sum(sp) / F.lit(100)
-    sum_disc_dec = F.sum(dc * cnt) / F.lit(100)
+    # double reconstruction ORDER matters once an exact integer sum N
+    # exceeds 2^53 (first hit at the sf1 sweep, r12: one sum_charge
+    # cell differed in the last ulp): DuckDB's CAST(decimal AS DOUBLE)
+    # computes round(N) / 10^scale (two roundings, exact power-of-ten
+    # divisor), while dividing the DECIMAL first and casting the exact
+    # quotient is a SINGLE rounding — off by one ulp exactly when
+    # round(N) crosses a halfway point. Mirror DuckDB: cast the exact
+    # integer-unit sum to double FIRST, then divide by the exact
+    # double divisor. For N < 2^53 the two orders agree bit-for-bit,
+    # so the small-SF gates are unchanged.
+    sum_qty_d = F.sum(sq).cast("double") / F.lit(100.0)
+    sum_price_d = F.sum(sp).cast("double") / F.lit(100.0)
+    sum_disc_d = F.sum(dc * cnt).cast("double") / F.lit(100.0)
     return g1.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_qty_dec.cast("double").alias("sum_qty"),
-        sum_price_dec.cast("double").alias("sum_base_price"),
-        (F.sum(sp * (c100 - dc)) / F.lit(10_000)).cast("double").alias("sum_disc_price"),
-        (F.sum(sp * (c100 - dc) * (c100 + tc)) / F.lit(1_000_000)).cast("double").alias("sum_charge"),
-        (sum_qty_dec.cast("double") / F.sum("c")).alias("avg_qty"),
-        (sum_price_dec.cast("double") / F.sum("c")).alias("avg_price"),
-        (sum_disc_dec.cast("double") / F.sum("c")).alias("avg_disc"),
+        sum_qty_d.alias("sum_qty"),
+        sum_price_d.alias("sum_base_price"),
+        (F.sum(sp * (c100 - dc)).cast("double") / F.lit(10_000.0)).alias("sum_disc_price"),
+        (F.sum(sp * (c100 - dc) * (c100 + tc)).cast("double") / F.lit(1_000_000.0)).alias("sum_charge"),
+        (sum_qty_d / F.sum("c")).alias("avg_qty"),
+        (sum_price_d / F.sum("c")).alias("avg_price"),
+        (sum_disc_d / F.sum("c")).alias("avg_disc"),
         F.sum("c").alias("count_order"),
     )
 
@@ -185,9 +195,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, cust.c_custkey == orders.o_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(
-            (F.sum(rev_u4).cast("decimal(20,0)") / F.lit(10_000))
-            .cast("double")
-            .alias("revenue"),
+            # cast-then-divide (see q01's reconstruction-order note)
+            (F.sum(rev_u4).cast("double") / F.lit(10_000.0)).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .select("l_orderkey", "revenue", "orderdate", "n_lines")
@@ -291,15 +300,14 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("_sp"))
         .groupBy("n_name")
         .agg(
+            # cast-then-divide (see q01's reconstruction-order note)
             (
                 F.sum(
                     F.col("_sp").cast("decimal(20,0)")
                     * (F.lit(100) - F.col("_dc")).cast("decimal(3,0)")
-                )
-                / F.lit(10_000)
-            )
-            .cast("double")
-            .alias("revenue")
+                ).cast("double")
+                / F.lit(10_000.0)
+            ).alias("revenue")
         )
     )
 
@@ -814,11 +822,11 @@ def q24_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # division per group reconstructs the same value the
             # per-row decimal(12,2) sum produces (distributivity —
             # verified tuple-for-tuple at sf10; 0.72 -> 0.54 s A/B).
+            # cast-then-divide (see q01's reconstruction-order note)
             (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("decimal(20,0)")
-                / F.lit(100)
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
             )
-            .cast("double")
             .alias("total_value"),
         )
         .select(

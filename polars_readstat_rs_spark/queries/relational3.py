@@ -683,13 +683,19 @@ def _g03_oracle() -> str:
     from ..operators.graph import PR_SCALE
 
     base = PR_SCALE * 3 // 20
+    # AS MATERIALIZED throughout: adj/deg are referenced by EVERY
+    # unrolled iteration (and edges twice by adj) — unmaterialized,
+    # duckdb 1.0 re-inlines the whole basket-pair enumeration per
+    # reference, and the sf1 sweep watched the oracle spill >40 GB of
+    # temp storage to a dead disk (r12). Materialized, the edge list
+    # is built once and the five iterations are bounded joins.
     ctes = [
-        "items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem)",
-        f"ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= {_G01_MAX_BASKET})",
-        "it AS (SELECT items.g, items.p FROM items JOIN ok USING (g))",
-        "edges AS (SELECT DISTINCT a.p AS s, b.p AS d FROM it a JOIN it b ON a.g = b.g AND a.p < b.p)",
-        "adj AS (SELECT s AS v, d AS n FROM edges UNION ALL SELECT d AS v, s AS n FROM edges)",
-        "deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v)",
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem)",
+        f"ok AS MATERIALIZED (SELECT g FROM items GROUP BY g HAVING count(*) <= {_G01_MAX_BASKET})",
+        "it AS MATERIALIZED (SELECT items.g, items.p FROM items JOIN ok USING (g))",
+        "edges AS MATERIALIZED (SELECT DISTINCT a.p AS s, b.p AS d FROM it a JOIN it b ON a.g = b.g AND a.p < b.p)",
+        "adj AS MATERIALIZED (SELECT s AS v, d AS n FROM edges UNION ALL SELECT d AS v, s AS n FROM edges)",
+        "deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM adj GROUP BY v)",
         f"r0 AS (SELECT v, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)",
     ]
     for i in range(1, _G03_ITERS + 1):

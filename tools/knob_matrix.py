@@ -93,6 +93,50 @@ def run_variant(staged: str, out_path: str, variant: str) -> None:
             time.sleep(10)
         return floor
 
+    if variant == "q24_decomposition":
+        # q24 closure (r11 verdict item 7): separate the tumbling-agg
+        # query into its stage constants — 3-col events scan (noop),
+        # scan + integer bucket + count (agg minus the cents sum), and
+        # the full query — so the residual vs DuckDB is attributed to
+        # scan floor + hash-agg constant, not plan shape.
+        from pyspark.sql import functions as F
+
+        ev_path = os.path.join(staged, "events.parquet")
+        ecols = ["ts", "event_type", "value"]
+        slide_us = 6 * 3600 * 1_000_000
+
+        def ev_scan() -> None:
+            spark.read.parquet(ev_path).select(ecols).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def ev_bucket_count() -> None:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            (
+                spark.read.parquet(ev_path)
+                .select(ecols)
+                .groupBy((us - F.pmod(us, F.lit(slide_us))).alias("_w"), "event_type")
+                .count()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        floor = quiesce()
+        _append(
+            out_path,
+            {
+                "variant": "q24_decomposition",
+                "floor": round(floor, 4),
+                "scan_3col_noop": round(time_min(ev_scan, runs=3), 3),
+                "bucket_count": round(time_min(ev_bucket_count, runs=3), 3),
+                "q24_full": round(
+                    time_min(lambda: run_q("q24_windowed_agg"), runs=3), 3
+                ),
+            },
+        )
+        return
+
     todo = RUNTIME_VARIANTS if variant == "__runtime__" else {variant: {}}
     for name, confs in todo.items():
         # re-gate before EVERY matrix cell: a host contention wave
