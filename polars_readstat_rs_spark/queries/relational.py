@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .registry import EVENTS_US, register
+from .tpch import _dec_sum_double, _dec_to_double
 
 DEC = "decimal(12,2)"
 # Narrow decimal widths keep Spark's Decimal in its compact-long fast
@@ -333,7 +334,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.sum(_money("l_extendedprice") * _rate("l_discount")).cast("double").alias("revenue"),
+            _dec_sum_double(_money("l_extendedprice") * _rate("l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .registry import EVENTS_US, register
+from .tpch import _dec_sum_double, _dec_to_double
 
 _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
@@ -41,7 +42,7 @@ def q34_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            _dec_sum_double(F.col("value").cast("decimal(12,2)"), 2).alias("total_value"),
         )
         .select(
             "user_id",
@@ -249,7 +250,7 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pri")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            _dec_sum_double(F.col("o_totalprice").cast("decimal(12,2)"), 2).alias("total"),
         )
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import fuzzy, sampling, textstats, timeseries
 from ..tables import load_table
 from .registry import EVENTS_US, register
+from .tpch import _dec_sum_double, _dec_to_double
 from .pipeline import _bucket_sql
 
 # ------------------------------------------------- q44 fuzzy entity match
@@ -121,10 +122,9 @@ def q46_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         F.to_date("o_orderdate").alias("order_day"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_total"),
+        _dec_to_double(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w), 2
+        ).alias("trailing_total"),
         F.count(F.lit(1)).over(w).alias("trailing_orders"),
     )
 
@@ -428,7 +428,7 @@ def q49_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+            _dec_sum_double(F.col("l_extendedprice").cast("decimal(12,2)"), 2).alias("total_price"),
         )
     )
 
@@ -914,7 +914,7 @@ def q60_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("total"),
+        _dec_sum_double(F.col("val").cast("decimal(12,2)"), 2).alias("total"),
     )
 
 

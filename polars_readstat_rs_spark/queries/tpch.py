@@ -52,6 +52,26 @@ def _rev():
     return _money("l_extendedprice") * (_one() - _rate("l_discount"))
 
 
+def _dec_to_double(col, scale: int):
+    """Decimal -> double EXACTLY the way DuckDB's CAST(decimal AS
+    DOUBLE) computes it: round(N) / 10^scale over the unscaled integer
+    N (two roundings, exact power-of-ten divisor). Spark's own decimal
+    cast single-rounds the exact value, which diverges by one ulp once
+    N exceeds 2^53 — the r12 sf1 sweep caught the class in q01's
+    sum_charge, and these money sums cross the same line at sf10-level
+    groups. The multiply is exact (integer-valued product within
+    decimal(38,0)), so both orders agree bit-for-bit below 2^53 and
+    the small-SF gate hashes are unchanged."""
+    return (
+        (col * F.lit(10**scale)).cast("decimal(38,0)").cast("double")
+        / F.lit(float(10**scale))
+    )
+
+
+def _dec_sum_double(col, scale: int):
+    return _dec_to_double(F.sum(col), scale)
+
+
 def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"_tpch_{t}")
@@ -130,7 +150,7 @@ def q63_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_dec_sum_double(_rev(), 4).alias("revenue"))
     )
 
 
@@ -183,10 +203,10 @@ def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(DEC)
     return base.groupBy("o_year").agg(
         (
-            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
-            / F.sum("volume").cast("double")
+            _dec_sum_double(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero), 4)
+            / _dec_sum_double(F.col("volume"), 4)
         ).alias("mkt_share"),
-        F.sum("volume").cast("double").alias("total_volume"),
+        _dec_sum_double(F.col("volume"), 4).alias("total_volume"),
     )
 
 
@@ -222,7 +242,7 @@ def q65_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(_dec_sum_double(amount, 6).alias("sum_profit"))
     )
 
 
@@ -256,7 +276,7 @@ def q66_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_dec_sum_double(_rev(), 4).alias("revenue"))
     )
 
 
@@ -348,8 +368,8 @@ def q69_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)).cast("double")
-                / F.sum(_rev()).cast("double")
+                * _dec_sum_double(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero), 4)
+                / _dec_sum_double(_rev(), 4)
             ).alias("promo_revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -385,7 +405,7 @@ def q70_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx), revenue.total == mx.mx)
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+        .select("s_suppkey", "s_name", _dec_to_double(F.col("total"), 4).alias("total_revenue"))
     )
 
 
@@ -417,7 +437,7 @@ def q71_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pstats, li.l_partkey == pstats.pk)
         .filter(_money("l_quantity") * 5 * F.col("n") < F.col("sum_qty"))
         .agg(
-            (F.sum(_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            (_dec_sum_double(_money("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -455,7 +475,7 @@ def q72_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
-            F.col("sum_qty").cast("double").alias("sum_qty"),
+            _dec_to_double(F.col("sum_qty"), 2).alias("sum_qty"),
         )
     )
 
@@ -484,7 +504,7 @@ def q73_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.sum(_rev()).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(_dec_sum_double(_rev(), 4).alias("revenue"), F.count("*").alias("n_lines"))
     )
 
 
@@ -561,7 +581,7 @@ def q75_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+            _dec_sum_double(F.col("c_acctbal").cast(DEC), 2).alias("totacctbal"),
         )
     )
 
