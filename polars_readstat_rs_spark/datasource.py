@@ -89,9 +89,13 @@ def _arrow_type_to_spark(t):
         return T.BooleanType()
     if pt.is_string(t) or pt.is_large_string(t):
         return T.StringType()
-    if pt.is_binary(t) or pt.is_large_binary(t) or pt.is_fixed_size_binary(t):
+    if pt.is_binary(t) or pt.is_large_binary(t):
         return T.BinaryType()
-    if pt.is_date(t):
+    if pt.is_date32(t):
+        # date64 (and fixed_size_binary above) fall through to the
+        # from_arrow_schema fallback — keep this hand-rolled map
+        # strictly within the verified-parity set of types the
+        # readers actually emit (r12 ADVICE item 1)
         return T.DateType()
     if pt.is_timestamp(t):
         # same policy as from_arrow_schema(prefer_timestamp_ntz=True)

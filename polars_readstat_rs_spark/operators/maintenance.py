@@ -208,18 +208,26 @@ def _run_jobs(work: list, runner, max_concurrency: int) -> tuple[int, int]:
     write-then-delete crash semantics. Returns (files_in, files_out)."""
     from concurrent.futures import ThreadPoolExecutor, as_completed
 
-    if max_concurrency <= 1 or len(work) <= 1:
-        results = [runner(j) for j in work]
-        return sum(r[0] for r in results), sum(r[1] for r in results)
     results = []
     errors = []
-    with ThreadPoolExecutor(max_workers=min(max_concurrency, len(work))) as pool:
-        futures = [pool.submit(runner, j) for j in work]
-        for f in as_completed(futures):
+    if max_concurrency <= 1 or len(work) <= 1:
+        # same error contract as the pooled path (r12 ADVICE item 2):
+        # run every job, accumulate failures, and raise ONE aggregated
+        # RuntimeError carrying .partial accounting — callers must not
+        # see a different exception shape depending on concurrency
+        for j in work:
             try:
-                results.append(f.result())
+                results.append(runner(j))
             except Exception as e:  # noqa: BLE001 — re-raised below with accounting
                 errors.append(e)
+    else:
+        with ThreadPoolExecutor(max_workers=min(max_concurrency, len(work))) as pool:
+            futures = [pool.submit(runner, j) for j in work]
+            for f in as_completed(futures):
+                try:
+                    results.append(f.result())
+                except Exception as e:  # noqa: BLE001 — re-raised below with accounting
+                    errors.append(e)
     files_in = sum(r[0] for r in results)
     files_out = sum(r[1] for r in results)
     if errors:

@@ -299,11 +299,14 @@ _R12_TOUCHED = (
     # round(x*1e6)/1e6 cross-engine rounding form (v11, both sides),
     # and the materialized graph CTE chain (g03 oracle).
     # NOT window-listed: the same decimal->double hardening applied
-    # proactively to 26 more money-sum queries (q6x/q7x tpch suite,
+    # proactively to 26 more money-sum call sites (q6x/q7x tpch suite,
     # q06/q29/q34/q46/q49/q60 via _dec_sum_double) is PROVABLY
     # bit-identical below 2^53 — i.e. at every SF the driver gates run
-    # — and all 26 were locally verified green at sf0.001/0.01/0.1 AND
-    # sf1 this round; they lead the r13 rotation for driver re-proof.
+    # — and all were locally verified green at sf0.001/0.01/0.1 AND
+    # sf1 this round. q06/q34 happened to already sit in _R12_ROTATE
+    # below, so the driver re-proved THOSE TWO this round; the
+    # remaining 22 hardened queries (q62-q79 + q29/q46/q49/q60) lead
+    # the r13 rotation for driver re-proof (r12 ADVICE item 3).
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
@@ -364,6 +367,75 @@ _R12_ROTATE = (
     "r03_dta_metadata_probe",
 )
 
+# Round-13 re-proof head (r12 verdict item 1): the _dec_sum_double
+# decimal->double hardening (commit 093d0dd) landed AFTER r12's
+# 50-slot window was budgeted, so the driver has never recorded the
+# new SQL for these 22 queries (q06/q34 were already in _R12_ROTATE
+# and got their rows in CORRECTNESS_r12). All 22 were locally
+# verified green at sf0.001/0.01/0.1 AND sf1 in r12.
+_R13_REPROOF = (
+    "q62_priority_exists",
+    "q63_volume_shipping",
+    "q64_market_share",
+    "q65_profit",
+    "q66_returned_items",
+    "q67_important_parts",
+    "q68_cust_order_dist",
+    "q69_promo_share",
+    "q70_top_supplier",
+    "q71_small_qty",
+    "q72_large_orders",
+    "q73_or_predicates",
+    "q74_waiting_supplier",
+    "q75_no_order_customers",
+    "q76_recursive_cte",
+    "q77_min_cost_supplier",
+    "q78_supplier_part_counts",
+    "q79_excess_suppliers",
+    "q29_range_join",
+    "q46_moving_window",
+    "q49_ntile",
+    "q60_unpivot",
+)
+
+# Round-13 rotation: first the families OWED from the r12 window
+# re-budget (t06/t07/t08/v05 were the remaining r4-recorded families;
+# r04/r05/r06/t02/t04/t05 were trimmed when the r12 window was cut to
+# exactly 50), then the oldest-driver-recorded remainder (all last
+# recorded r6 — computed from the r1-r12 artifact union). Budgeted to
+# the 50-slot window: len(_R13_REPROOF) + len(_R13_ROTATE) == 50.
+_R13_ROTATE = (
+    "t06_repetition",
+    "t07_unigram_lm",
+    "t08_bm25_topk",
+    "v05_srp_neardup",
+    "r04_sav_roundtrip_agg",
+    "r05_sas_corpus_read",
+    "r06_informative_nulls_struct",
+    "t02_quality_score",
+    "t04_fingerprints",
+    "t05_pii_redaction",
+    # oldest-recorded fill (last CORRECTNESS row r6):
+    "d01_dedup_exact",
+    "d10_prefix_filter",
+    "d11_span_dedup",
+    "g01_triangle_stats",
+    "g02_bfs_hops",
+    "m03_wav_codec",
+    "m04_bmp_codec",
+    "m05_video_frames",
+    "p01_hash_sample",
+    "p07_importance_sample",
+    "p08_group_sample",
+    "p09_temperature_mix",
+    "q42_salted_join",
+    "q43_upsert",
+    "q80_python_udtf",
+    "q81_map_functions",
+    "r10_stream_source",
+    "r11_stream_sink",
+)
+
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 _RISKY_TAIL: tuple[str, ...] = ()
@@ -406,11 +478,17 @@ _PRIOR = tuple(
     dict.fromkeys(_R11_NEW + _R11_TOUCHED + _PRIOR)
 )
 _R12_HEAD_SET = frozenset(_R12_NEW + _R12_TOUCHED + _R12_ROTATE)
+# Round-13 rotation: the 22 never-driver-recorded _dec_sum_double
+# re-proofs lead, then the owed + oldest-recorded rotation, then the
+# prior heads fill the unrecorded remainder.
+_PRIOR = tuple(
+    dict.fromkeys(_R12_NEW + _R12_TOUCHED + _R12_ROTATE + _PRIOR)
+)
+_R13_HEAD_SET = frozenset(_R13_REPROOF + _R13_ROTATE)
 HEAD = (
-    _R12_NEW
-    + _R12_TOUCHED
-    + tuple(n for n in _R12_ROTATE if n not in _R12_TOUCHED)
-    + tuple(n for n in _PRIOR if n not in _R12_HEAD_SET)
+    _R13_REPROOF
+    + _R13_ROTATE
+    + tuple(n for n in _PRIOR if n not in _R13_HEAD_SET)
 )
 
 _ordered = (

@@ -2807,3 +2807,45 @@ def test_compaction_plan_keep_zero_benefit(spark):
     (r,) = kept
     assert r["n_files"] == 2 and r["est_output_files"] == 2
     assert r["files_removed"] == 0
+
+
+def test_run_jobs_serial_error_contract_matches_pooled():
+    """r12 ADVICE item 2: the serial path (max_concurrency<=1) must run
+    ALL jobs and raise the same aggregated RuntimeError with .partial
+    accounting that the pooled path raises — not stop at the first
+    failure with the raw exception."""
+    import pytest
+
+    from polars_readstat_rs_spark.operators.maintenance import _run_jobs
+
+    def runner(j):
+        if j == "bad":
+            raise ValueError("boom")
+        return (2, 1)
+
+    work = ["ok1", "bad", "ok2"]
+    for conc in (1, 4):  # serial and pooled must behave identically
+        with pytest.raises(RuntimeError) as ei:
+            _run_jobs(work, runner, max_concurrency=conc)
+        err = ei.value
+        assert "1/3 compaction jobs failed" in str(err)
+        assert err.partial == {"jobs": 2, "files_in": 4, "files_out": 2}
+        assert isinstance(err.__cause__, ValueError)
+    # clean serial run still returns the summed accounting
+    assert _run_jobs(["a", "b"], lambda j: (3, 1), max_concurrency=1) == (6, 2)
+
+
+def test_arrow_type_map_rejects_date64_and_fixed_size_binary():
+    """r12 ADVICE item 1: the hand-rolled arrow->spark map must stay
+    within the verified-parity set the readers emit — date64 and
+    fixed_size_binary return None so the from_arrow_schema fallback
+    handles (or rejects) them."""
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.datasource import _arrow_type_to_spark
+    from pyspark.sql import types as T
+
+    assert _arrow_type_to_spark(pa.date64()) is None
+    assert _arrow_type_to_spark(pa.binary(16)) is None
+    assert _arrow_type_to_spark(pa.date32()) == T.DateType()
+    assert _arrow_type_to_spark(pa.binary()) == T.BinaryType()
