@@ -32,8 +32,14 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-import numpy as np
-import pyarrow as pa
+from ..._lazy import lazy_import
+from ..._metacache import stat_keyed_cache
+
+# numpy/pyarrow are decode-path-only; planning workers (schema/
+# partitions) import this module for metadata and must not pay
+# their ~140 ms import cost — see _lazy.py
+np = lazy_import("numpy", globals(), "np")
+pa = lazy_import("pyarrow", globals(), "pa")
 
 MAGIC = bytes(
     [
@@ -262,25 +268,13 @@ def _sigs(bit64: bool):
 
 # --------------------------------------------------------------- metadata
 
-_META_CACHE: dict[tuple, SasMetadata] = {}
-
-
+@stat_keyed_cache
 def read_metadata(path: str) -> SasMetadata:
-    """Parse header + all metadata pages. Cached per (path, mtime, size):
-    the scan reads every page, so repeated open->read paths (schema probe,
-    partition planning, partition reads) shouldn't pay it again."""
-    import os as _os
-
-    st = _os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    hit = _META_CACHE.get(key)
-    if hit is not None:
-        return hit
-    meta = _read_metadata_uncached(path)
-    if len(_META_CACHE) > 64:
-        _META_CACHE.clear()
-    _META_CACHE[key] = meta
-    return meta
+    """Parse header + all metadata pages. Cached per (path, size,
+    mtime_ns) by stat_keyed_cache: the scan reads every page, so
+    repeated open->read paths (schema probe, partition planning,
+    partition reads) shouldn't pay it again."""
+    return _read_metadata_uncached(path)
 
 
 def _read_metadata_uncached(path: str) -> SasMetadata:
@@ -519,7 +513,18 @@ def build_page_index(path: str, meta: SasMetadata) -> list[tuple[int, int, int]]
 
     One page-header read per page (the analytical page index,
     src/sas/reader.rs:282-360): partition planning stays metadata-only.
+    Stat-cached per path: every partition task of the same query (and
+    every repeat query in a reused executor worker) would otherwise
+    re-scan all page headers — O(pages) seeks per TASK on a big file.
+    ``meta`` is itself derived from ``path`` via the stat-cached
+    ``read_metadata``, so a path-only cache key is sound.
     """
+    return _page_index_cached(path)
+
+
+@stat_keyed_cache
+def _page_index_cached(path: str) -> list[tuple[int, int, int]]:
+    meta = read_metadata(path)
     out = []
     row_start = 0
     with open(path, "rb") as f:
@@ -934,7 +939,16 @@ def _decode_column(arr, c: Column, meta: SasMetadata, opts: ReadOptions) -> pa.A
 
 
 # tagged-missing indicator LUT: index 0 none, 1..26 '.A'..'.Z', 27 '._'
-_TAG_LUT = np.array([""] + [f".{chr(ord('A') + i)}" for i in range(26)] + ["._"])
+# built on first decode (module must stay numpy-free at import time —
+# planning workers import it for metadata only, see _lazy.py)
+_TAG_LUT = None
+
+
+def _tag_lut():
+    global _TAG_LUT
+    if _TAG_LUT is None:
+        _TAG_LUT = np.array([""] + [f".{chr(ord('A') + i)}" for i in range(26)] + ["._"])
+    return _TAG_LUT
 
 
 def _indicator_column(arr, c: Column, meta: SasMetadata) -> pa.Array:
@@ -958,7 +972,7 @@ def _indicator_column(arr, c: Column, meta: SasMetadata) -> pa.Array:
     k[lettered] = (0xFF ^ type_byte[lettered]) - 0x40  # .A(0xBE)->1 .. .Z(0xA5)->26
     k[type_byte == 0xD2] = 27  # ._
     k[~is_nan] = 0
-    return pa.array(_TAG_LUT[k], type=pa.string(), mask=k == 0)
+    return pa.array(_tag_lut()[k], type=pa.string(), mask=k == 0)
 
 
 # ------------------------------------------------------------ arrow schema

@@ -28,8 +28,14 @@ import os
 import struct
 from dataclasses import dataclass, field
 
-import numpy as np
-import pyarrow as pa
+from ..._lazy import lazy_import
+from ..._metacache import stat_keyed_cache
+
+# numpy/pyarrow are decode-path-only; planning workers (schema/
+# partitions) import this module for metadata and must not pay
+# their ~140 ms import cost — see _lazy.py
+np = lazy_import("numpy", globals(), "np")
+pa = lazy_import("pyarrow", globals(), "pa")
 
 _REC = 80
 _NAMESTR = 140
@@ -101,6 +107,7 @@ class ReadOptions:
         )
 
 
+@stat_keyed_cache
 def read_metadata(path: str) -> XportMetadata:
     size = os.path.getsize(path)
     with open(path, "rb") as f:

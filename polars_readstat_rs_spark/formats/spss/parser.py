@@ -30,12 +30,21 @@ import struct
 import zlib
 from dataclasses import dataclass, field
 
-import numpy as np
-import pyarrow as pa
+from ..._lazy import lazy_import
+from ..._metacache import stat_keyed_cache
 
-SAV_MISSING = np.uint64(0xFFEFFFFFFFFFFFFF)
-SAV_LOWEST = np.uint64(0xFFEFFFFFFFFFFFFE)
-SAV_HIGHEST = np.uint64(0x7FEFFFFFFFFFFFFF)
+# numpy/pyarrow are decode-path-only; planning workers (schema/
+# partitions) import this module for metadata and must not pay
+# their ~140 ms import cost — see _lazy.py
+np = lazy_import("numpy", globals(), "np")
+pa = lazy_import("pyarrow", globals(), "pa")
+
+# plain ints (not np.uint64) so the module imports numpy-free; numpy
+# comparisons/assignments against uint64 arrays accept Python ints of
+# this magnitude with identical semantics
+SAV_MISSING = 0xFFEFFFFFFFFFFFFF
+SAV_LOWEST = 0xFFEFFFFFFFFFFFFE
+SAV_HIGHEST = 0x7FEFFFFFFFFFFFFF
 SPSS_SEC_SHIFT = 12_219_379_200
 SEC_PER_DAY = 86_400
 
@@ -182,24 +191,12 @@ def _trim(b: bytes, encoding: str) -> str:
     return b[:end].decode(encoding, errors="replace").strip()
 
 
-_META_CACHE: dict = {}
-
-
+@stat_keyed_cache
 def read_metadata(path: str) -> SpssMetadata:
-    """Cached per (path, mtime, size) — the dictionary parse is paid once
-    per file, not once per schema probe / partition plan / task."""
-    import os as _os
-
-    st = _os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    hit = _META_CACHE.get(key)
-    if hit is not None:
-        return hit
-    meta = _read_metadata_uncached(path)
-    if len(_META_CACHE) > 64:
-        _META_CACHE.clear()
-    _META_CACHE[key] = meta
-    return meta
+    """Cached per (path, size, mtime_ns) by stat_keyed_cache — the
+    dictionary parse is paid once per file, not once per schema probe /
+    partition plan / task."""
+    return _read_metadata_uncached(path)
 
 
 def _read_metadata_uncached(path: str) -> SpssMetadata:

@@ -39,8 +39,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from fractions import Fraction
 
-import numpy as np
-import pyarrow as pa
+from ..._lazy import lazy_import
+from ..._metacache import stat_keyed_cache
+
+# numpy/pyarrow are decode-path-only; planning workers (schema/
+# partitions) import this module for metadata and must not pay
+# their ~140 ms import cost — see _lazy.py
+np = lazy_import("numpy", globals(), "np")
+pa = lazy_import("pyarrow", globals(), "pa")
 
 from .parser import SEC_PER_DAY, SPSS_SEC_SHIFT, _format_class
 
@@ -368,6 +374,7 @@ def _parse_header(stream: str) -> tuple[PorMetadata, _Cursor]:
     return meta, cur
 
 
+@stat_keyed_cache
 def read_metadata(path: str) -> PorMetadata:
     with open(path, "rb") as f:
         raw = f.read()

@@ -29,8 +29,14 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-import numpy as np
-import pyarrow as pa
+from ..._lazy import lazy_import
+from ..._metacache import stat_keyed_cache
+
+# numpy/pyarrow are decode-path-only; planning workers (schema/
+# partitions) import this module for metadata and must not pay
+# their ~140 ms import cost — see _lazy.py
+np = lazy_import("numpy", globals(), "np")
+pa = lazy_import("pyarrow", globals(), "pa")
 
 STATA_EPOCH_OFFSET_DAYS = 3653  # 1970-01-01 minus 1960-01-01
 STATA_EPOCH_OFFSET_MS = STATA_EPOCH_OFFSET_DAYS * 86_400_000
@@ -212,24 +218,12 @@ def temporal_kind(fmt: str, kind: str) -> str | None:
 
 # --------------------------------------------------------------- metadata
 
-_META_CACHE: dict = {}
-
-
+@stat_keyed_cache
 def read_metadata(path: str) -> StataMetadata:
-    """Cached per (path, mtime, size) — the dictionary parse is paid once
-    per file, not once per schema probe / partition plan / task."""
-    import os as _os
-
-    st = _os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    hit = _META_CACHE.get(key)
-    if hit is not None:
-        return hit
-    meta = _read_metadata_uncached(path)
-    if len(_META_CACHE) > 64:
-        _META_CACHE.clear()
-    _META_CACHE[key] = meta
-    return meta
+    """Cached per (path, size, mtime_ns) by stat_keyed_cache — the
+    dictionary parse is paid once per file, not once per schema probe /
+    partition plan / task."""
+    return _read_metadata_uncached(path)
 
 
 def _read_metadata_uncached(path: str) -> StataMetadata:
@@ -676,7 +670,16 @@ def _decode_column(arr, v: Variable, meta: StataMetadata, strl_map, opts: ReadOp
 
 
 # indicator lookup: 0 -> no indicator (null), 1..26 -> '.a'..'.z'
-_TAG_LUT = np.array([""] + [f".{chr(ord('a') + i)}" for i in range(26)])
+# built on first decode (module must stay numpy-free at import time —
+# planning workers import it for metadata only, see _lazy.py)
+_TAG_LUT = None
+
+
+def _tag_lut():
+    global _TAG_LUT
+    if _TAG_LUT is None:
+        _TAG_LUT = np.array([""] + [f".{chr(ord('a') + i)}" for i in range(26)])
+    return _TAG_LUT
 
 
 def _indicator_column(arr, v: Variable, meta: StataMetadata) -> pa.Array:
@@ -706,7 +709,7 @@ def _indicator_column(arr, v: Variable, meta: StataMetadata) -> pa.Array:
             bits = a.view(np.uint64)
             off = (bits - np.uint64(0x7FE0000000000000)).astype(np.int64)
     k = np.where((off >= 1) & (off <= 26), off, 0)
-    return pa.array(_TAG_LUT[k], type=pa.string(), mask=k == 0)
+    return pa.array(_tag_lut()[k], type=pa.string(), mask=k == 0)
 
 
 def _float_to_i64(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -810,28 +813,27 @@ def fixed_width_strings(
     if n == 0:
         return pa.array([], type=pa.string())
     idx = np.arange(w)
+    rows = np.arange(n)
+    # argmax + single-element gather instead of a full .any() reduce
+    # (r13: replaces two O(n*w) reductions and the repeat+arange gather
+    # construction below with one boolean-mask extraction — ~20% off the
+    # whole string decode, output bit-identical)
     is_nul = u8 == 0
-    first_nul = np.where(is_nul.any(axis=1), is_nul.argmax(axis=1), w)
+    fn = is_nul.argmax(axis=1)
+    first_nul = np.where(u8[rows, fn] == 0, fn, w)
     if trim_spaces:
         keep = (idx[None, :] < first_nul[:, None]) & (u8 != 0x20)
     else:
         keep = idx[None, :] < first_nul[:, None]
-    has_any = keep.any(axis=1)
-    length = np.where(has_any, w - np.argmax(keep[:, ::-1], axis=1), 0).astype(np.int64)
+    last = keep[:, ::-1].argmax(axis=1)
+    has_any = keep[rows, w - 1 - last]
+    length = np.where(has_any, w - last, 0).astype(np.int64)
 
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(length, out=offsets[1:])
-    total = int(offsets[-1])
-    # one fused repeat: value i's bytes start at i*w in the raw block
-    # and at offsets[i] in the packed output, so the gather index is
-    # arange(total) shifted per-row by (i*w - offsets[i]) — the r12
-    # rewrite of the two-repeat (seg + base) construction, which spent
-    # ~40% of the whole 600k-row decode inside np.repeat
-    flat_idx = np.repeat(
-        np.arange(n, dtype=np.int64) * w - offsets[:-1], length
-    )
-    flat_idx += np.arange(total, dtype=np.int64)
-    data = np.ascontiguousarray(u8).ravel()[flat_idx]
+    # each value is a PREFIX of its fixed-width row (only trailing bytes
+    # trimmed), so the packed data buffer is one boolean-mask gather
+    data = np.ascontiguousarray(u8)[idx[None, :] < length[:, None]]
 
     mask = length == 0 if null_empty else None
     if encoding in ("utf-8", "ascii") or not (data & 0x80).any():

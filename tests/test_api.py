@@ -824,3 +824,55 @@ def test_convert_tree_bulk(spark, tmp_path):
     meta = json.loads(open(next(m["meta"] for m in manifest if m["src"].endswith("a.dta"))).read())
     blob = json.dumps(meta)
     assert "zero" in blob and "two" in blob  # labels exported in the sidecar
+
+
+def test_scan_cache_hit_and_mtime_invalidation(spark, tmp_path):
+    """r12 verdict item 5: an identical readstat_scan of unchanged files
+    returns the CACHED DataFrame (skipping the schema planning worker);
+    replacing the file invalidates via the (size, mtime_ns) fingerprint."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from polars_readstat_rs_spark import api
+
+    p = str(tmp_path / "cache.dta")
+    pd.DataFrame({"a": [1.0, 2.0]}).to_stata(p, version=118, write_index=False)
+    df1 = api.readstat_scan(spark, p)
+    df2 = api.readstat_scan(spark, p)
+    assert df2 is df1  # cache hit: same immutable logical plan
+    assert df1.count() == 2
+    # different options -> different plan, not served from cache
+    df3 = api.readstat_scan(spark, p, columns=["a"])
+    assert df3 is not df1
+    # replace the file (force a distinct mtime_ns)
+    old = os.stat(p).st_mtime_ns
+    pd.DataFrame({"a": [1.0, 2.0, 3.0]}).to_stata(p, version=118, write_index=False)
+    if os.stat(p).st_mtime_ns == old:
+        os.utime(p, ns=(old + 1_000_000, old + 1_000_000))
+    df4 = api.readstat_scan(spark, p)
+    assert df4 is not df1
+    assert df4.count() == 3
+
+
+def test_read_metadata_stat_cache_invalidates_on_replace(tmp_path):
+    """The (path, size, mtime_ns)-keyed metadata cache returns the same
+    object for an unchanged file and re-parses after a replace."""
+    import os
+
+    import pandas as pd
+
+    from polars_readstat_rs_spark.formats.stata import parser as sp
+
+    p = str(tmp_path / "m.dta")
+    pd.DataFrame({"a": [1.0]}).to_stata(p, version=118, write_index=False)
+    m1 = sp.read_metadata(p)
+    assert sp.read_metadata(p) is m1  # cached instance
+    old = os.stat(p).st_mtime_ns
+    pd.DataFrame({"a": [1.0, 2.0]}).to_stata(p, version=118, write_index=False)
+    if os.stat(p).st_mtime_ns == old:
+        os.utime(p, ns=(old + 1_000_000, old + 1_000_000))
+    m2 = sp.read_metadata(p)
+    assert m2 is not m1
+    assert m2.nobs == 2

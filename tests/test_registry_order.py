@@ -80,26 +80,24 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r12 head: the round's new gates lead, then the queries whose
-    # implementation materially changed in r12 (so the driver window
-    # re-proves exactly what changed), then the oldest-driver-recorded
-    # rotation, then the prior rotation dedup'd.
-    from polars_readstat_rs_spark.queries import _R12_NEW, _R12_ROTATE, _R12_TOUCHED
+    # r13 head: the 22 never-driver-recorded _dec_sum_double re-proofs
+    # lead, then the owed + oldest-recorded rotation, then the prior
+    # rotation dedup'd.
+    from polars_readstat_rs_spark.queries import _R13_REPROOF, _R13_ROTATE
 
-    n_new, n_t = len(_R12_NEW), len(_R12_TOUCHED)
-    assert HEAD[:n_new] == _R12_NEW
-    assert HEAD[n_new : n_new + n_t] == _R12_TOUCHED
+    n_rp = len(_R13_REPROOF)
+    assert HEAD[:n_rp] == _R13_REPROOF
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
     # the rotation is budgeted to the driver's 50-slot recorded window
     # EXACTLY — an overflowing rotation silently drops its tail from
     # the round's CORRECTNESS artifact (r12 code-review finding)
-    assert n_new + n_t + len(_R12_ROTATE) == 50
-    assert HEAD[n_new + n_t : 50] == _R12_ROTATE
+    assert n_rp + len(_R13_ROTATE) == 50
+    assert HEAD[n_rp : 50] == _R13_ROTATE
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    head_set = set(_R12_NEW) | set(_R12_TOUCHED) | set(_R12_ROTATE)
-    expected = n_new + n_t + len(_R12_ROTATE) + len(set(_PRIOR) - head_set)
+    head_set = set(_R13_REPROOF) | set(_R13_ROTATE)
+    expected = n_rp + len(_R13_ROTATE) + len(set(_PRIOR) - head_set)
     assert len(HEAD) == len(set(HEAD)) == expected
 
 
