@@ -34,10 +34,11 @@ def stat_keyed_cache(fn):
     @wraps(fn)
     def wrapper(path, *args, **kwargs):
         try:
-            st = os.stat(path)
+            real = os.path.realpath(path)
+            st = os.stat(real)
         except OSError:
             return fn(path, *args, **kwargs)
-        key = (path, st.st_size, st.st_mtime_ns, args, tuple(sorted(kwargs.items())))
+        key = (real, st.st_size, st.st_mtime_ns, args, tuple(sorted(kwargs.items())))
         try:
             hit = cache.get(key)
         except TypeError:  # unhashable extra arg — bypass

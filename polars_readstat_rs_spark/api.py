@@ -23,7 +23,19 @@ def _ensure_registered(spark: SparkSession) -> None:
 
     ensure_session_confs(spark)
     if id(spark) not in _registered:
-        spark.dataSource.register(ReadstatDataSource)
+        try:
+            spark.dataSource.register(ReadstatDataSource)
+        except Exception as e:  # noqa: BLE001
+            # an already-registered source is success (e.g. a test
+            # registered directly before calling the api), anything
+            # else is a real failure. NOTE pyspark 4.1 asymmetry:
+            # spark.newSession() siblings hit ALREADY_EXISTS here yet
+            # their own lookup path cannot resolve the source either —
+            # format("readstat") reads must run on the session that
+            # first registered (or a fresh getOrCreate()), not on a
+            # newSession() sibling.
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                raise
         _registered.add(id(spark))
 
 
@@ -201,19 +213,27 @@ def _scan_cache_key(spark, path, *opts):
     """Cache key for readstat_scan, or None when uncacheable (unstatable
     path / unhashable option). Keyed on every matched file's
     (size, mtime_ns) so replacing or adding a file invalidates — the
-    directory LISTING is part of the key via the per-file entries."""
+    directory LISTING is part of the key via the per-file entries. The
+    catalog argument (opts[-1]) is a FILE the plan bakes label formats
+    from, so its fingerprint joins the key too. Session identity is
+    (applicationId, id(spark)): a cached DataFrame is bound to the
+    session that created it, and spark.newSession() siblings share an
+    applicationId but must not share plans (session-level confs)."""
     import os
 
     from .datasource import expand_paths
 
     try:
-        files = expand_paths(path)
+        files = list(expand_paths(path))
+        catalog = opts[-1]
+        if catalog:
+            files.append(catalog)
         fps = tuple(
             (f, st.st_size, st.st_mtime_ns)
             for f in files
             for st in (os.stat(f),)
         )
-        session_key = spark.sparkContext.applicationId
+        session_key = (spark.sparkContext.applicationId, id(spark))
     except Exception:
         return None
     try:

@@ -508,22 +508,39 @@ def page_row_layout(page: bytes, meta: SasMetadata) -> tuple[int, int]:
     return 0, 0
 
 
-def build_page_index(path: str, meta: SasMetadata) -> list[tuple[int, int, int]]:
-    """Per-page (page_idx, row_start, n_rows) for uncompressed files.
+# Cache the page index only for files small enough that 32 reused
+# executor workers each holding one are noise: 256k pages ≈ 6 MB as an
+# int64 Nx3 array per worker. A 500 GB file (~8M pages) stays transient
+# per call, exactly the pre-cache behavior.
+_PAGE_INDEX_CACHE_MAX_PAGES = 262_144
+
+
+def build_page_index(path: str, meta: SasMetadata | None = None):
+    """Per-page (page_idx, row_start, n_rows) rows for uncompressed
+    files, as an Nx3 int64 numpy array (compact: 24 bytes/page vs ~130
+    for a tuple list — it lives in reused executor workers).
 
     One page-header read per page (the analytical page index,
     src/sas/reader.rs:282-360): partition planning stays metadata-only.
-    Stat-cached per path: every partition task of the same query (and
-    every repeat query in a reused executor worker) would otherwise
-    re-scan all page headers — O(pages) seeks per TASK on a big file.
-    ``meta`` is itself derived from ``path`` via the stat-cached
-    ``read_metadata``, so a path-only cache key is sound.
+    Stat-cached per path below a page-count bound: every partition task
+    of the same query (and every repeat query in a reused executor
+    worker) would otherwise re-scan all page headers — O(pages) seeks
+    per TASK on a big file. Metadata is re-derived from ``path`` via the
+    stat-cached ``read_metadata`` (the old ``meta`` parameter is
+    accepted and ignored for compatibility — it was always equal).
     """
+    m = read_metadata(path)
+    if m.page_count > _PAGE_INDEX_CACHE_MAX_PAGES:
+        return _page_index_of(path)
     return _page_index_cached(path)
 
 
 @stat_keyed_cache
-def _page_index_cached(path: str) -> list[tuple[int, int, int]]:
+def _page_index_cached(path: str):
+    return _page_index_of(path)
+
+
+def _page_index_of(path: str):
     meta = read_metadata(path)
     out = []
     row_start = 0
@@ -552,7 +569,7 @@ def _page_index_cached(path: str) -> list[tuple[int, int, int]]:
                 break
             out.append((i, row_start, n))
             row_start += n
-    return out
+    return np.array(out, dtype=np.int64).reshape(-1, 3)
 
 
 # ------------------------------------------------------------ decompressors
@@ -1147,7 +1164,9 @@ def read_partition(
         t = read_table(path, columns, offset=start, limit=count, opts=opts)
         yield from t.to_batches(max_chunksize=batch_size)
         return
-    index = build_page_index(path, meta)
+    # .tolist() restores plain-int tuples for the loop (transient, same
+    # footprint the pre-cache list had for the duration of the task)
+    index = build_page_index(path).tolist()
     end = start + count
     # accumulate page slices into ~batch_size-row decode calls: one
     # numpy decode + one Arrow table per big batch instead of one per

@@ -876,3 +876,72 @@ def test_read_metadata_stat_cache_invalidates_on_replace(tmp_path):
     m2 = sp.read_metadata(p)
     assert m2 is not m1
     assert m2.nobs == 2
+
+
+def test_scan_cache_key_includes_catalog_and_session(spark, tmp_path):
+    """Code-review r13: the catalog file's fingerprint joins the cache
+    key (rewriting the .sas7bcat must invalidate), and sibling sessions
+    from newSession() must not share cached plans."""
+    import os
+
+    import pandas as pd
+
+    from polars_readstat_rs_spark import api
+
+    p = str(tmp_path / "k.dta")
+    pd.DataFrame({"a": [1.0]}).to_stata(p, version=118, write_index=False)
+    cat = str(tmp_path / "labels.bin")
+    with open(cat, "wb") as fh:
+        fh.write(b"v1")
+    k1 = api._scan_cache_key(
+        spark, p, None, 0, None, True, True, False, None, False, None, None,
+        True, False, cat,
+    )
+    assert k1 is not None
+    # rewrite the catalog -> different fingerprint -> different key
+    old = os.stat(cat).st_mtime_ns
+    with open(cat, "wb") as fh:
+        fh.write(b"v2!!")
+    if os.stat(cat).st_mtime_ns == old:
+        os.utime(cat, ns=(old + 1_000_000, old + 1_000_000))
+    k2 = api._scan_cache_key(
+        spark, p, None, 0, None, True, True, False, None, False, None, None,
+        True, False, cat,
+    )
+    assert k2 != k1
+    # sibling session: same applicationId, different id(spark) -> the
+    # cache key differs, so a sibling could never be served session-1's
+    # plan. (Actually LOADING on a newSession() sibling is a pyspark
+    # 4.1 limitation — its lookup can't resolve Python data sources
+    # registered by the parent; see api._ensure_registered.)
+    s2 = spark.newSession()
+    k_s1 = api._scan_cache_key(
+        spark, p, None, 0, None, True, True, False, None, False, None, None,
+        True, False, None,
+    )
+    k_s2 = api._scan_cache_key(
+        s2, p, None, 0, None, True, True, False, None, False, None, None,
+        True, False, None,
+    )
+    assert k_s1 is not None and k_s2 is not None and k_s1 != k_s2
+
+
+def test_page_index_compact_and_bounded(tmp_path, monkeypatch):
+    """Code-review r13: the page index is a compact Nx3 int64 array, and
+    files above the page-count bound bypass the cache (stay transient)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from polars_readstat_rs_spark.formats.sas import parser as sasp
+    from polars_readstat_rs_spark.formats.sas.bdat_writer import write_sas7bdat
+
+    p = str(tmp_path / "pi.sas7bdat")
+    write_sas7bdat(pa.table({"a": np.arange(1000, dtype=np.float64)}), p)
+    idx = sasp.build_page_index(p)
+    assert isinstance(idx, np.ndarray) and idx.dtype == np.int64 and idx.shape[1] == 3
+    assert idx[:, 2].sum() == 1000  # n_rows column covers every row
+    assert sasp.build_page_index(p) is idx  # cached below the bound
+    monkeypatch.setattr(sasp, "_PAGE_INDEX_CACHE_MAX_PAGES", 0)
+    idx2 = sasp.build_page_index(p)
+    assert idx2 is not idx  # above the bound: transient per call
+    assert (idx2 == idx).all()
