@@ -236,21 +236,41 @@ def main() -> None:
     # numpy/pandas import inside their single timed run (measured ~12 s
     # on a 32-worker pool for a query whose warm wall is 0.65 s); bench.py
     # never sees this because its min-of-N reuses the workers.
-    run_spark("q01_pricing_summary")
     import pandas as _pd
 
     def _warm_workers(batches):
         for b in batches:
             yield _pd.DataFrame({"n": [len(b)]})
 
-    (
-        spark.range(100_000)
-        .repartition(int(spark.sparkContext.defaultParallelism))
-        .mapInPandas(_warm_workers, "n long")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    def _warm_session() -> None:
+        run_spark("q01_pricing_summary")
+        (
+            spark.range(100_000)
+            .repartition(int(spark.sparkContext.defaultParallelism))
+            .mapInPandas(_warm_workers, "n long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _warm_session()
+
+    # SCALE_BENCH_FRESH_SESSION=1: restart the JVM before each timed
+    # query (then re-warm codegen + the worker pool). The r13 p04/t04
+    # adjudication found the full-set artifact's walls carry whatever
+    # executor-heap/GC state the previous 16 queries left behind —
+    # p04 read 3.07x in the r12 full-set run but 0.88x in a fresh
+    # session. Costs ~10 s/query of untimed restart; use it when
+    # re-measuring weak-set suspects so session state can't masquerade
+    # as a regression.
+    fresh_session = os.environ.get("SCALE_BENCH_FRESH_SESSION", "0") == "1"
+
+    def _restart_session() -> None:
+        nonlocal spark
+        spark.stop()
+        spark = get_spark("bench-scale-checkpoint")
+        spark.sparkContext.setLogLevel("ERROR")
+        _warm_session()
 
     # Quiesce gate (r10 verdict item 3 — the sf1 artifact carried
     # internally inconsistent walls taken in a host load wave): same
@@ -294,8 +314,13 @@ def main() -> None:
     state["spark_floor"] = dict(state.get("spark_floor", {}))
 
     state["runs"] = RUNS
+    state["fresh_session_per_query"] = fresh_session
+    first_timed = True
     for q in DEFAULT_QUERIES:
         if q not in state["spark"]:
+            if fresh_session and not first_timed:
+                _restart_session()
+            first_timed = False
             f, _ = quiesce()
             best = None
             spent = 0.0
