@@ -701,3 +701,38 @@ def apportion_budget(
         F.col("floor_q").cast("long").alias("floor_quota"),
         F.col("rem").cast("long").alias("remainder"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: str = "sp0",
+) -> DataFrame:
+    """Deterministic three-way split: adds a ``split`` column with
+    'train' / 'val' / 'test' from the id's hash bucket (test gets the
+    remaining 1 - train - val mass).
+
+    The standard pre-training holdout assignment, with the same
+    properties as :func:`hash_sample`: a pure map-side expression (no
+    shuffle, no RNG state), stable under repartitioning, and
+    incremental — new documents join a split without moving any
+    existing one, so eval sets stay frozen as the corpus grows. Unlike
+    randomSplit, the assignment is reproducible across runs, sessions
+    and cluster sizes.
+
+    For leakage-aware splitting (near-duplicate clusters routed to one
+    side whole) use :func:`leakage_free_split`; this operator is the
+    cheap exact-id variant."""
+    if not (0.0 <= train and 0.0 <= val and train + val <= 1.0):
+        raise ValueError(f"invalid split fractions train={train} val={val}")
+    t1 = int(train * BUCKETS)
+    t2 = int((train + val) * BUCKETS)
+    b = _bucket(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(t1), F.lit("train"))
+        .when(b < F.lit(t2), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

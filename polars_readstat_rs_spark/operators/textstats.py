@@ -1229,3 +1229,51 @@ def kmv_ndv(
             / F.col("exact_ndv").cast("double"),
         )
     )
+
+
+def token_drift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Token-distribution drift between two halves of a corpus: the
+    ``top_k`` tokens whose frequency differs most between documents
+    with even vs odd ids (a deterministic stand-in for before/after
+    snapshots or two data sources).
+
+    Drift detection over token distributions is a standard data-quality
+    probe for training pipelines (did the crawl change under us?). The
+    ranking key is EXACT integer cross-multiplication —
+    ``|cnt_a * total_b - cnt_b * total_a|`` — not a floating rate
+    difference, so the top-k boundary is bit-deterministic across
+    engines (a 1-ulp rate divergence cannot reorder the cut; products
+    stay far below 2^63 through sf10 corpus sizes — at larger scales
+    promote to decimal).
+
+    Scale shape: explode -> ONE hash agg on token (map-side partial
+    combine absorbs hot tokens), a one-row broadcast crossJoin for the
+    totals, and a TakeOrdered top-k — no full sort, no second shuffle.
+
+    Output: (tok, cnt_a, cnt_b, diff_num) ordered by drift."""
+    toks = df.select(
+        (F.col(id_col) % 2).alias("_half"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_half") == 0, 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(F.col("_half") == 1, 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    totals = cnt.agg(
+        F.sum("cnt_a").cast("long").alias("_ta"), F.sum("cnt_b").cast("long").alias("_tb")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(totals))  # one-row totals table
+        .withColumn(
+            "diff_num",
+            F.abs(F.col("cnt_a") * F.col("_tb") - F.col("cnt_b") * F.col("_ta")),
+        )
+        .orderBy(F.desc("diff_num"), "tok")
+        .limit(top_k)
+        .select("tok", "cnt_a", "cnt_b", "diff_num")
+    )

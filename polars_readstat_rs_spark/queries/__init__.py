@@ -11,7 +11,7 @@ LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13, llm14  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13, llm14, llm15  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -367,6 +367,14 @@ _R12_ROTATE = (
     "r03_dta_metadata_probe",
 )
 
+# Round-13 additions: each passed a dedicated tools/check_oracle.py
+# run at sf0.001 AND sf0.01 AND sf0.1 before graduating out of
+# _RISKY_TAIL.
+_R13_NEW = (
+    "p20_train_val_test_split",
+    "t28_token_drift",
+)
+
 # Round-13 re-proof head (r12 verdict item 1): the _dec_sum_double
 # decimal->double hardening (commit 093d0dd) landed AFTER r12's
 # 50-slot window was budgeted, so the driver has never recorded the
@@ -403,7 +411,8 @@ _R13_REPROOF = (
 # r04/r05/r06/t02/t04/t05 were trimmed when the r12 window was cut to
 # exactly 50), then the oldest-driver-recorded remainder (all last
 # recorded r6 — computed from the r1-r12 artifact union). Budgeted to
-# the 50-slot window: len(_R13_REPROOF) + len(_R13_ROTATE) == 50.
+# the 50-slot window: len(_R13_NEW) + len(_R13_REPROOF) +
+# len(_R13_ROTATE) == 50.
 _R13_ROTATE = (
     "t06_repetition",
     "t07_unigram_lm",
@@ -432,8 +441,9 @@ _R13_ROTATE = (
     "q43_upsert",
     "q80_python_udtf",
     "q81_map_functions",
-    "r10_stream_source",
-    "r11_stream_sink",
+    # r10_stream_source / r11_stream_sink were cut when the two
+    # _R13_NEW gates graduated into the 50-slot window (never-recorded
+    # beats oldest-re-record); they lead the r14 rotation fill.
 )
 
 # Brand-new, never-locally-verified queries go here until a full
@@ -484,9 +494,10 @@ _R12_HEAD_SET = frozenset(_R12_NEW + _R12_TOUCHED + _R12_ROTATE)
 _PRIOR = tuple(
     dict.fromkeys(_R12_NEW + _R12_TOUCHED + _R12_ROTATE + _PRIOR)
 )
-_R13_HEAD_SET = frozenset(_R13_REPROOF + _R13_ROTATE)
+_R13_HEAD_SET = frozenset(_R13_NEW + _R13_REPROOF + _R13_ROTATE)
 HEAD = (
-    _R13_REPROOF
+    _R13_NEW
+    + _R13_REPROOF
     + _R13_ROTATE
     + tuple(n for n in _PRIOR if n not in _R13_HEAD_SET)
 )

@@ -2849,3 +2849,54 @@ def test_arrow_type_map_rejects_date64_and_fixed_size_binary():
     assert _arrow_type_to_spark(pa.binary(16)) is None
     assert _arrow_type_to_spark(pa.date32()) == T.DateType()
     assert _arrow_type_to_spark(pa.binary()) == T.BinaryType()
+
+
+def test_train_val_test_split_deterministic_and_incremental(spark):
+    """Splits are a pure function of (seed, id): stable across
+    repartitioning, frozen for existing ids when the corpus grows, and
+    the fractions land near 80/10/10."""
+    import pytest
+
+    from polars_readstat_rs_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_val_test_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.74 < counts["train"] / 2000 < 0.86
+    # repartition invariance
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.train_val_test_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    # incremental: growing the corpus never moves an existing id
+    grown = sampling.train_val_test_split(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    g = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(g[k] == v for k, v in a.items())
+    with pytest.raises(ValueError):
+        sampling.train_val_test_split(df, "doc_id", train=0.95, val=0.2)
+
+
+def test_token_drift_exact_ranking(spark):
+    """The drift ranking is exact-integer cross-multiplication: a token
+    appearing only in one half ranks by cnt * other_total, and a token
+    with identical rates in both halves has diff_num == 0."""
+    from polars_readstat_rs_spark.operators import textstats
+
+    rows = [
+        (0, "aa bb"),  # even half: aa bb
+        (2, "aa bb"),
+        (1, "aa cc"),  # odd half: aa cc
+        (3, "aa cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tok"]: r for r in textstats.token_drift(df, top_k=10).collect()}
+    # totals: 4 tokens per half. aa: 2/2 -> diff 0; bb: 2 even only ->
+    # |2*4 - 0*4| = 8; cc mirror = 8
+    assert out["aa"]["diff_num"] == 0
+    assert out["bb"]["diff_num"] == 8 and out["bb"]["cnt_a"] == 2 and out["bb"]["cnt_b"] == 0
+    assert out["cc"]["diff_num"] == 8 and out["cc"]["cnt_a"] == 0 and out["cc"]["cnt_b"] == 2

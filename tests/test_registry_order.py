@@ -83,21 +83,22 @@ def test_head_covers_all_never_recorded():
     # r13 head: the 22 never-driver-recorded _dec_sum_double re-proofs
     # lead, then the owed + oldest-recorded rotation, then the prior
     # rotation dedup'd.
-    from polars_readstat_rs_spark.queries import _R13_REPROOF, _R13_ROTATE
+    from polars_readstat_rs_spark.queries import _R13_NEW, _R13_REPROOF, _R13_ROTATE
 
-    n_rp = len(_R13_REPROOF)
-    assert HEAD[:n_rp] == _R13_REPROOF
+    n_new, n_rp = len(_R13_NEW), len(_R13_REPROOF)
+    assert HEAD[:n_new] == _R13_NEW
+    assert HEAD[n_new : n_new + n_rp] == _R13_REPROOF
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
     # the rotation is budgeted to the driver's 50-slot recorded window
     # EXACTLY — an overflowing rotation silently drops its tail from
     # the round's CORRECTNESS artifact (r12 code-review finding)
-    assert n_rp + len(_R13_ROTATE) == 50
-    assert HEAD[n_rp : 50] == _R13_ROTATE
+    assert n_new + n_rp + len(_R13_ROTATE) == 50
+    assert HEAD[n_new + n_rp : 50] == _R13_ROTATE
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    head_set = set(_R13_REPROOF) | set(_R13_ROTATE)
-    expected = n_rp + len(_R13_ROTATE) + len(set(_PRIOR) - head_set)
+    head_set = set(_R13_NEW) | set(_R13_REPROOF) | set(_R13_ROTATE)
+    expected = n_new + n_rp + len(_R13_ROTATE) + len(set(_PRIOR) - head_set)
     assert len(HEAD) == len(set(HEAD)) == expected
 
 
