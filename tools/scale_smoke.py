@@ -197,6 +197,10 @@ def main() -> None:
                 docs, "doc_id", F.size(F.split("text", " ")), 512, 1000
             ),
             "det_shuffle": lambda: sampling.deterministic_shuffle(docs, "doc_id"),
+            "tvt_split": lambda: sampling.train_val_test_split(docs, "doc_id")
+            .groupBy("split")
+            .count(),
+            "token_drift": lambda: textstats.token_drift(docs),
             "quality_score": lambda: textstats.quality_score(docs),
             "gopher_quality": lambda: textstats.gopher_quality(docs),
             "bigram_lm": lambda: textstats.bigram_lm(docs),
