@@ -23,12 +23,21 @@ from functools import wraps
 _MAXSIZE = 64
 
 
-def stat_keyed_cache(fn):
+def stat_keyed_cache(fn=None, *, maxsize=_MAXSIZE):
     """Cache ``fn(path, *args, **kwargs)`` keyed by the path's
     (realpath, size, mtime_ns) stat fingerprint plus the remaining
-    arguments. FIFO-bounded at 64 entries per function. A path that
-    cannot be stat'ed bypasses the cache so the wrapped function raises
-    its native error."""
+    arguments. FIFO-bounded at ``maxsize`` entries per function (64
+    default; pass a small value for functions whose entries are large —
+    the SAS page index caps one entry at ~6 MB, so 64 of them would pin
+    ~384 MB per reused worker). A path that cannot be stat'ed bypasses
+    the cache so the wrapped function raises its native error.
+
+    Thread-safety: callers include maintenance._run_jobs worker threads,
+    so concurrent evictions can race on the same FIFO head — the pops
+    use a default so a lost race is a no-op, and a double-insert just
+    overwrites with an equal value."""
+    if fn is None:  # used as @stat_keyed_cache(maxsize=N)
+        return lambda f: stat_keyed_cache(f, maxsize=maxsize)
     cache: dict = {}
 
     @wraps(fn)
@@ -46,8 +55,11 @@ def stat_keyed_cache(fn):
         if hit is not None:
             return hit
         out = fn(path, *args, **kwargs)
-        if len(cache) >= _MAXSIZE:
-            cache.pop(next(iter(cache)))
+        while len(cache) >= maxsize:
+            try:
+                cache.pop(next(iter(cache)), None)
+            except (StopIteration, RuntimeError):  # emptied/resized by a peer thread
+                break
         cache[key] = out
         return out
 

@@ -200,7 +200,9 @@ def readstat_scan(
     df = r.load(path)
     if cache_key is not None:
         if len(_SCAN_CACHE) >= 64:
-            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+            # default=None: concurrent evictions (maintenance worker
+            # threads) may race on the FIFO head; a lost race is a no-op
+            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)), None)
         _SCAN_CACHE[cache_key] = df
     return df
 

@@ -535,8 +535,12 @@ def build_page_index(path: str, meta: SasMetadata | None = None):
     return _page_index_cached(path)
 
 
-@stat_keyed_cache
+@stat_keyed_cache(maxsize=8)
 def _page_index_cached(path: str):
+    # maxsize=8, not the default 64: one entry caps at ~6 MB
+    # (_PAGE_INDEX_CACHE_MAX_PAGES), so the aggregate bound per reused
+    # worker is ~48 MB instead of ~384 MB for a many-file corpus of
+    # just-under-threshold files.
     return _page_index_of(path)
 
 

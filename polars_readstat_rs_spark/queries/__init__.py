@@ -9,6 +9,17 @@ rebuild the dict so the long-verified relational suite runs first and
 _RISKY_TAIL — the most expensive / most recently added entries — runs
 LAST. Add any brand-new, never-locally-verified query to _RISKY_TAIL
 until a full tools/check_oracle.py run has passed it.
+
+GRADUATION CHECKLIST (r13 verdict item 2 — every step, in order, for
+any gate leaving _RISKY_TAIL or any rotation edit; a gate is NOT
+graduated until all five have run AFTER the last registry edit):
+ 1. tools/check_oracle.py at sf0.001 AND sf0.01 AND sf0.1 for the gate.
+ 2. pytest tests/test_oracle_types.py  (1.5 s — the DuckDB HUGEINT /
+    portability audit; skipping it is how p20/t28 shipped red in r13).
+ 3. pytest tests/test_registry_order.py  (window shape = exactly 50).
+ 4. HEAD[:50] rehearsal: tools/check_oracle.py sf0.01 over the head.
+ 5. FULL pytest tests/ run — the close-out number quoted in NOTES must
+    come from a run after the final registry edit of the round.
 """
 
 from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13, llm14, llm15  # noqa: F401  (registration side effects)
@@ -446,6 +457,76 @@ _R13_ROTATE = (
     # beats oldest-re-record); they lead the r14 rotation fill.
 )
 
+# Round-14 re-proof head (r13 verdict item 1): p20/t28 shipped with
+# HUGEINT-emitting oracle SQL in r13 (hash_match false in
+# CORRECTNESS_r13); the CAST(... AS BIGINT) fix landed this round and
+# passed check_oracle at sf0.001/0.01/0.1 + the type audit, so they
+# lead the window until the driver records them green.
+_R14_FIXED = (
+    "p20_train_val_test_split",
+    "t28_token_drift",
+)
+
+# Round-14 rotation (r13 verdict item 5): oldest-driver-recorded
+# first — the 19 families whose latest CORRECTNESS row is r6 (led by
+# r10_stream_source / r11_stream_sink, owed from the r13 window cut),
+# then the 17 r7-recorded, then the first 12 of the 30 r8-recorded.
+# Computed from the r1-r13 artifact union. Budgeted to the 50-slot
+# window EXACTLY: len(_R14_FIXED) + len(_R14_ROTATE) == 50.
+_R14_ROTATE = (
+    # latest driver record r6 (19):
+    "r10_stream_source",
+    "r11_stream_sink",
+    "t01_langid",
+    "t09_gopher_quality",
+    "t10_bigram_lm",
+    "t11_bpe_pairs",
+    "v08_ivf_append",
+    "t12_zipf_stats",
+    "t13_chunk_documents",
+    "s01_stream_windowed_counts",
+    "s02_stream_sessions",
+    "s03_stream_stream_join",
+    "s04_stream_dedup",
+    "s05_stream_static_join",
+    "s06_incremental_agg",
+    "s07_stream_hopping",
+    "s08_stream_outer_join",
+    "t14_tfidf_terms",
+    "v09_filtered_topk",
+    # latest driver record r7 (17):
+    "r07_informative_nulls_merged",
+    "q28_except_all",
+    "m06_png_codec",
+    "q82_scd2_intervals",
+    "q83_point_in_time_join",
+    "q47_iqr_outliers",
+    "q50_asof_nearest",
+    "q39_retention",
+    "q41_expectations",
+    "q44_fuzzy_match",
+    "q45_gapfill",
+    "t15_wordpiece",
+    "q57_group_center",
+    "m02_frame_sample",
+    "s09_stream_session_window",
+    "v10_ann_join",
+    "q40_profile",
+    # latest driver record r8 (first 12 of 30 — the rest cycle in r15):
+    "r15_sas7bdat_write_roundtrip",
+    "r16_sas7bdat_timestamp_roundtrip",
+    "r17_sas7bdat_compressed_roundtrip",
+    "p11_leakage_free_split",
+    "r18_zsav_write_roundtrip",
+    "t18_ngram_diversity",
+    "t19_url_stats",
+    "p12_interleave",
+    "v13_quantize_int8",
+    "r19_por_roundtrip_agg",
+    "m09_audio_resample",
+    "q87_grouped_mode",
+)
+
 # Brand-new, never-locally-verified queries go here until a full
 # tools/check_oracle.py run has passed them (see module docstring).
 _RISKY_TAIL: tuple[str, ...] = ()
@@ -494,12 +575,17 @@ _R12_HEAD_SET = frozenset(_R12_NEW + _R12_TOUCHED + _R12_ROTATE)
 _PRIOR = tuple(
     dict.fromkeys(_R12_NEW + _R12_TOUCHED + _R12_ROTATE + _PRIOR)
 )
-_R13_HEAD_SET = frozenset(_R13_NEW + _R13_REPROOF + _R13_ROTATE)
+# Round-14 rotation: the fixed p20/t28 oracles lead, then the
+# oldest-driver-recorded rotation (r6 -> r7 -> first 12 of r8), then
+# the prior heads fill the unrecorded remainder.
+_PRIOR = tuple(
+    dict.fromkeys(_R13_NEW + _R13_REPROOF + _R13_ROTATE + _PRIOR)
+)
+_R14_HEAD_SET = frozenset(_R14_FIXED + _R14_ROTATE)
 HEAD = (
-    _R13_NEW
-    + _R13_REPROOF
-    + _R13_ROTATE
-    + tuple(n for n in _PRIOR if n not in _R13_HEAD_SET)
+    _R14_FIXED
+    + _R14_ROTATE
+    + tuple(n for n in _PRIOR if n not in _R14_HEAD_SET)
 )
 
 _ordered = (

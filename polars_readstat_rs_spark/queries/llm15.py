@@ -8,9 +8,13 @@ bucket threshold hash-mismatches.
 
 t28 gates ``operators/textstats.py:token_drift``. The oracle mirrors
 the exact integer cross-multiplication ranking — DuckDB's BIGINT sums
-widen to HUGEINT in the products, Spark stays in long; both are exact
-integers far below 2^63 at gate SFs so the reprs agree. ``cnt`` is
-referenced twice -> AS MATERIALIZED per the duckdb-1.0 CTE discipline.
+widen to HUGEINT in the products (and ``sum(BIGINT)`` itself returns
+HUGEINT), so per the registry portability rule (registry.py:17 — the
+r3 p04 / r13 p20+t28 failure mode) every HUGEINT-producing column is
+CAST back to BIGINT; the values are exact integers far below 2^63 at
+gate SFs, so the cast is lossless and the driver's type-sensitive
+value hash matches Spark's long. ``cnt`` is referenced twice ->
+AS MATERIALIZED per the duckdb-1.0 CTE discipline.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ _P20_T2 = int((_P20_TRAIN + _P20_VAL) * sampling.BUCKETS)
     oracle=f"""
     SELECT lang, split,
            count(*) AS n_docs,
-           sum(doc_id) AS id_sum
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM (
       SELECT lang, doc_id,
              CASE WHEN {_bucket_sql(_P20_SEED, "doc_id")} < {_P20_T1} THEN 'train'
@@ -72,7 +76,7 @@ def p20_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY tok),
     tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM cnt)
     SELECT tok, cnt_a, cnt_b,
-           abs(cnt_a * tb - cnt_b * ta) AS diff_num
+           CAST(abs(cnt_a * tb - cnt_b * ta) AS BIGINT) AS diff_num
     FROM cnt, tot
     ORDER BY diff_num DESC, tok
     LIMIT 50

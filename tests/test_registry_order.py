@@ -80,25 +80,27 @@ def test_never_recorded_set_is_55():
 
 
 def test_head_covers_all_never_recorded():
-    # r13 head: the 22 never-driver-recorded _dec_sum_double re-proofs
-    # lead, then the owed + oldest-recorded rotation, then the prior
-    # rotation dedup'd.
-    from polars_readstat_rs_spark.queries import _R13_NEW, _R13_REPROOF, _R13_ROTATE
+    # r14 head: the fixed p20/t28 oracles lead (r13's only red rows),
+    # then the oldest-driver-recorded rotation (19 r6-recorded led by
+    # the owed stream source/sink, 17 r7-recorded, first 12 of the 30
+    # r8-recorded), then the prior rotation dedup'd.
+    from polars_readstat_rs_spark.queries import _R14_FIXED, _R14_ROTATE
 
-    n_new, n_rp = len(_R13_NEW), len(_R13_REPROOF)
-    assert HEAD[:n_new] == _R13_NEW
-    assert HEAD[n_new : n_new + n_rp] == _R13_REPROOF
+    n_fix = len(_R14_FIXED)
+    assert HEAD[:n_fix] == _R14_FIXED
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
     # the rotation is budgeted to the driver's 50-slot recorded window
     # EXACTLY — an overflowing rotation silently drops its tail from
     # the round's CORRECTNESS artifact (r12 code-review finding)
-    assert n_new + n_rp + len(_R13_ROTATE) == 50
-    assert HEAD[n_new + n_rp : 50] == _R13_ROTATE
+    assert n_fix + len(_R14_ROTATE) == 50
+    assert HEAD[n_fix:50] == _R14_ROTATE
+    # the r14 window pays down the owed r13 cut first
+    assert HEAD[2] == "r10_stream_source" and HEAD[3] == "r11_stream_sink"
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    head_set = set(_R13_NEW) | set(_R13_REPROOF) | set(_R13_ROTATE)
-    expected = n_new + n_rp + len(_R13_ROTATE) + len(set(_PRIOR) - head_set)
+    head_set = set(_R14_FIXED) | set(_R14_ROTATE)
+    expected = n_fix + len(_R14_ROTATE) + len(set(_PRIOR) - head_set)
     assert len(HEAD) == len(set(HEAD)) == expected
 
 

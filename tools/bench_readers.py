@@ -86,21 +86,21 @@ def main() -> None:
     os.makedirs(base, exist_ok=True)
     paths = _fixtures(base)
 
-    # Reads go through api.readstat_scan — the documented entry point —
-    # so the min-of-3 measures the steady-state a user of the API gets:
-    # run 1 pays the schema planning worker, runs 2-3 hit the session
-    # DataFrame cache (r13). The *_uncached legs keep the r12
-    # methodology (fresh spark.read per run, planning included) so
-    # round-over-round ratios stay comparable and the artifact shows
-    # both the single-shot and steady-state costs explicitly.
-    def spark_full(path):
+    # Key semantics (r13 ADVICE fix): ``spark_full`` keeps its r12
+    # meaning — a fresh spark.read per run, planning included — so
+    # round-over-round comparisons of that key stay apples-to-apples.
+    # The steady-state path a user of api.readstat_scan gets (run 1
+    # pays the schema planning worker, runs 2-3 hit the r13 session
+    # DataFrame cache) is recorded under the NEW key
+    # ``spark_full_cached``; every case carries both legs.
+    def spark_full_cached(path):
         (
             api.readstat_scan(spark, path)
             .agg(F.count("*"), F.sum("val"))
             .collect()
         )
 
-    def spark_full_uncached(path):
+    def spark_full(path):
         (
             spark.read.format("readstat")
             .load(path)
@@ -154,6 +154,7 @@ def main() -> None:
     out: dict = {"metric": "reader_throughput", "rows": N_ROWS, "cases": {}}
     t_small_spark = _tmin(lambda: spark_full(paths["sas"]))
     t_big_spark = _tmin(lambda: spark_full(big))
+    t_big_cached = _tmin(lambda: spark_full_cached(big))
     t_small_pd = _tmin(lambda: pd.read_sas(paths["sas"], encoding="utf-8"))
     t_big_pd = _tmin(lambda: pd.read_sas(big, encoding="utf-8"))
     def spark_full_par(path, n):
@@ -164,27 +165,32 @@ def main() -> None:
         )
 
     t_big_par = _tmin(lambda: spark_full_par(big, 16))
-    t_big_unc = _tmin(lambda: spark_full_uncached(big))
     out["cases"]["sas_1m"] = {
         "spark_full": t_big_spark,
-        "spark_full_uncached": t_big_unc,
-        "ratio_vs_pandas_uncached": round(t_big_pd / t_big_unc, 2),
+        "spark_full_cached": t_big_cached,
         "spark_full_16part": t_big_par,
         "pandas_full": t_big_pd,
         "ratio_vs_pandas": round(t_big_pd / t_big_spark, 2),
+        "ratio_vs_pandas_cached": round(t_big_pd / t_big_cached, 2),
         "ratio_vs_pandas_16part": round(t_big_pd / t_big_par, 2),
         "marginal_spark_us_per_row": round((t_big_spark - t_small_spark) / 0.9, 2),
         "marginal_pandas_us_per_row": round((t_big_pd - t_small_pd) / 0.9, 2),
     }
     for key in ("sas", "sas_wide", "stata", "spss"):
         p = paths[key]
-        case = {"spark_full": _tmin(lambda: spark_full(p))}
+        case = {
+            "spark_full": _tmin(lambda: spark_full(p)),
+            "spark_full_cached": _tmin(lambda: spark_full_cached(p)),
+        }
         if key == "sas_wide":
             case["spark_subset"] = _tmin(lambda: spark_subset(p))
         rd = pd_read[key]
         if rd is not None:
             case["pandas_full"] = _tmin(lambda: rd(p))
             case["ratio_vs_pandas"] = round(case["pandas_full"] / case["spark_full"], 2)
+            case["ratio_vs_pandas_cached"] = round(
+                case["pandas_full"] / case["spark_full_cached"], 2
+            )
             if "spark_subset" in case:
                 case["subset_ratio_vs_pandas_full"] = round(
                     case["pandas_full"] / case["spark_subset"], 2
@@ -221,14 +227,14 @@ def main() -> None:
     s600 = _stata16(600_000, os.path.join(base, "readers_stata_600k.dta"))
     s2m4 = _stata16(2_400_000, os.path.join(base, "readers_stata_2m4.dta"))
 
-    def stata_full(path):
+    def stata_full_cached(path):
         (
             api.readstat_scan(spark, path)
             .agg(F.count("*"), F.sum("num0"))
             .collect()
         )
 
-    def stata_full_uncached(path):
+    def stata_full(path):
         (
             spark.read.format("readstat")
             .load(path)
@@ -237,22 +243,24 @@ def main() -> None:
         )
 
     t600_sp = _tmin(lambda: stata_full(s600))
-    t600_unc = _tmin(lambda: stata_full_uncached(s600))
-    t2m4_unc = _tmin(lambda: stata_full_uncached(s2m4))
-    t600_pd = _tmin(lambda: pd.read_stata(s600))
+    t600_cached = _tmin(lambda: stata_full_cached(s600))
     t2m4_sp = _tmin(lambda: stata_full(s2m4))
+    t600_pd = _tmin(lambda: pd.read_stata(s600))
+    t2m4_cached = _tmin(lambda: stata_full_cached(s2m4))
     t2m4_pd = _tmin(lambda: pd.read_stata(s2m4))
     out["cases"]["stata_600k"] = {
         "spark_full": t600_sp,
-        "spark_full_uncached": t600_unc,
+        "spark_full_cached": t600_cached,
         "pandas_full": t600_pd,
         "ratio_vs_pandas": round(t600_pd / t600_sp, 2),
+        "ratio_vs_pandas_cached": round(t600_pd / t600_cached, 2),
     }
     out["cases"]["stata_2m4"] = {
         "spark_full": t2m4_sp,
-        "spark_full_uncached": t2m4_unc,
+        "spark_full_cached": t2m4_cached,
         "pandas_full": t2m4_pd,
         "ratio_vs_pandas": round(t2m4_pd / t2m4_sp, 2),
+        "ratio_vs_pandas_cached": round(t2m4_pd / t2m4_cached, 2),
         "marginal_spark_us_per_row": round((t2m4_sp - t600_sp) / 1.8, 2),
         "marginal_pandas_us_per_row": round((t2m4_pd - t600_pd) / 1.8, 2),
     }
