@@ -198,50 +198,78 @@ def _publish_and_swap(tmp: str, part_dir: str, prefix: str, input_paths: list[st
     return len(new_names)
 
 
-def _run_jobs(work: list, runner, max_concurrency: int) -> tuple[int, int]:
+# Drain chunk for the streamed job list: bounds driver-held rows AND
+# outstanding futures at planner scale (r13 verdict item 7 — a 2M-file
+# manifest plans ~130k jobs; 500k+ jobs must never materialize at once).
+_JOB_CHUNK = 50_000
+_MAX_STORED_ERRORS = 8
+
+
+def _run_jobs(work, runner, max_concurrency: int, chunk_size: int = _JOB_CHUNK) -> tuple[int, int, int]:
     """Submit rewrite jobs with bounded concurrency. The Spark scheduler
     is thread-safe and each job rewrites a DISJOINT file set, so
     concurrent submission is safe; serial submission would make driver
     job-submission latency the wall at planner scale (a 130k-job
     manifest at ~50 ms/job would spend ~2 h just queueing). Each worker
     thread completes its own publish-swap, preserving per-job
-    write-then-delete crash semantics. Returns (files_in, files_out)."""
-    from concurrent.futures import ThreadPoolExecutor, as_completed
+    write-then-delete crash semantics.
 
-    results = []
-    errors = []
-    if max_concurrency <= 1 or len(work) <= 1:
-        # same error contract as the pooled path (r12 ADVICE item 2):
-        # run every job, accumulate failures, and raise ONE aggregated
-        # RuntimeError carrying .partial accounting — callers must not
-        # see a different exception shape depending on concurrency
-        for j in work:
-            try:
-                results.append(runner(j))
-            except Exception as e:  # noqa: BLE001 — re-raised below with accounting
+    ``work`` may be any iterable (list or ``toLocalIterator``); it is
+    drained in chunks of ``chunk_size`` so the driver never holds more
+    than one chunk of job rows + futures, and results fold into running
+    sums instead of a list — bounded driver memory regardless of plan
+    size. Error contract (r12 ADVICE item 2): run EVERY job, accumulate
+    failures, raise ONE aggregated RuntimeError carrying ``.partial``
+    accounting (only the first _MAX_STORED_ERRORS exception objects are
+    retained; the count covers all). Returns (n_done, files_in,
+    files_out)."""
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    from itertools import islice
+
+    n_jobs = n_done = n_err = files_in = files_out = 0
+    errors: list = []
+
+    def _record(fn):
+        nonlocal n_done, n_err, files_in, files_out
+        try:
+            fi, fo = fn()
+        except Exception as e:  # noqa: BLE001 — re-raised below with accounting
+            n_err += 1
+            if len(errors) < _MAX_STORED_ERRORS:
                 errors.append(e)
-    else:
-        with ThreadPoolExecutor(max_workers=min(max_concurrency, len(work))) as pool:
-            futures = [pool.submit(runner, j) for j in work]
-            for f in as_completed(futures):
-                try:
-                    results.append(f.result())
-                except Exception as e:  # noqa: BLE001 — re-raised below with accounting
-                    errors.append(e)
-    files_in = sum(r[0] for r in results)
-    files_out = sum(r[1] for r in results)
+            return
+        n_done += 1
+        files_in += fi
+        files_out += fo
+
+    it = iter(work)
+    while True:
+        chunk = list(islice(it, chunk_size))
+        if not chunk:
+            break
+        n_jobs += len(chunk)
+        if max_concurrency <= 1 or len(chunk) <= 1:
+            # same error contract as the pooled path — callers must not
+            # see a different exception shape depending on concurrency
+            for j in chunk:
+                _record(lambda j=j: runner(j))
+        else:
+            with ThreadPoolExecutor(max_workers=min(max_concurrency, len(chunk))) as pool:
+                futures = [pool.submit(runner, j) for j in chunk]
+                for f in as_completed(futures):
+                    _record(f.result)
     if errors:
         # completed jobs DID publish-and-swap; surface that accounting
         # with the failure instead of discarding it (the caller can
         # reconcile without a fresh manifest listing)
         err = RuntimeError(
-            f"{len(errors)}/{len(work)} compaction jobs failed; "
-            f"{len(results)} completed (files_in={files_in}, "
+            f"{n_err}/{n_jobs} compaction jobs failed; "
+            f"{n_done} completed (files_in={files_in}, "
             f"files_out={files_out}); first failure: {errors[0]!r}"
         )
-        err.partial = {"jobs": len(results), "files_in": files_in, "files_out": files_out}
+        err.partial = {"jobs": n_done, "files_in": files_in, "files_out": files_out}
         raise err from errors[0]
-    return files_in, files_out
+    return n_done, files_in, files_out
 
 
 def execute_compaction(
@@ -266,7 +294,11 @@ def execute_compaction(
 
     Returns {"jobs": n, "files_in": n, "files_out": n}.
     """
-    jobs = plan.collect()
+    # Stream the plan instead of collect(): one row per rewrite job,
+    # but a 2M-file manifest plans ~130k jobs and larger manifests
+    # scale linearly — toLocalIterator + chunked _run_jobs bounds the
+    # driver to one partition of rows + one chunk of futures.
+    jobs = plan.toLocalIterator(prefetchPartitions=True)
 
     def _run(job) -> tuple[int, int]:
         paths = [id_to_path[int(f)] for f in job["file_manifest"].split(",")]
@@ -283,8 +315,8 @@ def execute_compaction(
         )
         return len(paths), _publish_and_swap(tmp, part_dir, "compact", paths)
 
-    files_in, files_out = _run_jobs(jobs, _run, max_concurrency)
-    return {"jobs": len(jobs), "files_in": files_in, "files_out": files_out}
+    n_jobs, files_in, files_out = _run_jobs(jobs, _run, max_concurrency)
+    return {"jobs": n_jobs, "files_in": files_in, "files_out": files_out}
 
 
 def zorder_compact(
@@ -325,9 +357,20 @@ def zorder_compact(
     """
     from .bucketing import write_zordered
 
-    groups: dict[str, list] = {}
-    for job in plan.collect():
-        groups.setdefault(job["part"], []).append(job)
+    def _part_groups():
+        # Stream partition groups instead of collecting the whole plan:
+        # orderBy("part") makes each partition's jobs contiguous (a tiny
+        # range shuffle — the plan is one row per rewrite job), so the
+        # driver holds only the current partition's job rows at a time.
+        cur_part, cur = None, []
+        for job in plan.orderBy("part").toLocalIterator(prefetchPartitions=True):
+            if cur and job["part"] != cur_part:
+                yield cur
+                cur = []
+            cur_part = job["part"]
+            cur.append(job)
+        if cur:
+            yield cur
 
     def _run(jobs) -> tuple[int, int]:
         paths = [
@@ -348,5 +391,5 @@ def zorder_compact(
         )
         return len(paths), _publish_and_swap(tmp, part_dir, "zorder", paths)
 
-    files_in, files_out = _run_jobs(list(groups.values()), _run, max_concurrency)
-    return {"partitions": len(groups), "files_in": files_in, "files_out": files_out}
+    n_parts, files_in, files_out = _run_jobs(_part_groups(), _run, max_concurrency)
+    return {"partitions": n_parts, "files_in": files_in, "files_out": files_out}
