@@ -467,12 +467,19 @@ _R14_FIXED = (
     "t28_token_drift",
 )
 
+# Round-14 touched re-proof: q01 rewritten to the lean level-1 shape
+# (raw-double disc/tax keys + double quantity sum; bit-identical,
+# verified at sf10 and check_oracle 3 SFs) — must get a driver record
+# for the new plan. Budget: q87_grouped_mode cycles out to r15.
+_R14_TOUCHED = ("q01_pricing_summary",)
+
 # Round-14 rotation (r13 verdict item 5): oldest-driver-recorded
 # first — the 19 families whose latest CORRECTNESS row is r6 (led by
 # r10_stream_source / r11_stream_sink, owed from the r13 window cut),
-# then the 17 r7-recorded, then the first 12 of the 30 r8-recorded.
+# then the 17 r7-recorded, then the first 11 of the 30 r8-recorded.
 # Computed from the r1-r13 artifact union. Budgeted to the 50-slot
-# window EXACTLY: len(_R14_FIXED) + len(_R14_ROTATE) == 50.
+# window EXACTLY:
+# len(_R14_FIXED) + len(_R14_TOUCHED) + len(_R14_ROTATE) == 50.
 _R14_ROTATE = (
     # latest driver record r6 (19):
     "r10_stream_source",
@@ -512,7 +519,7 @@ _R14_ROTATE = (
     "s09_stream_session_window",
     "v10_ann_join",
     "q40_profile",
-    # latest driver record r8 (first 12 of 30 — the rest cycle in r15):
+    # latest driver record r8 (first 11 of 30 — the rest cycle in r15):
     "r15_sas7bdat_write_roundtrip",
     "r16_sas7bdat_timestamp_roundtrip",
     "r17_sas7bdat_compressed_roundtrip",
@@ -524,7 +531,6 @@ _R14_ROTATE = (
     "v13_quantize_int8",
     "r19_por_roundtrip_agg",
     "m09_audio_resample",
-    "q87_grouped_mode",
 )
 
 # Brand-new, never-locally-verified queries go here until a full
@@ -581,9 +587,10 @@ _PRIOR = tuple(
 _PRIOR = tuple(
     dict.fromkeys(_R13_NEW + _R13_REPROOF + _R13_ROTATE + _PRIOR)
 )
-_R14_HEAD_SET = frozenset(_R14_FIXED + _R14_ROTATE)
+_R14_HEAD_SET = frozenset(_R14_FIXED + _R14_TOUCHED + _R14_ROTATE)
 HEAD = (
     _R14_FIXED
+    + _R14_TOUCHED
     + _R14_ROTATE
     + tuple(n for n in _PRIOR if n not in _R14_HEAD_SET)
 )

@@ -71,43 +71,45 @@ def _one():  # lazy: F.lit needs an active SparkContext
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Integer-cents two-level aggregation (r9): the per-row double->decimal
-    # casts were 2/3 of q01's wall clock (measured 0.51 -> 0.32 s at sf0.1).
-    # Level 1 groups by (flag, status, disc_cents, tax_cents) — disc/tax
-    # have a tiny domain (<= 11 x 9 values), so the partial agg reduces to
-    # ~99 rows per (flag, status) pair — and sums integer CENTS as plain
-    # longs (whole-stage-codegen fast path; the values are exact 2-dp
-    # decimals stored as nearest-doubles, so round(x*100) recovers the
-    # exact integer). Level 2 reconstructs the exact decimal sums over
-    # those ~400 rows, where Int128 decimal math is free, and distributes
-    # the (1-d)(1+t) products over the per-(d,t) subtotals — decimal
-    # arithmetic is distributive, so the result is bit-identical to the
-    # direct per-row decimal formulation (verified: collected outputs
-    # compare equal tuple-for-tuple).
-    # Scale bound: a level-1 long sum overflows at 9.2e18 cents
-    # (~$92 quadrillion per (flag,status,d,t) cell) — beyond any TPC-H SF.
+    # Integer-cents two-level aggregation (r9), per-row work minimized
+    # (r14): the hot 60M-row level-1 stage now evaluates exactly ONE
+    # arithmetic expression per row — price cents. Level 1 groups by the
+    # RAW double discount/tax (exact 2-dp doubles with a <= 11 x 9
+    # domain, so the partial agg still reduces to ~99 rows per
+    # (flag, status) pair; distinct bit patterns would only add cells,
+    # which level 2 re-merges) and sums l_quantity as a double —
+    # TPC-H quantities are integral, and sums of integers are exact in
+    # double below 2^53 regardless of add order, so no per-row
+    # round/cast is needed. Level 2 (~400 rows) converts the cell keys
+    # to integer cents and reconstructs the exact decimal sums, where
+    # Int128 decimal math is free, distributing the (1-d)(1+t) products
+    # over the per-(d,t) subtotals — decimal arithmetic is distributive,
+    # so the result is bit-identical to the direct per-row decimal
+    # formulation (verified at sf10: collected outputs of this shape
+    # and the r9 per-row-cents shape compare equal tuple-for-tuple;
+    # tools/q01_ab_sf10.py measured 2.15 -> 1.61 s at 16m splits,
+    # 1.85 -> 1.35 s at 64m, DuckDB warm 0.48 s).
+    # Scale bounds: a level-1 price-cents long sum overflows at 9.2e18
+    # cents (~$92 quadrillion per (flag,status,d,t) cell); a per-cell
+    # quantity sum loses exactness at 2^53 (~9e15 units) — both beyond
+    # any TPC-H SF.
     li = load_table(spark, sf_dir, "lineitem")
-
-    def cents(c: str):  # exact integer cents from a 2-dp-valued double
-        return F.round(F.col(c) * 100).cast("long")
 
     d20 = "decimal(20,0)"
     g1 = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy(
-            "l_returnflag",
-            "l_linestatus",
-            cents("l_discount").alias("dc"),
-            cents("l_tax").alias("tc"),
-        )
+        .groupBy("l_returnflag", "l_linestatus", "l_discount", "l_tax")
         .agg(
-            F.sum(cents("l_quantity")).alias("sq"),
-            F.sum(cents("l_extendedprice")).alias("sp"),
+            F.sum("l_quantity").alias("sqd"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sp"),
             F.count("*").alias("c"),
         )
     )
-    sq, sp = F.col("sq").cast(d20), F.col("sp").cast(d20)
-    dc, tc = F.col("dc").cast("decimal(3,0)"), F.col("tc").cast("decimal(3,0)")
+    # cell keys -> exact integer cents; sqd*100 is exact while < 2^53
+    sq = F.round(F.col("sqd") * 100).cast("long").cast(d20)
+    sp = F.col("sp").cast(d20)
+    dc = F.round(F.col("l_discount") * 100).cast("long").cast("decimal(3,0)")
+    tc = F.round(F.col("l_tax") * 100).cast("long").cast("decimal(3,0)")
     c100 = F.lit(100).cast("decimal(3,0)")
     cnt = F.col("c").cast(d20)
     # double reconstruction ORDER matters once an exact integer sum N

@@ -158,9 +158,24 @@ def main() -> None:
     SMJ_QUERIES = {"v05_srp_neardup"}
     shj_default = os.environ.get("SPARK_GRAFT_SCALE_SHJ", "1") == "1"
 
+    # Per-query scan-split pins (r14, Q01_DECOMP_r14.json +
+    # KNOB_Q01_AB_r14.json): the session factory's 16m default exists
+    # for SMALL single-file tables (use the cores on a 25 MB parquet);
+    # at sf10 a scan-bound aggregate pays ~160 task setups on the
+    # 1.3 GB lineitem instead of ~40. 64m measured 15-20% faster for
+    # q01 across two shapes and two sessions (2.15->1.85, 1.61->1.35 s)
+    # with no other query sharing the pinned conf — the same call a
+    # cluster profile makes by keeping the 128m default. Per-query,
+    # like SMJ_QUERIES, so join-heavy queries keep the measured 16m.
+    MAXPART_QUERIES = {"q01_pricing_summary": "64m"}
+    _maxpart_default = os.environ.get("SPARK_GRAFT_MAXPART", "16m")
+
     def set_join_profile(q: str) -> None:
         prefer_smj = (not shj_default) or q in SMJ_QUERIES
         spark.conf.set("spark.sql.join.preferSortMergeJoin", str(prefer_smj).lower())
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", MAXPART_QUERIES.get(q, _maxpart_default)
+        )
 
     staged = stage(sf_dir, n_files)
 
