@@ -207,6 +207,122 @@ def readstat_scan(
     return df
 
 
+def readstat_row_count(path: str) -> int:
+    """Row count from the file header (O(header) — the per-format
+    read_metadata calls are stat-fingerprint cached)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "dta":
+        return stata_parser.read_metadata(path).nobs
+    if ext in ("sav", "zsav"):
+        from .formats.spss import parser as spss_parser
+
+        return spss_parser.read_metadata(path).row_count
+    if ext in ("sas7bdat", "sas7bcat"):
+        from .formats.sas import parser as sas_parser
+
+        return sas_parser.read_metadata(path).row_count
+    if ext == "xpt":
+        from .formats.sas import xport
+
+        return xport.read_metadata(path).row_count
+    if ext == "por":
+        from .formats.spss import portable
+
+        return portable.read_metadata(path).row_count
+    raise ValueError(f"cannot infer readstat format from path {path!r}")
+
+
+def readstat_read_local(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    offset: int = 0,
+    limit: int | None = None,
+    value_labels_as_strings: bool = True,
+    missing_string_as_null: bool = True,
+    row_index: bool = False,
+    informative_nulls: bool | str = False,
+    informative_null_columns: list[str] | None = None,
+    informative_null_suffix: str | None = None,
+    informative_null_use_value_labels: bool = True,
+    catalog: str | None = None,
+    batch_size: int = 65536,
+    max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Driver-local fast path for SMALL single files: decode in-process
+    and hand Spark an Arrow-backed local relation, skipping the Python
+    DataSource planning worker + executor job entirely.
+
+    Why it exists (READER_FLOOR_r13 / r13 verdict item 6): a Spark job
+    over a 100k-row single file pays ~0.4-0.6 s of fixed planning and
+    task floors that an embedded reader does not — the per-query floor,
+    not decode, dominates sub-million-row files. This path runs the
+    EXACT executor reader code (``ReadstatDataSource`` ->
+    ``_ReadstatReader.partitions()/read()``) in the driver process, so
+    every option's semantics — value labels, catalogs, informative
+    nulls, row_index, offset/limit — are byte-identical to
+    ``readstat_scan``'s by construction; only the execution locus
+    differs. The result is a LocalTableScan, so downstream transforms
+    still distribute normally.
+
+    Use for interactive/driver-heavy loops over small files; use
+    ``readstat_scan`` (the default) for anything big or for many files
+    at once — this path materializes the whole file in driver memory
+    and refuses files above ``max_rows`` (``ValueError``).
+    """
+    from .datasource import ReadstatDataSource, expand_paths
+
+    files = expand_paths(path)
+    if len(files) != 1:
+        raise ValueError(
+            f"readstat_read_local reads ONE file, got {len(files)} from {path!r}; "
+            "use readstat_scan for directories/globs"
+        )
+    opts: dict[str, str] = {
+        "path": files[0],
+        "value_labels_as_strings": str(value_labels_as_strings).lower(),
+        "missing_string_as_null": str(missing_string_as_null).lower(),
+        "row_index": str(row_index).lower(),
+        "batch_size": str(batch_size),
+        "offset": str(offset),
+    }
+    if columns:
+        opts["columns"] = ",".join(columns)
+    if limit is not None:
+        opts["limit"] = str(limit)
+    if informative_nulls:
+        opts["informative_nulls"] = str(informative_nulls).lower()
+    if informative_null_columns:
+        opts["informative_null_columns"] = ",".join(informative_null_columns)
+    if informative_null_suffix is not None:
+        opts["informative_null_suffix"] = informative_null_suffix
+    if not informative_null_use_value_labels:
+        opts["informative_null_use_value_labels"] = "false"
+    if catalog:
+        opts["catalog"] = catalog
+
+    ds = ReadstatDataSource(opts)
+    n_rows = readstat_row_count(files[0])
+    if n_rows >= 0:  # .por headers don't carry a count (-1): skip guard
+        take = n_rows - min(offset, n_rows)
+        if limit is not None:
+            take = min(take, limit)
+        if take > max_rows:
+            raise ValueError(
+                f"{path!r} has {take} rows to read > max_rows={max_rows}; "
+                "use readstat_scan (distributed) for files this large"
+            )
+    spark_schema = ds.schema()
+    reader = ds.reader(spark_schema)
+    import pyarrow as pa
+
+    batches = [b for part in reader.partitions() for b in reader.read(part)]
+    if not batches:
+        return spark.createDataFrame([], schema=spark_schema)
+    table = pa.Table.from_batches(batches)
+    return spark.createDataFrame(table, schema=spark_schema)
+
+
 # (session, path, file fingerprints, full option tuple) -> DataFrame
 _SCAN_CACHE: dict[tuple, DataFrame] = {}
 

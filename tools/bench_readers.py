@@ -115,6 +115,16 @@ def main() -> None:
             .collect()
         )
 
+    def spark_local(path):
+        # r14 small-file fast path: in-process decode -> Arrow local
+        # relation, no planning worker, no executor job for the read.
+        # Re-decodes the file every run (no cache) — honest repeat cost.
+        (
+            api.readstat_read_local(spark, path)
+            .agg(F.count("*"), F.sum("val"))
+            .collect()
+        )
+
     pd_read = {
         "sas": lambda p: pd.read_sas(p, encoding="utf-8"),
         "sas_wide": lambda p: pd.read_sas(p, encoding="utf-8"),
@@ -181,6 +191,7 @@ def main() -> None:
         case = {
             "spark_full": _tmin(lambda: spark_full(p)),
             "spark_full_cached": _tmin(lambda: spark_full_cached(p)),
+            "spark_local": _tmin(lambda: spark_local(p)),
         }
         if key == "sas_wide":
             case["spark_subset"] = _tmin(lambda: spark_subset(p))
@@ -190,6 +201,9 @@ def main() -> None:
             case["ratio_vs_pandas"] = round(case["pandas_full"] / case["spark_full"], 2)
             case["ratio_vs_pandas_cached"] = round(
                 case["pandas_full"] / case["spark_full_cached"], 2
+            )
+            case["ratio_vs_pandas_local"] = round(
+                case["pandas_full"] / case["spark_local"], 2
             )
             if "spark_subset" in case:
                 case["subset_ratio_vs_pandas_full"] = round(
