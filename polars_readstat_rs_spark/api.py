@@ -199,37 +199,49 @@ def readstat_scan(
     r = r.option("row_index", str(row_index).lower())
     df = r.load(path)
     if cache_key is not None:
-        if len(_SCAN_CACHE) >= 64:
-            # default=None: concurrent evictions (maintenance worker
-            # threads) may race on the FIFO head; a lost race is a no-op
-            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)), None)
+        while len(_SCAN_CACHE) >= 64:
+            # concurrent evictions (maintenance worker threads) can race
+            # on the FIFO head: pop default swallows a lost key race, and
+            # the try/except covers iter() itself (emptied / resized by a
+            # peer between iter and next) — a lost race is a no-op
+            try:
+                _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)), None)
+            except (StopIteration, RuntimeError):
+                break
         _SCAN_CACHE[cache_key] = df
     return df
+
+
+def _format_parser(ext: str):
+    """Per-format parser module for metadata-level dispatch (one place
+    instead of another copy of the if/ext ladder — r14 code review; the
+    read paths keep their own ladders where logic is interleaved)."""
+    if ext == "dta":
+        return stata_parser
+    if ext in ("sav", "zsav"):
+        from .formats.spss import parser as spss_parser
+
+        return spss_parser
+    if ext in ("sas7bdat", "sas7bcat"):
+        from .formats.sas import parser as sas_parser
+
+        return sas_parser
+    if ext == "xpt":
+        from .formats.sas import xport
+
+        return xport
+    if ext == "por":
+        from .formats.spss import portable
+
+        return portable
+    raise ValueError(f"cannot infer readstat format from extension {ext!r}")
 
 
 def readstat_row_count(path: str) -> int:
     """Row count from the file header (O(header) — the per-format
     read_metadata calls are stat-fingerprint cached)."""
-    ext = path.rsplit(".", 1)[-1].lower()
-    if ext == "dta":
-        return stata_parser.read_metadata(path).nobs
-    if ext in ("sav", "zsav"):
-        from .formats.spss import parser as spss_parser
-
-        return spss_parser.read_metadata(path).row_count
-    if ext in ("sas7bdat", "sas7bcat"):
-        from .formats.sas import parser as sas_parser
-
-        return sas_parser.read_metadata(path).row_count
-    if ext == "xpt":
-        from .formats.sas import xport
-
-        return xport.read_metadata(path).row_count
-    if ext == "por":
-        from .formats.spss import portable
-
-        return portable.read_metadata(path).row_count
-    raise ValueError(f"cannot infer readstat format from path {path!r}")
+    meta = _format_parser(path.rsplit(".", 1)[-1].lower()).read_metadata(path)
+    return meta.nobs if hasattr(meta, "nobs") else meta.row_count
 
 
 def readstat_read_local(
@@ -272,6 +284,12 @@ def readstat_read_local(
     """
     from .datasource import ReadstatDataSource, expand_paths
 
+    # same session-conf normalization as readstat_scan (UTC session
+    # zone, timestamp flavor): createDataFrame localizes tz-naive Arrow
+    # timestamps from the session zone, so a user-built session with a
+    # non-UTC zone would otherwise shift epochs vs the DataSource path
+    # (r14 code-review finding)
+    _ensure_registered(spark)
     files = expand_paths(path)
     if len(files) != 1:
         raise ValueError(

@@ -26,10 +26,35 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _pinned_plan(spark: SparkSession, plan: DataFrame, order_by: str | None = None):
+    """Materialize the plan to a temp parquet, then stream its rows.
+
+    toLocalIterator over the LIVE plan would evaluate later plan
+    partitions lazily — after earlier jobs have published-and-swapped
+    (deleted) their input files — so any recomputation (executor loss,
+    shuffle-fetch failure) would re-scan files that no longer exist
+    (r14 code-review finding). Writing the small plan first (one row
+    per job, trivial next to the data being rewritten) pins an
+    immutable copy, restoring collect()'s pin-before-delete contract
+    while keeping driver memory bounded to the streamed chunk."""
+    tmp = os.path.join(tempfile.gettempdir(), f"_plan_pin_{uuid.uuid4().hex}")
+    plan.write.mode("overwrite").parquet(tmp)
+    try:
+        pinned = spark.read.parquet(tmp)
+        if order_by is not None:  # parquet read does not preserve order
+            pinned = pinned.orderBy(order_by)
+        yield pinned.toLocalIterator(prefetchPartitions=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compaction_plan(
@@ -294,12 +319,6 @@ def execute_compaction(
 
     Returns {"jobs": n, "files_in": n, "files_out": n}.
     """
-    # Stream the plan instead of collect(): one row per rewrite job,
-    # but a 2M-file manifest plans ~130k jobs and larger manifests
-    # scale linearly — toLocalIterator + chunked _run_jobs bounds the
-    # driver to one partition of rows + one chunk of futures.
-    jobs = plan.toLocalIterator(prefetchPartitions=True)
-
     def _run(job) -> tuple[int, int]:
         paths = [id_to_path[int(f)] for f in job["file_manifest"].split(",")]
         part_dir = os.path.dirname(paths[0])
@@ -315,7 +334,13 @@ def execute_compaction(
         )
         return len(paths), _publish_and_swap(tmp, part_dir, "compact", paths)
 
-    n_jobs, files_in, files_out = _run_jobs(jobs, _run, max_concurrency)
+    # Stream the PINNED plan instead of collect(): one row per rewrite
+    # job, but a 2M-file manifest plans ~130k jobs and larger manifests
+    # scale linearly — the pinned copy + chunked _run_jobs bounds the
+    # driver to one partition of rows + one chunk of futures without
+    # re-deriving the plan from inputs that jobs are busy deleting.
+    with _pinned_plan(spark, plan) as jobs:
+        n_jobs, files_in, files_out = _run_jobs(jobs, _run, max_concurrency)
     return {"jobs": n_jobs, "files_in": files_in, "files_out": files_out}
 
 
@@ -357,13 +382,13 @@ def zorder_compact(
     """
     from .bucketing import write_zordered
 
-    def _part_groups():
+    def _part_groups(rows):
         # Stream partition groups instead of collecting the whole plan:
-        # orderBy("part") makes each partition's jobs contiguous (a tiny
-        # range shuffle — the plan is one row per rewrite job), so the
-        # driver holds only the current partition's job rows at a time.
+        # the pinned copy is read back ordered by "part" so each
+        # partition's jobs are contiguous and the driver holds only the
+        # current partition's job rows at a time.
         cur_part, cur = None, []
-        for job in plan.orderBy("part").toLocalIterator(prefetchPartitions=True):
+        for job in rows:
             if cur and job["part"] != cur_part:
                 yield cur
                 cur = []
@@ -391,5 +416,6 @@ def zorder_compact(
         )
         return len(paths), _publish_and_swap(tmp, part_dir, "zorder", paths)
 
-    n_parts, files_in, files_out = _run_jobs(_part_groups(), _run, max_concurrency)
+    with _pinned_plan(spark, plan, order_by="part") as rows:
+        n_parts, files_in, files_out = _run_jobs(_part_groups(rows), _run, max_concurrency)
     return {"partitions": n_parts, "files_in": files_in, "files_out": files_out}

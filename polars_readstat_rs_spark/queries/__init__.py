@@ -582,7 +582,7 @@ _PRIOR = tuple(
     dict.fromkeys(_R12_NEW + _R12_TOUCHED + _R12_ROTATE + _PRIOR)
 )
 # Round-14 rotation: the fixed p20/t28 oracles lead, then the
-# oldest-driver-recorded rotation (r6 -> r7 -> first 12 of r8), then
+# oldest-driver-recorded rotation (r6 -> r7 -> first 11 of r8), then
 # the prior heads fill the unrecorded remainder.
 _PRIOR = tuple(
     dict.fromkeys(_R13_NEW + _R13_REPROOF + _R13_ROTATE + _PRIOR)

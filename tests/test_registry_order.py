@@ -82,7 +82,7 @@ def test_never_recorded_set_is_55():
 def test_head_covers_all_never_recorded():
     # r14 head: the fixed p20/t28 oracles lead (r13's only red rows),
     # then the oldest-driver-recorded rotation (19 r6-recorded led by
-    # the owed stream source/sink, 17 r7-recorded, first 12 of the 30
+    # the owed stream source/sink, 17 r7-recorded, first 11 of the 30
     # r8-recorded), then the prior rotation dedup'd.
     from polars_readstat_rs_spark.queries import _R14_FIXED, _R14_ROTATE, _R14_TOUCHED
 

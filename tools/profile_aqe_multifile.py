@@ -29,6 +29,8 @@ def main() -> None:
     i = 0
     while i < len(argv):
         if argv[i] == "--conf" and i + 1 < len(argv):
+            if "=" not in argv[i + 1]:
+                sys.exit(f"--conf needs key=value, got {argv[i + 1]!r}")
             extra.append(argv[i + 1].split("=", 1))
             i += 2
         elif argv[i] == "--queries" and i + 1 < len(argv):
@@ -57,12 +59,19 @@ def main() -> None:
 
     run_spark("q01_pricing_summary")  # warm
 
+    # pin the off leg EXPLICITLY off and restore the session's actual
+    # prior value afterwards — under SPARK_GRAFT_AQE=1 the factory
+    # default is on, and assuming "off" would mislabel both legs
+    # (r14 code-review finding)
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
     out = {"metric": "aqe_multifile_profile", "sf_dir": sf_dir, "runs": runs,
+           "session_aqe_default": aqe_prev,
            "extra_conf": ["=".join(kv) for kv in extra], "off": {}, "on": {}}
-    for q in qset:
-        out["off"][q] = time_min(lambda: run_spark(q), runs)
     prev = {}
     try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for q in qset:
+            out["off"][q] = time_min(lambda: run_spark(q), runs)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         for k, v in extra:
             prev[k] = spark.conf.get(k, None)
@@ -70,7 +79,7 @@ def main() -> None:
         for q in qset:
             out["on"][q] = time_min(lambda: run_spark(q), runs)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         for k, v in prev.items():
             if v is None:
                 spark.conf.unset(k)
