@@ -41,13 +41,17 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def attach_payload(docs: DataFrame, modality: str = "image") -> DataFrame:
+def attach_payload(
+    docs: DataFrame, modality: str = "image", keep_cols: list[str] | None = None
+) -> DataFrame:
     """Wrap a text column as an opaque binary payload + metadata struct —
     the storage shape a multimodal table uses (payload stays opaque to
-    Catalyst; metadata columns remain filterable/pushdown-able)."""
+    Catalyst; metadata columns remain filterable/pushdown-able).
+    ``keep_cols`` rides extra metadata columns (e.g. source) alongside."""
     payload = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",
+        *(keep_cols or []),
         payload.alias("payload"),
         F.struct(
             F.lit(modality).alias("modality"),
@@ -1035,3 +1039,40 @@ def keyframe_detect(multimodal: DataFrame, threshold: int = 7) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(fn, KEYFRAME_SCHEMA)
+
+
+def payload_dedup_manifest(multimodal: DataFrame, source_col: str = "source") -> DataFrame:
+    """Container-level exact-dedup plan over binary payloads: group by
+    payload checksum, keep the lowest doc_id of each duplicate set, and
+    report per-source accounting — the decode-free first pass a 100 TB
+    media pipeline runs BEFORE any expensive decode (dedup on bytes is
+    orders of magnitude cheaper than on decoded content, and identical
+    containers are the dominant duplicate class in crawled media).
+
+    Input: an ``attach_payload(docs, keep_cols=[source_col])`` frame —
+    the payload stays an opaque binary; only meta columns are touched.
+    All output columns are exact integers: a single keep/drop flip
+    changes ``kept_id_sum``, not just a rate.
+
+    Scale shape: ONE shuffle — a window min over the checksum
+    partitioning computes each row's keep id without a groupBy+join
+    re-shuffle; the per-source rollup then reduces map-side. Checksums
+    shard uniformly (they are hashes), so no skew guard is needed.
+    """
+    from pyspark.sql import Window
+
+    per = multimodal.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    w = Window.partitionBy("checksum")
+    keep = per.withColumn("keep_id", F.min("doc_id").over(w))
+    is_keep = F.col("doc_id") == F.col("keep_id")
+    return keep.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(is_keep, 0).otherwise(F.col("n_bytes"))).cast("long").alias("bytes_dropped"),
+        F.sum(F.when(is_keep, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+    )

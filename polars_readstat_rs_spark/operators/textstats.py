@@ -1277,3 +1277,43 @@ def token_drift(
         .limit(top_k)
         .select("tok", "cnt_a", "cnt_b", "diff_num")
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    precision: int = 6,
+) -> DataFrame:
+    """Per-document token-level Shannon entropy in bits — the
+    information-density quality signal: boilerplate and keyword-stuffed
+    pages sit low, natural prose high, so training pipelines screen on
+    it alongside the rule-based filters (t02/t21's Gopher/C4 rules).
+
+    Exactness discipline: ``n_tokens``/``n_distinct`` are exact longs;
+    the entropy itself is float, computed as the algebraically stable
+    ``(ln(n) - sum(c*ln(c))/n) / ln(2)`` in BOTH engines and rounded to
+    ``precision`` decimals (the repo's cross-engine float rule — a
+    1-ulp libm divergence cannot survive the rounding).
+
+    Scale shape: explode -> ONE (doc, tok) hash agg (map-side combine
+    absorbs repeated tokens) -> ONE per-doc agg; both shuffles are on
+    keys that shard naturally, no joins, no window.
+    """
+    toks = df.select(
+        id_col,
+        lang_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    per_tok = toks.groupBy(id_col, lang_col, "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    return per_tok.groupBy(id_col, lang_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            (F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n)
+            / F.log(F.lit(2.0)),
+            precision,
+        ).alias("entropy_bits"),
+    )

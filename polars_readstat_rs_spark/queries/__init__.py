@@ -22,7 +22,7 @@ graduated until all five have run AFTER the last registry edit):
     come from a run after the final registry edit of the round.
 """
 
-from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13, llm14, llm15  # noqa: F401  (registration side effects)
+from . import llm, llm2, llm3, llm4, pipeline, readstat, relational, relational2, relational3, streaming_q, tpch, llm5, llm6, llm7, llm8, llm9, llm10, llm11, llm12, llm13, llm14, llm15, llm16  # noqa: F401  (registration side effects)
 from .registry import ORACLES, QUERIES
 
 # Round-7 rotation (r6 verdict task 1): the driver records only the
@@ -473,13 +473,24 @@ _R14_FIXED = (
 # for the new plan. Budget: q87_grouped_mode cycles out to r15.
 _R14_TOUCHED = ("q01_pricing_summary",)
 
+# Round-14 additions: each passed the full graduation checklist
+# (check_oracle at sf0.001+sf0.01+sf0.1, type audit, registry-order
+# test, HEAD rehearsal, post-edit full pytest) before leaving
+# _RISKY_TAIL. Never-recorded beats oldest-re-record, so they join the
+# window; budget: r19_por_roundtrip_agg + m09_audio_resample cycle out
+# to r15 with the rest of the r8-recorded families.
+_R14_NEW = (
+    "t29_token_entropy",
+    "m16_payload_dedup_manifest",
+)
+
 # Round-14 rotation (r13 verdict item 5): oldest-driver-recorded
 # first — the 19 families whose latest CORRECTNESS row is r6 (led by
 # r10_stream_source / r11_stream_sink, owed from the r13 window cut),
-# then the 17 r7-recorded, then the first 11 of the 30 r8-recorded.
+# then the 17 r7-recorded, then the first 9 of the 30 r8-recorded.
 # Computed from the r1-r13 artifact union. Budgeted to the 50-slot
-# window EXACTLY:
-# len(_R14_FIXED) + len(_R14_TOUCHED) + len(_R14_ROTATE) == 50.
+# window EXACTLY: len(_R14_FIXED) + len(_R14_TOUCHED) + len(_R14_NEW)
+# + len(_R14_ROTATE) == 50.
 _R14_ROTATE = (
     # latest driver record r6 (19):
     "r10_stream_source",
@@ -519,7 +530,7 @@ _R14_ROTATE = (
     "s09_stream_session_window",
     "v10_ann_join",
     "q40_profile",
-    # latest driver record r8 (first 11 of 30 — the rest cycle in r15):
+    # latest driver record r8 (first 9 of 30 — the rest cycle in r15):
     "r15_sas7bdat_write_roundtrip",
     "r16_sas7bdat_timestamp_roundtrip",
     "r17_sas7bdat_compressed_roundtrip",
@@ -529,8 +540,6 @@ _R14_ROTATE = (
     "t19_url_stats",
     "p12_interleave",
     "v13_quantize_int8",
-    "r19_por_roundtrip_agg",
-    "m09_audio_resample",
 )
 
 # Brand-new, never-locally-verified queries go here until a full
@@ -587,10 +596,11 @@ _PRIOR = tuple(
 _PRIOR = tuple(
     dict.fromkeys(_R13_NEW + _R13_REPROOF + _R13_ROTATE + _PRIOR)
 )
-_R14_HEAD_SET = frozenset(_R14_FIXED + _R14_TOUCHED + _R14_ROTATE)
+_R14_HEAD_SET = frozenset(_R14_FIXED + _R14_TOUCHED + _R14_NEW + _R14_ROTATE)
 HEAD = (
     _R14_FIXED
     + _R14_TOUCHED
+    + _R14_NEW
     + _R14_ROTATE
     + tuple(n for n in _PRIOR if n not in _R14_HEAD_SET)
 )

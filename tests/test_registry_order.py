@@ -81,14 +81,21 @@ def test_never_recorded_set_is_55():
 
 def test_head_covers_all_never_recorded():
     # r14 head: the fixed p20/t28 oracles lead (r13's only red rows),
-    # then the oldest-driver-recorded rotation (19 r6-recorded led by
-    # the owed stream source/sink, 17 r7-recorded, first 11 of the 30
+    # then touched q01, then the two _R14_NEW gates, then the
+    # oldest-driver-recorded rotation (19 r6-recorded led by the owed
+    # stream source/sink, 17 r7-recorded, first 9 of the 30
     # r8-recorded), then the prior rotation dedup'd.
-    from polars_readstat_rs_spark.queries import _R14_FIXED, _R14_ROTATE, _R14_TOUCHED
+    from polars_readstat_rs_spark.queries import (
+        _R14_FIXED,
+        _R14_NEW,
+        _R14_ROTATE,
+        _R14_TOUCHED,
+    )
 
-    n_fix = len(_R14_FIXED) + len(_R14_TOUCHED)
+    n_fix = len(_R14_FIXED) + len(_R14_TOUCHED) + len(_R14_NEW)
     assert HEAD[: len(_R14_FIXED)] == _R14_FIXED
-    assert HEAD[len(_R14_FIXED) : n_fix] == _R14_TOUCHED
+    assert HEAD[len(_R14_FIXED) : len(_R14_FIXED) + len(_R14_TOUCHED)] == _R14_TOUCHED
+    assert HEAD[len(_R14_FIXED) + len(_R14_TOUCHED) : n_fix] == _R14_NEW
     assert NEVER_RECORDED_PRE_R7 <= set(HEAD)
     # the rotation is budgeted to the driver's 50-slot recorded window
     # EXACTLY — an overflowing rotation silently drops its tail from
@@ -96,11 +103,11 @@ def test_head_covers_all_never_recorded():
     assert n_fix + len(_R14_ROTATE) == 50
     assert HEAD[n_fix:50] == _R14_ROTATE
     # the r14 window pays down the owed r13 cut first
-    assert HEAD[3] == "r10_stream_source" and HEAD[4] == "r11_stream_sink"
+    assert HEAD[5] == "r10_stream_source" and HEAD[6] == "r11_stream_sink"
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
-    head_set = set(_R14_FIXED) | set(_R14_TOUCHED) | set(_R14_ROTATE)
+    head_set = set(_R14_FIXED) | set(_R14_TOUCHED) | set(_R14_NEW) | set(_R14_ROTATE)
     expected = n_fix + len(_R14_ROTATE) + len(set(_PRIOR) - head_set)
     assert len(HEAD) == len(set(HEAD)) == expected
 
