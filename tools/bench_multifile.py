@@ -186,7 +186,11 @@ def run_multifile(
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         for q in queries:
-            spark_aqe_on[q] = time_min(lambda: run_spark(q), 2)
+            # same min-until-stable budget as the AQE-off leg (was 2:
+            # the r14 preview showed a single contended run inflating
+            # ratio_all_queries_aqe_on from 1.70 to 2.07 — the two legs
+            # must be equally noise-protected to be comparable)
+            spark_aqe_on[q] = time_min(lambda: run_spark(q), runs)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
@@ -223,6 +227,7 @@ def run_multifile(
         # ratio is n_queries x (spark_floor - duck_floor) of scheduling
         # constants that are flat in data volume; subtracting them
         # (floor_adjusted) shows the data-dependent comparison.
+        "spark_aqe_on": spark_aqe_on,  # per-query, for delta diagnosis
         "spark_total_aqe_on": round(sum(spark_aqe_on.values()), 3),
         "ratio_all_queries_aqe_on": round(
             sum(spark_aqe_on.values()) / max(du_total, 1e-9), 3
