@@ -201,6 +201,10 @@ def main() -> None:
             .groupBy("split")
             .count(),
             "token_drift": lambda: textstats.token_drift(docs),
+            "token_entropy": lambda: textstats.token_entropy(docs),
+            "payload_dedup": lambda: multimodal.payload_dedup_manifest(
+                multimodal.attach_payload(docs, keep_cols=["source"])
+            ),
             "quality_score": lambda: textstats.quality_score(docs),
             "gopher_quality": lambda: textstats.gopher_quality(docs),
             "bigram_lm": lambda: textstats.bigram_lm(docs),
