@@ -1136,3 +1136,33 @@ def r27_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("okey").cast("long").alias("min_key"),
         F.max("okey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "r28_local_read_parity",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem WHERE l_orderkey < {_FILTER_KEY}
+    GROUP BY l_returnflag
+    """,
+)
+def r28_local_read_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-local fast path (api.readstat_read_local, r14): the same
+    .dta fixture r01 scans distributed is decoded IN-PROCESS through
+    the identical executor reader code and handed to Spark as an Arrow
+    local relation — an identical aggregate proves the other execution
+    locus preserves decode semantics (the gate that keeps the fast
+    path honest in the driver's hash record, not just in pytest)."""
+    from ..api import readstat_read_local
+
+    path = _roundtrip_path(spark, sf_dir)
+    df = readstat_read_local(spark, path)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum("l_orderkey").cast("long").alias("key_sum"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
