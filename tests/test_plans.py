@@ -534,3 +534,41 @@ def test_p18_compaction_planner_single_exchange(spark, sf_dir):
     plan = _plan(QUERIES["p18_compaction_plan"](spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "Cartesian" not in plan
+
+
+def test_m16_payload_dedup_is_join_free(spark, sf_dir):
+    """The keep-id assignment must be a window min over the checksum
+    partitioning — NOT a groupBy+join back (which would shuffle the
+    payload table twice and carry a join). Expected shape: one
+    checksum exchange for the window, one tiny exchange of map-side
+    partially-aggregated per-source rows; no join of any kind."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["m16_payload_dedup_manifest"](spark, sf_dir))
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
+def test_t29_entropy_two_aggs_no_join(spark, sf_dir):
+    """Token entropy is explode -> (doc,tok) agg -> (doc) agg: two
+    aggregation levels with map-side partials, no joins, no windows,
+    and no more than two exchanges."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["t29_token_entropy"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert plan.count("Exchange") <= 2
+
+
+def test_r28_local_read_roots_in_local_relation(spark, sf_dir):
+    """The local fast path must NOT plan a DataSource scan — its input
+    is an Arrow-backed local relation (LocalTableScan), proving no
+    planning worker or executor read task is involved."""
+    from polars_readstat_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["r28_local_read_parity"](spark, sf_dir))
+    assert "LocalTableScan" in plan
+    assert "BatchScan" not in plan and "PythonDataSource" not in plan
