@@ -1372,3 +1372,41 @@ def containment_pairs(
         sh=sh,
     )
     return _track(out, sh)
+
+
+def quality_keep_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    quality_col: str = "n_chars",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quality-aware exact dedup: within each exact-duplicate cluster
+    keep the HIGHEST-quality copy (ties broken by lowest id), not the
+    lowest id — what production pipelines actually do, since duplicate
+    crawls differ in truncation/encoding damage and min-id keeps
+    whichever arrived first, not whichever is best.
+
+    Output: the kept rows' (id, quality, keep_cols) manifest.
+
+    Scale shape: the content fingerprint is computed MAP-SIDE and the
+    content column is dropped before the exchange — the window shuffles
+    only (fingerprint, id, quality, keep_cols), never the corpus bytes.
+    One exchange total; fingerprints are hashes, so keys shard
+    uniformly and cluster size (duplicate multiplicity) is the only
+    skew, bounded by the corpus's true dup rate.
+    """
+    from pyspark.sql import Window
+
+    slim = df.select(
+        F.md5(F.col(content_col)).alias("_fp"),
+        F.col(id_col),
+        F.col(quality_col),
+        *(keep_cols or []),
+    )
+    w = Window.partitionBy("_fp").orderBy(F.desc(quality_col), F.col(id_col))
+    return (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )

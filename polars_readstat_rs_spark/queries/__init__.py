@@ -477,19 +477,20 @@ _R14_TOUCHED = ("q01_pricing_summary",)
 # (check_oracle at sf0.001+sf0.01+sf0.1, type audit, registry-order
 # test, HEAD rehearsal, post-edit full pytest) before leaving
 # _RISKY_TAIL. Never-recorded beats oldest-re-record, so they join the
-# window; budget: r19_por_roundtrip_agg, m09_audio_resample and
-# v13_quantize_int8 cycle out to r15 with the rest of the r8-recorded
-# families.
+# window; budget: r19_por_roundtrip_agg, m09_audio_resample,
+# v13_quantize_int8 and p12_interleave cycle out to r15 with the rest
+# of the r8-recorded families.
 _R14_NEW = (
     "t29_token_entropy",
     "m16_payload_dedup_manifest",
     "r28_local_read_parity",
+    "d22_quality_keep_dedup",
 )
 
 # Round-14 rotation (r13 verdict item 5): oldest-driver-recorded
 # first — the 19 families whose latest CORRECTNESS row is r6 (led by
 # r10_stream_source / r11_stream_sink, owed from the r13 window cut),
-# then the 17 r7-recorded, then the first 8 of the 30 r8-recorded.
+# then the 17 r7-recorded, then the first 7 of the 30 r8-recorded.
 # Computed from the r1-r13 artifact union. Budgeted to the 50-slot
 # window EXACTLY: len(_R14_FIXED) + len(_R14_TOUCHED) + len(_R14_NEW)
 # + len(_R14_ROTATE) == 50.
@@ -532,7 +533,7 @@ _R14_ROTATE = (
     "s09_stream_session_window",
     "v10_ann_join",
     "q40_profile",
-    # latest driver record r8 (first 8 of 30 — the rest cycle in r15):
+    # latest driver record r8 (first 7 of 30 — the rest cycle in r15):
     "r15_sas7bdat_write_roundtrip",
     "r16_sas7bdat_timestamp_roundtrip",
     "r17_sas7bdat_compressed_roundtrip",
@@ -540,7 +541,6 @@ _R14_ROTATE = (
     "r18_zsav_write_roundtrip",
     "t18_ngram_diversity",
     "t19_url_stats",
-    "p12_interleave",
 )
 
 # Brand-new, never-locally-verified queries go here until a full

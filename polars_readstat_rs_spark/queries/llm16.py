@@ -73,3 +73,28 @@ def m16_payload_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_dedup_manifest(
         multimodal.attach_payload(docs, keep_cols=["source"])
     )
+
+
+@register(
+    "d22_quality_keep_dedup",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def d22_quality_keep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (keep the best copy per duplicate
+    cluster, not the first) — see operator docstring for the
+    map-side-fingerprint single-exchange shape."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.quality_keep_dedup(docs, keep_cols=["lang"]).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -81,9 +81,9 @@ def test_never_recorded_set_is_55():
 
 def test_head_covers_all_never_recorded():
     # r14 head: the fixed p20/t28 oracles lead (r13's only red rows),
-    # then touched q01, then the three _R14_NEW gates, then the
+    # then touched q01, then the four _R14_NEW gates, then the
     # oldest-driver-recorded rotation (19 r6-recorded led by the owed
-    # stream source/sink, 17 r7-recorded, first 8 of the 30
+    # stream source/sink, 17 r7-recorded, first 7 of the 30
     # r8-recorded), then the prior rotation dedup'd.
     from polars_readstat_rs_spark.queries import (
         _R14_FIXED,
@@ -103,7 +103,7 @@ def test_head_covers_all_never_recorded():
     assert n_fix + len(_R14_ROTATE) == 50
     assert HEAD[n_fix:50] == _R14_ROTATE
     # the r14 window pays down the owed r13 cut first
-    assert HEAD[6] == "r10_stream_source" and HEAD[7] == "r11_stream_sink"
+    assert HEAD[7] == "r10_stream_source" and HEAD[8] == "r11_stream_sink"
     from polars_readstat_rs_spark.queries import _PRIOR
 
     assert len(_PRIOR) == len(set(_PRIOR))  # _PRIOR itself is dedup'd
