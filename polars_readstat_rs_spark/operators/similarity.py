@@ -636,43 +636,42 @@ def srp_neardup_pairs(
     one bucket would otherwise hold the whole corpus and the self-join
     runs O(n^2) in a single task — the one remaining scale-killer in
     this family before round 8. Pass ``None`` to disable."""
-    sigs = srp_signatures(df, id_col, vec_col, dim, nbits, nbands, seed).persist()
+    sigs = srp_signatures(df, id_col, vec_col, dim, nbits, nbands, seed)
     stack_args = ", ".join(f"{k}, b{k}" for k in range(nbands))
+    # Verification (r14 restructure, the d05/d03 carry-through pattern):
+    # the vector rides along in the banded table, so the exact-cosine
+    # verify runs INSIDE the band-join stage (pair_cosine_udf — same
+    # ascending-dimension fold as the dot_expr norm split it replaces,
+    # bitwise-identical sim) and the final distinct dedups verified
+    # scalars only. The previous shape deduped candidates first and then
+    # joined the signature table back TWICE to fetch both vectors — two
+    # corpus-wide shuffle joins. Carrying the vector costs ``nbands``
+    # copies through the one band exchange instead, and a pair colliding
+    # in k bands pays k numpy verifications (k <= nbands, bounded) —
+    # the trade simhash_pairs already documents. Single consumer now, so
+    # the signature table no longer persists.
     bands_long = _cap_buckets(
         sigs.select(
-            "vid", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
+            "vid", "vec", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
         ),
         ["band_idx", "band_val"],
         "vid",
         max_bucket,
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
-    cand = (
+    out = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.vid") < F.col("y.vid")),
         )
-        .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"))
+        .withColumn("sim", F.round(pair_cosine_udf(F.col("x.vec"), F.col("y.vec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"), "sim")
         .distinct()
     )
-    normed = sigs.select(
-        "vid", "vec", F.sqrt(dot_expr("vec", "vec")).alias("nrm")
-    )
-    a = normed.select(F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm"))
-    b = normed.select(F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm"))
-    out = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn(
-            "sim",
-            F.round(pair_dot_udf("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm")), 6),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("a_id", "b_id", "sim")
-    )
-    return _track(out, sigs)
+    return _track(out)
 
 
 def srp_ann_join(
