@@ -185,10 +185,31 @@ def _jaccard_on(
         # deterministic). ``prehashed`` inputs (hashed _shingle_table)
         # arrive as longs already — no string ever exists. Signature
         # math (minhash) stays on raw strings.
-        shj_cte = (
-            "SELECT doc, sh FROM {sh}" if prehashed else "SELECT doc, xxhash64(sh) AS sh FROM {sh}"
+        #
+        # r14 restructure: the per-doc size rides ALONG the shingle rows
+        # (count window on doc) into the self-join, and the pair groupBy
+        # takes min(sz) per side — constant within a (doc) group, so
+        # values are identical to the joined sizes table. The previous
+        # shape joined a per-doc sizes aggregate back onto the pair
+        # stream twice; at corpus scale that sizes table cannot
+        # broadcast, so each join was a full extra exchange of the
+        # pair stream. Cost: one 8-byte int per shingle row through the
+        # intersection shuffle.
+        key = "sh" if prehashed else "xxhash64(sh)"
+        shj_cte = f"SELECT doc, {key} AS sh, count(1) OVER (PARTITION BY doc) AS sz FROM {{sh}}"
+        return spark.sql(
+            f"""
+            WITH shj AS ({shj_cte})
+            SELECT a_id, b_id, inter, sza + szb - inter AS un,
+                   CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
+            FROM (
+              SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter,
+                     min(a.sz) AS sza, min(b.sz) AS szb
+              FROM shj a JOIN shj b ON a.sh = b.sh AND a.doc < b.doc
+              GROUP BY a.doc, b.doc)
+            """,
+            **refs,
         )
-        pair_filter = ""
     return spark.sql(
         f"""
         WITH sz AS ({sz_cte}),
@@ -217,11 +238,14 @@ def ngram_jaccard_pairs(
     The shingle table is built PRE-HASHED (no shingle strings exist at
     any point — see _shingle_table(hashed=True)): every downstream use
     here is equality-only (df-cap counts, intersection join, per-doc
-    sizes), with the documented 64-bit collision caveat."""
-    sh = _shingle_table(df, id_col, text_col, n, hashed=True)
-    return _track(
-        _jaccard_on(sh, prehashed=True).filter(F.col("jaccard") >= threshold), sh
-    )
+    sizes), with the documented 64-bit collision caveat.
+
+    No persist (r14): the sizes now ride the shingle rows into the
+    intersection join (see _jaccard_on), leaving the self-join as the
+    only consumer — its two identical sides share one exchange
+    (ReusedExchange), so the explode/df-cap subtree still runs once."""
+    sh = _shingle_table(df, id_col, text_col, n, persist=False, hashed=True)
+    return _track(_jaccard_on(sh, prehashed=True).filter(F.col("jaccard") >= threshold))
 
 
 def minhash_signatures(
