@@ -299,18 +299,18 @@ def minhash_lsh_pairs(
     df-cap itself (their shared shingles exceed the df-cap and drop
     out). Set an explicit cap when raising MAX_SHINGLE_DF.
 
-    Verification (r8 restructure): instead of re-joining the inverted
-    index against itself restricted to candidate docs (semi-join +
-    co-shingle self-join + pair groupBy + pair semi-join + 2 size
-    joins ~ 6 extra exchanges), the ONE groupBy(doc) that computes the
-    8 band mins also carries ``collect_set(sh)`` — the doc's df-capped
-    shingle set — and candidates verify by ``array_intersect`` on the
-    two sets directly (2 joins, zero extra shuffles). The set rides in
-    the same per-doc row the signature already occupies (O(doc size),
-    the same order as the shingle table itself), and the shingle table
-    now has exactly one consumer, so it is no longer persisted at all.
-    Zero-intersection band collisions (md5/chunk accidents) are dropped
-    to match exact-Jaccard semantics.
+    Verification (r8 restructure, tightened r14): instead of re-joining
+    the inverted index against itself restricted to candidate docs
+    (semi-join + co-shingle self-join + pair groupBy + pair semi-join +
+    2 size joins ~ 6 extra exchanges), the ONE groupBy(doc) that
+    computes the 8 band mins also carries ``collect_set(sh)`` — the
+    doc's df-capped shingle set — and since r14 that set rides the
+    banded rows INTO the bucket self-join, where candidates verify by
+    ``array_intersect`` inline (zero verify joins at all; see the
+    in-body comment). The set stays O(doc size), the shingle table has
+    exactly one consumer and is never persisted. Zero-intersection band
+    collisions (md5/chunk accidents) are dropped to match exact-Jaccard
+    semantics.
     """
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
@@ -328,14 +328,22 @@ def minhash_lsh_pairs(
     # verification needs (size + shingle set) — no second shuffle of
     # the shingle table. (SQL-string construction: one py4j round
     # trip, not ~100.)
+    #
+    # r14 restructure (the simhash carry-through pattern): size and
+    # shingle set ride ALONG the banded rows into the bucket self-join,
+    # so the exact-Jaccard verification runs INSIDE the band-join stage
+    # and the final DISTINCT dedups verified scalars. The previous
+    # shape deduped candidates first and joined the persisted stats
+    # table back twice to fetch both shingle sets — two joins that
+    # cannot broadcast at corpus scale. Cost: ``bands`` copies of each
+    # doc's (sz, shset) through the one band exchange (vs two copies
+    # across two exchanges before), and a pair colliding in k bands
+    # pays k array_intersects (k <= bands; set SIZE is order-invariant,
+    # so duplicates collapse identically). Single SQL call, no persist:
+    # the self-join's two identical sides share one exchange.
     min_cols = ", ".join(
         f"min(substring(hx, {1 + 8 * i}, 8)) AS h{i}" for i in range(NUM_HASHES)
     )
-    stats = spark.sql(
-        f"SELECT doc, count(*) AS sz, collect_set(sh) AS shset, {min_cols} "
-        "FROM (SELECT doc, sh, sha2(sh, 256) AS hx FROM {sh}) GROUP BY doc",
-        sh=sh_shared,
-    ).persist()
     band_exprs = ", ".join(
         "md5(concat_ws('|', "
         + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
@@ -345,40 +353,33 @@ def minhash_lsh_pairs(
     stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
     cap_cte = (
         """, capped AS (
-          SELECT doc, band_idx, band_key FROM (
+          SELECT doc, sz, shset, band_idx, band_key FROM (
             SELECT *, row_number() OVER (
               PARTITION BY band_idx, band_key ORDER BY doc ASC) AS __rn
             FROM long) WHERE __rn <= {mb})""".format(mb=int(max_bucket))
         if max_bucket is not None
         else ", capped AS (SELECT * FROM long)"
     )
-    cand = spark.sql(
-        f"""
-        WITH banded AS (SELECT doc, {band_exprs} FROM {{stats}}),
-        long AS (SELECT doc, stack({bands}, {stack_args}) AS (band_idx, band_key)
-                 FROM banded){cap_cte}
-        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
-        FROM capped x JOIN capped y
-          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc
-        """,
-        stats=stats,
-    )
     out = spark.sql(
-        """
-        WITH j AS (
-          SELECT c.a_id, c.b_id, sa.sz AS sza, sb.sz AS szb,
-                 CAST(size(array_intersect(sa.shset, sb.shset)) AS BIGINT) AS inter
-          FROM {cand} c
-          JOIN {stats} sa ON c.a_id = sa.doc
-          JOIN {stats} sb ON c.b_id = sb.doc)
-        SELECT a_id, b_id, inter, sza + szb - inter AS un,
+        f"""
+        WITH stats AS (
+          SELECT doc, count(*) AS sz, collect_set(sh) AS shset, {min_cols}
+          FROM (SELECT doc, sh, sha2(sh, 256) AS hx FROM {{sh}}) GROUP BY doc),
+        banded AS (SELECT doc, sz, shset, {band_exprs} FROM stats),
+        long AS (SELECT doc, sz, shset, stack({bands}, {stack_args}) AS (band_idx, band_key)
+                 FROM banded){cap_cte},
+        j AS (
+          SELECT x.doc AS a_id, y.doc AS b_id, x.sz AS sza, y.sz AS szb,
+                 CAST(size(array_intersect(x.shset, y.shset)) AS BIGINT) AS inter
+          FROM capped x JOIN capped y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc < y.doc)
+        SELECT DISTINCT a_id, b_id, inter, sza + szb - inter AS un,
                CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
         FROM j WHERE inter >= 1
         """,
-        cand=cand,
-        stats=stats,
+        sh=sh_shared,
     )
-    return _track(out, stats)
+    return _track(out)
 
 
 def incremental_minhash_pairs(
