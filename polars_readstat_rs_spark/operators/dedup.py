@@ -556,13 +556,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> D
             for w in range(n_words)
         ],
     )
-    # overflow guard: lanes hold counts up to 2^lane_bits - 1 per doc
-    nt_sql = (
+    # overflow guard: lanes hold counts up to 2^lane_bits - 1 per doc.
+    # Let-bound as its own projected column (r14): the guard used to be
+    # textually inlined into every one of the 64 band CASE terms — 64
+    # copies of the raise_error CASE to parse, analyze and codegen per
+    # query build. One projection, identical semantics (same condition,
+    # same error, evaluated before any band term compares against it).
+    nt_guard = (
         f"CASE WHEN n_tok > {lane_mask} THEN raise_error("
         f"'simhash: more than {lane_mask} distinct tokens in one document "
         f"overflows {lane_bits}-bit count lanes; use lane_bits=32') "
-        f"ELSE n_tok END"
+        f"ELSE n_tok END AS __nt"
     )
+    sums = sums.selectExpr(
+        "doc",
+        nt_guard,
+        *[f"p{m}_{w}" for m in range(SIMHASH_BITS // 4) for w in range(n_words)],
+    )
+    nt_sql = "__nt"
 
     def band_sql(k: int) -> str:
         # band k = bits 16k..16k+15 = nibbles 4k..4k+3
