@@ -233,7 +233,10 @@ _PII_SUFFIX = " contact bob@example.com or 555-123-4567 at 10.0.0.1"
 
 @register(
     "t05_pii_redaction",
-    oracle=f"""
+    # raw f-string: the regex `\.`/`\+` are meant literally (unrecognized
+    # escapes — identical string value, but non-raw emitted a
+    # DeprecationWarning per occurrence on every import)
+    oracle=rf"""
     WITH seeded AS (
       SELECT doc_id,
              text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS t
