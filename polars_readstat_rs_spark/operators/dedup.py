@@ -145,14 +145,24 @@ def _jaccard_on(
 ) -> DataFrame:
     """Exact Jaccard between docs sharing >=1 shingle (or the given
     candidate pairs): |A∩B| from the inverted-index self-join,
-    |A|,|B| from per-doc shingle counts (pass ``sizes`` when the caller
-    already aggregated them — the LSH path folds the count into its
-    signature groupBy, saving a full shuffle of the shingle table).
+    |A|,|B| from per-doc shingle counts. ``sizes`` is honored only
+    together with ``pairs`` (prefix_filter_pairs is the one consumer:
+    it already aggregated per-doc sizes for its prefix positions); the
+    no-pairs path window-carries the sizes along the shingle rows
+    itself (r14 restructure) and rejects a ``sizes`` argument rather
+    than silently ignoring it. minhash_lsh_pairs no longer routes
+    through here at all — it verifies inline in its band join.
 
     With candidate pairs, the self-join is first restricted to candidate
     docs (semi-join) — LSH typically leaves a tiny candidate set, so the
     quadratic co-shingle expansion only runs over those documents.
     """
+    if sizes is not None and pairs is None:
+        raise ValueError(
+            "_jaccard_on: `sizes` without `pairs` is unsupported — the "
+            "no-pairs path computes sizes via a count window over the "
+            "shingle rows and would silently drop the supplied table"
+        )
     # Single spark.sql() construction (PySpark {df} parameter binding):
     # building this graph Column-by-Column cost ~0.15 s of py4j round
     # trips PER INVOCATION on the driver (the d02/d03 bench profile);

@@ -1224,6 +1224,19 @@ def test_prefix_filter_complete_and_pruning(spark, sf_dir):
     dedup.release_cached(pref)
 
 
+def test_jaccard_on_rejects_sizes_without_pairs(spark, sf_dir):
+    """_jaccard_on's no-pairs path window-carries sizes itself; a
+    caller-supplied `sizes` table without `pairs` must fail loudly
+    instead of being silently dropped (r15 ADVICE fix)."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    sh = dedup._shingle_table(docs, "doc_id", "text", 3, persist=False, hashed=True)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    with pytest.raises(ValueError, match="sizes.*without.*pairs"):
+        dedup._jaccard_on(sh, sizes=sizes, prehashed=True)
+
+
 def test_pagerank_int_symmetric_and_conserved(spark):
     """On a 3-cycle all ranks are equal; a star concentrates rank at
     the hub; results are exact integers independent of partitioning."""

@@ -10,6 +10,7 @@ Usage: python tools/profile_build_exec.py [sf_dir|staged] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -19,7 +20,14 @@ sys.path.insert(0, "tools")
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and "/" in args[0] else None
+    # first arg is a data dir iff it IS one (r15 ADVICE fix: the old
+    # `"/" in args[0]` check sent the documented literal `staged` — or
+    # any relative dir name — into the QUERIES lookup); the `staged`
+    # keyword explicitly selects the default 16-file staged layout
+    sf_dir = None
+    if args and (os.path.isdir(args[0]) or args[0] == "staged"):
+        first = args.pop(0)
+        sf_dir = None if first == "staged" else first
 
     from bench_multifile import DEFAULT_QUERIES, stage
 
