@@ -496,26 +496,32 @@ def blocked_neardup_pairs(
         "ci", (F.col("rk") / F.lit(int(chunk_rows))).cast("int")
     ).withColumn("mx", F.max("ci").over(W.partitionBy("blk")))
     # triangle fan-out: chunk c is side A of tasks (c, c..mx) and side
-    # B of tasks (0..c-1, c)
-    a_side = ranked.select(
+    # B of tasks (0..c-1, c). ONE explode over sequence(0, mx) builds
+    # both roles (k >= ci -> (ci, k, 'a'); k < ci -> (k, ci, 'b')) —
+    # the r14 two-branch union relied on ReuseExchange to avoid
+    # recomputing the upstream (scan/signature/rank) subtree per
+    # branch, and exchange reuse silently FAILS when the optimizer
+    # leaves alias-only differences between the branches (observed in
+    # r15 when a computed block key fed this kernel: the whole SRP
+    # signature pipeline, corpus scan included, ran twice). A single
+    # branch cannot un-share; identical rows, identical groups.
+    fan = ranked.select(
         "blk",
-        F.col("ci").alias("ti"),
-        F.explode(F.sequence(F.col("ci"), F.col("mx"))).alias("tj"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, mx), k -> CASE WHEN k >= ci "
+                "THEN struct(ci AS ti, k AS tj, 'a' AS side) "
+                "ELSE struct(k AS ti, ci AS tj, 'b' AS side) END)"
+            )
+        ).alias("__t"),
         "vid",
         "vec",
-        F.lit("a").alias("side"),
-    )
-    b_side = ranked.filter(F.col("ci") > 0).select(
-        "blk",
-        F.explode(F.sequence(F.lit(0), F.col("ci") - 1)).alias("ti"),
-        F.col("ci").alias("tj"),
-        "vid",
-        "vec",
-        F.lit("b").alias("side"),
+    ).select(
+        "blk", F.col("__t.ti").alias("ti"), F.col("__t.tj").alias("tj"),
+        "vid", "vec", F.col("__t.side").alias("side"),
     )
     out = (
-        a_side.unionByName(b_side)
-        .groupBy("blk", "ti", "tj")
+        fan.groupBy("blk", "ti", "tj")
         .applyInPandas(fn, out_schema)
         .withColumn("sim", F.round("sim", 6))
         .filter(F.col("sim") >= threshold)
@@ -617,9 +623,11 @@ def srp_neardup_pairs(
     """Near-duplicate vector pairs via SRP-LSH: candidates where any
     sign-bit band collides, verified by exact cosine >= threshold.
 
-    Scale shape: one shuffle on (band_idx, band_val) — band keys
+    Scale shape: one shuffle on the band-bucket key — band keys
     subdivide with corpus growth (no fixed cell list to go quadratic
-    in), then a candidate-restricted verify join. Anisotropy caveat: if
+    in), then per-bucket exact-cosine verification via the
+    triangle-chunked Gram kernel (r15; see the in-body comment).
+    Anisotropy caveat: if
     the corpus occupies a narrow cone (e.g. all-positive activations),
     every random pair is moderately similar and ANY sign-based LSH
     floods with candidates — mean-center such embeddings upstream.
@@ -631,46 +639,52 @@ def srp_neardup_pairs(
     higher recall at moderate similarity on smaller corpora.
 
     ``max_bucket`` (default ``MAX_BAND_BUCKET``) bounds each band
-    bucket's population BEFORE the self-join (:func:`~polars_readstat_rs_spark.operators.dedup._cap_buckets`
-    lowest-id truncation): on anisotropic / boilerplate-flooded corpora
-    one bucket would otherwise hold the whole corpus and the self-join
-    runs O(n^2) in a single task — the one remaining scale-killer in
-    this family before round 8. Pass ``None`` to disable."""
+    bucket's population BEFORE the pair expansion (lowest-id
+    truncation, applied by the blocked kernel's ``max_block``): on
+    anisotropic / boilerplate-flooded corpora one bucket would
+    otherwise hold the whole corpus and the verification runs O(n^2)
+    in a single task — the one remaining scale-killer in this family
+    before round 8. Pass ``None`` to disable."""
     sigs = srp_signatures(df, id_col, vec_col, dim, nbits, nbands, seed)
     stack_args = ", ".join(f"{k}, b{k}" for k in range(nbands))
-    # Verification (r14 restructure, the d05/d03 carry-through pattern):
-    # the vector rides along in the banded table, so the exact-cosine
-    # verify runs INSIDE the band-join stage (pair_cosine_udf — same
-    # ascending-dimension fold as the dot_expr norm split it replaces,
-    # bitwise-identical sim) and the final distinct dedups verified
-    # scalars only. The previous shape deduped candidates first and then
-    # joined the signature table back TWICE to fetch both vectors — two
-    # corpus-wide shuffle joins. Carrying the vector costs ``nbands``
-    # copies through the one band exchange instead, and a pair colliding
-    # in k bands pays k numpy verifications (k <= nbands, bounded) —
-    # the trade simhash_pairs already documents. Single consumer now, so
-    # the signature table no longer persists.
-    bands_long = _cap_buckets(
-        sigs.select(
-            "vid", "vec", F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)")
-        ),
-        ["band_idx", "band_val"],
+    # Verification (r15 restructure): each band bucket is a BLOCK and
+    # the exact-cosine verify runs as the per-bucket Gram kernel
+    # (:func:`blocked_neardup_pairs` — same ascending-dimension IEEE
+    # fold, same 6-decimal JVM-side rounding, triangle-chunked so no
+    # task holds more than 2*chunk_rows vectors). The r14 shape joined
+    # the banded table to itself and shipped BOTH vectors through
+    # Arrow for every candidate pair — measured at sf1 (3.66M
+    # candidates): the pair-stream Arrow serialization was ~2/3 of the
+    # query wall (ship-vecs 11.7 s vs join-only 1.9 s), and a 64-term
+    # JVM codegen dot was slower still (65 s). Bucket-level grouping
+    # ships each vector once per band (O(n*nbands*dim) Arrow bytes,
+    # not O(pairs*dim)): sf1 wall 19-26 s -> 6.3-6.7 s, bit-identical
+    # rows. A pair colliding in k bands is verified k times (k <=
+    # nbands, bounded) and deduped by the final distinct — the same
+    # trade as before. No persist: the signature pipeline has one
+    # consumer.
+    bands_long = sigs.select(
         "vid",
-        max_bucket,
+        "vec",
+        F.expr(f"stack({nbands}, {stack_args}) AS (band_idx, band_val)"),
+    ).select(
+        "vid",
+        "vec",
+        # one combined block key: band_val < 2^32 by construction
+        # (bits_per_band <= 32), so (band_idx, band_val) packs losslessly
+        (F.col("band_idx").cast("long") * F.lit(4294967296) + F.col("band_val").cast("long")).alias(
+            "__bkey"
+        ),
     )
-    x, y = bands_long.alias("x"), bands_long.alias("y")
-    out = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.vid") < F.col("y.vid")),
-        )
-        .withColumn("sim", F.round(pair_cosine_udf(F.col("x.vec"), F.col("y.vec")), 6))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"), "sim")
-        .distinct()
+    pairs = blocked_neardup_pairs(
+        bands_long,
+        id_col="vid",
+        vec_col="vec",
+        block_col="__bkey",
+        threshold=threshold,
+        max_block=max_bucket,
     )
+    out = pairs.select("a_id", "b_id", "sim").distinct()
     return _track(out)
 
 
