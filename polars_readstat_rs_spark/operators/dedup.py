@@ -288,8 +288,9 @@ def minhash_lsh_pairs(
 
     shingle -> 8 minhashes -> ``bands`` bands of ``rows_per_band`` ->
     bucket join on (band_idx, band_key) -> verify candidates with exact
-    Jaccard. The shingle table is built once and shared between the
-    signature aggregation and the verification join.
+    Jaccard. The exploded shingle stream feeds a hot-hash df-cap pass
+    and the signature/verification aggregation (two explode passes, no
+    corpus-wide string shuffle — see the in-body comment).
 
     ``bands`` x ``rows_per_band`` must fit in the 8 available minhash
     chunks. The (b, r) shape is THE LSH sizing lever: candidate
@@ -313,8 +314,9 @@ def minhash_lsh_pairs(
     the inverted index against itself restricted to candidate docs
     (semi-join + co-shingle self-join + pair groupBy + pair semi-join +
     2 size joins ~ 6 extra exchanges), the ONE groupBy(doc) that
-    computes the 8 band mins also carries ``collect_set(sh)`` — the
-    doc's df-capped shingle set — and since r14 that set rides the
+    computes the 8 band mins also carries ``collect_set(xxhash64(sh))``
+    — the doc's df-capped shingle set, packed to 8-byte longs since r15
+    (equality-only use; see the in-body comment) — and since r14 that set rides the
     banded rows INTO the bucket self-join, where candidates verify by
     ``array_intersect`` inline (zero verify joins at all; see the
     in-body comment). The set stays O(doc size), the shingle table has
@@ -332,7 +334,14 @@ def minhash_lsh_pairs(
             f"bands ({bands}) x rows_per_band ({rows_per_band}) exceeds the "
             f"{NUM_HASHES} available minhash chunks"
         )
-    sh_shared = _shingle_table(df, id_col, text_col, n, persist=False)
+    # r15: RAW exploded shingles — the df-cap no longer rides a count
+    # window (see the hot/anti CTEs below), so _shingle_table's window
+    # exchange is bypassed entirely.
+    from .spread import spread
+
+    sh_shared = spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col, n)).alias("sh")
+    )
     spark = sh_shared.sparkSession
     # ONE groupBy(doc) computes the 8 band mins AND everything the
     # verification needs (size + shingle set) — no second shuffle of
@@ -370,11 +379,44 @@ def minhash_lsh_pairs(
         if max_bucket is not None
         else ", capped AS (SELECT * FROM long)"
     )
+    # r15 restructure, measured at sf1 (shuffle_write 212 MB -> 34 MB,
+    # identical 727 output rows; guide §2.3 "shuffle keys, not
+    # payloads"):
+    #
+    # 1. The df-cap is a HOT-HASH aggregate + broadcast ANTI-JOIN
+    #    instead of a count window: the window's exchange shipped every
+    #    (doc, shingle-string) row corpus-wide, and — the bigger,
+    #    less obvious cost — left the stream partitioned BY SHINGLE, so
+    #    the stats groupBy(doc) that follows emitted one partial
+    #    (set + 8 mins) row per doc PER SHUFFLE PARTITION (measured
+    #    161 MB of partial-agg fragments at sf1). With the anti-join,
+    #    the stream stays SCAN-partitioned — each doc's shingles are
+    #    colocated, partial aggregation compacts to ~one row per doc,
+    #    and the only corpus-wide exchanges carry 16-byte (hash, count)
+    #    partials and the per-doc stats. The hot list (shingles in >
+    #    MAX_SHINGLE_DF docs) holds at most shingle_rows/MAX_SHINGLE_DF
+    #    8-byte entries — in practice the corpus's boilerplate tail —
+    #    and RAISING the df-cap SHRINKS it, so the knob that loosens
+    #    the skew guard also relieves the broadcast. Cost: the explode runs twice
+    #    (once for counts, once for stats) — two cheap CPU passes for
+    #    two removed corpus-wide shuffles of string payloads.
+    # 2. The carried verification set is PACKED to xxhash64 longs (the
+    #    set only feeds array_intersect), and the df-cap keys on the
+    #    same hashes — the d02/p06 collision caveat (P ~ d^2/2^65)
+    #    now applies here identically; the oracle gates prove no
+    #    collision exists in any fixture. Signature math keeps the raw
+    #    strings (sha256 must match the oracle byte-for-byte).
     out = spark.sql(
         f"""
-        WITH stats AS (
-          SELECT doc, count(*) AS sz, collect_set(sh) AS shset, {min_cols}
-          FROM (SELECT doc, sh, sha2(sh, 256) AS hx FROM {{sh}}) GROUP BY doc),
+        WITH hot AS (
+          SELECT xxhash64(sh) AS shh FROM {{sh}}
+          GROUP BY 1 HAVING count(*) > {MAX_SHINGLE_DF}),
+        shf AS (
+          SELECT /*+ BROADCAST(h) */ s.doc, xxhash64(s.sh) AS shh, sha2(s.sh, 256) AS hx
+          FROM {{sh}} s LEFT ANTI JOIN hot h ON xxhash64(s.sh) = h.shh),
+        stats AS (
+          SELECT doc, count(*) AS sz, collect_set(shh) AS shset, {min_cols}
+          FROM shf GROUP BY doc),
         banded AS (SELECT doc, sz, shset, {band_exprs} FROM stats),
         long AS (SELECT doc, sz, shset, stack({bands}, {stack_args}) AS (band_idx, band_key)
                  FROM banded){cap_cte},
