@@ -97,6 +97,7 @@ def _shingle_table(
     n: int,
     persist: bool = True,
     hashed: bool = False,
+    cap: str = "window",
 ) -> DataFrame:
     """Exploded (id, shingle) pairs, df-capped. One row per distinct
     shingle per doc.
@@ -125,15 +126,38 @@ def _shingle_table(
 
     expr = hashed_shingles_expr(text_col, n) if hashed else shingles_expr(text_col, n)
     sh = spread(df).select(F.col(id_col).alias("doc"), F.explode(expr).alias("sh"))
-    # df-cap via a count window: one shuffle on sh (vs aggregate + join
-    # back = two), and the output stays hash-partitioned by sh for the
-    # downstream self-join
-    w = Window.partitionBy("sh")
-    out = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-    )
+    if cap == "anti":
+        # df-cap via hot-hash aggregate + broadcast ANTI-JOIN (r15, the
+        # minhash_lsh_pairs pattern, guide §2.3/§2.4): the count window
+        # costs a corpus-wide exchange of every (doc, shingle) row just
+        # to attach df, and in _jaccard_on's shape that partitioning is
+        # immediately destroyed by the per-doc size window, so the
+        # window buys nothing downstream. The anti-join keeps the
+        # stream scan-partitioned and replaces the exchange with a
+        # second explode pass for the hot counts (CPU + one re-read,
+        # cheaper than a corpus-wide shuffle of the exploded stream)
+        # plus a broadcast of at most shingle_rows/MAX_SHINGLE_DF
+        # 8-byte hot keys. Identical rows: same count, same <= cap
+        # predicate (shingles are never NULL — hashed longs or
+        # concat_ws strings from a non-null transform).
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > MAX_SHINGLE_DF)
+            .select("sh")
+        )
+        # name-keyed joins move the key column first — restore (doc, sh)
+        out = sh.join(F.broadcast(hot), "sh", "left_anti").select("doc", "sh")
+    else:
+        # df-cap via a count window: one shuffle on sh (vs aggregate +
+        # join back = two), and the output stays hash-partitioned by sh
+        # for callers that consume that partitioning directly
+        w = Window.partitionBy("sh")
+        out = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .drop("df")
+        )
     return out.persist() if persist else out
 
 
@@ -207,13 +231,25 @@ def _jaccard_on(
         # intersection shuffle.
         key = "sh" if prehashed else "xxhash64(sh)"
         shj_cte = f"SELECT doc, {key} AS sh, count(1) OVER (PARTITION BY doc) AS sz FROM {{sh}}"
+        # /*+ MERGE */ pins the co-shingle self-join to sort-merge
+        # (r15, guide §3.1 "pick the strategy deliberately"): both
+        # sides are the SAME corpus-sized shingle table, but the
+        # planner's size estimate predates the explode/window (at sf1
+        # the "small" side is already 33 MB against the 10 MB
+        # broadcast threshold), so it broadcast the entire shingle
+        # table — a serial driver collect+build on the query's
+        # critical path and a driver-OOM hazard at any real scale.
+        # Measured at sf1/local[32], settled C2 state: 8.4 s (BHJ) ->
+        # 3.4 s (SMJ), and the join stays on the one ReusedExchange
+        # (plans/r15/d02_dedup_ngram_jaccard_after.txt). Identical
+        # rows — join strategy only.
         return spark.sql(
             f"""
             WITH shj AS ({shj_cte})
             SELECT a_id, b_id, inter, sza + szb - inter AS un,
                    CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
             FROM (
-              SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter,
+              SELECT /*+ MERGE(a) */ a.doc AS a_id, b.doc AS b_id, count(*) AS inter,
                      min(a.sz) AS sza, min(b.sz) AS szb
               FROM shj a JOIN shj b ON a.sh = b.sh AND a.doc < b.doc
               GROUP BY a.doc, b.doc)
@@ -253,8 +289,11 @@ def ngram_jaccard_pairs(
     No persist (r14): the sizes now ride the shingle rows into the
     intersection join (see _jaccard_on), leaving the self-join as the
     only consumer — its two identical sides share one exchange
-    (ReusedExchange), so the explode/df-cap subtree still runs once."""
-    sh = _shingle_table(df, id_col, text_col, n, persist=False, hashed=True)
+    (ReusedExchange). r15: the df-cap is the hot-hash anti-join
+    (``cap="anti"``, one corpus-wide exchange removed at the price of a
+    second explode pass for the bounded hot list) and the self-join is
+    pinned to sort-merge (see _jaccard_on's MERGE note)."""
+    sh = _shingle_table(df, id_col, text_col, n, persist=False, hashed=True, cap="anti")
     return _track(_jaccard_on(sh, prehashed=True).filter(F.col("jaccard") >= threshold))
 
 

@@ -1244,6 +1244,47 @@ def test_jaccard_on_rejects_sizes_without_pairs(spark, sf_dir):
         dedup._jaccard_on(sh, sizes=sizes, prehashed=True)
 
 
+def test_shingle_table_anti_cap_matches_window_cap(spark):
+    """The r15 anti-join df-cap must keep EXACTLY the rows the count
+    window kept — including at the cap boundary. Build a corpus where
+    one shingle's document frequency exceeds MAX_SHINGLE_DF, one sits
+    exactly AT it (must survive: the predicate is <= / >), and the rest
+    are rare."""
+    cap = dedup.MAX_SHINGLE_DF
+    # every doc shares the hot 3-gram "a b c"; docs 0..cap-1 also share
+    # "x y z" (df == cap, boundary case); each doc gets a unique tail
+    rows = [
+        (i, "a b c" + (" x y z" if i < cap else "") + f" unique{i} tail{i} end{i}")
+        for i in range(cap + 2)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    win = dedup._shingle_table(docs, "doc_id", "text", 3, persist=False, hashed=True)
+    anti = dedup._shingle_table(
+        docs, "doc_id", "text", 3, persist=False, hashed=True, cap="anti"
+    )
+    w = {tuple(r) for r in win.collect()}
+    a = {tuple(r) for r in anti.collect()}
+    assert a == w and len(a) > 0
+    # the hot shingle (df == cap + 2 > cap) must be gone from both
+    assert win.count() == anti.count()
+
+
+def test_jaccard_self_join_is_sort_merge(spark, sf_dir):
+    """d02's co-shingle self-join must be pinned to sort-merge (r15):
+    the planner's pre-explode size estimate otherwise broadcasts the
+    entire corpus-sized shingle table (serial driver build, OOM hazard
+    at scale). The hot-list anti-join is the only broadcast allowed."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the only BroadcastHashJoin is the LeftAnti hot-list cap
+    import re
+
+    bhj = re.findall(r"BroadcastHashJoin.*", plan)
+    assert all("LeftAnti" in b for b in bhj)
+
+
 def test_pagerank_int_symmetric_and_conserved(spark):
     """On a 3-cycle all ranks are equal; a star concentrates rank at
     the hub; results are exact integers independent of partitioning."""
