@@ -618,7 +618,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, lane_bits: int = 16) -> D
     lanes_per_word = 64 // lane_bits
     luts = _simhash_luts(lane_bits)
     n_words = len(luts)
-    toks = df.selectExpr(
+    # widen before the tokenize/md5/lane-sum pipeline (r15): document
+    # tables arrive locally as a handful of scan splits, which caps the
+    # fingerprint stage at that task count regardless of cores
+    # (measured at sf1: 3.1 s wall on 6 tasks = ~75% of d05's settled
+    # exec). spread() never shrinks an already-wide corpus, so at real
+    # scale it is a no-op and no exchange is added.
+    from .spread import spread
+
+    toks = spread(df).selectExpr(
         f"`{id_col}` AS doc",
         f"explode(array_distinct(split(lower(`{text_col}`), ' '))) AS tok",
     ).selectExpr(
